@@ -1,0 +1,111 @@
+"""Top-level PDF extraction: bytes → per-page blocks/text + OCR-branch
+classification.
+
+Semantics reproduced from the reference:
+  * page text = block texts joined '\\n'
+    (/root/reference/pdf_ocr_with_boxes_v2.py:684-686)
+  * document text = concatenation of '# 第 {i} 页\\n\\n{page_text}\\n\\n'
+    chunks, exactly as v2 builds ``all_texts`` and ``writelines`` them
+    (/root/reference/pdf_ocr_with_boxes_v2.py:697,715-718)
+  * txt-vs-ocr classification per document, the ``ds.classify()`` decision
+    (/root/reference/pdf_ocr_with_boxes_v3.py:118-128): a page with no
+    text-show operators but drawn images needs OCR
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+from pdf_ocr_spark.kernels.pdf.content import interpret_page
+from pdf_ocr_spark.kernels.pdf.cos import PDFDocument, PDFError
+from pdf_ocr_spark.kernels.pdf.layout import (
+    Block,
+    build_blocks,
+    build_lines,
+    page_text_from_blocks,
+    xy_cut_order,
+)
+
+MAX_PAGES = 10_000  # poison-doc cap: a 100k-page PDF must not wedge an executor
+
+
+class PageExtract(NamedTuple):
+    page_num: int           # 1-based
+    text: str               # '' when needs_ocr
+    n_blocks: int
+    needs_ocr: bool
+    ocr_payload: Optional[bytes]  # first image XObject bytes, for the OCR stage
+    width: float
+    height: float
+
+
+class DocExtract(NamedTuple):
+    status: str              # 'ok' | 'failed'
+    failure_reason: Optional[str]
+    n_pages: int
+    pages: List[PageExtract]
+    blocks: List[Block]
+
+
+def extract_pdf(pdf_bytes: bytes) -> DocExtract:
+    """Parse one PDF and extract per-page text blocks.
+
+    Never raises on malformed input: structural failures return
+    status='failed' with a reason class, so the Spark batch keeps going
+    (poison-row isolation, SURVEY.md §4.1)."""
+    try:
+        doc = PDFDocument(pdf_bytes)
+        page_dicts = doc.pages()
+    except PDFError as e:
+        return DocExtract("failed", f"pdf_parse_error: {e}", 0, [], [])
+    except (RecursionError, MemoryError, OverflowError, ValueError) as e:
+        return DocExtract("failed", f"pdf_parse_error: {type(e).__name__}", 0, [], [])
+    if not page_dicts:
+        return DocExtract("failed", "pdf_no_pages", 0, [], [])
+
+    pages: List[PageExtract] = []
+    blocks: List[Block] = []
+    for i, pd in enumerate(page_dicts[:MAX_PAGES], 1):
+        try:
+            res = interpret_page(doc, pd)
+        except PDFError:
+            pages.append(PageExtract(i, "", 0, False, None, 0.0, 0.0))
+            continue
+        except (RecursionError, MemoryError, OverflowError, ValueError):
+            pages.append(PageExtract(i, "", 0, False, None, 0.0, 0.0))
+            continue
+        has_text = any(g.text.strip() for g in res.glyphs)
+        if not has_text and res.images:
+            # image-only page → OCR branch (P8 classification)
+            pages.append(
+                PageExtract(i, "", 0, True, res.images[0], res.width, res.height)
+            )
+            continue
+        lines = build_lines(res.glyphs, res.height)
+        ordered = xy_cut_order(lines)
+        pblocks = build_blocks(ordered, i)
+        blocks.extend(pblocks)
+        pages.append(
+            PageExtract(
+                i,
+                page_text_from_blocks(pblocks),
+                len(pblocks),
+                False,
+                None,
+                res.width,
+                res.height,
+            )
+        )
+    return DocExtract("ok", None, len(pages), pages, blocks)
+
+
+def page_header(page_num: int, text: str) -> str:
+    """v2's per-page chunk: ``f"# 第 {i} 页\\n\\n{cleaned_text}\\n\\n"``
+    (/root/reference/pdf_ocr_with_boxes_v2.py:697)."""
+    return f"# 第 {page_num} 页\n\n{text}\n\n"
+
+
+def assemble_doc_text(page_texts: List[str]) -> str:
+    """Document text = concatenated page chunks, v2's ``writelines``
+    (/root/reference/pdf_ocr_with_boxes_v2.py:715-718)."""
+    return "".join(page_header(i, t) for i, t in enumerate(page_texts, 1))

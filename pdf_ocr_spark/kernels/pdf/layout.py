@@ -1,0 +1,234 @@
+"""Layout assembly: positioned glyphs → lines → XY-cut reading order →
+typed text blocks.
+
+Replaces the MinerU layout model + reading order the reference delegates to
+(``doc_analyze`` → ``para_blocks``,
+/root/reference/pdf_ocr_with_boxes_v3.py:121-135) with a deterministic
+XY-cut (recursive projection-profile cuts: column gutters first, then
+horizontal bands), per SURVEY.md K3.  Block text merging reproduces the
+reference's span-merge semantics byte-for-byte
+(``_merge_all_lines_on_block``,
+/root/reference/pdf_ocr_with_boxes_v3.py:170-201): a span starting with an
+alphabetic character (Python ``str.isalpha`` — CJK included) joins with a
+space, or splices onto a trailing hyphen; anything else concatenates
+directly; the result is left-stripped.
+
+All tie-breaks are explicit sort keys (never dict/set order) so the output
+is stable across processes and partitions (SURVEY.md §7 hard part (c)).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Sequence, Tuple
+
+from pdf_ocr_spark.kernels.pdf.content import Glyph
+
+
+class Line(NamedTuple):
+    text: str
+    x0: float
+    y0: float  # top (top-down coordinates)
+    x1: float
+    y1: float  # bottom
+    size: float
+
+
+class Block(NamedTuple):
+    """Mirrors the reference block dict
+    (/root/reference/pdf_ocr_with_boxes_v3.py:220-227)."""
+
+    page_num: int
+    block_index: int
+    type: str
+    bbox: Tuple[float, float, float, float]  # [x0, y0, x1, y1], top-down
+    text: str
+    confidence: float
+
+
+def _median(vals: Sequence[float], default: float = 10.0) -> float:
+    if not vals:
+        return default
+    s = sorted(vals)
+    return s[len(s) // 2]
+
+
+# -- reference-exact span merge (v3:170-201) --------------------------------
+
+
+def _is_alpha_start(text: str) -> bool:
+    """v3's ``_is_latin_start``: ``text[0].isalpha()`` — NOTE this matches
+    CJK letters too; replicated exactly (SURVEY.md F3)."""
+    return len(text) > 0 and text[0].isalpha()
+
+
+def merge_spans(spans: Sequence[str]) -> str:
+    """Reference block merge: hyphen-splice / space-join / direct concat
+    (/root/reference/pdf_ocr_with_boxes_v3.py:182-201)."""
+    res = ""
+    for cur_text in spans:
+        if _is_alpha_start(cur_text):
+            if len(res) > 0 and res[-1] == "-":
+                res = res[:-1] + cur_text
+            else:
+                res += " " + cur_text
+        else:
+            res += cur_text
+    return res.lstrip()
+
+
+# -- line clustering ---------------------------------------------------------
+
+
+def build_lines(glyphs: Sequence[Glyph], page_h: float) -> List[Line]:
+    """Cluster glyphs into visual lines.
+
+    Works in top-down coordinates (yt = page_h - device_y).  Glyphs whose
+    baselines differ by less than ~0.4× the local font size belong to one
+    line; within a line, glyphs sort by (x, seq) and a space is inserted
+    when the horizontal gap exceeds 0.28× font size (word gap)."""
+    vis = [g for g in glyphs if g.text]
+    if not vis:
+        return []
+    med_size = _median([g.size for g in vis if g.size > 0], 10.0)
+    tol = max(1.2, 0.4 * med_size)
+
+    # sort by baseline (top-down), then x, then emission order
+    items = sorted(vis, key=lambda g: (round(page_h - g.y, 2), round(g.x, 2), g.seq))
+    lines: List[List[Glyph]] = []
+    anchors: List[float] = []
+    for g in items:
+        yt = page_h - g.y
+        if lines and abs(yt - anchors[-1]) <= tol:
+            lines[-1].append(g)
+        else:
+            lines.append([g])
+            anchors.append(yt)
+    out: List[Line] = []
+    for group in lines:
+        group.sort(key=lambda g: (round(g.x, 2), g.seq))
+        parts: List[str] = []
+        prev_end = None
+        sizes = [g.size for g in group if g.size > 0]
+        gsize = _median(sizes, med_size)
+        for g in group:
+            if prev_end is not None:
+                gap = g.x - prev_end
+                if gap > 0.28 * max(gsize, 1.0) and parts and not parts[-1].endswith(" "):
+                    # only synthesize a space between latin-ish fragments;
+                    # CJK text never gets synthetic spaces
+                    prev_ch = parts[-1][-1]
+                    if prev_ch.isascii() and g.text[:1].isascii():
+                        parts.append(" ")
+            parts.append(g.text)
+            prev_end = g.x + max(g.adv, 0.0)
+        text = "".join(parts).strip()
+        if not text:
+            continue
+        x0 = min(g.x for g in group)
+        x1 = max(g.x + max(g.adv, 0.0) for g in group)
+        yts = [page_h - g.y for g in group]
+        base = _median(yts, 0.0)
+        out.append(Line(text, x0, base - gsize, x1, base, gsize))
+    return out
+
+
+# -- XY-cut reading order -----------------------------------------------------
+
+
+def _largest_gap(intervals: List[Tuple[float, float]], min_gap: float):
+    """Largest gap in the union of [start, end) intervals; None if < min_gap."""
+    if len(intervals) < 2:
+        return None
+    intervals = sorted(intervals)
+    best = None
+    cur_end = intervals[0][1]
+    for s, e in intervals[1:]:
+        if s - cur_end >= min_gap:
+            gap = s - cur_end
+            if best is None or gap > best[0]:
+                best = (gap, cur_end, s)
+        cur_end = max(cur_end, e)
+    return best
+
+
+def xy_cut_order(lines: List[Line], depth: int = 0) -> List[Line]:
+    """Recursive XY-cut: split on full-extent column gutters (x) first,
+    then on large horizontal bands (y); leaves sort top-down, left-right."""
+    if len(lines) <= 1 or depth > 12:
+        return sorted(lines, key=lambda l: (round(l.y1, 2), round(l.x0, 2)))
+    med_size = _median([l.size for l in lines], 10.0)
+
+    # vertical cut: a gutter in the x-projection spanning every line
+    gx = max(2.5 * med_size, 12.0)
+    xcut = _largest_gap([(l.x0, l.x1) for l in lines], gx)
+    if xcut is not None:
+        _, gap_lo, gap_hi = xcut
+        mid = (gap_lo + gap_hi) / 2.0
+        left = [l for l in lines if l.x1 <= mid]
+        right = [l for l in lines if l.x1 > mid]
+        if left and right:
+            return xy_cut_order(left, depth + 1) + xy_cut_order(right, depth + 1)
+
+    # horizontal cut: a band gap in the y-projection
+    gy = 2.2 * med_size
+    ycut = _largest_gap([(l.y0, l.y1) for l in lines], gy)
+    if ycut is not None:
+        _, gap_lo, gap_hi = ycut
+        mid = (gap_lo + gap_hi) / 2.0
+        top = [l for l in lines if l.y1 <= mid]
+        bottom = [l for l in lines if l.y1 > mid]
+        if top and bottom:
+            return xy_cut_order(top, depth + 1) + xy_cut_order(bottom, depth + 1)
+
+    return sorted(lines, key=lambda l: (round(l.y1, 2), round(l.x0, 2)))
+
+
+# -- block segmentation -------------------------------------------------------
+
+
+def build_blocks(ordered_lines: List[Line], page_num: int) -> List[Block]:
+    """Group consecutive reading-order lines into blocks; a vertical jump
+    > 1.7× the local line size (or a column/section switch from the XY-cut)
+    starts a new block."""
+    blocks: List[Block] = []
+    if not ordered_lines:
+        return blocks
+    med_size = _median([l.size for l in ordered_lines], 10.0)
+    groups: List[List[Line]] = [[ordered_lines[0]]]
+    for prev, cur in zip(ordered_lines, ordered_lines[1:]):
+        gap = cur.y1 - prev.y1  # baseline delta, top-down
+        new_block = (
+            gap > 1.7 * max(prev.size, cur.size, 1.0)
+            or gap < -0.5 * med_size  # jumped back up → new column/section
+        )
+        if new_block:
+            groups.append([cur])
+        else:
+            groups[-1].append(cur)
+    for idx, group in enumerate(groups):
+        text = merge_spans([l.text for l in group])
+        if not text.strip():
+            continue
+        x0 = min(l.x0 for l in group)
+        y0 = min(l.y0 for l in group)
+        x1 = max(l.x1 for l in group)
+        y1 = max(l.y1 for l in group)
+        gsize = _median([l.size for l in group], med_size)
+        btype = "title" if (len(group) == 1 and gsize > 1.25 * med_size) else "text"
+        blocks.append(
+            Block(
+                page_num,
+                idx,
+                btype,
+                (round(x0, 2), round(y0, 2), round(x1, 2), round(y1, 2)),
+                text,
+                0.95,  # txt-mode confidence constant, v3:226
+            )
+        )
+    return blocks
+
+
+def page_text_from_blocks(blocks: Sequence[Block]) -> str:
+    """Page text = block texts joined with newline
+    (/root/reference/pdf_ocr_with_boxes_v2.py:684-686)."""
+    return "\n".join(b.text for b in blocks)
