@@ -1,0 +1,540 @@
+"""Deterministic generator for the Common-Crawl-style ``pages`` table
+(url, warc_ts, html:binary, text, lang) per FIXTURES.md §1.
+
+Synthesizes, with seed-stable bytes and no wall-clock reads:
+  * ``pdf_glyph``  — WPS-style PDFs: Type0/Identity-H fonts, ToUnicode
+    CMaps (bfchar + bfrange), per-glyph hex ``Tj`` with ``TD`` advances
+    under a top-of-page y-flip ``cm`` — the japanese_test.pdf shape
+    (SURVEY.md §5.2); some 2-column layouts to exercise XY-cut
+  * ``pdf_simple`` — literal-string ``Tj``/``TJ`` arrays, ``'`` shows,
+    WinAnsi simple fonts, Flate and raw streams (tokenizer corner cases)
+  * ``pdf_scan``   — image-XObject-only pages (no text ops) that route to
+    the OCR branch; the stub marker carries ground truth
+  * ``html_page``  — boilerplate shells (link-dense nav/aside/footer)
+    around a main article (boilerplate-stripper input)
+  * ``broken``     — truncated/corrupt payloads (poison-row lineage)
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+from pdf_ocr_spark.kernels.ocr_stub import STUB_MARKER
+
+# -- deterministic text corpus -------------------------------------------------
+
+_EN_WORDS = (
+    "the quick brown fox jumps over lazy dog data spark engine extract "
+    "document crawl archive pipeline partition shuffle column text page "
+    "block reading order token stream batch vector arrow table result "
+    "filter merge join sort window count golden stable deterministic"
+).split()
+
+_JA_CHUNKS = [
+    "日本語のテキストです。", "これは本文の段落です。", "データ処理の実験を行う。",
+    "ページの順序を保持する。", "カタカナとひらがなの混在。", "抽出結果は安定している。",
+    "スパークで分散処理する。", "文字列の結合規則を確認。",
+]
+
+_ZH_CHUNKS = [
+    "这是一个中文段落。", "文档抽取引擎的测试。", "保持阅读顺序不变。",
+    "数据管道需要可恢复。", "分区与倾斜的处理。", "结果必须逐字节一致。",
+]
+
+
+def _sentence(rng: random.Random, lang: str) -> str:
+    if lang == "ja":
+        return "".join(rng.choice(_JA_CHUNKS) for _ in range(rng.randint(2, 4)))
+    if lang == "zh":
+        return "".join(rng.choice(_ZH_CHUNKS) for _ in range(rng.randint(2, 4)))
+    n = rng.randint(6, 14)
+    words = [rng.choice(_EN_WORDS) for _ in range(n)]
+    return " ".join(words).capitalize() + "."
+
+
+def _paragraph(rng: random.Random, lang: str, sentences: Optional[int] = None) -> str:
+    k = sentences if sentences is not None else rng.randint(2, 5)
+    sep = " " if lang == "en" else ""
+    return sep.join(_sentence(rng, lang) for _ in range(k))
+
+
+# -- low-level PDF writer ------------------------------------------------------
+
+
+class _PdfWriter:
+    """Assembles a classic-xref PDF from numbered object bodies."""
+
+    def __init__(self) -> None:
+        self.objects: List[bytes] = []  # index i ↔ object number i+1
+
+    def reserve(self) -> int:
+        """Reserve an object number to fill in later (forward refs)."""
+        self.objects.append(b"")
+        return len(self.objects)
+
+    def fill(self, num: int, body: bytes) -> None:
+        self.objects[num - 1] = body
+
+    def add(self, body: bytes) -> int:
+        self.objects.append(body)
+        return len(self.objects)
+
+    def stream_body(self, dict_extra: bytes, data: bytes, compress: bool = True) -> bytes:
+        if compress:
+            enc = zlib.compress(data)
+            d = b"<< /Length %d /Filter /FlateDecode %s >>" % (len(enc), dict_extra)
+        else:
+            enc = data
+            d = b"<< /Length %d %s >>" % (len(enc), dict_extra)
+        return d + b"\nstream\n" + enc + b"\nendstream"
+
+    def add_stream(self, dict_extra: bytes, data: bytes, compress: bool = True) -> int:
+        return self.add(self.stream_body(dict_extra, data, compress))
+
+    def build(self, root_num: int) -> bytes:
+        out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0] * (len(self.objects) + 1)
+        for i, body in enumerate(self.objects, 1):
+            offsets[i] = len(out)
+            out += b"%d 0 obj\n" % i
+            out += body
+            out += b"\nendobj\n"
+        xref_pos = len(out)
+        out += b"xref\n0 %d\n" % (len(self.objects) + 1)
+        out += b"0000000000 65535 f \n"
+        for i in range(1, len(self.objects) + 1):
+            out += b"%010d 00000 n \n" % offsets[i]
+        out += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+            len(self.objects) + 1,
+            root_num,
+            xref_pos,
+        )
+        return bytes(out)
+
+
+# -- glyph-style PDFs (Type0 + ToUnicode, per-glyph Tj) --------------------------
+
+
+def _build_cid_font(w: _PdfWriter, charset: List[str]) -> Tuple[int, Dict[str, int]]:
+    """Create a Type0/Identity-H font whose CIDs are 0x0100+index; the
+    ToUnicode CMap uses bfrange for runs of consecutive codepoints and
+    bfchar for the rest (exercises both forms; SURVEY.md §5.2 shows the
+    sample PDF relies on bfchar-heavy CMaps)."""
+    cid_of = {ch: 0x0100 + i for i, ch in enumerate(charset)}
+    entries_char: List[Tuple[int, str]] = []
+    entries_range: List[Tuple[int, int, str]] = []
+    i = 0
+    while i < len(charset):
+        j = i
+        while j + 1 < len(charset) and ord(charset[j + 1]) == ord(charset[j]) + 1:
+            j += 1
+        if j - i >= 2:
+            entries_range.append((cid_of[charset[i]], cid_of[charset[j]], charset[i]))
+        else:
+            for k in range(i, j + 1):
+                entries_char.append((cid_of[charset[k]], charset[k]))
+        i = j + 1
+
+    def hex4(v: int) -> bytes:
+        return b"<%04X>" % v
+
+    def hexu(s: str) -> bytes:
+        return b"<" + s.encode("utf-16-be").hex().upper().encode() + b">"
+
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    for chunk_start in range(0, len(entries_char), 90):
+        chunk = entries_char[chunk_start : chunk_start + 90]
+        lines.append(b"%d beginbfchar" % len(chunk))
+        for cid, ch in chunk:
+            lines.append(hex4(cid) + b" " + hexu(ch))
+        lines.append(b"endbfchar")
+    if entries_range:
+        lines.append(b"%d beginbfrange" % len(entries_range))
+        for lo, hi, ch in entries_range:
+            lines.append(hex4(lo) + b" " + hex4(hi) + b" " + hexu(ch))
+        lines.append(b"endbfrange")
+    lines += [b"endcmap", b"CMapName currentdict /CMap defineresource pop", b"end", b"end"]
+    tounicode = w.add_stream(b"", b"\n".join(lines))
+
+    wid_items = []
+    for ch in charset:
+        wid = 500 if ord(ch) < 0x2E80 else 1000
+        wid_items.append(b"%d [%d]" % (cid_of[ch], wid))
+    desc_font = w.add(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCJK"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >>"
+        b" /DW 1000 /W [" + b" ".join(wid_items) + b"] >>"
+    )
+    font = w.add(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCJK"
+        b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
+        b" /ToUnicode %d 0 R >>" % (desc_font, tounicode)
+    )
+    return font, cid_of
+
+
+def _glyph_content(
+    lines: List[str],
+    cid_of: Dict[str, int],
+    media: Tuple[float, float],
+    two_column: bool,
+) -> bytes:
+    """Per-glyph hex Tj content under a y-flip cm, WPS-style: for each
+    glyph a ``<CID> Tj`` followed by an explicit ``dx 0 TD`` advance."""
+    scale = 0.05
+    fsize = 14.0
+    tf = fsize / scale
+    line_step = 22.0
+    buf = bytearray()
+    buf += b"q\n1 0 0 -1 0 %.2f cm\n" % media[1]
+    if two_column and len(lines) > 1:
+        col_h = (len(lines) + 1) // 2
+        cols = [lines[:col_h], lines[col_h:]]
+        xs = [56.0, 336.0]
+    else:
+        cols = [lines]
+        xs = [56.0]
+    for col, x0 in zip(cols, xs):
+        y = 60.0
+        for ln in col:
+            buf += b"BT\n/F1 %.0f Tf\n" % tf
+            buf += b"%.2f 0 0 -%.2f %.2f %.2f Tm\n" % (scale, scale, x0, y)
+            for ch in ln:
+                adv = fsize * (0.5 if ord(ch) < 0x2E80 else 1.0) / scale
+                buf += b"<%04X>Tj %.2f 0 TD\n" % (cid_of[ch], adv)
+            buf += b"ET\n"
+            y += line_step
+    buf += b"Q\n"
+    return bytes(buf)
+
+
+def make_glyph_pdf(
+    page_lines: List[List[str]],
+    two_column: bool = False,
+    compress: bool = True,
+) -> bytes:
+    media = (612.0, 792.0)
+    charset = sorted({ch for page in page_lines for ln in page for ch in ln})
+    if not charset:
+        charset = [" "]
+    w = _PdfWriter()
+    font_num, cid_of = _build_cid_font(w, charset)
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    page_nums = []
+    for lines in page_lines:
+        content_num = w.add_stream(
+            b"", _glyph_content(lines, cid_of, media, two_column), compress=compress
+        )
+        page_nums.append(
+            w.add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R"
+                b" /Resources << /Font << /F1 %d 0 R >> >> >>"
+                % (pages_num, content_num, font_num)
+            )
+        )
+    w.fill(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 %.2f %.2f] >>"
+        % (kids, len(page_nums), media[0], media[1]),
+    )
+    return w.build(catalog)
+
+
+# -- simple-font PDFs (literal strings, TJ arrays) -------------------------------
+
+
+def _escape_literal(s: str) -> bytes:
+    out = bytearray()
+    for ch in s:
+        b = ord(ch)
+        if ch in "()\\":
+            out += b"\\" + ch.encode("latin-1")
+        elif b < 256:
+            out += bytes((b,))
+        else:
+            out += b"?"
+    return bytes(out)
+
+
+def _simple_content(lines: List[str], media: Tuple[float, float], style: int) -> bytes:
+    """Literal-string shows; style rotates between plain Tj, TJ arrays
+    with kerning numbers, and ``'`` next-line shows with TL leading."""
+    fsize = 12.0
+    buf = bytearray()
+    y = media[1] - 60.0
+    if style % 3 == 2:
+        # ' operator chain: one Td to start, then ' per line
+        buf += b"BT\n/F1 %.0f Tf\n%.1f TL\n1 0 0 1 56 %.2f Td\n" % (fsize, 16.0, y)
+        first = True
+        for ln in lines:
+            esc = _escape_literal(ln)
+            if first:
+                buf += b"(" + esc + b") Tj\n"
+                first = False
+            else:
+                buf += b"(" + esc + b") '\n"
+        buf += b"ET\n"
+        return bytes(buf)
+    for i, ln in enumerate(lines):
+        buf += b"BT\n/F1 %.0f Tf\n1 0 0 1 56 %.2f Td\n" % (fsize, y)
+        if style % 3 == 1 and len(ln) > 8:
+            mid = len(ln) // 2
+            buf += (
+                b"[(" + _escape_literal(ln[:mid]) + b") -20 ("
+                + _escape_literal(ln[mid:]) + b")] TJ\n"
+            )
+        else:
+            buf += b"(" + _escape_literal(ln) + b") Tj\n"
+        buf += b"ET\n"
+        y -= 16.0
+    return bytes(buf)
+
+
+def make_simple_pdf(
+    page_lines: List[List[str]], style: int = 0, compress: bool = True
+) -> bytes:
+    media = (612.0, 792.0)
+    w = _PdfWriter()
+    font_num = w.add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>"
+    )
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    page_nums = []
+    for lines in page_lines:
+        content_num = w.add_stream(
+            b"", _simple_content(lines, media, style), compress=compress
+        )
+        page_nums.append(
+            w.add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R"
+                b" /Resources << /Font << /F1 %d 0 R >> >> >>"
+                % (pages_num, content_num, font_num)
+            )
+        )
+    w.fill(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 %.2f %.2f] >>"
+        % (kids, len(page_nums), media[0], media[1]),
+    )
+    return w.build(catalog)
+
+
+# -- scanned (image-only) PDFs ---------------------------------------------------
+
+
+def make_scan_pdf(page_texts: List[str]) -> bytes:
+    """Pages containing only an image XObject (no text operators) — routes
+    to the OCR branch (P8 classification,
+    /root/reference/pdf_ocr_with_boxes_v3.py:118-128).  The stub ground
+    truth rides inside the image stream after STUB_MARKER."""
+    media = (612.0, 792.0)
+    w = _PdfWriter()
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    page_nums = []
+    for text in page_texts:
+        fake_scan = STUB_MARKER + text.encode("utf-8") + b"\x00" + b"\xff" * 64
+        img_num = w.add_stream(
+            b"/Type /XObject /Subtype /Image /Width 1275 /Height 1650"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8",
+            fake_scan,
+            compress=False,
+        )
+        content_num = w.add_stream(
+            b"", b"q\n612 0 0 792 0 0 cm\n/Im1 Do\nQ\n"
+        )
+        page_nums.append(
+            w.add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R"
+                b" /Resources << /XObject << /Im1 %d 0 R >> >> >>"
+                % (pages_num, content_num, img_num)
+            )
+        )
+    w.fill(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 %.2f %.2f] >>"
+        % (kids, len(page_nums), media[0], media[1]),
+    )
+    return w.build(catalog)
+
+
+# -- HTML pages ------------------------------------------------------------------
+
+
+def make_html_page(rng: random.Random, lang: str) -> Tuple[bytes, str]:
+    """Boilerplate shell around a main article.  Returns (bytes, a rough
+    plain-text hint used for the crawl 'text' column — NOT the golden)."""
+    n_paras = rng.randint(3, 7)
+    paras = [_paragraph(rng, lang) for _ in range(n_paras)]
+    title = _sentence(rng, lang)[:60]
+    nav_links = " ".join(
+        f'<a href="/{w}">{w}</a>' for w in rng.sample(_EN_WORDS, 6)
+    )
+    aside_links = " ".join(
+        f'<a href="/p/{w}">{w} promo</a>' for w in rng.sample(_EN_WORDS, 4)
+    )
+    body_paras = "\n".join(f"<p>{p}</p>" for p in paras)
+    amp = "Q&amp;A &mdash; r&eacute;sum&eacute;"
+    html = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<script>window.__x = {rng.randint(0, 9999)};</script>
+<style>.main {{ color: #222; }}</style></head>
+<body>
+<nav>{nav_links}</nav>
+<header><h1>{title}</h1></header>
+<div id="content"><article>
+{body_paras}
+<p>{amp}</p>
+</article></div>
+<aside>{aside_links}</aside>
+<footer><a href="/tos">terms</a> <a href="/privacy">privacy</a> © 2025</footer>
+</body></html>"""
+    return html.encode("utf-8"), " ".join(paras)
+
+
+# -- broken payloads ---------------------------------------------------------------
+
+
+def make_broken(rng: random.Random, variant: int) -> bytes:
+    if variant % 3 == 0:
+        # truncated PDF (valid header, cut mid-objects)
+        whole = make_simple_pdf([["truncated document line one", "line two"]])
+        return whole[: len(whole) // 3]
+    if variant % 3 == 1:
+        # undecodable stream: Flate header but corrupt body
+        whole = make_glyph_pdf([["破損したページ"]])
+        idx = whole.find(b"stream\n") + 7
+        return whole[:idx] + b"\x00garbage\x00" + whole[idx + 9 :]
+    # not a document at all
+    return bytes(rng.getrandbits(8) for _ in range(256))
+
+
+# -- corpus assembly -----------------------------------------------------------------
+
+KINDS = ("pdf_glyph", "pdf_simple", "pdf_scan", "html_page", "broken")
+_REF_PDF_PATH = "/root/reference/japanese_test.pdf"
+
+
+def _kind_for(i: int) -> str:
+    """FIXTURES.md row mix: 25% glyph, 20% simple, 10% scan, 40% html, 5% broken."""
+    r = i % 20
+    if r < 5:
+        return "pdf_glyph"
+    if r < 9:
+        return "pdf_simple"
+    if r < 11:
+        return "pdf_scan"
+    if r < 19:
+        return "html_page"
+    return "broken"
+
+
+def gen_rows(n: int, seed: int = 42, include_ref_pdf: bool = True) -> List[dict]:
+    """Deterministic pages-table rows.  Row 0 (optionally) carries the
+    reference sample PDF verbatim; the rest cycle through the kind mix."""
+    rows: List[dict] = []
+    base_ts = datetime.datetime(2025, 1, 1, 0, 0, 0)
+    ref_bytes: Optional[bytes] = None
+    if include_ref_pdf:
+        try:
+            with open(_REF_PDF_PATH, "rb") as f:
+                ref_bytes = f.read()
+        except OSError:
+            ref_bytes = None
+
+    for i in range(n):
+        rng = random.Random((seed << 20) ^ i)  # per-row rng → order-independent
+        ts = base_ts + datetime.timedelta(
+            days=(i * 7919) % 365, seconds=(i * 104729) % 86400
+        )
+        lang = ("en", "ja", "zh")[i % 3]
+        if i == 0 and ref_bytes is not None:
+            rows.append(
+                dict(
+                    url="https://example.test/docs/ref/000000",
+                    warc_ts=ts,
+                    html=ref_bytes,
+                    text="japanese test pdf",
+                    lang="ja",
+                    kind="ref",
+                )
+            )
+            continue
+        kind = _kind_for(i)
+        url = f"https://example.test/docs/{kind}/{i:06d}"
+        if kind == "pdf_glyph":
+            n_pages = rng.randint(1, 4)
+            two_col = rng.random() < 0.3
+            pages = [
+                [_sentence(rng, lang) for _ in range(rng.randint(4, 10))]
+                for _ in range(n_pages)
+            ]
+            payload = make_glyph_pdf(pages, two_column=two_col)
+            hint = " ".join(l for p in pages for l in p)[:200]
+        elif kind == "pdf_simple":
+            n_pages = rng.randint(1, 3)
+            style = rng.randint(0, 2)
+            pages = [
+                [_sentence(rng, "en") for _ in range(rng.randint(4, 10))]
+                for _ in range(n_pages)
+            ]
+            payload = make_simple_pdf(pages, style=style, compress=rng.random() < 0.7)
+            hint = " ".join(l for p in pages for l in p)[:200]
+        elif kind == "pdf_scan":
+            n_pages = rng.randint(1, 2)
+            texts = [
+                "\n".join(_sentence(rng, lang) for _ in range(rng.randint(2, 5)))
+                for _ in range(n_pages)
+            ]
+            payload = make_scan_pdf(texts)
+            hint = " ".join(texts)[:200]
+        elif kind == "html_page":
+            payload, hint = make_html_page(rng, lang)
+            hint = hint[:200]
+        else:  # broken
+            payload = make_broken(rng, i)
+            hint = ""
+        rows.append(
+            dict(url=url, warc_ts=ts, html=payload, text=hint, lang=lang, kind=kind)
+        )
+    return rows
+
+
+def write_corpus(path: str, n: int, seed: int = 42) -> None:
+    """Write the pages table as parquet (without the 'kind' helper column,
+    matching the input_hint schema exactly)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = gen_rows(n, seed)
+    table = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, path)

@@ -1,0 +1,91 @@
+"""Deterministic OCR engine stub + the batched-inference client interface.
+
+In production this slot is filled by a real engine exactly the way the
+reference does it: PaddleOCR in-process
+(/root/reference/pdf_ocr_with_boxes_v2.py:235-247), DeepSeek-OCR
+(/root/reference/parse_student_answers.py:232-242), or a remote
+OpenAI-compatible VLM endpoint batched per partition
+(/root/reference/pdf_ocr_with_silicon_remote_vllm.py:162-232).  The sandbox
+has no OCR models, so the stub is a pure deterministic function: fixture
+"scanned" pages embed their ground-truth text in the image stream behind a
+marker, and unknown images produce a stable fingerprint line.  The Spark
+plumbing around it — partition-batched ``mapInPandas``, one engine init per
+executor python worker, confidence filtering — is real and is what the
+benchmark measures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Sequence, Tuple
+
+# fixture marker: generated pdf_scan pages carry b"OCRSTUB:" + utf-8 text
+# inside their image XObject stream (see fixtures/genpages.py)
+STUB_MARKER = b"OCRSTUB:"
+
+# reference default: Config.OCR_MIN_CONFIDENCE = 0.5
+# (/root/reference/pdf_ocr_with_boxes_v2.py:119-123)
+OCR_MIN_CONFIDENCE = 0.5
+
+
+class OcrEngine:
+    """Interface every OCR backend implements.
+
+    ``recognize_batch`` takes N page images and returns N lists of
+    (text, confidence) boxes in detector order — the exact shape the
+    reference consumes from PaddleOCR (text, quad, score triples,
+    /root/reference/pdf_ocr_with_boxes_v2.py:276-391)."""
+
+    def recognize_batch(
+        self, images: Sequence[Optional[bytes]]
+    ) -> List[List[Tuple[str, float]]]:
+        raise NotImplementedError
+
+
+class StubOcrEngine(OcrEngine):
+    """Deterministic sandbox engine.  NOT a real OCR implementation."""
+
+    def recognize_batch(
+        self, images: Sequence[Optional[bytes]]
+    ) -> List[List[Tuple[str, float]]]:
+        out: List[List[Tuple[str, float]]] = []
+        for img in images:
+            if not img:
+                out.append([])
+                continue
+            idx = img.find(STUB_MARKER)
+            if idx >= 0:
+                payload = img[idx + len(STUB_MARKER) :]
+                end = payload.find(b"\x00")
+                if end >= 0:
+                    payload = payload[:end]
+                text = payload.decode("utf-8", "replace")
+                # one box per line, detector order, high confidence
+                out.append([(ln, 0.99) for ln in text.split("\n") if ln.strip()])
+            else:
+                digest = hashlib.sha256(img).hexdigest()[:16]
+                out.append([(f"[unrecognized image {digest}]", 0.51)])
+        return out
+
+
+_ENGINE: Optional[OcrEngine] = None
+
+
+def get_engine() -> OcrEngine:
+    """Lazy module-global engine: initialized once per executor python
+    worker (``spark.python.worker.reuse=true``), mirroring the reference's
+    load-model-once-per-process pattern
+    (/root/reference/parse_student_answers.py:143-175)."""
+    global _ENGINE
+    if _ENGINE is None:
+        _ENGINE = StubOcrEngine()
+    return _ENGINE
+
+
+def ocr_page_text(boxes: List[Tuple[str, float]]) -> str:
+    """Confidence-filter + join box texts with newline — the reference's
+    per-page OCR text assembly
+    (filter: /root/reference/pdf_ocr_with_boxes_v2.py:292,322,364;
+    join: /root/reference/pdf_ocr_with_boxes_v2.py:684-686)."""
+    kept = [t for t, conf in boxes if conf > OCR_MIN_CONFIDENCE and t.strip()]
+    return "\n".join(kept)

@@ -106,29 +106,41 @@ def build_lines(glyphs: Sequence[Glyph], page_h: float) -> List[Line]:
     out: List[Line] = []
     for group in lines:
         group.sort(key=lambda g: (round(g.x, 2), g.seq))
-        parts: List[str] = []
-        prev_end = None
         sizes = [g.size for g in group if g.size > 0]
         gsize = _median(sizes, med_size)
-        for g in group:
-            if prev_end is not None:
-                gap = g.x - prev_end
-                if gap > 0.28 * max(gsize, 1.0) and parts and not parts[-1].endswith(" "):
-                    # only synthesize a space between latin-ish fragments;
-                    # CJK text never gets synthetic spaces
-                    prev_ch = parts[-1][-1]
-                    if prev_ch.isascii() and g.text[:1].isascii():
-                        parts.append(" ")
-            parts.append(g.text)
-            prev_end = g.x + max(g.adv, 0.0)
-        text = "".join(parts).strip()
-        if not text:
-            continue
-        x0 = min(g.x for g in group)
-        x1 = max(g.x + max(g.adv, 0.0) for g in group)
-        yts = [page_h - g.y for g in group]
-        base = _median(yts, 0.0)
-        out.append(Line(text, x0, base - gsize, x1, base, gsize))
+        # split a y-cluster on big horizontal jumps (column gutters / cells)
+        # so the XY-cut can reorder the segments (SURVEY.md K3)
+        split_gap = max(2.2 * gsize, 14.0)
+        segments: List[List[Glyph]] = [[group[0]]]
+        prev_end = group[0].x + max(group[0].adv, 0.0)
+        for g in group[1:]:
+            if g.x - prev_end > split_gap:
+                segments.append([g])
+            else:
+                segments[-1].append(g)
+            prev_end = max(prev_end, g.x + max(g.adv, 0.0))
+        for seg in segments:
+            parts: List[str] = []
+            prev_end = None
+            for g in seg:
+                if prev_end is not None:
+                    gap = g.x - prev_end
+                    if gap > 0.28 * max(gsize, 1.0) and parts and not parts[-1].endswith(" "):
+                        # only synthesize a space between latin-ish
+                        # fragments; CJK never gets synthetic spaces
+                        prev_ch = parts[-1][-1]
+                        if prev_ch.isascii() and g.text[:1].isascii():
+                            parts.append(" ")
+                parts.append(g.text)
+                prev_end = g.x + max(g.adv, 0.0)
+            text = "".join(parts).strip()
+            if not text:
+                continue
+            x0 = min(g.x for g in seg)
+            x1 = max(g.x + max(g.adv, 0.0) for g in seg)
+            yts = [page_h - g.y for g in seg]
+            base = _median(yts, 0.0)
+            out.append(Line(text, x0, base - gsize, x1, base, gsize))
     return out
 
 
