@@ -1,0 +1,126 @@
+"""Spark pipeline tests: local-vs-Spark equivalence for every corpus url,
+the resume anti-join protocol, lineage sidecar, and plan shape."""
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import local_extract
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus_parquet):
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+
+    pages = spark.read.parquet(corpus_parquet)
+    return extract_documents(pages).cache()
+
+
+def test_every_url_matches_local_kernel(docs_df, corpus_rows):
+    """The core equivalence property (SURVEY.md §5.3 #3): the distributed
+    pipeline's extracted_text is byte-identical to the plain-Python kernel
+    for every document."""
+    spark_rows = {r["url"]: r for r in docs_df.collect()}
+    assert len(spark_rows) == len(corpus_rows)
+    for row in corpus_rows:
+        text, status, reason = local_extract(row["html"])
+        got = spark_rows[row["url"]]
+        assert got["status"] == status, row["url"]
+        if status == "ok":
+            assert got["extracted_text"] == text, row["url"]
+        else:
+            assert got["extracted_text"] is None
+
+
+def test_ocr_branch_in_pipeline(docs_df, corpus_rows):
+    scan_urls = [r["url"] for r in corpus_rows if r["kind"] == "pdf_scan"]
+    rows = docs_df.filter(F.col("url").isin(scan_urls)).collect()
+    assert len(rows) == len(scan_urls)
+    for r in rows:
+        assert r["status"] == "ok"
+        assert "# 第 1 页" in r["extracted_text"]
+        assert len(r["extracted_text"]) > 20
+
+
+def test_lineage_metrics(spark, corpus_parquet):
+    from pdf_ocr_spark.pipeline.extract_job import extract_pages, lineage_metrics
+
+    pages = spark.read.parquet(corpus_parquet)
+    metrics = lineage_metrics(extract_pages(pages, num_partitions=4)).collect()
+    assert 1 <= len(metrics) <= 4
+    assert sum(m["n_docs"] for m in metrics) == 100
+    assert sum(m["n_failed"] for m in metrics) >= 1
+    assert all(m["n_bytes"] > 0 for m in metrics)
+
+
+def test_resume_anti_join(spark, corpus_parquet, tmp_path):
+    """Kill-and-restart equivalence (SURVEY.md §5.3 #5): first run commits
+    half the corpus, the restart processes only the remainder, and the
+    final table equals a single-run table."""
+    from pdf_ocr_spark.pipeline.extract_job import (
+        extract_documents,
+        resume_filter,
+        run_extraction,
+    )
+
+    out = str(tmp_path / "out.parquet")
+    pages = spark.read.parquet(corpus_parquet)
+    # simulate a partial first run: commit 40 urls
+    first = pages.orderBy("url").limit(40)
+    extract_documents(first).write.mode("overwrite").parquet(out)
+    assert spark.read.parquet(out).count() == 40
+
+    # restart: resume_filter must see only the 60 remaining
+    done = spark.read.parquet(out)
+    remaining = resume_filter(pages, done)
+    assert remaining.count() == 60
+
+    n = run_extraction(spark, corpus_parquet, out)
+    assert n == 100
+    final = spark.read.parquet(out)
+    assert final.count() == 100
+    assert final.select("url").distinct().count() == 100
+
+    # rerunning when everything is committed processes nothing new
+    n2 = run_extraction(spark, corpus_parquet, out)
+    assert n2 == 100
+
+    # byte-equality with a single-shot run
+    single = {
+        r["url"]: r["extracted_text"]
+        for r in extract_documents(pages).collect()
+    }
+    resumed = {r["url"]: r["extracted_text"] for r in final.collect()}
+    assert resumed == single
+
+
+def test_plan_has_single_planned_shuffle(spark, corpus_parquet):
+    """The page-level plan shows exactly the one explicit repartition
+    (hashpartitioning on xxhash64(url)); extraction + OCR are
+    partition-local (SURVEY.md §4.3)."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_pages
+
+    pages = spark.read.parquet(corpus_parquet)
+    plan = extract_pages(pages, num_partitions=8)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "xxhash64" in plan
+
+
+def test_column_pruning_reaches_scan(spark, corpus_parquet):
+    """Metrics queries must not read the html binary: only url/html are
+    ever selected by the extractor, and a docs-level count reads nothing
+    else (SURVEY.md §4.2)."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_pages
+
+    pages = spark.read.parquet(corpus_parquet)
+    plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    # the scan schema carries only the two needed columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"url", "html"}
