@@ -1,0 +1,246 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Design notes for 100 TB scale:
+  * every hash is derived from ``md5`` via ``conv(hex,16,10)`` — JVM-side,
+    whole-stage-codegen, AND bit-for-bit reproducible in ANSI SQL, so the
+    DuckDB oracle can verify the exact same signatures
+  * shingling uses higher-order functions (``transform(sequence(...))``)
+    — no Python in the hot path
+  * the only shuffles are the groupBy(doc) signature fold and the
+    band-bucket exchange; both partial-aggregate map-side
+  * LSH bucket join replaces the O(n²) pair space with per-bucket
+    micro-joins; buckets are tiny by construction, so AQE handles any
+    bucket skew (a degenerate band value) via skew-join splitting
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h64(col, salt: str):
+    """64-bit-ish (60-bit) hash reproducible in DuckDB:
+    conv(substr(md5(x || ':salt'), 1, 15), 16, 10)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(":" + salt))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def normalized(col):
+    """Normalization shared by every dedup signature: lower + collapse
+    whitespace + trim (kernels/textstats.py normalize_for_fingerprint)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def shingles(col, k: int = 5):
+    """Distinct k-char shingles of the normalized text, via built-ins."""
+    norm = normalized(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(k)),
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text → groups with >1
+    member.  Output: (fingerprint, n_docs, canonical_id=min id)."""
+    fp = F.md5(normalized(F.col(text_col))).alias("fingerprint")
+    return (
+        docs.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """MinHash signatures over k-char shingles: explode distinct shingles,
+    take per-permutation minima (map-side partial agg → one shuffle)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    aggs = [
+        F.min(_h64(F.col("sh"), f"mh{i}")).alias(f"mh{i}") for i in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, hash each band, bucket-join.
+
+    Returns distinct (doc_a < doc_b) candidate pairs.  At scale the
+    bucket-join is a self-equi-join on (band, band_hash) — shuffled once,
+    never O(n²)."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, k)
+    rows = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *parts)).alias("bh"),
+            )
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    k: int = 4,
+) -> DataFrame:
+    """SimHash: per-shingle 64-bit hash votes on each bit position; the
+    signature is the string of majority bits (MSB first).  Bit-vote sums
+    are plain conditional aggregates — fully codegen'd, one shuffle."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    ).withColumn("h", _h64(F.col("sh"), "simhash"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = sh.groupBy("doc_id").agg(*votes)
+    bit_chars = [
+        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(bits - 1, -1, -1)
+    ]
+    return agg.select("doc_id", F.concat(*bit_chars).alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the signature prefix (the
+    standard rotate-and-block trick's first table), then filter exact
+    Hamming distance inside blocks."""
+    sigs = simhash_signatures(docs, text_col, id_col, bits=bits)
+    blocked = sigs.withColumn("blk", F.substring("simhash", 1, prefix_bits))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    # hamming distance between equal-length bitstrings, via built-ins
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("a.simhash"), ""),
+            F.split(F.col("b.simhash"), ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return pair.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        hamming.alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs via a shingle self-join:
+    |A∩B| from the equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
+
+    At 100 TB this runs on LSH candidates only (compose with
+    minhash_lsh_pairs); standalone it is quadratic in shared shingles and
+    should be fed a bounded universe."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (bounded universe; compose with
+    LSH buckets from operators.similarity for the scale path)."""
+    from pdf_ocr_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 4).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

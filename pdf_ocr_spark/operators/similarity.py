@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(the exactness baseline) and sign-LSH bucketed ANN (the scale path).
+
+Scale notes: the query side is always tiny relative to the corpus →
+``broadcast()`` it, so the corpus never shuffles; the bucketed variant
+prunes the candidate set before the dot products, turning a full scan
+per query into a per-bucket micro-join.  All math is
+``zip_with``/``aggregate`` higher-order functions — JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ, folded left in array order (deterministic, matches the
+    positional-UNNEST SQL oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    queries is broadcast (small side); ranking ties break on neighbor id
+    so the result is fully deterministic."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sign_bucket_expr(vec: Column, bits: int = 8) -> Column:
+    """Axis-aligned sign-LSH bucket: bit j = 1 iff vec[j] > 0 (first
+    ``bits`` dimensions).  Deterministic, oracle-expressible; a
+    random-hyperplane variant drops in by replacing the projection."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda j: F.when(
+                F.element_at(vec, j + 1).cast("double") > 0.0,
+                F.pow(F.lit(2.0), j).cast("long"),  # shiftleft needs a literal
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_bucket_histogram(
+    emb: DataFrame, vec_col: str = "embedding", bits: int = 8
+) -> DataFrame:
+    """Bucket occupancy — the observability query for ANN partitioning."""
+    return (
+        emb.select(sign_bucket_expr(F.col(vec_col), bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's sign-LSH bucket,
+    then exact cosine within the bucket.  Recall < 1 by construction; at
+    scale this is the first stage of an IVF-style search (multi-probe =
+    union of neighboring buckets)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_bucket_expr(F.col(vec_col), bits).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_bucket_expr(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

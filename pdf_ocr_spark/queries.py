@@ -1,0 +1,1084 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline operators) as a
+(spark_callable, duckdb_oracle_sql) pair.
+
+Conventions that make the oracle comparison byte-stable:
+  * every computed column is aliased identically on both sides
+  * float aggregations go through DECIMAL(18,4) for an exact sum, then
+    cast back to DOUBLE and round — identical on both engines
+  * every hash is md5-derived (same algorithm both sides); 64-bit hashes
+    are conv(substr(md5,16),16,10) == CAST('0x'||… AS BIGINT)
+  * ties in rankings/limits always break on a unique id
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_ocr_spark.operators import dedup as D
+from pdf_ocr_spark.operators import similarity as S
+from pdf_ocr_spark.operators import text_analysis as T
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum_sql(expr: str, r: int = 2) -> str:
+    return f"round(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE), {r})"
+
+
+def _dec_sum(col, r: int = 2):
+    return F.round(F.sum(col.cast("decimal(18,4)")).cast("double"), r)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+
+def q_p1_confidence_filter(spark, sf_dir):
+    """P1: confidence/threshold filter + non-blank predicate
+    (reference: score > 0.5 and text non-blank,
+    pdf_ocr_with_boxes_v2.py:119-123,292)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("n_chars") > 200) & (F.trim(F.col("text")) != ""))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+SQL_P1 = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars > 200 AND trim(text) <> ''
+"""
+
+
+def q_p3_type_whitelist(spark, sf_dir):
+    """P3: type whitelist filter (pdf_ocr_with_boxes_v3.py:216)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.col("lang").isin("en", "zh", "fr")
+            & F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+        )
+        .select("doc_id", "lang", "source")
+    )
+
+
+SQL_P3 = """
+SELECT doc_id, lang, source FROM documents
+WHERE lang IN ('en','zh','fr') AND source IN ('src0','src1','src2','src3','src4')
+"""
+
+
+def q_p4_type_dispatch(spark, sf_dir):
+    """P4+F7/F8: per-type text formatter dispatch
+    (pdf_ocr_with_boxes_v4.py:210-248: table/image/text branches)."""
+    t = F.substring(F.col("text"), 1, 12)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("source") == "src0", F.concat(F.lit("table caption: "), t))
+        .when(F.col("source") == "src1", F.concat(F.lit("image caption: "), t))
+        .otherwise(t)
+        .alias("block_text"),
+    )
+
+
+SQL_P4 = """
+SELECT doc_id,
+  CASE WHEN source = 'src0' THEN 'table caption: ' || substr(text, 1, 12)
+       WHEN source = 'src1' THEN 'image caption: ' || substr(text, 1, 12)
+       ELSE substr(text, 1, 12) END AS block_text
+FROM documents
+"""
+
+
+def q_p6_clamp(spark, sf_dir):
+    """P6: coordinate clamp into [0, bound]
+    (pdf_ocr_with_boxes_v3.py:270-274)."""
+    clamped = F.greatest(F.lit(0.0), F.least(F.col("value"), F.lit(50.0)))
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            _dec_sum(clamped, 3).alias("sum_clamped"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_P6 = f"""
+SELECT event_type,
+  {_dec_sum_sql("greatest(0.0, least(value, 50.0))", 3)} AS sum_clamped,
+  count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_p7_truncate(spark, sf_dir):
+    """P7: text-label truncation text[:15]+'...'
+    (pdf_ocr_with_boxes_v2.py:480)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.length("text") > 15,
+            F.concat(F.substring("text", 1, 15), F.lit("...")),
+        )
+        .otherwise(F.col("text"))
+        .alias("label"),
+    )
+
+
+SQL_P7 = """
+SELECT doc_id,
+  CASE WHEN length(text) > 15 THEN substr(text, 1, 15) || '...' ELSE text END AS label
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_a1_ordered_concat(spark, sf_dir):
+    """A1: ordered per-group text concat (v2:684-686 '\\n'.join in page
+    order) — collect_list(struct) + array_sort + array_join."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "source", "doc_id", F.substring("text", 1, 8).alias("s")
+    )
+    return d.groupBy("lang", "source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "s"))),
+                lambda x: x.s,
+            ),
+            "\n",
+        ).alias("joined")
+    )
+
+
+SQL_A1 = """
+SELECT lang, source,
+  string_agg(substr(text, 1, 8), chr(10) ORDER BY doc_id) AS joined
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_a2_doc_headers(spark, sf_dir):
+    """A2: per-doc page headers '# 第 {i} 页' + concatenation
+    (v2:697,715-718), as an ordered aggregate with positional headers."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("lang", "doc_id", F.substring("text", 1, 10).alias("s"))
+    )
+    return d.groupBy("lang").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "s"))),
+                lambda x, i: F.format_string("# 第 %d 页\n\n%s\n\n", i + 1, x.s),
+            ),
+            "",
+        ).alias("doc_text")
+    )
+
+
+SQL_A2 = """
+WITH ordered AS (
+  SELECT lang, substr(text, 1, 10) AS s,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id < 30
+)
+SELECT lang,
+  string_agg('# 第 ' || CAST(rn AS VARCHAR) || ' 页' || chr(10) || chr(10)
+             || s || chr(10) || chr(10), '' ORDER BY rn) AS doc_text
+FROM ordered GROUP BY lang
+"""
+
+
+def q_a3_histogram(spark, sf_dir):
+    """A3: block-type histogram (v3:424-427) shape: counts per key pair."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_A3 = "SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source"
+
+
+def q_a4_counts(spark, sf_dir):
+    """A4: count aggregates — totals + distinct (v3:415-418)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_A4 = """
+SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_a6_text_length(spark, sf_dir):
+    """A6: text-length metric (v2:686 len(cleaned_text))."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.length("text").alias("text_len"))
+    )
+
+
+SQL_A6 = "SELECT doc_id, length(text) AS text_len FROM documents WHERE doc_id < 50"
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / ranking, §2.6 sorts
+# ---------------------------------------------------------------------------
+
+
+def q_w1_argmax(spark, sf_dir):
+    """W1: argmax-by-length selection (rotation pick,
+    parse_student_answers.py:555-614): best doc per lang."""
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("doc_id").alias("best_doc"), F.col("n_chars").alias("best_chars"))
+    )
+
+
+SQL_W1 = """
+SELECT lang, doc_id AS best_doc, n_chars AS best_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) = 1
+"""
+
+
+def q_w2_reading_order(spark, sf_dir):
+    """W2: reading-order sequence numbers (v3:211-226 block_index)."""
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "doc_id", "rnk")
+    )
+
+
+SQL_W2 = """
+SELECT source, doc_id, rnk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents)
+WHERE rnk <= 3
+"""
+
+
+def q_o1_topk_sort(spark, sf_dir):
+    """O1+O2: deterministic global sort + limit (page-order sort +
+    first-N preview, v2:200,700-703)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_chars")
+    )
+
+
+SQL_O1 = "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+def q_j1_broadcast_join(spark, sf_dir):
+    """J1: metadata-alignment equi-join with an explicitly broadcast
+    small side (v3:384-408 page⋈blocks)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(_dec_sum(rev, 2).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_J1 = f"""
+SELECT p_brand, {_dec_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_j3_anti_join(spark, sf_dir):
+    """J3: the resume anti-join shape (north rule): rows not yet present
+    on the completed side."""
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_J3 = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (lineitem scan + multi-agg)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        _dec_sum(disc, 2).alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+  {_dec_sum_sql("l_quantity")} AS sum_qty,
+  {_dec_sum_sql("l_extendedprice")} AS sum_base_price,
+  {_dec_sum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3ish(spark, sf_dir):
+    """3-table join: customer ⋈ orders ⋈ lineitem revenue rollup."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            _dec_sum(rev, 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_TPCH_Q3ISH = f"""
+SELECT c_mktsegment, o_orderpriority,
+  {_dec_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Timestamp bucketing + agg over the events table (streaming-shaped
+    query in batch form; the streaming variant lives in
+    pipeline/streaming.py)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), 3).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+  count(*) AS n_events, {_dec_sum_sql("value", 3)} AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 string / regex functions
+# ---------------------------------------------------------------------------
+
+
+def q_f1_tag_strip(spark, sf_dir):
+    """F1: grounding-tag stripper (clean_ocr_output,
+    parse_student_answers.py:111-125) — regexp_replace chain + trim."""
+    synth = F.concat(
+        F.lit("<|ref|>"), F.substring("text", 1, 40), F.lit("<|/ref|>\n\n\n\nend")
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(synth, r"<\|ref\|>|<\|/ref\|>", ""),
+            r"\n{3,}",
+            "\n\n",
+        )
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", cleaned.alias("cleaned"))
+    )
+
+
+SQL_F1 = """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(
+      '<|ref|>' || substr(text, 1, 40) || ('<|/ref|>' || chr(10) || chr(10) || chr(10) || chr(10) || 'end'),
+      '<\\|ref\\|>|<\\|/ref\\|>', '', 'g'),
+      '\\n{3,}', chr(10) || chr(10), 'g')) AS cleaned
+FROM documents WHERE doc_id < 100
+"""
+
+
+def q_f2_grounding_parse(spark, sf_dir):
+    """F2: grounding-box coordinate parser (parse_grounding_output,
+    parse_student_answers.py:254-293) — regexp_extract of coord pairs."""
+    synth = F.format_string(
+        "<|det|>%d,%d<|/det|>%s", F.col("doc_id"), F.col("n_chars"), F.col("lang")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.regexp_extract(synth, r"<\|det\|>(\d+),(\d+)<\|/det\|>", 1)
+            .cast("long")
+            .alias("x0"),
+            F.regexp_extract(synth, r"<\|det\|>(\d+),(\d+)<\|/det\|>", 2)
+            .cast("long")
+            .alias("y0"),
+            F.regexp_extract(synth, r"<\|/det\|>([a-z]+)", 1).alias("tag"),
+        )
+    )
+
+
+SQL_F2 = """
+WITH s AS (
+  SELECT doc_id,
+    '<|det|>' || CAST(doc_id AS VARCHAR) || ',' || CAST(n_chars AS VARCHAR)
+      || '<|/det|>' || lang AS synth
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+  CAST(regexp_extract(synth, '<\\|det\\|>(\\d+),(\\d+)<\\|/det\\|>', 1) AS BIGINT) AS x0,
+  CAST(regexp_extract(synth, '<\\|det\\|>(\\d+),(\\d+)<\\|/det\\|>', 2) AS BIGINT) AS y0,
+  regexp_extract(synth, '<\\|/det\\|>([a-z]+)', 1) AS tag
+FROM s
+"""
+
+
+def q_f9_base64(spark, sf_dir):
+    """F9: base64 data-URI encoder (_image_to_base64,
+    pdf_ocr_with_silicon_remote_vllm.py:95-125)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("data:text/plain;base64,"),
+                F.base64(F.encode(F.substring("text", 1, 30), "utf-8")),
+            ).alias("data_uri"),
+        )
+    )
+
+
+SQL_F9 = """
+SELECT doc_id,
+  'data:text/plain;base64,' || to_base64(encode(substr(text, 1, 30))) AS data_uri
+FROM documents WHERE doc_id < 100
+"""
+
+
+def q_f10_coordinate_transform(spark, sf_dir):
+    """F10: coordinate transforms — zoom scale, y-flip, min/max bounds
+    (v2:202, parse_student_answers.py:364-376)."""
+    zoom = F.col("value") * (200.0 / 72.0)
+    flip = F.lit(100.0) - F.col("value")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min(zoom), 4).alias("min_zoomed"),
+            F.round(F.max(zoom), 4).alias("max_zoomed"),
+            F.round(F.min(flip), 4).alias("min_flipped"),
+            F.round(F.max(flip), 4).alias("max_flipped"),
+        )
+    )
+
+
+SQL_F10 = """
+SELECT event_type,
+  round(min(value * (200.0/72.0)), 4) AS min_zoomed,
+  round(max(value * (200.0/72.0)), 4) AS max_zoomed,
+  round(min(100.0 - value), 4) AS min_flipped,
+  round(max(100.0 - value), 4) AS max_flipped
+FROM events GROUP BY event_type
+"""
+
+
+def q_f14_lang_prompt_map(spark, sf_dir):
+    """F13/F14: code→value map lookup (EXIF rotation map, lang→prompt map,
+    parse_student_answers.py:69-89, silicon script :249-258)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "zh", F.lit("识别图中文字"))
+        .when(F.col("lang") == "en", F.lit("Extract all text"))
+        .when(F.col("lang") == "fr", F.lit("Extraire le texte"))
+        .otherwise(F.lit("auto"))
+        .alias("prompt"),
+        F.element_at(
+            F.create_map(
+                F.lit(1), F.lit(0), F.lit(3), F.lit(180), F.lit(6), F.lit(270), F.lit(8), F.lit(90)
+            ),
+            (F.col("doc_id") % 8 + 1).cast("int"),
+        ).alias("rotation"),
+    )
+
+
+SQL_F14 = """
+SELECT doc_id,
+  CASE lang WHEN 'zh' THEN '识别图中文字' WHEN 'en' THEN 'Extract all text'
+            WHEN 'fr' THEN 'Extraire le texte' ELSE 'auto' END AS prompt,
+  CASE (doc_id % 8 + 1) WHEN 1 THEN 0 WHEN 3 THEN 180 WHEN 6 THEN 270 WHEN 8 THEN 90
+       ELSE NULL END AS rotation
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup operators
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_variants(spark, sf_dir, limit: int = 100):
+    """Dup universe: each doc + a whitespace-perturbed copy (same
+    normalized content, id + 100000) — gives dedup something to find."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < limit)
+    variants = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(variants)
+
+
+_SQL_VARIANTS = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         '  ' || regexp_replace(text, ' ', '  ', 'g') AS text
+  FROM documents WHERE doc_id < 100
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via normalized-text md5 fingerprint groupBy."""
+    return D.exact_duplicates(_docs_with_variants(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH u AS ({_SQL_VARIANTS})
+SELECT md5({_NORM_SQL.format(c='text')}) AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM u GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _sql_shingles(src: str, k: int = 5) -> str:
+    norm = _NORM_SQL.format(c="text")
+    return f"""
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(length(t) - {k - 1}, 1) + 1),
+             i -> substr(t, CAST(i AS INT), {k})))) AS sh
+  FROM (SELECT doc_id, {norm} AS t FROM {src}) n
+"""
+
+
+def _sql_h64(expr: str, salt: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr} || ':{salt}'), 1, 15)) AS BIGINT)"
+
+
+def q_dedup_minhash_sigs(spark, sf_dir):
+    """MinHash signatures (8 permutations over 5-char shingles) — the
+    md5-derived hashes are reproduced exactly by the SQL oracle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.minhash_signatures(docs, num_perm=8, k=5)
+
+
+SQL_DEDUP_MINHASH_SIGS = f"""
+WITH sh AS ({_sql_shingles("(SELECT doc_id, text FROM documents WHERE doc_id < 200)")})
+SELECT doc_id,
+  {", ".join(f"min({_sql_h64('sh', f'mh{i}')}) AS mh{i}" for i in range(8))}
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash LSH candidate pairs (4 bands × 2 rows) over the
+    dup-variant universe: every original must pair with its variant."""
+    return D.minhash_lsh_pairs(
+        _docs_with_variants(spark, sf_dir), num_perm=8, bands=4, k=5
+    )
+
+
+_SQL_SIGS_VARIANTS = f"""
+WITH u AS ({_SQL_VARIANTS}),
+sh AS ({_sql_shingles("u")}),
+sigs AS (
+  SELECT doc_id,
+    {", ".join(f"min({_sql_h64('sh', f'mh{i}')}) AS mh{i}" for i in range(8))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)) AS bh FROM sigs"
+    for b in range(4)
+  )}
+)
+"""
+
+SQL_DEDUP_MINHASH_LSH = (
+    _SQL_SIGS_VARIANTS
+    + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash signatures (32-bit, 4-char shingles) as bitstrings."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return D.simhash_signatures(docs, bits=32, k=4)
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    h = _sql_h64("sh", "simhash")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    chars = " || ".join(
+        f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(bits - 1, -1, -1)
+    )
+    return f"""
+WITH sh AS ({_sql_shingles("(SELECT doc_id, text FROM documents WHERE doc_id < 100)", k=4)}),
+hashed AS (SELECT doc_id, {h} AS h FROM sh),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {chars} AS simhash FROM votes
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash(32)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 5-gram Jaccard pairs (shingle self-join) over a bounded
+    universe; at scale this runs on LSH candidates only."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return D.ngram_jaccard_pairs(docs, k=5, threshold=0.2)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS ({_sql_shingles("(SELECT doc_id, text FROM documents WHERE doc_id < 80)")}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.2
+"""
+
+
+_SQL_COSINE = """
+list_sum(list_transform(list_zip({a}, {b}),
+         s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+def q_dedup_embedding_cos(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.3, bounded universe)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return D.embedding_near_pairs(emb, threshold=0.3)
+
+
+SQL_DEDUP_EMBEDDING_COS = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round({_SQL_COSINE.format(a='a.embedding', b='b.embedding')}, 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_SQL_COSINE.format(a='a.embedding', b='b.embedding')} >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_sim_topk_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-3 per query vector (vec_id % 100 == 0)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.cosine_topk_bruteforce(emb, queries, k=3)
+
+
+SQL_SIM_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round({_SQL_COSINE.format(a='q.qv', b='e.embedding')}, 4) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+def q_sim_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucket occupancy histogram (8 bits)."""
+    return S.lsh_bucket_histogram(_t(spark, sf_dir, "embeddings"), bits=8)
+
+
+_SQL_BUCKET = " + ".join(
+    f"CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) > 0.0 THEN {1 << j} ELSE 0 END"
+    for j in range(8)
+)
+
+SQL_SIM_LSH_BUCKETS = f"""
+SELECT CAST({_SQL_BUCKET} AS BIGINT) AS bucket, count(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_sim_topk_lsh(spark, sf_dir):
+    """ANN top-3 within sign-LSH buckets (recall<1 scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.cosine_topk_lsh(emb, queries, k=3, bits=8)
+
+
+SQL_SIM_TOPK_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round({_SQL_COSINE.format(a='q.qv', b='e.embedding')}, 4) AS cosine
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_lang_id(spark, sf_dir):
+    """Script-ratio language ID per document."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.lang_guess_expr(F.col("text")).alias("lang_guess")
+    )
+
+
+_SQL_CNT = "len(regexp_extract_all(text, '{p}'))"
+
+SQL_TEXT_LANG_ID = f"""
+WITH c AS (
+  SELECT doc_id, lang,
+    {_SQL_CNT.format(p='[぀-ゟ]')} AS hira,
+    {_SQL_CNT.format(p='[゠-ヿ]')} AS kata,
+    {_SQL_CNT.format(p='[一-鿿]')} AS cjk,
+    {_SQL_CNT.format(p='[가-힯]')} AS hang,
+    {_SQL_CNT.format(p='[Ѐ-ӿ]')} AS cyr,
+    {_SQL_CNT.format(p='[A-Za-z]')} AS lat
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN hira + kata + cjk + hang + cyr + lat = 0 THEN 'unknown'
+       WHEN (hira + kata) > 0.05 * (hira + kata + cjk + hang + cyr + lat) THEN 'ja'
+       WHEN hang > 0.3 * (hira + kata + cjk + hang + cyr + lat) THEN 'ko'
+       WHEN cjk > 0.3 * (hira + kata + cjk + hang + cyr + lat) THEN 'zh'
+       WHEN cyr > 0.3 * (hira + kata + cjk + hang + cyr + lat) THEN 'ru'
+       WHEN lat > 0 THEN 'en'
+       ELSE 'unknown' END AS lang_guess
+FROM c
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-gate features per document (length/alpha/punct/stopwords)."""
+    return T.quality_features(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
+
+
+_STOPWORD_PAT = r"(?i)\b(the|a|an|and|or|of|to|in|is|are)\b"
+_CNT_TOKENS = _SQL_CNT.format(p=T.TOKEN_PATTERN)
+_CNT_ALPHA = _SQL_CNT.format(p="[A-Za-z]")
+_CNT_PUNCT = _SQL_CNT.format(p="[.,;:!?]")
+_CNT_STOP = _SQL_CNT.format(p=_STOPWORD_PAT)
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+  length(text) AS n_chars_exact,
+  {_CNT_TOKENS} AS n_tokens,
+  round(CAST({_CNT_ALPHA} AS DOUBLE) / length(text), 4) AS alpha_ratio,
+  round(CAST({_CNT_PUNCT} AS DOUBLE) / length(text), 4) AS punct_ratio,
+  {_CNT_STOP} AS n_stopwords,
+  round(least(length(text) / 500.0, 1.0) * 0.5
+      + least({_CNT_STOP} / 20.0, 1.0) * 0.5,
+      4) AS quality_score
+FROM documents WHERE doc_id < 200
+"""
+
+
+def q_text_token_count(spark, sf_dir):
+    """BPE-ish token counting rolled up per lang."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(T.token_count_expr(F.col("text"))).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = f"""
+SELECT lang, SUM({_SQL_CNT.format(p=T.TOKEN_PATTERN)}) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over normalized text."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", T.fingerprint_expr(F.col("text")).alias("fingerprint"))
+    )
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fingerprint
+FROM documents WHERE doc_id < 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Typed metadata over an opaque binary column (never decodes)."""
+    from pdf_ocr_spark.operators.multimodal import media_metadata
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("blob"),
+        )
+    )
+    return media_metadata(media).select("media_id", "mime", "n_bytes")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 200
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Arrow-batched media decode fan-out (deterministic fake decoder;
+    rows-only check — the decode is not SQL-expressible)."""
+    from pdf_ocr_spark.operators.multimodal import decode_frames
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("blob"),
+        )
+    )
+    frames = decode_frames(media)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.round(
+            F.aggregate(F.col("feature"), F.lit(0.0), lambda a, v: a + v), 6
+        ).alias("feature_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline (rows-only: the kernels are not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_corpus(spark, sf_dir):
+    """The flagship operator: full extraction pipeline over the
+    deterministic synthetic pages corpus (PDF glyph/simple/scan + HTML +
+    broken rows). Returns stable per-url results with a content md5 so
+    the rows-only check still pins the bytes."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+
+    rows = gen_rows(150)
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"]) for r in rows],
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    docs = extract_documents(pages)
+    return docs.select(
+        "url",
+        "content_kind",
+        "status",
+        "n_pages",
+        "n_blocks",
+        "n_chars",
+        F.md5(F.coalesce(F.col("extracted_text"), F.lit(""))).alias("text_md5"),
+    ).orderBy("url")
+
+
+def q_extract_lineage(spark, sf_dir):
+    """Lineage/metrics sidecar over the same corpus (rows-only)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_pages, lineage_metrics
+
+    rows = gen_rows(150)
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    m = lineage_metrics(extract_pages(pages, num_partitions=8))
+    return m.select(
+        "part_id", "n_docs", "n_pages", "n_failed", "n_ocr_pages", "n_bytes"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
+    # §2.2 projections / filters
+    "p1_confidence_filter": (q_p1_confidence_filter, SQL_P1),
+    "p3_type_whitelist": (q_p3_type_whitelist, SQL_P3),
+    "p4_type_dispatch": (q_p4_type_dispatch, SQL_P4),
+    "p6_clamp": (q_p6_clamp, SQL_P6),
+    "p7_truncate": (q_p7_truncate, SQL_P7),
+    # §2.4 aggregations
+    "a1_ordered_concat": (q_a1_ordered_concat, SQL_A1),
+    "a2_doc_headers": (q_a2_doc_headers, SQL_A2),
+    "a3_histogram": (q_a3_histogram, SQL_A3),
+    "a4_counts": (q_a4_counts, SQL_A4),
+    "a6_text_length": (q_a6_text_length, SQL_A6),
+    # §2.5 windows, §2.6 sorts
+    "w1_argmax": (q_w1_argmax, SQL_W1),
+    "w2_reading_order": (q_w2_reading_order, SQL_W2),
+    "o1_topk_sort": (q_o1_topk_sort, SQL_O1),
+    # §2.3 joins
+    "j1_broadcast_join": (q_j1_broadcast_join, SQL_J1),
+    "j3_anti_join": (q_j3_anti_join, SQL_J3),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    # §2.8 string/regex functions
+    "f1_tag_strip": (q_f1_tag_strip, SQL_F1),
+    "f2_grounding_parse": (q_f2_grounding_parse, SQL_F2),
+    "f9_base64": (q_f9_base64, SQL_F9),
+    "f10_coordinate_transform": (q_f10_coordinate_transform, SQL_F10),
+    "f14_lang_prompt_map": (q_f14_lang_prompt_map, SQL_F14),
+    # dedup
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_sigs": (q_dedup_minhash_sigs, SQL_DEDUP_MINHASH_SIGS),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding_cos": (q_dedup_embedding_cos, SQL_DEDUP_EMBEDDING_COS),
+    # similarity search
+    "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK),
+    "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
+    "sim_topk_lsh": (q_sim_topk_lsh, SQL_SIM_TOPK_LSH),
+    # text analysis
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    # multimodal
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_frames": (q_multimodal_frames, None),  # decode not SQL-expressible
+    # extraction pipeline (kernels not SQL-expressible → rows-only)
+    "extract_corpus": (q_extract_corpus, None),
+    "extract_lineage": (q_extract_lineage, None),
+}
+
+
+def queries() -> Dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
