@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32)
+and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is total wall-clock over the benchmark suite; the
+north-rule throughput number (extracted docs/sec over the synthetic
+Common-Crawl-style pages corpus) is reported alongside as
+``docs_per_sec``.  Each query is forced end-to-end with a noop sink so
+nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# representative, scale-sensitive subset of the registry: scan-heavy aggs,
+# shuffle joins, window argmax, dedup/similarity fan-outs, and the
+# extraction pipeline itself
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3ish",
+    "events_hourly",
+    "a1_ordered_concat",
+    "a2_doc_headers",
+    "w1_argmax",
+    "j1_broadcast_join",
+    "j3_anti_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint",
+    "extract_corpus",
+]
+
+N_BENCH_DOCS = 600  # synthetic pages corpus size for the throughput number
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pdf-ocr-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.python.worker.reuse", "true")
+        .getOrCreate()
+    )
+
+
+def force(df) -> int:
+    """Materialize a DataFrame fully without driver-side collect."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_extraction(spark, n_docs: int) -> tuple[float, int]:
+    """North-rule throughput: docs/sec of the full extraction pipeline
+    over the deterministic synthetic pages corpus."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+
+    rows = gen_rows(n_docs)
+    pages = spark.createDataFrame(
+        [
+            (r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
+            for r in rows
+        ],
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    t0 = time.monotonic()
+    force(extract_documents(pages))
+    return time.monotonic() - t0, len(rows)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    except ValueError:
+        sf = os.path.basename(sf_dir.rstrip("/"))
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"bench: data dir not found: {sf_dir}")
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pdf_ocr_spark.queries import queries as registry
+
+    qmap = registry()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qmap:
+            continue
+        t0 = time.monotonic()
+        force(qmap[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    ext_sec, n_docs = bench_extraction(spark, N_BENCH_DOCS)
+    timings["extraction_pipeline"] = round(ext_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench suite wall clock (headline queries + extraction pipeline)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": round(n_docs / ext_sec, 2),
+                "extraction_docs": n_docs,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
