@@ -46,25 +46,13 @@ BENCH_QUERIES = [
     "extract_corpus",
 ]
 
-N_BENCH_DOCS = 600  # synthetic pages corpus size for the throughput number
+N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number
 
 
 def build_session(cpus: int):
-    from pyspark.sql import SparkSession
+    from pdf_ocr_spark.pipeline.session import get_spark
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("pdf-ocr-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.default.parallelism", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.python.worker.reuse", "true")
-        .getOrCreate()
-    )
+    return get_spark("pdf-ocr-spark-bench", cores=cpus, shuffle_partitions=cpus)
 
 
 def force(df) -> int:
@@ -87,6 +75,7 @@ def bench_extraction(spark, n_docs: int) -> tuple[float, int]:
         ],
         schema="url string, warc_ts timestamp, html binary, text string, lang string",
     )
+    force(extract_documents(pages))  # warmup: python workers + codegen
     t0 = time.monotonic()
     force(extract_documents(pages))
     return time.monotonic() - t0, len(rows)

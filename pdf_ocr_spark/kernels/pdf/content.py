@@ -91,58 +91,139 @@ class _TextState:
 
 _OPERATOR_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 
+# one-pass scanner for content streams: unlike general COS, content has no
+# indirect refs, so numbers need no "<n> <g> R" lookahead — this regex
+# replaces the char-at-a-time Lexer on the hot path (~45% of kernel time)
+_CONTENT_TOK = re.compile(
+    rb"""(?P<num>[+-]?(?:\d+(?:\.\d*)?|\.\d+))
+       | (?P<name>/[^\x00\t\n\x0c\r /<>()\[\]{}%]*)
+       | (?P<ddict><<)
+       | (?P<hex><[^>]*>?)
+       | (?P<open>\[)
+       | (?P<close>\])
+       | (?P<lit>\()
+       | (?P<op>[A-Za-z'"][A-Za-z0-9*'"]*)
+    """,
+    re.X,
+)
+_NONHEX = re.compile(rb"[^0-9A-Fa-f]")
+_WS_SET = frozenset(b"\x00\t\n\x0c\r ")
+
+
+def _skip_inline_image(data: bytes, pos: int) -> int:
+    """Skip past an inline image: find EI at a token boundary."""
+    n = len(data)
+    idx = pos
+    while True:
+        idx = data.find(b"EI", idx)
+        if idx < 0:
+            return n
+        before = data[idx - 1 : idx]
+        after = data[idx + 2 : idx + 3]
+        if (not before or before in b"\x00\t\n\x0c\r ") and (
+            not after or after in b"\x00\t\n\x0c\r /[<("
+        ):
+            return idx + 2
+        idx += 2
+
 
 def _tokenize_content(data: bytes):
     """Yield (operands, operator) tuples from a content stream.
 
     Tolerant: an operand/operator that fails to lex is skipped and the
     scan resumes at the next token boundary (crawled PDFs are dirty)."""
-    lex = Lexer(data, 0)
-    operands: List[Any] = []
+    lex = Lexer(data, 0)  # reused only for strings/dicts (escape handling)
     n = len(data)
-    while True:
-        lex.skip_ws()
-        if lex.pos >= n:
-            break
-        c = lex.peek()
-        ch = bytes((c,))
-        if ch in b"/<([+-.0123456789":
-            try:
-                operands.append(lex.parse_object())
-            except PDFError:
-                lex.pos += 1
+    pos = 0
+    operands: List[Any] = []
+    cur = operands
+    stack: List[List[Any]] = []  # array nesting (TJ)
+    match = _CONTENT_TOK.match
+    while pos < n:
+        c = data[pos]
+        if c in _WS_SET:
+            pos += 1
+            continue
+        if c == 0x25:  # '%' comment → end of line
+            e = data.find(b"\n", pos)
+            pos = n if e < 0 else e + 1
+            continue
+        m = match(data, pos)
+        if m is None:
+            pos += 1
+            operands = []
+            cur = operands
+            stack = []
+            continue
+        g = m.lastgroup
+        if g == "num":
+            tok = m.group()
+            cur.append(float(tok) if b"." in tok else int(tok))
+            pos = m.end()
+        elif g == "op":
+            op = m.group()
+            pos = m.end()
+            if op == b"BI":
+                pos = _skip_inline_image(data, pos)
                 operands = []
-            continue
-        m = _OPERATOR_RE.match(data, lex.pos)
-        if not m:
-            lex.pos += 1
+                cur = operands
+                stack = []
+                continue
+            if op in (b"true", b"false", b"null"):
+                cur.append(op == b"true")
+                continue
+            if stack:  # operator inside an unterminated array: recover
+                stack = []
+                cur = operands
+            yield operands, op
             operands = []
-            continue
-        op = m.group()
-        lex.pos = m.end()
-        if op == b"BI":
-            # inline image: skip to EI at a whitespace boundary
-            idx = lex.pos
-            while True:
-                idx = data.find(b"EI", idx)
-                if idx < 0:
-                    lex.pos = n
-                    break
-                before = data[idx - 1 : idx]
-                after = data[idx + 2 : idx + 3]
-                if (not before or before in b"\x00\t\n\x0c\r ") and (
-                    not after or after in b"\x00\t\n\x0c\r /[<("
-                ):
-                    lex.pos = idx + 2
-                    break
-                idx += 2
-            operands = []
-            continue
-        if op in (b"true", b"false", b"null"):
-            operands.append(op == b"true")
-            continue
-        yield operands, op
-        operands = []
+            cur = operands
+        elif g == "name":
+            tok = m.group()[1:]
+            if b"#" in tok:  # rare '#xx' escapes → slow path
+                lex.pos = pos
+                try:
+                    cur.append(lex.parse_object())
+                    pos = lex.pos
+                except PDFError:
+                    pos = m.end()
+            else:
+                cur.append(Name(tok.decode("utf-8", "replace")))
+                pos = m.end()
+        elif g == "hex":
+            body = m.group()
+            body = body[1:-1] if body.endswith(b">") else body[1:]
+            hx = _NONHEX.sub(b"", body)
+            if len(hx) % 2:
+                hx += b"0"
+            cur.append(bytes.fromhex(hx.decode("ascii")))
+            pos = m.end()
+        elif g == "open":
+            new: List[Any] = []
+            cur.append(new)
+            stack.append(cur)
+            cur = new
+            pos = m.end()
+        elif g == "close":
+            cur = stack.pop() if stack else operands
+            pos = m.end()
+        elif g == "lit":
+            lex.pos = pos
+            try:
+                cur.append(lex._parse_literal_string())
+                pos = lex.pos
+            except PDFError:
+                pos += 1
+                operands = []
+                cur = operands
+                stack = []
+        else:  # ddict — rare in content (gs/BDC property lists)
+            lex.pos = pos
+            try:
+                cur.append(lex.parse_object())
+                pos = lex.pos
+            except PDFError:
+                pos = m.end()
 
 
 class ContentInterpreter:
@@ -226,41 +307,48 @@ class ContentInterpreter:
                 elif op == b"Ts" and operands:
                     ts.rise = num(operands[-1])
                 elif op == b"Td" and len(operands) >= 2:
-                    tlm = mat_mul(
-                        (1, 0, 0, 1, num(operands[-2]), num(operands[-1])), tlm
-                    )
+                    tx, ty = num(operands[-2]), num(operands[-1])
+                    tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
+                           tx * tlm[0] + ty * tlm[2] + tlm[4],
+                           tx * tlm[1] + ty * tlm[3] + tlm[5])
                     tm = tlm
                 elif op == b"TD" and len(operands) >= 2:
-                    ts.leading = -num(operands[-1])
-                    tlm = mat_mul(
-                        (1, 0, 0, 1, num(operands[-2]), num(operands[-1])), tlm
-                    )
+                    tx, ty = num(operands[-2]), num(operands[-1])
+                    ts.leading = -ty
+                    tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
+                           tx * tlm[0] + ty * tlm[2] + tlm[4],
+                           tx * tlm[1] + ty * tlm[3] + tlm[5])
                     tm = tlm
                 elif op == b"Tm" and len(operands) >= 6:
                     tlm = tuple(num(v) for v in operands[-6:])  # type: ignore[assignment]
                     tm = tlm
                 elif op == b"T*":
-                    tlm = mat_mul((1, 0, 0, 1, 0, -ts.leading), tlm)
+                    L = ts.leading
+                    tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
+                           tlm[4] - L * tlm[2], tlm[5] - L * tlm[3])
                     tm = tlm
                 elif op == b"Tj" and operands:
                     tm = self._show(operands[-1], ts, tm, ctm)
                 elif op == b"'" and operands:
-                    tlm = mat_mul((1, 0, 0, 1, 0, -ts.leading), tlm)
-                    tm = tlm
-                    tm = self._show(operands[-1], ts, tm, ctm)
+                    L = ts.leading
+                    tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
+                           tlm[4] - L * tlm[2], tlm[5] - L * tlm[3])
+                    tm = self._show(operands[-1], ts, tlm, ctm)
                 elif op == b'"' and len(operands) >= 3:
                     ts.word_sp = num(operands[-3])
                     ts.char_sp = num(operands[-2])
-                    tlm = mat_mul((1, 0, 0, 1, 0, -ts.leading), tlm)
-                    tm = tlm
-                    tm = self._show(operands[-1], ts, tm, ctm)
+                    L = ts.leading
+                    tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
+                           tlm[4] - L * tlm[2], tlm[5] - L * tlm[3])
+                    tm = self._show(operands[-1], ts, tlm, ctm)
                 elif op == b"TJ" and operands and isinstance(operands[-1], list):
                     for item in operands[-1]:
                         if isinstance(item, bytes):
                             tm = self._show(item, ts, tm, ctm)
                         elif isinstance(item, (int, float)):
                             tx = -float(item) / 1000.0 * ts.size * ts.hscale
-                            tm = mat_mul((1, 0, 0, 1, tx, 0), tm)
+                            tm = (tm[0], tm[1], tm[2], tm[3],
+                                  tx * tm[0] + tm[4], tx * tm[1] + tm[5])
                 elif op == b"Do" and operands:
                     self._do_xobject(operands[-1], resources, ctm, fonts)
             except PDFError:
@@ -271,30 +359,38 @@ class ContentInterpreter:
             return tm
         self.n_text_ops += 1
         font = ts.font
-        trm = mat_mul(tm, ctm)
-        # device-space font size: length of the (0, size) vector under trm
-        sy = (trm[2] ** 2 + trm[3] ** 2) ** 0.5 * ts.size
+        # trm = tm · ctm computed ONCE; per-glyph advances are pure
+        # translations along text-space x, so T(tx)·trm only shifts (e, f)
+        # — no per-glyph matrix multiplies
+        a, b, c, d, e, f = mat_mul(tm, ctm)
+        sy = (c * c + d * d) ** 0.5 * ts.size
+        ab = (a * a + b * b) ** 0.5  # device length of a unit x advance
+        rise = ts.rise
+        rx, ry = c * rise - self.origin_x, d * rise - self.origin_y
+        size, char_sp, hscale = ts.size, ts.char_sp, ts.hscale
+        word_sp = 0.0 if font.two_byte else ts.word_sp
+        fname = font.name
+        glyphs_append = self.glyphs.append
+        seq = self._seq
+        tx_total = 0.0
         for code, uni, w1000 in font.decode(raw):
-            # pen position in device space (account for rise)
-            dx, dy = mat_apply(mat_mul(tm, ctm), 0.0, ts.rise)
-            w_text = (w1000 / 1000.0) * ts.size
-            extra = ts.char_sp
-            if (
-                not font.two_byte
-                and code == 32
-                and ts.word_sp
-            ):
-                extra += ts.word_sp
-            tx = (w_text + extra) * ts.hscale
-            # device-space advance: transformed length of (tx, 0)
-            ax, ay = trm[0] * tx, trm[1] * tx
-            adv = (ax * ax + ay * ay) ** 0.5
-            self.glyphs.append(
-                Glyph(uni, dx - self.origin_x, dy - self.origin_y, adv, sy, font.name, self._seq)
+            extra = char_sp
+            if word_sp and code == 32:
+                extra += word_sp
+            tx = (w1000 * 0.001 * size + extra) * hscale
+            glyphs_append(
+                Glyph(uni, e + rx, f + ry, abs(tx) * ab, sy, fname, seq)
             )
-            self._seq += 1
-            tm = mat_mul((1, 0, 0, 1, tx, 0), tm)
-        return tm
+            seq += 1
+            e += tx * a
+            f += tx * b
+            tx_total += tx
+        self._seq = seq
+        return (
+            tm[0], tm[1], tm[2], tm[3],
+            tx_total * tm[0] + tm[4],
+            tx_total * tm[1] + tm[5],
+        )
 
     def _do_xobject(
         self,

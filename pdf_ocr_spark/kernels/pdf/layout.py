@@ -93,7 +93,14 @@ def build_lines(glyphs: Sequence[Glyph], page_h: float) -> List[Line]:
     tol = max(1.2, 0.4 * med_size)
 
     # sort by baseline (top-down), then x, then emission order
-    items = sorted(vis, key=lambda g: (round(page_h - g.y, 2), round(g.x, 2), g.seq))
+    # (decorated tuples: one key build per glyph, no per-compare lambdas;
+    # seq is unique so the trailing Glyph is never compared)
+    items = [
+        t[3]
+        for t in sorted(
+            (round(page_h - g.y, 2), round(g.x, 2), g.seq, g) for g in vis
+        )
+    ]
     lines: List[List[Glyph]] = []
     anchors: List[float] = []
     for g in items:
@@ -105,7 +112,7 @@ def build_lines(glyphs: Sequence[Glyph], page_h: float) -> List[Line]:
             anchors.append(yt)
     out: List[Line] = []
     for group in lines:
-        group.sort(key=lambda g: (round(g.x, 2), g.seq))
+        group = [t[2] for t in sorted((round(g.x, 2), g.seq, g) for g in group)]
         sizes = [g.size for g in group if g.size > 0]
         gsize = _median(sizes, med_size)
         # split a y-cluster on big horizontal jumps (column gutters / cells)
@@ -163,11 +170,22 @@ def _largest_gap(intervals: List[Tuple[float, float]], min_gap: float):
     return best
 
 
+def _leaf_sort(lines: List[Line]) -> List[Line]:
+    """Top-down, left-right with the same tie behavior as a stable sort on
+    (round(y1,2), round(x0,2)) — the index keeps input order on ties."""
+    return [
+        t[3]
+        for t in sorted(
+            (round(l.y1, 2), round(l.x0, 2), i, l) for i, l in enumerate(lines)
+        )
+    ]
+
+
 def xy_cut_order(lines: List[Line], depth: int = 0) -> List[Line]:
     """Recursive XY-cut: split on full-extent column gutters (x) first,
     then on large horizontal bands (y); leaves sort top-down, left-right."""
     if len(lines) <= 1 or depth > 12:
-        return sorted(lines, key=lambda l: (round(l.y1, 2), round(l.x0, 2)))
+        return _leaf_sort(lines)
     med_size = _median([l.size for l in lines], 10.0)
 
     # vertical cut: a gutter in the x-projection spanning every line
@@ -192,7 +210,7 @@ def xy_cut_order(lines: List[Line], depth: int = 0) -> List[Line]:
         if top and bottom:
             return xy_cut_order(top, depth + 1) + xy_cut_order(bottom, depth + 1)
 
-    return sorted(lines, key=lambda l: (round(l.y1, 2), round(l.x0, 2)))
+    return _leaf_sort(lines)
 
 
 # -- block segmentation -------------------------------------------------------

@@ -37,7 +37,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # PDF payloads are big; keep Arrow batches small so a batch of
         # binaries never blows executor memory (SURVEY.md §7 hard part (d))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "128"),
+        )
+        # GC threads default to #cores; on a many-core executor 32 GC
+        # threads thrash a mid-size heap (measured 2x wall-time at
+        # local[32] on this job) — cap them like a tuned cluster would
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2",
+        )
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

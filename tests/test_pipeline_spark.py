@@ -96,6 +96,58 @@ def test_resume_anti_join(spark, corpus_parquet, tmp_path):
     assert resumed == single
 
 
+def test_fused_equals_paged_route(spark, corpus_parquet, docs_df):
+    """The fused single-stage extractor (hot path) and the page-level
+    route (extract → OCR → groupBy assemble) emit identical documents —
+    the paged route is the semantics oracle for the fusion."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents_paged
+
+    pages = spark.read.parquet(corpus_parquet)
+    cols = [
+        "url", "content_kind", "extracted_text", "n_pages",
+        "n_blocks", "n_chars", "status", "failure_reason", "n_bytes",
+    ]
+    fused = {r["url"]: tuple(r[c] for c in cols) for r in docs_df.select(cols).collect()}
+    paged = {
+        r["url"]: tuple(r[c] for c in cols)
+        for r in extract_documents_paged(pages).select(cols).collect()
+    }
+    assert fused == paged
+
+
+def test_doc_lineage_metrics(spark, corpus_parquet):
+    from pdf_ocr_spark.pipeline.extract_job import (
+        doc_lineage_metrics,
+        extract_documents,
+    )
+
+    pages = spark.read.parquet(corpus_parquet)
+    metrics = doc_lineage_metrics(extract_documents(pages, num_partitions=4)).collect()
+    assert 1 <= len(metrics) <= 4
+    assert sum(m["n_docs"] for m in metrics) == 100
+    assert sum(m["n_failed"] for m in metrics) >= 1
+    assert sum(m["n_ocr_pages"] for m in metrics) >= 1
+    assert all(m["n_bytes"] > 0 for m in metrics)
+
+
+def test_fused_plan_single_shuffle_no_aggregate(spark, corpus_parquet):
+    """The fused hot path: exactly one Exchange (the explicit salted
+    repartition) and NO HashAggregate/Sort — assembly happens inside the
+    UDF, so the plan is scan → exchange → one python stage."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+
+    # filter() keeps this plan from matching the cached docs_df fixture
+    # (a cache hit would swap in InMemoryTableScan, hiding the real plan)
+    pages = spark.read.parquet(corpus_parquet).filter(F.length("url") >= 0)
+    plan = (
+        extract_documents(pages, num_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "xxhash64" in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
 def test_plan_has_single_planned_shuffle(spark, corpus_parquet):
     """The page-level plan shows exactly the one explicit repartition
     (hashpartitioning on xxhash64(url)); extraction + OCR are

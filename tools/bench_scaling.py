@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""North-rule scaling evidence: run the SAME extraction job at two
+parallelism levels (stand-in for N vs 4N executors — this sandbox has no
+real cluster) on the SAME on-disk corpus, and report throughput at both
+plus the scaling efficiency to BENCH/BASELINE.md.
+
+Usage:
+    python tools/bench_scaling.py                # full run → BENCH/BASELINE.md
+    python tools/bench_scaling.py --worker N DIR # internal: one timed run
+
+Each parallelism level runs in its OWN subprocess (fresh JVM), pinned
+with taskset to exactly that many cores (JVM service threads included —
+an honest N-core-cluster stand-in). Two untimed warmup runs reach steady
+state, then best-of-3 of the timed job:
+    read parquet → repartition(N, xxhash64(url)) → fused mapInPandas
+    (parse + batched OCR + per-doc assembly) → noop sink
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("SCALING_DOCS", "12000"))
+LEVELS = (8, 32)  # N and 4N cores
+
+
+def write_corpus(path: str, n_docs: int, n_files: int = 64) -> None:
+    """Write the synthetic pages corpus as a DIRECTORY of parquet files —
+    the shape a Common-Crawl-style table has at scale (one ~30 MB file
+    would give the scan a single split and serialize the first stage)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+
+    rows = gen_rows(n_docs)
+    os.makedirs(path, exist_ok=True)
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(0, len(rows), chunk):
+        part = rows[i : i + chunk]
+        table = pa.table(
+            {
+                "url": [r["url"] for r in part],
+                "warc_ts": pa.array([r["warc_ts"] for r in part], pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in part], pa.binary()),
+                "text": [r["text"] for r in part],
+                "lang": [r["lang"] for r in part],
+            }
+        )
+        pq.write_table(table, os.path.join(path, f"part-{i // chunk:05d}.parquet"))
+
+
+def worker(cpus: int, corpus: str) -> None:
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+    from pdf_ocr_spark.pipeline.session import get_spark
+
+    spark = get_spark(f"scaling-bench-{cpus}", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(corpus)
+
+    def run_once() -> float:
+        t0 = time.monotonic()
+        extract_documents(pages, num_partitions=cpus).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.monotonic() - t0
+
+    # warmup to steady state: JIT + codegen + one python worker per core
+    # (measured: the first 2 runs are 2-4x slower than steady state)
+    run_once()
+    run_once()
+    n = pages.count()
+    dt = min(run_once() for _ in range(3))
+    print(json.dumps({"cpus": cpus, "docs": n, "sec": round(dt, 3),
+                      "docs_per_sec": round(n / dt, 2)}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+        return
+
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus = os.path.join(tmp, "pages.parquet")
+        print(f"generating {N_DOCS}-doc corpus …", file=sys.stderr)
+        write_corpus(corpus, N_DOCS)
+
+        results = []
+        for cpus in LEVELS:
+            print(f"timing local[{cpus}] …", file=sys.stderr)
+            # taskset pins the WHOLE process tree (JVM + GC + python
+            # workers) to `cpus` cores — an honest stand-in for an
+            # N-core cluster slice; unpinned local[8] on a 32-core box
+            # would let JVM service threads overflow onto idle cores
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+                 os.path.abspath(__file__), "--worker", str(cpus), corpus],
+                capture_output=True, text=True, check=True,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            results.append(json.loads(line))
+            print(line, file=sys.stderr)
+
+    lo, hi = results
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    factor = hi["cpus"] / lo["cpus"]
+    eff = speedup / factor
+    report = {
+        "levels": results,
+        "speedup": round(speedup, 3),
+        "core_factor": factor,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# Scaling benchmark — N vs 4N parallelism (north rule)
+
+The north rule requires ≥0.8 throughput-scaling efficiency between a
+cluster of N and 4N executors. This sandbox has one machine, so the
+stand-in (per the driver's instruction) is the same extraction job at
+two local parallelism levels on the same input.
+
+- job: `read parquet → repartition(P, xxhash64(url)) → fused mapInPandas
+  (PDF/HTML parse + batched OCR + per-doc assembly) → noop sink`
+  (`pdf_ocr_spark/pipeline/extract_job.py`, single planned shuffle)
+- input: {N_DOCS} deterministic synthetic docs
+  (`pdf_ocr_spark/fixtures/genpages.py` mix: glyph-CID PDFs, literal
+  PDFs, scan PDFs → OCR branch, HTML pages, poison rows)
+- fresh JVM per level, `taskset`-pinned to exactly that many cores
+  (JVM GC/shuffle threads included — otherwise local[8] on a 32-core box
+  borrows idle cores and understates the 8-core baseline); two untimed
+  warmup runs, then best-of-3; noop sink (nothing collected)
+
+| parallelism | docs | wall (s) | docs/sec |
+|---|---|---|---|
+| local[{lo['cpus']}] | {lo['docs']} | {lo['sec']} | {lo['docs_per_sec']} |
+| local[{hi['cpus']}] | {hi['docs']} | {hi['sec']} | {hi['docs_per_sec']} |
+
+- speedup {lo['cpus']}→{hi['cpus']} cores: **{speedup:.2f}×** (ideal {factor:.0f}×)
+- **scaling efficiency: {eff:.3f}** (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
+
+Reproduce: `python tools/bench_scaling.py`
+"""
+        )
+    print(f"wrote BENCH/BASELINE.md (efficiency {eff:.3f})", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
