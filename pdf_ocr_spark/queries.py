@@ -1018,6 +1018,25 @@ def q_extract_lineage(spark, sf_dir):
     )
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window rollup (streaming operator applied to
+    the batch events frame — identical plan modulo the watermark; the
+    streaming execution path is exercised in tests/test_streaming.py)."""
+    from pdf_ocr_spark.streaming import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
+SQL_STREAM_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1045,6 +1064,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    # streaming (same operator runs under Structured Streaming, see
+    # pdf_ocr_spark/streaming/ and tests/test_streaming.py)
+    "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED),
     # §2.8 string/regex functions
     "f1_tag_strip": (q_f1_tag_strip, SQL_F1),
     "f2_grounding_parse": (q_f2_grounding_parse, SQL_F2),

@@ -1,0 +1,6 @@
+from pdf_ocr_spark.streaming.stream_job import (  # noqa: F401
+    PAGES_SCHEMA,
+    running_totals_stateful,
+    stream_extract,
+    windowed_event_counts,
+)

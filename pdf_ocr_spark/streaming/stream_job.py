@@ -1,0 +1,165 @@
+"""Structured Streaming surface of the extraction engine.
+
+The reference is a batch tool (SURVEY.md §1.3), but a web-scale crawl is
+an unbounded source: new WARC-derived parquet files land continuously.
+This module re-expresses the batch pipeline as an incremental streaming
+job — same kernels, same fused ``mapInPandas`` stage — where Spark's
+checkpoint tracks which input files are already processed (the streaming
+twin of the batch resume anti-join, ``extract_job.resume_filter``):
+
+* :func:`stream_extract` — file-source ``readStream`` over the pages
+  table → fused extractor → parquet ``writeStream``.  With
+  ``Trigger.AvailableNow`` it drains everything new and stops, giving
+  exactly-once incremental batches driven entirely by the checkpoint.
+* :func:`windowed_event_counts` — watermarked tumbling-window counts
+  (late data handled by the watermark), the streaming analogue of the
+  hourly-rollup batch query.
+* :func:`running_totals_stateful` — ``applyInPandasWithState`` custom
+  stateful operator: running per-group totals that survive across
+  micro-batches (SURVEY.md §2.10 / task-spec "applyInPandasWithState
+  for custom stateful operators").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pdf_ocr_spark.pipeline.extract_job import DOC_SCHEMA, extract_docs_batch
+
+#: schema of the Common-Crawl-style pages table (BASELINE.json input_hint)
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    num_partitions: Optional[int] = None,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+    ignore_corrupt_files: bool = True,
+):
+    """Incremental extraction: new parquet files under ``input_path`` flow
+    through the SAME fused extractor as the batch job and append to
+    ``output_path``.  Returns the started StreamingQuery.
+
+    The checkpoint (file-source log + sink commit log) is the resume
+    protocol: a killed run restarts from the last committed micro-batch
+    with no anti-join needed and no double-processing."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if ignore_corrupt_files:
+        # a crawl WILL contain truncated/garbage files; one must not kill
+        # the stream (probed: without this, the query terminates)
+        reader = reader.option("ignoreCorruptFiles", "true")
+    pages = reader.parquet(input_path)
+
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+    docs = (
+        pages.select("url", "html")
+        .repartition(num_partitions, F.xxhash64("url"))
+        .mapInPandas(extract_docs_batch, schema=DOC_SCHEMA)
+    )
+
+    writer = (
+        docs.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup over a (streaming or batch)
+    events frame with columns (ts timestamp, event_type string,
+    value double).  Late rows beyond the watermark are dropped; state for
+    closed windows is reclaimed — this is what keeps the operator's state
+    bounded on an unbounded 100 TB/day stream."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → TZ: watermarks need instants
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n_docs", LongType()), StructField("n_bytes", LongType())]
+)
+_TOTALS_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("n_docs", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _totals_fn(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running totals per key, kept in GroupState across micro-batches."""
+    n_docs, n_bytes = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n_docs += len(pdf)
+        n_bytes += int(pdf["n_bytes"].sum())
+    state.update((n_docs, n_bytes))
+    yield pd.DataFrame(
+        {"lang": [key[0]], "n_docs": [n_docs], "n_bytes": [n_bytes]}
+    )
+
+
+def running_totals_stateful(pages: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: cumulative per-lang doc/byte
+    totals via ``applyInPandasWithState``.  Input needs columns
+    (lang string, n_bytes long); each micro-batch emits the updated
+    running totals for the langs it touched."""
+    return pages.groupBy("lang").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

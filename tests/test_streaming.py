@@ -1,0 +1,152 @@
+"""Structured Streaming tests: incremental file-source extraction with
+checkpoint resume, watermarked windowed aggregation, and the custom
+stateful operator — all driven with Trigger.AvailableNow so they run
+deterministically in CI."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_chunk(rows, path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "url": [r["url"] for r in rows],
+                "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in rows], pa.binary()),
+                "text": [r["text"] for r in rows],
+                "lang": [r["lang"] for r in rows],
+            }
+        ),
+        path,
+    )
+
+
+def test_stream_extract_incremental_resume(spark, corpus_rows, tmp_path):
+    """Two micro-batch drains: the first sees only chunk A; after chunk B
+    lands, a SECOND start with the same checkpoint processes ONLY B
+    (file-source log = streaming resume), and the union equals the batch
+    pipeline on the full corpus."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+    from pdf_ocr_spark.streaming import stream_extract
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    a, b = corpus_rows[:60], corpus_rows[60:]
+    _write_chunk(a, os.path.join(src, "chunk-a.parquet"))
+
+    q = stream_extract(spark, src, out, ckpt, num_partitions=4)
+    q.awaitTermination(120)
+    got_a = spark.read.parquet(out)
+    assert got_a.count() == len(a)
+
+    _write_chunk(b, os.path.join(src, "chunk-b.parquet"))
+    q2 = stream_extract(spark, src, out, ckpt, num_partitions=4)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == len(corpus_rows)
+    assert final.select("url").distinct().count() == len(corpus_rows)
+
+    # byte-equality with the batch pipeline
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in corpus_rows],
+        "url string, html binary",
+    )
+    batch = {
+        r["url"]: r["extracted_text"]
+        for r in extract_documents(pages).collect()
+    }
+    streamed = {r["url"]: r["extracted_text"] for r in final.collect()}
+    assert streamed == batch
+
+    # a third drain with nothing new appends nothing
+    q3 = stream_extract(spark, src, out, ckpt, num_partitions=4)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(corpus_rows)
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    """The watermarked streaming rollup over a finite file source equals
+    the equivalent batch aggregation (no late data in the fixture)."""
+    import shutil
+
+    from pdf_ocr_spark.streaming import windowed_event_counts
+
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    batch_events = spark.read.parquet(events_path)
+
+    # the streaming file source wants a directory of files
+    src = str(tmp_path / "events_in")
+    os.makedirs(src)
+    shutil.copy(events_path, os.path.join(src, "part-0.parquet"))
+    stream = spark.readStream.schema(batch_events.schema).parquet(src)
+    out = windowed_event_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from win_counts")
+
+    expected = windowed_event_counts(batch_events)
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    # append mode only emits windows closed by the watermark; every
+    # emitted row must match batch, and most windows must have closed
+    assert g <= e
+    assert len(g) >= 0.8 * len(e)
+
+
+def test_running_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps running totals across micro-batches:
+    with maxFilesPerTrigger=1 and two input files, the second update for a
+    lang must include the first file's counts."""
+    from pdf_ocr_spark.streaming import running_totals_stateful
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i, n in enumerate((3, 5)):
+        pq.write_table(
+            pa.table(
+                {
+                    "lang": ["en"] * n,
+                    "n_bytes": pa.array([100] * n, pa.int64()),
+                }
+            ),
+            os.path.join(src, f"f{i}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema("lang string, n_bytes long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_totals_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from totals").collect()
+    ens = sorted((r["n_docs"], r["n_bytes"]) for r in rows if r["lang"] == "en")
+    # two micro-batches → two updates; the first covers whichever file
+    # came first, the second must be cumulative across both
+    assert len(ens) == 2
+    assert ens[0] in ((3, 300), (5, 500))
+    assert ens[-1] == (8, 800)
