@@ -1018,6 +1018,235 @@ def q_extract_lineage(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.2/§2.5/§2.8 second wave: validity predicates, classifier dispatch,
+# span fold, JSON fence, layout→text, round-robin, token accumulation,
+# font-size fitter, EXIF map
+# ---------------------------------------------------------------------------
+
+
+def q_p5_bbox_validity(spark, sf_dir):
+    """P2+P5: validity predicates — non-empty after trim AND a
+    well-formed coordinate array (len(bbox) == 4 skip,
+    pdf_ocr_with_boxes_v3.py:265-266; ``if text.strip()`` v3:219)."""
+    toks = F.split(F.substring(F.col("text"), 1, 40), " ")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter((F.size("toks") >= 4) & (F.trim(F.element_at("toks", 1)) != ""))
+        .select("doc_id", F.size("toks").alias("n_toks"))
+    )
+
+
+SQL_P5 = """
+SELECT doc_id, len(string_split(substr(text, 1, 40), ' ')) AS n_toks
+FROM documents
+WHERE len(string_split(substr(text, 1, 40), ' ')) >= 4
+  AND trim(string_split(substr(text, 1, 40), ' ')[1]) <> ''
+"""
+
+
+def q_p9_content_sniff(spark, sf_dir):
+    """P8/P9: content-type sniff + mode-dispatch column (the
+    ``ds.classify()`` / magic-prefix decision, pdf_ocr_with_boxes_v3.py:118-128;
+    here keyed off a deterministic per-doc fingerprint prefix)."""
+    prefix = F.substring(F.md5(F.col("text")), 1, 2)
+    kind = (
+        F.when(prefix < "40", F.lit("pdf"))
+        .when(prefix < "80", F.lit("html"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", kind.alias("content_kind"))
+        .groupBy("content_kind")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_P9 = """
+SELECT CASE WHEN substr(md5(text), 1, 2) < '40' THEN 'pdf'
+            WHEN substr(md5(text), 1, 2) < '80' THEN 'html'
+            ELSE 'unknown' END AS content_kind,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_a5_span_fold(spark, sf_dir):
+    """A5+F3/F4: ordered span fold with de-hyphenation — the reference's
+    ``_merge_all_lines_on_block`` (pdf_ocr_with_boxes_v3.py:182-201) as a
+    higher-order ``aggregate`` over an array column: a span starting with
+    a letter splices onto a trailing hyphen or joins with a space;
+    anything else concatenates directly (kernel twin:
+    pdf_ocr_spark/kernels/pdf/layout.py merge_spans)."""
+    spans = F.split(F.substring(F.col("text"), 1, 60), " ")
+    folded = F.aggregate(
+        spans,
+        F.lit(""),
+        lambda acc, x: F.when(
+            x.rlike("^[A-Za-z]") & acc.endswith("-"),
+            F.concat(acc.substr(F.lit(1), F.length(acc) - 1), x),
+        )
+        .when(x.rlike("^[A-Za-z]"), F.concat(acc, F.lit(" "), x))
+        .otherwise(F.concat(acc, x)),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.ltrim(folded).alias("merged")
+    )
+
+
+SQL_A5 = """
+SELECT doc_id,
+  ltrim(list_reduce(list_prepend('', string_split(substr(text, 1, 60), ' ')),
+    (acc, x) -> CASE
+      WHEN regexp_matches(x, '^[A-Za-z]') AND acc LIKE '%-'
+        THEN acc[1:-2] || x
+      WHEN regexp_matches(x, '^[A-Za-z]') THEN acc || ' ' || x
+      ELSE acc || x END)) AS merged
+FROM documents
+"""
+
+
+def q_f5_json_fence(spark, sf_dir):
+    """F5: JSON fence extraction + parse — pull the ```json …``` block
+    out of a model response and read a field from it
+    (pdf_ocr_with_silicon_remote_vllm.py:317-334)."""
+    resp = F.format_string(
+        'intro text ```json{"page": %d, "lang": "%s"}``` trailing', F.col("doc_id"), F.col("lang")
+    )
+    fence = F.regexp_extract(resp, r"```json(.*?)```", 1)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        fence.alias("fence"),
+        F.get_json_object(fence, "$.page").cast("long").alias("page"),
+        F.get_json_object(fence, "$.lang").alias("parsed_lang"),
+    )
+
+
+SQL_F5 = """
+SELECT doc_id,
+  regexp_extract(printf('intro text ```json{"page": %d, "lang": "%s"}``` trailing', doc_id, lang),
+                 '```json(.*?)```', 1) AS fence,
+  doc_id AS page,
+  lang AS parsed_lang
+FROM documents
+"""
+
+
+def q_f6_layout_to_text(spark, sf_dir):
+    """F6: layout-items → page text — join item texts with newline via a
+    lambda transform (pdf_ocr_with_silicon_remote_vllm.py:428-434)."""
+    items = F.split(F.substring(F.col("text"), 1, 50), " ")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.transform(items, lambda x: F.upper(x)), "\n"
+        ).alias("page_text"),
+    )
+
+
+SQL_F6 = """
+SELECT doc_id,
+  array_to_string(list_transform(string_split(substr(text, 1, 50), ' '),
+                                 x -> upper(x)), chr(10)) AS page_text
+FROM documents
+"""
+
+
+def q_w3_color_roundrobin(spark, sf_dir):
+    """W3: round-robin assignment COLORS[idx % 8]
+    (pdf_ocr_with_boxes_v2.py:428)."""
+    w = Window.orderBy("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("color_idx", F.pmod(F.row_number().over(w), F.lit(8)))
+    )
+
+
+SQL_W3 = """
+SELECT doc_id, (row_number() OVER (ORDER BY doc_id)) % 8 AS color_idx
+FROM documents
+"""
+
+
+def q_a7_token_usage(spark, sf_dir):
+    """A7: token-usage accumulation — per-call prompt/completion token
+    counts summed per group (pdf_ocr_with_silicon_remote_vllm.py:224-226)."""
+    prompt = F.floor(F.col("n_chars") / 4).cast("long")
+    completion = F.floor(F.col("n_chars") / 7).cast("long")
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(prompt).alias("prompt_tokens"),
+            F.sum(completion).alias("completion_tokens"),
+            F.sum(prompt + completion).alias("total_tokens"),
+        )
+    )
+
+
+SQL_A7 = """
+SELECT lang,
+  sum(n_chars // 4) AS prompt_tokens,
+  sum(n_chars // 7) AS completion_tokens,
+  sum(n_chars // 4 + n_chars // 7) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_f11_font_size_fit(spark, sf_dir):
+    """F11: font-size fitter min(0.9*h, h*w/stringWidth) clamped to
+    [6, 48] (calculate_font_size, parse_student_answers.py:406-444)."""
+    h = (F.col("doc_id") % 40 + 8).cast("double")
+    w = (F.col("n_chars") % 300 + 20).cast("double")
+    text_w = (F.col("n_chars") % 90 + 30).cast("double")
+    fitted = F.greatest(
+        F.lit(6.0), F.least(F.lit(48.0), F.least(h * 0.9, h * w / text_w))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(fitted, 4).alias("font_size")
+    )
+
+
+SQL_F11 = """
+SELECT doc_id,
+  round(greatest(6.0, least(48.0,
+    least((doc_id % 40 + 8) * 0.9,
+          (doc_id % 40 + 8) * (n_chars % 300 + 20) / (n_chars % 90 + 30)))), 4)
+  AS font_size
+FROM documents
+"""
+
+
+def q_f13_exif_map(spark, sf_dir):
+    """F13: EXIF orientation map {1:0, 3:180, 6:270, 8:90} lookup via a
+    map literal (get_exif_orientation, parse_student_answers.py:69-89)."""
+    exif = (F.col("doc_id") % 9 + 1).cast("int")
+    rot = F.element_at(
+        F.create_map(
+            F.lit(1), F.lit(0), F.lit(3), F.lit(180),
+            F.lit(6), F.lit(270), F.lit(8), F.lit(90),
+        ),
+        exif,
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        exif.alias("exif_orientation"),
+        F.coalesce(rot, F.lit(0)).alias("rotation"),
+    )
+
+
+SQL_F13 = """
+SELECT doc_id,
+  CAST(doc_id % 9 + 1 AS INTEGER) AS exif_orientation,
+  CASE doc_id % 9 + 1 WHEN 1 THEN 0 WHEN 3 THEN 180 WHEN 6 THEN 270
+                      WHEN 8 THEN 90 ELSE 0 END AS rotation
+FROM documents
+"""
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     """Watermarked tumbling-window rollup (streaming operator applied to
     the batch events frame — identical plan modulo the watermark; the
@@ -1067,6 +1296,16 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # streaming (same operator runs under Structured Streaming, see
     # pdf_ocr_spark/streaming/ and tests/test_streaming.py)
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED),
+    # §2 second wave
+    "p5_bbox_validity": (q_p5_bbox_validity, SQL_P5),
+    "p9_content_sniff": (q_p9_content_sniff, SQL_P9),
+    "a5_span_fold": (q_a5_span_fold, SQL_A5),
+    "f5_json_fence": (q_f5_json_fence, SQL_F5),
+    "f6_layout_to_text": (q_f6_layout_to_text, SQL_F6),
+    "w3_color_roundrobin": (q_w3_color_roundrobin, SQL_W3),
+    "a7_token_usage": (q_a7_token_usage, SQL_A7),
+    "f11_font_size_fit": (q_f11_font_size_fit, SQL_F11),
+    "f13_exif_map": (q_f13_exif_map, SQL_F13),
     # §2.8 string/regex functions
     "f1_tag_strip": (q_f1_tag_strip, SQL_F1),
     "f2_grounding_parse": (q_f2_grounding_parse, SQL_F2),
