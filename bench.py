@@ -63,22 +63,43 @@ def force(df) -> int:
 
 def bench_extraction(spark, n_docs: int) -> tuple[float, int]:
     """North-rule throughput: docs/sec of the full extraction pipeline
-    over the deterministic synthetic pages corpus."""
+    over the deterministic synthetic pages corpus, read from parquet the
+    way a real run would (createDataFrame would bottleneck on the
+    driver-side upload and understate the pipeline)."""
+    import tempfile
+
+    from pdf_ocr_spark.fixtures.genpages import write_corpus
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus = os.path.join(tmp, "pages")
+        write_corpus(corpus, n_docs, n_files=32)
+        pages = spark.read.parquet(corpus)
+        force(extract_documents(pages))  # warmup: python workers + codegen
+        t0 = time.monotonic()
+        force(extract_documents(pages))
+        return time.monotonic() - t0, n_docs
+
+
+def warmup_session(spark) -> None:
+    """Pay one-time JVM/codegen/python-worker costs before any timing:
+    a tiny JVM-side aggregation plus a tiny run of the fused extractor
+    (spins up one python worker per core with all kernel imports)."""
+    from pyspark.sql import functions as F
+
     from pdf_ocr_spark.fixtures.genpages import gen_rows
     from pdf_ocr_spark.pipeline.extract_job import extract_documents
 
-    rows = gen_rows(n_docs)
+    spark.range(100000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    rows = gen_rows(256)
     pages = spark.createDataFrame(
-        [
-            (r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
-            for r in rows
-        ],
-        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
     )
-    force(extract_documents(pages))  # warmup: python workers + codegen
-    t0 = time.monotonic()
     force(extract_documents(pages))
-    return time.monotonic() - t0, len(rows)
+
+
+
 
 
 def main() -> None:
@@ -93,6 +114,7 @@ def main() -> None:
 
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    warmup_session(spark)
 
     from pdf_ocr_spark.queries import queries as registry
 

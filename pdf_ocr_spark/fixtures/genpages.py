@@ -18,6 +18,7 @@ Synthesizes, with seed-stable bytes and no wall-clock reads:
 from __future__ import annotations
 
 import datetime
+import os
 import random
 import zlib
 from typing import Dict, List, Optional, Tuple
@@ -521,20 +522,34 @@ def gen_rows(n: int, seed: int = 42, include_ref_pdf: bool = True) -> List[dict]
     return rows
 
 
-def write_corpus(path: str, n: int, seed: int = 42) -> None:
+def write_corpus(path: str, n: int, seed: int = 42, n_files: int = 1) -> None:
     """Write the pages table as parquet (without the 'kind' helper column,
-    matching the input_hint schema exactly)."""
+    matching the input_hint schema exactly).  With ``n_files > 1`` the
+    path becomes a DIRECTORY of part files — the shape a Common-Crawl
+    table has at scale, and what gives the Spark scan parallel splits."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rows = gen_rows(n, seed)
-    table = pa.table(
-        {
-            "url": pa.array([r["url"] for r in rows], pa.string()),
-            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
-            "html": pa.array([r["html"] for r in rows], pa.binary()),
-            "text": pa.array([r["text"] for r in rows], pa.string()),
-            "lang": pa.array([r["lang"] for r in rows], pa.string()),
-        }
-    )
-    pq.write_table(table, path)
+
+    def _table(part):
+        return pa.table(
+            {
+                "url": pa.array([r["url"] for r in part], pa.string()),
+                "warc_ts": pa.array([r["warc_ts"] for r in part], pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in part], pa.binary()),
+                "text": pa.array([r["text"] for r in part], pa.string()),
+                "lang": pa.array([r["lang"] for r in part], pa.string()),
+            }
+        )
+
+    if n_files <= 1:
+        pq.write_table(_table(rows), path)
+        return
+    os.makedirs(path, exist_ok=True)
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(0, len(rows), chunk):
+        pq.write_table(
+            _table(rows[i : i + chunk]),
+            os.path.join(path, f"part-{i // chunk:05d}.parquet"),
+        )

@@ -32,29 +32,10 @@ LEVELS = (8, 32)  # N and 4N cores
 
 
 def write_corpus(path: str, n_docs: int, n_files: int = 64) -> None:
-    """Write the synthetic pages corpus as a DIRECTORY of parquet files —
-    the shape a Common-Crawl-style table has at scale (one ~30 MB file
-    would give the scan a single split and serialize the first stage)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    """Multi-file corpus (parallel scan splits; see fixtures.genpages)."""
+    from pdf_ocr_spark.fixtures.genpages import write_corpus as _wc
 
-    from pdf_ocr_spark.fixtures.genpages import gen_rows
-
-    rows = gen_rows(n_docs)
-    os.makedirs(path, exist_ok=True)
-    chunk = (len(rows) + n_files - 1) // n_files
-    for i in range(0, len(rows), chunk):
-        part = rows[i : i + chunk]
-        table = pa.table(
-            {
-                "url": [r["url"] for r in part],
-                "warc_ts": pa.array([r["warc_ts"] for r in part], pa.timestamp("us")),
-                "html": pa.array([r["html"] for r in part], pa.binary()),
-                "text": [r["text"] for r in part],
-                "lang": [r["lang"] for r in part],
-            }
-        )
-        pq.write_table(table, os.path.join(path, f"part-{i // chunk:05d}.parquet"))
+    _wc(path, n_docs, n_files=n_files)
 
 
 def worker(cpus: int, corpus: str) -> None:
