@@ -103,11 +103,11 @@ _CONTENT_TOK = re.compile(
        | (?P<close>\])
        | (?P<lit>\()
        | (?P<op>[A-Za-z'"][A-Za-z0-9*'"]*)
+       | (?P<comment>%[^\r\n]*)
     """,
     re.X,
 )
 _NONHEX = re.compile(rb"[^0-9A-Fa-f]")
-_WS_SET = frozenset(b"\x00\t\n\x0c\r ")
 
 
 def _skip_inline_image(data: bytes, pos: int) -> int:
@@ -133,29 +133,21 @@ def _tokenize_content(data: bytes):
     Tolerant: an operand/operator that fails to lex is skipped and the
     scan resumes at the next token boundary (crawled PDFs are dirty)."""
     lex = Lexer(data, 0)  # reused only for strings/dicts (escape handling)
+    hex_cache: Dict[bytes, bytes] = {}  # per-glyph CID strings repeat constantly
     n = len(data)
     pos = 0
     operands: List[Any] = []
     cur = operands
     stack: List[List[Any]] = []  # array nesting (TJ)
-    match = _CONTENT_TOK.match
+    search = _CONTENT_TOK.search
     while pos < n:
-        c = data[pos]
-        if c in _WS_SET:
-            pos += 1
-            continue
-        if c == 0x25:  # '%' comment → end of line
-            e = data.find(b"\n", pos)
-            pos = n if e < 0 else e + 1
-            continue
-        m = match(data, pos)
+        m = search(data, pos)  # C-level skip of whitespace (and junk)
         if m is None:
-            pos += 1
-            operands = []
-            cur = operands
-            stack = []
-            continue
+            break
         g = m.lastgroup
+        if g == "comment":
+            pos = m.end()
+            continue
         if g == "num":
             tok = m.group()
             cur.append(float(tok) if b"." in tok else int(tok))
@@ -181,7 +173,7 @@ def _tokenize_content(data: bytes):
         elif g == "name":
             tok = m.group()[1:]
             if b"#" in tok:  # rare '#xx' escapes → slow path
-                lex.pos = pos
+                lex.pos = m.start()
                 try:
                     cur.append(lex.parse_object())
                     pos = lex.pos
@@ -192,11 +184,14 @@ def _tokenize_content(data: bytes):
                 pos = m.end()
         elif g == "hex":
             body = m.group()
-            body = body[1:-1] if body.endswith(b">") else body[1:]
-            hx = _NONHEX.sub(b"", body)
-            if len(hx) % 2:
-                hx += b"0"
-            cur.append(bytes.fromhex(hx.decode("ascii")))
+            hb = hex_cache.get(body)
+            if hb is None:
+                raw = body[1:-1] if body.endswith(b">") else body[1:]
+                hx = _NONHEX.sub(b"", raw)
+                if len(hx) % 2:
+                    hx += b"0"
+                hb = hex_cache[body] = bytes.fromhex(hx.decode("ascii"))
+            cur.append(hb)
             pos = m.end()
         elif g == "open":
             new: List[Any] = []
@@ -208,7 +203,7 @@ def _tokenize_content(data: bytes):
             cur = stack.pop() if stack else operands
             pos = m.end()
         elif g == "lit":
-            lex.pos = pos
+            lex.pos = m.start()
             try:
                 cur.append(lex._parse_literal_string())
                 pos = lex.pos
@@ -218,7 +213,7 @@ def _tokenize_content(data: bytes):
                 cur = operands
                 stack = []
         else:  # ddict — rare in content (gs/BDC property lists)
-            lex.pos = pos
+            lex.pos = m.start()
             try:
                 cur.append(lex.parse_object())
                 pos = lex.pos
@@ -279,33 +274,8 @@ class ContentInterpreter:
             if len(self.glyphs) >= self.MAX_GLYPHS:
                 return
             try:
-                if op == b"q":
-                    gs_stack.append((ctm, ts.clone()))
-                elif op == b"Q":
-                    if gs_stack:
-                        ctm, ts = gs_stack.pop()
-                elif op == b"cm" and len(operands) >= 6:
-                    m = tuple(num(v) for v in operands[-6:])
-                    ctm = mat_mul(m, ctm)  # type: ignore[arg-type]
-                elif op == b"BT":
-                    in_text = True
-                    tm = tlm = IDENTITY
-                elif op == b"ET":
-                    in_text = False
-                elif op == b"Tf" and len(operands) >= 2:
-                    fname = str(operands[-2]) if isinstance(operands[-2], (Name, str)) else ""
-                    ts.font = fonts.get(fname)
-                    ts.size = num(operands[-1])
-                elif op == b"Tc" and operands:
-                    ts.char_sp = num(operands[-1])
-                elif op == b"Tw" and operands:
-                    ts.word_sp = num(operands[-1])
-                elif op == b"Tz" and operands:
-                    ts.hscale = num(operands[-1], 100.0) / 100.0
-                elif op == b"TL" and operands:
-                    ts.leading = num(operands[-1])
-                elif op == b"Ts" and operands:
-                    ts.rise = num(operands[-1])
+                if op == b"Tj" and operands:
+                    tm = self._show(operands[-1], ts, tm, ctm)
                 elif op == b"Td" and len(operands) >= 2:
                     tx, ty = num(operands[-2]), num(operands[-1])
                     tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
@@ -319,6 +289,14 @@ class ContentInterpreter:
                            tx * tlm[0] + ty * tlm[2] + tlm[4],
                            tx * tlm[1] + ty * tlm[3] + tlm[5])
                     tm = tlm
+                elif op == b"TJ" and operands and isinstance(operands[-1], list):
+                    for item in operands[-1]:
+                        if isinstance(item, bytes):
+                            tm = self._show(item, ts, tm, ctm)
+                        elif isinstance(item, (int, float)):
+                            tx = -float(item) / 1000.0 * ts.size * ts.hscale
+                            tm = (tm[0], tm[1], tm[2], tm[3],
+                                  tx * tm[0] + tm[4], tx * tm[1] + tm[5])
                 elif op == b"Tm" and len(operands) >= 6:
                     tlm = tuple(num(v) for v in operands[-6:])  # type: ignore[assignment]
                     tm = tlm
@@ -327,8 +305,33 @@ class ContentInterpreter:
                     tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
                            tlm[4] - L * tlm[2], tlm[5] - L * tlm[3])
                     tm = tlm
-                elif op == b"Tj" and operands:
-                    tm = self._show(operands[-1], ts, tm, ctm)
+                elif op == b"BT":
+                    in_text = True
+                    tm = tlm = IDENTITY
+                elif op == b"ET":
+                    in_text = False
+                elif op == b"Tf" and len(operands) >= 2:
+                    fname = str(operands[-2]) if isinstance(operands[-2], (Name, str)) else ""
+                    ts.font = fonts.get(fname)
+                    ts.size = num(operands[-1])
+                elif op == b"q":
+                    gs_stack.append((ctm, ts.clone()))
+                elif op == b"Q":
+                    if gs_stack:
+                        ctm, ts = gs_stack.pop()
+                elif op == b"cm" and len(operands) >= 6:
+                    m = tuple(num(v) for v in operands[-6:])
+                    ctm = mat_mul(m, ctm)  # type: ignore[arg-type]
+                elif op == b"Tc" and operands:
+                    ts.char_sp = num(operands[-1])
+                elif op == b"Tw" and operands:
+                    ts.word_sp = num(operands[-1])
+                elif op == b"Tz" and operands:
+                    ts.hscale = num(operands[-1], 100.0) / 100.0
+                elif op == b"TL" and operands:
+                    ts.leading = num(operands[-1])
+                elif op == b"Ts" and operands:
+                    ts.rise = num(operands[-1])
                 elif op == b"'" and operands:
                     L = ts.leading
                     tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
@@ -341,14 +344,6 @@ class ContentInterpreter:
                     tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
                            tlm[4] - L * tlm[2], tlm[5] - L * tlm[3])
                     tm = self._show(operands[-1], ts, tlm, ctm)
-                elif op == b"TJ" and operands and isinstance(operands[-1], list):
-                    for item in operands[-1]:
-                        if isinstance(item, bytes):
-                            tm = self._show(item, ts, tm, ctm)
-                        elif isinstance(item, (int, float)):
-                            tx = -float(item) / 1000.0 * ts.size * ts.hscale
-                            tm = (tm[0], tm[1], tm[2], tm[3],
-                                  tx * tm[0] + tm[4], tx * tm[1] + tm[5])
                 elif op == b"Do" and operands:
                     self._do_xobject(operands[-1], resources, ctm, fonts)
             except PDFError:

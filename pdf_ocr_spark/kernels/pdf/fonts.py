@@ -137,6 +137,7 @@ class Font:
         "widths",
         "default_width",
         "space_code",
+        "_cache",
     )
 
     def __init__(self) -> None:
@@ -149,23 +150,45 @@ class Font:
         self.widths: Dict[int, float] = {}
         self.default_width = 500.0
         self.space_code: Optional[int] = 32
+        self._cache: Dict[int, Tuple[int, str, float]] = {}
 
     # -- decoding ----------------------------------------------------------
 
     def decode(self, raw: bytes) -> List[Tuple[int, str, float]]:
-        """Decode a show-string into [(code, unicode, width/1000em)]."""
+        """Decode a show-string into [(code, unicode, width/1000em)].
+
+        Per-code triples are memoized: a typical page shows the same few
+        dozen codes thousands of times (per-glyph Tj), so after warmup a
+        decode is one dict hit per glyph."""
+        cache = self._cache
         out: List[Tuple[int, str, float]] = []
+        append = out.append
         if self.two_byte:
-            it = range(0, len(raw) - 1, 2)
-            for i in it:
+            n = len(raw) - 1
+            for i in range(0, n, 2):
                 code = (raw[i] << 8) | raw[i + 1]
-                out.append((code, self._unicode_for(code), self._width_for(code)))
+                t = cache.get(code)
+                if t is None:
+                    t = cache[code] = (
+                        code, self._unicode_for(code), self._width_for(code)
+                    )
+                append(t)
             if len(raw) % 2:  # dangling byte: decode as 1-byte code
                 code = raw[-1]
-                out.append((code, self._unicode_for(code), self._width_for(code)))
+                t = cache.get(code)
+                if t is None:
+                    t = cache[code] = (
+                        code, self._unicode_for(code), self._width_for(code)
+                    )
+                append(t)
         else:
             for code in raw:
-                out.append((code, self._unicode_for(code), self._width_for(code)))
+                t = cache.get(code)
+                if t is None:
+                    t = cache[code] = (
+                        code, self._unicode_for(code), self._width_for(code)
+                    )
+                append(t)
         return out
 
     def _unicode_for(self, code: int) -> str:

@@ -119,32 +119,35 @@ def build_lines(glyphs: Sequence[Glyph], page_h: float) -> List[Line]:
         # so the XY-cut can reorder the segments (SURVEY.md K3)
         split_gap = max(2.2 * gsize, 14.0)
         segments: List[List[Glyph]] = [[group[0]]]
-        prev_end = group[0].x + max(group[0].adv, 0.0)
+        prev_end = group[0].x + group[0].adv  # adv >= 0 by construction
         for g in group[1:]:
             if g.x - prev_end > split_gap:
                 segments.append([g])
             else:
                 segments[-1].append(g)
-            prev_end = max(prev_end, g.x + max(g.adv, 0.0))
+            end = g.x + g.adv
+            if end > prev_end:
+                prev_end = end
         for seg in segments:
             parts: List[str] = []
             prev_end = None
+            word_gap = 0.28 * (gsize if gsize > 1.0 else 1.0)
             for g in seg:
                 if prev_end is not None:
                     gap = g.x - prev_end
-                    if gap > 0.28 * max(gsize, 1.0) and parts and not parts[-1].endswith(" "):
+                    if gap > word_gap and parts and not parts[-1].endswith(" "):
                         # only synthesize a space between latin-ish
                         # fragments; CJK never gets synthetic spaces
                         prev_ch = parts[-1][-1]
                         if prev_ch.isascii() and g.text[:1].isascii():
                             parts.append(" ")
                 parts.append(g.text)
-                prev_end = g.x + max(g.adv, 0.0)
+                prev_end = g.x + g.adv
             text = "".join(parts).strip()
             if not text:
                 continue
             x0 = min(g.x for g in seg)
-            x1 = max(g.x + max(g.adv, 0.0) for g in seg)
+            x1 = max(g.x + g.adv for g in seg)
             yts = [page_h - g.y for g in seg]
             base = _median(yts, 0.0)
             out.append(Line(text, x0, base - gsize, x1, base, gsize))

@@ -71,12 +71,15 @@ def ceiling(procs: int, docs_per_proc: int = 375) -> float:
     that separate cluster nodes (own memory buses) do not share."""
     import multiprocessing as mp
 
+    best = 0.0
     with mp.Pool(procs) as p:
         p.map(_ceiling_work, [(i, 40) for i in range(procs)])  # warm imports
-        t0 = time.monotonic()
-        res = p.map(_ceiling_work, [(i, docs_per_proc) for i in range(procs)])
-        wall = time.monotonic() - t0
-    return sum(n for _, n in res) / wall
+        for _ in range(3):  # best-of-3: host noise swings single runs ±20%
+            t0 = time.monotonic()
+            res = p.map(_ceiling_work, [(i, docs_per_proc) for i in range(procs)])
+            wall = time.monotonic() - t0
+            best = max(best, sum(n for _, n in res) / wall)
+    return best
 
 
 def _ceiling_work(args):
