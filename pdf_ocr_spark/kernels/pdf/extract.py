@@ -47,8 +47,27 @@ class DocExtract(NamedTuple):
     blocks: List[Block]
 
 
-def extract_pdf(pdf_bytes: bytes) -> DocExtract:
+def count_pdf_pages(pdf_bytes: bytes) -> int:
+    """Cheap structural pass: xref + page-tree walk only, no content
+    decode.  Returns 0 on malformed input.  Used to plan page-range
+    splits for giant documents (SURVEY.md §4.1 straggler mitigation)."""
+    try:
+        return min(len(PDFDocument(pdf_bytes).pages()), MAX_PAGES)
+    except (PDFError, RecursionError, MemoryError, OverflowError, ValueError):
+        return 0
+
+
+def extract_pdf(
+    pdf_bytes: bytes,
+    page_lo: int = 1,
+    page_hi: Optional[int] = None,
+) -> DocExtract:
     """Parse one PDF and extract per-page text blocks.
+
+    ``page_lo``/``page_hi`` (1-based, inclusive) restrict extraction to a
+    page range while keeping GLOBAL page numbers — the unit of work for
+    splitting giant documents across tasks; the default covers the whole
+    document.
 
     Never raises on malformed input: structural failures return
     status='failed' with a reason class, so the Spark batch keeps going
@@ -63,9 +82,12 @@ def extract_pdf(pdf_bytes: bytes) -> DocExtract:
     if not page_dicts:
         return DocExtract("failed", "pdf_no_pages", 0, [], [])
 
+    page_dicts = page_dicts[:MAX_PAGES]
+    lo = max(1, page_lo)
+    hi = len(page_dicts) if page_hi is None else min(page_hi, len(page_dicts))
     pages: List[PageExtract] = []
     blocks: List[Block] = []
-    for i, pd in enumerate(page_dicts[:MAX_PAGES], 1):
+    for i, pd in enumerate(page_dicts[lo - 1 : hi], lo):
         try:
             res = interpret_page(doc, pd)
         except PDFError:

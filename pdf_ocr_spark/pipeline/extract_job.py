@@ -324,6 +324,9 @@ def assemble_documents(page_rows: DataFrame) -> DataFrame:
         F.min("status").alias("status"),  # 'failed' < 'ok'
         F.max("failure_reason").alias("failure_reason"),
         F.max("n_bytes").alias("n_bytes"),
+        F.sum(F.when(F.col("needs_ocr"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_ocr_pages"),  # range route keeps needs_ocr as was-OCR marker
     )
     pdf_text = F.array_join(
         F.transform(
@@ -350,6 +353,10 @@ def assemble_documents(page_rows: DataFrame) -> DataFrame:
         "status",
         "failure_reason",
         "n_bytes",
+        F.when(F.col("status") == "failed", F.lit(0))
+        .otherwise(F.col("n_ocr_pages"))
+        .cast("int")
+        .alias("n_ocr_pages"),
     )
 
 
@@ -376,6 +383,133 @@ def extract_documents_paged(
     for the page-table API and as the semantics oracle for the fused
     path — tests assert both produce identical rows."""
     return assemble_documents(extract_pages(pages_df, num_partitions))
+
+
+RANGE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("n_pages", IntegerType()),
+    ]
+)
+
+
+def count_pages_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Cheap structural pass over giant PDFs: page count only (xref +
+    page-tree walk, no content decode)."""
+    from pdf_ocr_spark.kernels.pdf.extract import count_pdf_pages
+
+    _tune_worker_gc()
+    for pdf_batch in batches:
+        yield pd.DataFrame(
+            {
+                "url": pdf_batch["url"],
+                "n_pages": [
+                    count_pdf_pages(bytes(p) if p is not None else b"")
+                    for p in pdf_batch["html"]
+                ],
+            }
+        )
+
+
+def extract_range_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Page-range extractor for giant documents: each input row is
+    (url, html, page_lo, page_hi); emits PAGE_SCHEMA rows with GLOBAL page
+    numbers.  OCR runs inline (batched) like the fused extractor;
+    ``needs_ocr`` is kept True on OCR'd rows as a was-OCR marker for
+    lineage (the text is already filled in)."""
+    from pdf_ocr_spark.kernels.ocr_stub import get_engine, ocr_page_text
+    from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+    _tune_worker_gc()
+    engine = None
+    cols = [f.name for f in PAGE_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        ocr_slots = []  # (row_idx, payload)
+        for url, payload, lo, hi in zip(
+            pdf_batch["url"], pdf_batch["html"],
+            pdf_batch["page_lo"], pdf_batch["page_hi"],
+        ):
+            data = bytes(payload) if payload is not None else b""
+            n_bytes = len(data)
+            try:
+                doc = extract_pdf(data, int(lo), int(hi))
+                if doc.status != "ok":
+                    rows.append((url, "pdf", 0, None, 0, False, None,
+                                 "failed", doc.failure_reason, n_bytes))
+                    continue
+                for p in doc.pages:
+                    if p.needs_ocr:
+                        ocr_slots.append((len(rows), p.ocr_payload))
+                        rows.append([url, "pdf", p.page_num, None, p.n_blocks,
+                                     True, None, "ok", None, n_bytes])
+                    else:
+                        rows.append((url, "pdf", p.page_num, p.text, p.n_blocks,
+                                     False, None, "ok", None, n_bytes))
+            except Exception as e:  # noqa: BLE001
+                rows.append((url, "pdf", 0, None, 0, False, None,
+                             "failed", f"kernel_crash: {type(e).__name__}", n_bytes))
+        if ocr_slots:
+            if engine is None:
+                engine = get_engine()
+            results = engine.recognize_batch([p for _, p in ocr_slots])
+            for (ri, _), boxes in zip(ocr_slots, results):
+                rows[ri][3] = ocr_page_text(boxes)
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_documents_split(
+    pages_df: DataFrame,
+    num_partitions: Optional[int] = None,
+    giant_bytes: int = 4 << 20,
+    pages_per_task: int = 32,
+) -> DataFrame:
+    """Skew-bounded variant of :func:`extract_documents` for corpora with
+    GIANT documents (SURVEY.md §4.1: "a 1000-page PDF blocks the loop
+    exactly like a 1-pager").
+
+    Normal rows (payload < ``giant_bytes``) take the fused single-stage
+    path.  Giant rows get a two-phase treatment: a cheap page-count pass,
+    then an explode into (url, page_lo, page_hi) range rows of
+    ``pages_per_task`` pages each — so a 5000-page document becomes ~150
+    independent tasks instead of one straggler — and a groupBy(url)
+    re-merge.  The split threshold is by payload size (known before any
+    parse), the split unit by page count (known after the cheap pass)."""
+    spark = pages_df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+    src = pages_df.select("url", "html")
+    is_giant = F.length("html") >= giant_bytes
+
+    normal_docs = extract_documents(src.filter(~is_giant), num_partitions)
+
+    giants = src.filter(is_giant)
+    counts = giants.mapInPandas(count_pages_batch, schema=RANGE_SCHEMA)
+    ranges = (
+        giants.join(counts, "url")
+        .filter(F.col("n_pages") > 0)
+        .select(
+            "url",
+            "html",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_pages"), F.lit(pages_per_task))
+            ).alias("page_lo"),
+        )
+        .withColumn("page_hi", F.col("page_lo") + F.lit(pages_per_task - 1))
+    )
+    page_rows = ranges.repartition(
+        num_partitions, F.xxhash64("url", "page_lo")
+    ).mapInPandas(extract_range_batch, schema=PAGE_SCHEMA)
+    # failed count-pass giants (n_pages == 0) still need a failure row
+    failed_giants = (
+        giants.join(counts, "url")
+        .filter(F.col("n_pages") <= 0)
+        .select("url", "html")
+    )
+    giant_docs = assemble_documents(page_rows).unionByName(
+        extract_documents(failed_giants, num_partitions)
+    )
+    return normal_docs.unionByName(giant_docs)
 
 
 def lineage_metrics(page_rows: DataFrame) -> DataFrame:

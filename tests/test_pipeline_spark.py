@@ -148,6 +148,51 @@ def test_fused_plan_single_shuffle_no_aggregate(spark, corpus_parquet):
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
 
 
+def test_giant_doc_split_equals_fused(spark):
+    """Giant-document page-range splitting (SURVEY.md §4.1 straggler
+    mitigation): with a tiny threshold forcing EVERY pdf through the
+    two-phase split path, results equal the fused single-task path —
+    including multi-page docs split mid-document, OCR pages inside a
+    range, and a poison giant."""
+    from pdf_ocr_spark.fixtures.genpages import (
+        gen_rows,
+        make_scan_pdf,
+        make_simple_pdf,
+    )
+    from pdf_ocr_spark.pipeline.extract_job import (
+        extract_documents,
+        extract_documents_split,
+    )
+
+    rows = [
+        ("big://simple10", make_simple_pdf(
+            [[f"page {i} line one", f"page {i} line two"] for i in range(1, 11)]
+        )),
+        ("big://scan3", make_scan_pdf(["scan one", "scan two", "scan three"])),
+        ("big://broken", b"%PDF-1.7\ngarbage with no xref"),
+    ] + [(r["url"], bytes(r["html"])) for r in gen_rows(30)]
+    pages = spark.createDataFrame(
+        [(u, bytearray(b)) for u, b in rows], "url string, html binary"
+    )
+
+    cols = ["url", "content_kind", "extracted_text", "n_pages", "n_blocks",
+            "n_chars", "status", "failure_reason", "n_bytes", "n_ocr_pages"]
+    fused = {
+        r["url"]: tuple(r[c] for c in cols)
+        for r in extract_documents(pages, num_partitions=4).collect()
+    }
+    split = {
+        r["url"]: tuple(r[c] for c in cols)
+        for r in extract_documents_split(
+            pages, num_partitions=4, giant_bytes=1, pages_per_task=3
+        ).collect()
+    }
+    assert split == fused
+    # sanity: the 10-page doc really went through >1 range
+    assert fused["big://simple10"][3] == 10  # n_pages
+    assert fused["big://scan3"][9] == 3      # n_ocr_pages
+
+
 def test_plan_has_single_planned_shuffle(spark, corpus_parquet):
     """The page-level plan shows exactly the one explicit repartition
     (hashpartitioning on xxhash64(url)); extraction + OCR are
