@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
+    "a5_span_fold",
+    "p9_content_sniff",
+    "stream_windowed_counts",
     "extract_corpus",
 ]
 

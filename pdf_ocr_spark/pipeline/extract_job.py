@@ -573,21 +573,34 @@ def run_extraction(
     output_path: str,
     sidecar_path: Optional[str] = None,
     num_partitions: Optional[int] = None,
+    partition_buckets: Optional[int] = None,
 ) -> int:
     """Checkpointable batch run: resume → extract → append-commit.
 
-    Returns the number of documents processed in this invocation."""
+    ``partition_buckets``: Iceberg-style ``bucket(url)`` layout — the
+    output is hive-partitioned on ``url_bucket = xxhash64(url) % N`` so a
+    resume scan, a per-bucket compaction, or a downstream co-located join
+    can prune to single buckets.  Returns the number of documents in the
+    output after this invocation."""
     pages = spark.read.parquet(input_path)
     if _parquet_exists(output_path):
         done = spark.read.parquet(output_path)
         pages = resume_filter(pages, done)
     docs = extract_documents(pages, num_partitions)
+    if partition_buckets:
+        docs = docs.withColumn(
+            "url_bucket",
+            F.pmod(F.xxhash64("url"), F.lit(partition_buckets)).cast("int"),
+        )
     # the extractor is expensive: materialize doc rows once, derive both
     # the main table and the sidecar from the cached result (SURVEY.md §4.2
     # double-execution caveat)
     docs = docs.persist()
     try:
-        docs.write.mode("append").parquet(output_path)
+        writer = docs.write.mode("append")
+        if partition_buckets:
+            writer = writer.partitionBy("url_bucket")
+        writer.parquet(output_path)
         if sidecar_path is not None:
             doc_lineage_metrics(docs).withColumn(
                 "run_output", F.lit(output_path)

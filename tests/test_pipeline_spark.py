@@ -148,6 +148,30 @@ def test_fused_plan_single_shuffle_no_aggregate(spark, corpus_parquet):
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
 
 
+def test_bucketed_output_layout_and_resume(spark, corpus_parquet, tmp_path):
+    """Iceberg-style bucket(url) output layout: hive-partitioned on
+    url_bucket, prunable by the scan, and still resumable."""
+    import os
+
+    from pdf_ocr_spark.pipeline.extract_job import run_extraction
+
+    out = str(tmp_path / "bucketed")
+    n = run_extraction(spark, corpus_parquet, out, partition_buckets=8)
+    assert n == 100
+    buckets = sorted(d for d in os.listdir(out) if d.startswith("url_bucket="))
+    assert 2 <= len(buckets) <= 8
+
+    # partition pruning reaches the scan
+    df = spark.read.parquet(out).filter(F.col("url_bucket") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(url_bucket" in plan
+
+    # resume over the bucketed table processes nothing new
+    n2 = run_extraction(spark, corpus_parquet, out, partition_buckets=8)
+    assert n2 == 100
+    assert spark.read.parquet(out).select("url").distinct().count() == 100
+
+
 def test_giant_doc_split_equals_fused(spark):
     """Giant-document page-range splitting (SURVEY.md §4.1 straggler
     mitigation): with a tiny threshold forcing EVERY pdf through the
