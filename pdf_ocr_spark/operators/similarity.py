@@ -100,6 +100,99 @@ def lsh_bucket_histogram(
     )
 
 
+def l2sq_expr(a: Column, b: Column) -> Column:
+    """Squared L2 distance Σ (aᵢ−bᵢ)², JVM-side."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def seeded_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the first ``n_centroids`` vectors
+    by id.  In production this is replaced by k-means trained on a sample
+    (same downstream plan); the seeded pick keeps the whole index
+    SQL-expressible for the oracle gate."""
+    w = Window.orderBy(id_col)
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.row_number().over(w).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (argmin L2, ties on
+    cent_id).  Centroids are broadcast, so the K-way fan-out is map-side;
+    the single shuffle is the groupBy on vector id.  This is the IVF
+    index-build: at 100 TB the result is written bucketed by cent_id so
+    searches prune to single partitions."""
+    dist = F.round(l2sq_expr(F.col(vec_col), F.col("cvec")), 6)
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(dist.alias("d"), F.col("cent_id").alias("cent_id")))
+            .getField("cent_id")
+            .alias("cent_id"),
+            F.first(vec_col).alias(vec_col),
+        )
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    query_filter: Column,
+    k: int = 3,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus, then search only the
+    query's own centroid cell (nprobe=1; multi-probe = union of the
+    next-nearest cells).  Queries are corpus rows selected by
+    ``query_filter``."""
+    cents = seeded_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    q = assigned.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "cent_id",
+    )
+    scored = (
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col(vec_col)), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -827,6 +827,55 @@ WHERE rank <= 3
 """
 
 
+def q_sim_topk_ivf(spark, sf_dir):
+    """IVF-style ANN top-3: seeded coarse centroids → argmin-L2 cell
+    assignment → nprobe=1 search inside the query's cell.  The scale path
+    for embedding search (index bucketed by cent_id; k-means drop-in for
+    the seeded quantizer)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(
+        emb, F.col("vec_id") % 100 == 0, k=3, n_centroids=8
+    )
+
+
+_SQL_L2SQ = """
+list_sum(list_transform(list_zip({a}, {b}),
+         s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))
+            * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))))
+"""
+
+SQL_SIM_TOPK_IVF = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cent_id, embedding AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round({_SQL_L2SQ.format(a='e.embedding', b='c.cvec')}, 6), c.cent_id
+      ) AS rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cent_id
+  FROM assigned WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+    round({_SQL_COSINE.format(a='q.qv', b='a.embedding')}, 4) AS cosine
+  FROM assigned a JOIN q ON a.cent_id = q.cent_id
+  WHERE q.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1323,6 +1372,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "sim_topk_lsh": (q_sim_topk_lsh, SQL_SIM_TOPK_LSH),
+    "sim_topk_ivf": (q_sim_topk_ivf, SQL_SIM_TOPK_IVF),
     # text analysis
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
