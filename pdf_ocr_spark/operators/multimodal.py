@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -101,3 +102,64 @@ def decode_frames(media: DataFrame, id_col: str = "media_id", blob_col: str = "b
     return media.select(
         F.col(id_col).alias("media_id"), F.col(blob_col).alias("blob")
     ).mapInPandas(decode_frames_batch, schema=FRAME_SCHEMA)
+
+
+def sample_frames(
+    frames: DataFrame,
+    every_nth: int = 2,
+    offset: int = 0,
+    idx_col: str = "frame_idx",
+) -> DataFrame:
+    """Frame sampling — pure built-in filter on the frame index, so it
+    composes with (and pushes past) the decode fan-out when frames are
+    already materialized as a table."""
+    return frames.filter(F.pmod(F.col(idx_col) - offset, F.lit(every_nth)) == 0)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
+        StructField("thumb_bytes", LongType()),
+    ]
+)
+
+
+def _fake_resize(blob: bytes, max_side: int = 64):
+    """DETERMINISTIC FAKE of the image resize step (real deployment:
+    PIL/turbojpeg decode → resample → re-encode; the batching and schema
+    stay identical).  Emits stable pseudo-dimensions derived from the
+    payload and a content-preserving 'thumbnail' (truncated digest-keyed
+    slice), raising on empty payloads like a real decoder."""
+    if not blob:
+        raise NotImplementedError("real image resize requires codec libraries")
+    w = 320 + blob[0] * 4
+    h = 240 + blob[-1] * 3
+    scale = max_side / max(w, h)
+    tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+    thumb = hashlib.blake2b(blob, digest_size=32).digest() + blob[: max_side * 4]
+    return tw, th, thumb
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched resize: binary in → (dims, binary thumb) out."""
+    for batch in batches:
+        rows = []
+        for mid, blob in zip(batch["media_id"], batch["blob"]):
+            data = bytes(blob) if blob is not None else b""
+            try:
+                tw, th, thumb = _fake_resize(data)
+            except NotImplementedError:
+                continue
+            rows.append((int(mid), tw, th, thumb, len(thumb)))
+        yield pd.DataFrame(
+            rows, columns=["media_id", "width", "height", "thumb", "thumb_bytes"]
+        )
+
+
+def resize_media(media: DataFrame, id_col: str = "media_id", blob_col: str = "blob") -> DataFrame:
+    return media.select(
+        F.col(id_col).alias("media_id"), F.col(blob_col).alias("blob")
+    ).mapInPandas(resize_batch, schema=RESIZE_SCHEMA)

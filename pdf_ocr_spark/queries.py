@@ -1021,6 +1021,60 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Arrow-batched media resize (stubbed decode, real plumbing): the
+    pseudo-dims derive from the first/last payload byte, so restricting
+    to ASCII-clean `en` docs keeps the oracle SQL-expressible."""
+    from pdf_ocr_spark.operators.multimodal import resize_media
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.col("lang") == "en") & (F.length("text") > 0))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("blob"),
+        )
+    )
+    return resize_media(media).select("media_id", "width", "height", "thumb_bytes")
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS nb,
+         320 + ascii(substr(text, 1, 1)) * 4 AS w,
+         240 + ascii(substr(text, -1, 1)) * 3 AS h
+  FROM documents WHERE doc_id < 200 AND lang = 'en' AND length(text) > 0
+)
+SELECT media_id,
+  CAST(greatest(1, CAST(trunc(w * (64.0 / greatest(w, h))) AS INTEGER)) AS INTEGER) AS width,
+  CAST(greatest(1, CAST(trunc(h * (64.0 / greatest(w, h))) AS INTEGER)) AS INTEGER) AS height,
+  CAST(32 + least(nb, 256) AS BIGINT) AS thumb_bytes
+FROM m
+"""
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling composed over the decode fan-out (every 2nd frame;
+    rows-only — the fake decoder is not SQL-expressible)."""
+    from pdf_ocr_spark.operators.multimodal import decode_frames, sample_frames
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("blob"),
+        )
+    )
+    return sample_frames(decode_frames(media), every_nth=2).select(
+        "media_id",
+        "frame_idx",
+        F.round(
+            F.aggregate(F.col("feature"), F.lit(0.0), lambda a, v: a + v), 6
+        ).alias("feature_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # extraction pipeline (rows-only: the kernels are not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1381,6 +1435,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # multimodal
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_frames": (q_multimodal_frames, None),  # decode not SQL-expressible
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "multimodal_frame_sample": (q_multimodal_frame_sample, None),
     # extraction pipeline (kernels not SQL-expressible → rows-only)
     "extract_corpus": (q_extract_corpus, None),
     "extract_lineage": (q_extract_lineage, None),
