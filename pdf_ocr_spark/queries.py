@@ -1075,6 +1075,33 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def q_sink_overlay_svg(spark, sf_dir):
+    """S7 annotated-overlay sink (SVG; rows-only — the renderer is a
+    kernel, pinned by md5 over the deterministic markup)."""
+    from pdf_ocr_spark.operators.sinks import render_overlays
+
+    blocks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            (F.col("doc_id") % 3 + 1).cast("int").alias("page"),
+            F.lit(612.0).alias("page_w"),
+            F.lit(792.0).alias("page_h"),
+            F.substring("text", 1, 24).alias("text"),
+            F.array(
+                F.array(F.lit(10.0), (F.col("doc_id") % 20).cast("double") * 30),
+                F.array(F.lit(200.0), (F.col("doc_id") % 20).cast("double") * 30),
+                F.array(F.lit(200.0), (F.col("doc_id") % 20).cast("double") * 30 + 20),
+                F.array(F.lit(10.0), (F.col("doc_id") % 20).cast("double") * 30 + 20),
+            ).alias("quad"),
+        )
+    )
+    return render_overlays(blocks).select(
+        "url", "page", F.md5("svg").alias("svg_md5"), F.length("svg").alias("svg_len")
+    )
+
+
 # ---------------------------------------------------------------------------
 # extraction pipeline (rows-only: the kernels are not SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -1437,6 +1464,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "multimodal_frames": (q_multimodal_frames, None),  # decode not SQL-expressible
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frame_sample": (q_multimodal_frame_sample, None),
+    "sink_overlay_svg": (q_sink_overlay_svg, None),  # S7 renderer kernel
     # extraction pipeline (kernels not SQL-expressible → rows-only)
     "extract_corpus": (q_extract_corpus, None),
     "extract_lineage": (q_extract_lineage, None),
