@@ -78,7 +78,11 @@ def get_engine() -> OcrEngine:
     (/root/reference/parse_student_answers.py:143-175)."""
     global _ENGINE
     if _ENGINE is None:
-        _ENGINE = StubOcrEngine()
+        # production: SPARK_GRAFT_OCR_URL on the executors swaps in the
+        # remote-VLM client (kernels/ocr_remote.py) with no code change
+        from pdf_ocr_spark.kernels.ocr_remote import engine_from_env
+
+        _ENGINE = engine_from_env() or StubOcrEngine()
     return _ENGINE
 
 
