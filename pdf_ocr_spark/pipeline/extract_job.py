@@ -214,69 +214,98 @@ def _assemble_doc(
     return (url, kind, text, n_pages, n_blocks, len(text), "ok", None, n_bytes, n_ocr)
 
 
-def extract_docs_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Fused document extractor: parse + batched OCR + per-doc assembly in
-    ONE Arrow pass (the hot path).
+def _parse_batch(urls, payloads, engine):
+    """Shared fused-extractor core: parse + batched OCR + per-doc
+    assembly for one batch of documents.  Returns (doc_rows, engine).
 
-    The page-level route (``extract_batch`` → ``ocr_batch`` →
-    ``assemble_documents``) round-trips every page row through Arrow twice
-    and shuffles again for the groupBy; but the explicit
-    ``repartition(xxhash64(url))`` already co-locates whole documents, so
-    the aggregation is partition-local by construction and can run inside
-    the same UDF.  OCR batching semantics are identical: all image-only
-    pages of an Arrow batch go to the engine as one ``recognize_batch``
-    call (the reference's batched-inference pattern,
+    OCR batching semantics: all image-only pages of the batch go to the
+    engine as ONE ``recognize_batch`` call (the reference's
+    batched-inference pattern,
     /root/reference/pdf_ocr_with_silicon_remote_vllm.py:162-232)."""
     from pdf_ocr_spark.kernels.html_extract import extract_html
     from pdf_ocr_spark.kernels.ocr_stub import get_engine, ocr_page_text
     from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
 
+    docs = []  # (url, kind, pages[(num,text,n_blocks)], status, reason, n_bytes)
+    ocr_jobs = []  # (doc_idx, page_slot, payload)
+    for url, payload in zip(urls, payloads):
+        data = bytes(payload) if payload is not None else b""
+        n_bytes = len(data)
+        try:
+            if data[:5] == b"%PDF-" or (b"%PDF-" in data[:1024]):
+                doc = extract_pdf(data)
+                if doc.status != "ok":
+                    docs.append((url, "pdf", [], "failed", doc.failure_reason, n_bytes))
+                    continue
+                pages = []
+                for p in doc.pages:
+                    if p.needs_ocr:
+                        ocr_jobs.append((len(docs), len(pages), p.ocr_payload))
+                        pages.append([p.page_num, None, p.n_blocks])
+                    else:
+                        pages.append([p.page_num, p.text, p.n_blocks])
+                docs.append((url, "pdf", pages, "ok", None, n_bytes))
+            else:
+                text, status, reason = extract_html(data)
+                n_blocks = text.count("\n") + 1 if text else 0
+                docs.append(
+                    (url, "html",
+                     [[1, text if status == "ok" else None, n_blocks]],
+                     status, reason, n_bytes)
+                )
+        except Exception as e:  # noqa: BLE001 — poison-row isolation
+            docs.append(
+                (url, "unknown", [], "failed",
+                 f"kernel_crash: {type(e).__name__}", n_bytes)
+            )
+    ocr_counts = [0] * len(docs)
+    if ocr_jobs:
+        if engine is None:
+            engine = get_engine()
+        results = engine.recognize_batch([p for _, _, p in ocr_jobs])
+        for (di, slot, _), boxes in zip(ocr_jobs, results):
+            docs[di][2][slot][1] = ocr_page_text(boxes)
+            ocr_counts[di] += 1
+    return [_assemble_doc(*d, n_ocr=c) for d, c in zip(docs, ocr_counts)], engine
+
+
+def extract_docs_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused document extractor, pandas flavor (``mapInPandas``)."""
     _tune_worker_gc()
     engine = None
     for pdf_batch in batches:
-        docs = []  # (url, kind, pages[(num,text,n_blocks)], status, reason, n_bytes)
-        ocr_jobs = []  # (doc_idx, page_slot, payload)
-        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
-            data = bytes(payload) if payload is not None else b""
-            n_bytes = len(data)
-            try:
-                if data[:5] == b"%PDF-" or (b"%PDF-" in data[:1024]):
-                    doc = extract_pdf(data)
-                    if doc.status != "ok":
-                        docs.append((url, "pdf", [], "failed", doc.failure_reason, n_bytes))
-                        continue
-                    pages = []
-                    for p in doc.pages:
-                        if p.needs_ocr:
-                            ocr_jobs.append((len(docs), len(pages), p.ocr_payload))
-                            pages.append([p.page_num, None, p.n_blocks])
-                        else:
-                            pages.append([p.page_num, p.text, p.n_blocks])
-                    docs.append((url, "pdf", pages, "ok", None, n_bytes))
-                else:
-                    text, status, reason = extract_html(data)
-                    n_blocks = text.count("\n") + 1 if text else 0
-                    docs.append(
-                        (url, "html",
-                         [[1, text if status == "ok" else None, n_blocks]],
-                         status, reason, n_bytes)
-                    )
-            except Exception as e:  # noqa: BLE001 — poison-row isolation
-                docs.append(
-                    (url, "unknown", [], "failed",
-                     f"kernel_crash: {type(e).__name__}", n_bytes)
-                )
-        ocr_counts = [0] * len(docs)
-        if ocr_jobs:
-            if engine is None:
-                engine = get_engine()
-            results = engine.recognize_batch([p for _, _, p in ocr_jobs])
-            for (di, slot, _), boxes in zip(ocr_jobs, results):
-                docs[di][2][slot][1] = ocr_page_text(boxes)
-                ocr_counts[di] += 1
-        yield pd.DataFrame(
-            [_assemble_doc(*d, n_ocr=c) for d, c in zip(docs, ocr_counts)],
-            columns=[f.name for f in DOC_SCHEMA.fields],
+        rows, engine = _parse_batch(pdf_batch["url"], pdf_batch["html"], engine)
+        yield pd.DataFrame(rows, columns=[f.name for f in DOC_SCHEMA.fields])
+
+
+def extract_docs_arrow(batches):
+    """Fused document extractor, Arrow flavor (``mapInArrow``) — the HOT
+    path: skips the pandas construction/conversion on both sides of the
+    worker (measured +10–18% pipeline throughput over ``mapInPandas`` at
+    8/32 cores on the synthetic corpus).
+
+    The page-level route (``extract_batch`` → ``ocr_batch`` →
+    ``assemble_documents``) round-trips every page row through Arrow twice
+    and shuffles again for the groupBy; but the explicit
+    ``repartition(xxhash64(url))`` already co-locates whole documents, so
+    the aggregation is partition-local by construction and runs inside
+    this UDF."""
+    import pyarrow as pa
+
+    _tune_worker_gc()
+    engine = None
+    types = (
+        pa.string(), pa.string(), pa.string(), pa.int32(), pa.int32(),
+        pa.int32(), pa.string(), pa.string(), pa.int64(), pa.int32(),
+    )
+    names = [f.name for f in DOC_SCHEMA.fields]
+    for rb in batches:
+        rows, engine = _parse_batch(
+            rb.column(0).to_pylist(), rb.column(1).to_pylist(), engine
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in names]
+        yield pa.record_batch(
+            [pa.array(c, t) for c, t in zip(cols, types)], names=names
         )
 
 
@@ -366,14 +395,14 @@ def extract_documents(
     """Full pipeline: pages table → document-level extraction results.
 
     Physical plan: scan → repartition(P, xxhash64(url)) → ONE fused
-    mapInPandas stage (parse + batched OCR + per-doc assembly).  A single
-    shuffle total; measured ~1.7× the throughput of the page-level route
-    at local[32] (no second Arrow round-trip, no groupBy shuffle)."""
+    mapInArrow stage (parse + batched OCR + per-doc assembly).  A single
+    shuffle total; no groupBy, no second Arrow round-trip, no pandas
+    layer in the worker."""
     df = pages_df.select("url", "html")
     if num_partitions is None:
         num_partitions = max(pages_df.sparkSession.sparkContext.defaultParallelism, 8)
     df = df.repartition(num_partitions, F.xxhash64("url"))
-    return df.mapInPandas(extract_docs_batch, schema=DOC_SCHEMA)
+    return df.mapInArrow(extract_docs_arrow, schema=DOC_SCHEMA)
 
 
 def extract_documents_paged(

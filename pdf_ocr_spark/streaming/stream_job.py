@@ -37,7 +37,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from pdf_ocr_spark.pipeline.extract_job import DOC_SCHEMA, extract_docs_batch
+from pdf_ocr_spark.pipeline.extract_job import DOC_SCHEMA, extract_docs_arrow
 
 #: schema of the Common-Crawl-style pages table (BASELINE.json input_hint)
 PAGES_SCHEMA = StructType(
@@ -82,7 +82,7 @@ def stream_extract(
     docs = (
         pages.select("url", "html")
         .repartition(num_partitions, F.xxhash64("url"))
-        .mapInPandas(extract_docs_batch, schema=DOC_SCHEMA)
+        .mapInArrow(extract_docs_arrow, schema=DOC_SCHEMA)
     )
 
     writer = (

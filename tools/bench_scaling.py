@@ -64,44 +64,59 @@ def worker(cpus: int, corpus: str) -> None:
     spark.stop()
 
 
-def ceiling(procs: int, docs_per_proc: int = 375) -> float:
-    """Hardware ceiling: the bare kernels under plain multiprocessing (no
-    Spark, no Arrow, no JVM) at the same parallelism.  The per-core decline
+def ceiling(procs: int, n_docs: int = N_DOCS) -> float:
+    """Hardware ceiling: the EXACT executor UDF body over the SAME
+    ``gen_rows(N_DOCS)`` corpus the Spark levels read, under plain
+    multiprocessing (no Spark transport, no JVM).  The per-core decline
     from N to 4N procs is host memory bandwidth — a single-box artifact
     that separate cluster nodes (own memory buses) do not share."""
     import multiprocessing as mp
 
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+
+    rows = gen_rows(n_docs)
+    chunk = (len(rows) + procs - 1) // procs
+    slices = [
+        ([r["url"] for r in rows[i : i + chunk]],
+         [r["html"] for r in rows[i : i + chunk]])
+        for i in range(0, len(rows), chunk)
+    ]
     best = 0.0
     with mp.Pool(procs) as p:
-        p.map(_ceiling_work, [(i, 40) for i in range(procs)])  # warm imports
+        p.map(_ceiling_work, [(u[:20], h[:20]) for u, h in slices])  # warm
         for _ in range(3):  # best-of-3: host noise swings single runs ±20%
             t0 = time.monotonic()
-            res = p.map(_ceiling_work, [(i, docs_per_proc) for i in range(procs)])
+            res = p.map(_ceiling_work, slices)
             wall = time.monotonic() - t0
             best = max(best, sum(n for _, n in res) / wall)
     return best
 
 
 def _ceiling_work(args):
-    seed, n = args
-    import gc
+    """Runs the EXACT executor UDF body (extract_docs_batch: parse +
+    batched OCR + per-doc assembly over pandas batches) outside Spark —
+    so fraction-of-ceiling isolates only Spark's transport/scheduling.
+    Batches are sliced to the session's Arrow batch size."""
+    urls, htmls = args
     import time as t
 
-    from pdf_ocr_spark.fixtures.genpages import gen_rows
-    from pdf_ocr_spark.kernels.html_extract import extract_html
-    from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+    import pyarrow as pa
 
-    gc.freeze()
-    gc.set_threshold(200_000, 100, 100)
-    rows = gen_rows(n, seed=seed)
-    data = [bytes(r["html"]) for r in rows]
+    from pdf_ocr_spark.pipeline.extract_job import extract_docs_arrow
+
+    bs = 128  # spark.sql.execution.arrow.maxRecordsPerBatch default
+    batches = [
+        pa.record_batch(
+            [pa.array(urls[i : i + bs], pa.string()),
+             pa.array(htmls[i : i + bs], pa.binary())],
+            names=["url", "html"],
+        )
+        for i in range(0, len(urls), bs)
+    ]
     t0 = t.monotonic()
-    for d in data:
-        if d[:5] == b"%PDF-" or b"%PDF-" in d[:1024]:
-            extract_pdf(d)
-        else:
-            extract_html(d)
-    return t.monotonic() - t0, n
+    for out in extract_docs_arrow(iter(batches)):
+        pass
+    return t.monotonic() - t0, len(urls)
 
 
 def main() -> None:
@@ -117,9 +132,7 @@ def main() -> None:
         print(f"generating {N_DOCS}-doc corpus …", file=sys.stderr)
         write_corpus(corpus, N_DOCS)
 
-        results = []
-        for cpus in LEVELS:
-            print(f"timing local[{cpus}] …", file=sys.stderr)
+        def spark_level(cpus: int) -> dict:
             # taskset pins the WHOLE process tree (JVM + GC + python
             # workers) to `cpus` cores — an honest stand-in for an
             # N-core cluster slice; unpinned local[8] on a 32-core box
@@ -130,26 +143,40 @@ def main() -> None:
                 capture_output=True, text=True, check=True,
             )
             line = out.stdout.strip().splitlines()[-1]
-            results.append(json.loads(line))
             print(line, file=sys.stderr)
+            return json.loads(line)
+
+        def pinned_ceiling(procs: int) -> float:
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{procs - 1}", sys.executable,
+                 os.path.abspath(__file__), "--ceiling", str(procs)],
+                capture_output=True, text=True, check=True,
+            )
+            v = float(out.stdout.strip().splitlines()[-1])
+            print(f"ceiling[{procs}] = {v:.0f} docs/s", file=sys.stderr)
+            return v
+
+        # host noise is time-varying, so interleave Spark and ceiling
+        # measurements per level across two full cycles, keeping the best
+        # of each metric — cross-metric ratios then compare like windows
+        best_spark = {c: None for c in LEVELS}
+        best_ceiling = {c: 0.0 for c in LEVELS}
+        for cycle in range(2):
+            print(f"— measurement cycle {cycle + 1} —", file=sys.stderr)
+            for cpus in LEVELS:
+                r = spark_level(cpus)
+                if (best_spark[cpus] is None
+                        or r["docs_per_sec"] > best_spark[cpus]["docs_per_sec"]):
+                    best_spark[cpus] = r
+                best_ceiling[cpus] = max(best_ceiling[cpus], pinned_ceiling(cpus))
+        results = [best_spark[c] for c in LEVELS]
 
     lo, hi = results
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
     factor = hi["cpus"] / lo["cpus"]
     eff = speedup / factor
-
-    print("measuring hardware ceiling (bare kernels, no Spark) …", file=sys.stderr)
-
-    def pinned_ceiling(procs: int) -> float:
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{procs - 1}", sys.executable,
-             os.path.abspath(__file__), "--ceiling", str(procs)],
-            capture_output=True, text=True, check=True,
-        )
-        return float(out.stdout.strip().splitlines()[-1])
-
-    ceil_lo = pinned_ceiling(lo["cpus"])
-    ceil_hi = pinned_ceiling(hi["cpus"])
+    ceil_lo = best_ceiling[lo["cpus"]]
+    ceil_hi = best_ceiling[hi["cpus"]]
     hw_eff = (ceil_hi / ceil_lo) / factor
     spark_frac_lo = lo["docs_per_sec"] / ceil_lo
     spark_frac_hi = hi["docs_per_sec"] / ceil_hi
@@ -198,10 +225,12 @@ two local parallelism levels on the same input.
 
 ## Hardware ceiling (what bounds the raw number)
 
-The bare kernels under plain multiprocessing — no Spark, no Arrow, no
-JVM — measured at the same two parallelism levels on this box:
+The EXACT executor UDF body (``extract_docs_batch``: parse + batched OCR
++ per-doc assembly over pandas batches) under plain multiprocessing — no
+Spark transport, no JVM — measured interleaved with the Spark runs at the
+same two pinned parallelism levels (2 cycles, best of each metric):
 
-| procs | bare-kernel docs/sec | Spark as % of ceiling |
+| procs | UDF-body ceiling docs/sec | Spark as % of ceiling |
 |---|---|---|
 | {lo['cpus']} | {ceil_lo:.0f} | {spark_frac_lo * 100:.0f}% |
 | {hi['cpus']} | {ceil_hi:.0f} | {spark_frac_hi * 100:.0f}% |
