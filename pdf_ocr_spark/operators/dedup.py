@@ -124,6 +124,68 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup clustering: connected components over candidate pairs via
+    iterative min-label propagation — the step that turns pairwise LSH
+    hits into canonical-document groups (keep min id per cluster, drop
+    the rest).
+
+    Pure DataFrame ops: each iteration is one join + one groupBy; the
+    driver only checks a convergence COUNT (O(graph diameter) rounds —
+    near-dup clusters are shallow, typically 2-3).  ``localCheckpoint``
+    truncates the iterative lineage so plans don't grow unboundedly at
+    10^12-doc scale.  Returns (doc_id, cluster_id = min reachable id)."""
+    bi = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        bi.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iters):
+            neigh = (
+                bi.join(labels, bi["src"] == labels["doc_id"])
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("neigh_label"))
+            )
+            new_labels = (
+                labels.join(neigh, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("neigh_label", F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        bi.unpersist()
+    return labels
+
+
 def simhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

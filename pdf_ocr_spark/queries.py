@@ -686,6 +686,36 @@ FROM bands a JOIN bands b
 )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components (iterative min-label
+    propagation) over the MinHash-LSH candidate pairs — pairwise hits →
+    canonical-document groups."""
+    pairs = D.minhash_lsh_pairs(
+        _docs_with_variants(spark, sf_dir), num_perm=8, bands=4, k=5
+    )
+    return D.connected_components(pairs)
+
+
+SQL_DEDUP_CLUSTERS = (
+    _SQL_SIGS_VARIANTS.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       UNION SELECT doc_b, doc_a FROM pairs),
+cc(node, label) AS (
+  SELECT a, a FROM (SELECT a FROM bi UNION SELECT b FROM bi)
+  UNION
+  SELECT bi.b, cc.label FROM cc JOIN bi ON cc.node = bi.a
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+"""
+)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash signatures (32-bit, 4-char shingles) as bitstrings."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1446,6 +1476,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, SQL_DEDUP_MINHASH_SIGS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cos": (q_dedup_embedding_cos, SQL_DEDUP_EMBEDDING_COS),
