@@ -3,7 +3,7 @@
 The reference is a batch tool (SURVEY.md §1.3), but a web-scale crawl is
 an unbounded source: new WARC-derived parquet files land continuously.
 This module re-expresses the batch pipeline as an incremental streaming
-job — same kernels, same fused ``mapInPandas`` stage — where Spark's
+job — same kernels, same fused ``mapInArrow`` stage — where Spark's
 checkpoint tracks which input files are already processed (the streaming
 twin of the batch resume anti-join, ``extract_job.resume_filter``):
 

@@ -1,0 +1,60 @@
+"""Fuzz tests for the poison-row guarantee: whatever bytes a crawl
+throws at them, the kernels must return a result object — never raise,
+never hang.  (The Spark pipeline relies on this: a kernel exception
+would only be caught per-document, but an uncaught MemoryError/hang in a
+tight loop would still hurt the executor.)"""
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_ocr_spark.fixtures.genpages import gen_rows
+from pdf_ocr_spark.kernels.html_extract import extract_html
+from pdf_ocr_spark.kernels.pdf.extract import DocExtract, count_pdf_pages, extract_pdf
+
+_CORPUS = [bytes(r["html"]) for r in gen_rows(40)]
+_PDFS = [d for d in _CORPUS if d[:5] == b"%PDF-"]
+
+
+@settings(max_examples=60, deadline=2000, derandomize=True)
+@given(st.binary(min_size=0, max_size=4096))
+def test_extract_pdf_never_raises_on_random_bytes(data):
+    res = extract_pdf(b"%PDF-" + data)
+    assert isinstance(res, DocExtract)
+    assert res.status in ("ok", "failed")
+
+
+@settings(max_examples=60, deadline=2000, derandomize=True)
+@given(st.binary(min_size=0, max_size=4096))
+def test_extract_html_never_raises_on_random_bytes(data):
+    text, status, reason = extract_html(data)
+    assert status in ("ok", "failed")
+    assert (status == "ok") == (text is not None and len(text) > 0) or status == "ok"
+
+
+@settings(max_examples=80, deadline=5000, derandomize=True)
+@given(
+    st.integers(min_value=0, max_value=len(_PDFS) - 1),
+    st.integers(min_value=0, max_value=3000),
+    st.binary(min_size=1, max_size=64),
+)
+def test_mutated_real_pdfs_never_raise(idx, pos, junk):
+    """Splice junk into real corpus PDFs at arbitrary offsets — xref
+    offsets shift, streams corrupt, dict syntax breaks; the parser must
+    degrade to status='failed' or partial text, never an exception."""
+    base = _PDFS[idx]
+    pos = min(pos, len(base) - 1)
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    res = extract_pdf(mutated)
+    assert isinstance(res, DocExtract)
+    assert res.status in ("ok", "failed")
+    assert count_pdf_pages(mutated) >= 0
+
+
+@settings(max_examples=40, deadline=2000, derandomize=True)
+@given(
+    st.integers(min_value=0, max_value=len(_PDFS) - 1),
+    st.integers(min_value=1, max_value=4000),
+)
+def test_truncated_real_pdfs_never_raise(idx, cut):
+    base = _PDFS[idx]
+    res = extract_pdf(base[: min(cut, len(base))])
+    assert isinstance(res, DocExtract)
