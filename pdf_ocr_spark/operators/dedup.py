@@ -124,6 +124,27 @@ def minhash_lsh_pairs(
     )
 
 
+def salted_group_count(
+    df: DataFrame,
+    key_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe two-phase aggregation: count per key where a handful of
+    hot keys (e.g. the md5 of a boilerplate page duplicated millions of
+    times) would otherwise funnel into single reducers.
+
+    Phase 1 shuffles on (key, salt) — hot keys spread over
+    ``salt_buckets`` partial counts; phase 2 re-aggregates the (at most)
+    ``salt_buckets`` partials per key.  Same result as a plain groupBy,
+    bounded reducer size at any skew.  (AQE's skew handling covers joins,
+    not aggregations — this is the aggregation-side equivalent.)"""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key_col, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(key_col).agg(F.sum("_c").alias("n_rows"))
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

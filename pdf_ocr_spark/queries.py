@@ -716,6 +716,22 @@ SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
 )
 
 
+def q_dedup_salted_count(spark, sf_dir):
+    """Skew-safe two-phase (salted) aggregation: exact-dup counts per
+    content fingerprint where hot keys would bottleneck single reducers."""
+    d = _docs_with_variants(spark, sf_dir).select(
+        F.md5(D.normalized(F.col("text"))).alias("fp")
+    )
+    return D.salted_group_count(d, "fp", salt_buckets=8)
+
+
+SQL_DEDUP_SALTED_COUNT = f"""
+SELECT md5({_NORM_SQL.format(c='text')}) AS fp, count(*) AS n_rows
+FROM ({_SQL_VARIANTS})
+GROUP BY 1
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash signatures (32-bit, 4-char shingles) as bitstrings."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1477,6 +1493,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, SQL_DEDUP_MINHASH_SIGS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_salted_count": (q_dedup_salted_count, SQL_DEDUP_SALTED_COUNT),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cos": (q_dedup_embedding_cos, SQL_DEDUP_EMBEDDING_COS),
