@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction job (north rule: deployed
+with ``spark-submit --py-files`` on multi-executor clusters).
+
+Usage:
+    python tools/package.py                     # → dist/pdf_ocr_spark.zip
+    spark-submit --master <cluster-or-local[N]> \\
+        --py-files dist/pdf_ocr_spark.zip \\
+        jobs/extract_submit.py \\
+        --input  /path/to/pages_parquet \\
+        --output /path/to/docs_parquet \\
+        [--sidecar /path/to/lineage_parquet] \\
+        [--partitions 512] [--buckets 64] [--split-giants]
+
+The job is checkpoint-resumable: rerunning with the same --output
+anti-joins the committed urls and processes only the remainder.  On a
+cluster, export SPARK_GRAFT_OCR_URL via --conf spark.executorEnv to swap
+the OCR stub for the remote VLM engine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--sidecar", default=None)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="Iceberg-style bucket(url) output partitioning")
+    ap.add_argument("--split-giants", action="store_true",
+                    help="page-range-split documents larger than --giant-bytes")
+    ap.add_argument("--giant-bytes", type=int, default=4 << 20)
+    args = ap.parse_args()
+
+    # under spark-submit the session comes preconfigured by the cluster;
+    # getOrCreate attaches to it (local runs fall back to the defaults)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("pdf-ocr-spark-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    t0 = time.monotonic()
+    if args.split_giants:
+        from pdf_ocr_spark.pipeline.extract_job import (
+            _parquet_exists,
+            doc_lineage_metrics,
+            extract_documents_split,
+            resume_filter,
+        )
+        from pyspark.sql import functions as F
+
+        pages = spark.read.parquet(args.input)
+        if _parquet_exists(args.output):
+            pages = resume_filter(pages, spark.read.parquet(args.output))
+        docs = extract_documents_split(
+            pages, args.partitions, giant_bytes=args.giant_bytes
+        ).persist()
+        writer = docs.write.mode("append")
+        if args.buckets:
+            docs = docs.withColumn(
+                "url_bucket",
+                F.pmod(F.xxhash64("url"), F.lit(args.buckets)).cast("int"),
+            )
+            writer = docs.write.mode("append").partitionBy("url_bucket")
+        writer.parquet(args.output)
+        if args.sidecar:
+            doc_lineage_metrics(docs).withColumn(
+                "run_output", F.lit(args.output)
+            ).write.mode("append").parquet(args.sidecar)
+        n = spark.read.parquet(args.output).count()
+        docs.unpersist()
+    else:
+        from pdf_ocr_spark.pipeline.extract_job import run_extraction
+
+        n = run_extraction(
+            spark,
+            args.input,
+            args.output,
+            sidecar_path=args.sidecar,
+            num_partitions=args.partitions,
+            partition_buckets=args.buckets,
+        )
+
+    print(
+        json.dumps(
+            {
+                "docs_in_output": n,
+                "wall_sec": round(time.monotonic() - t0, 2),
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
