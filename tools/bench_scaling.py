@@ -225,8 +225,8 @@ two local parallelism levels on the same input.
 
 ## Hardware ceiling (what bounds the raw number)
 
-The EXACT executor UDF body (``extract_docs_batch``: parse + batched OCR
-+ per-doc assembly over pandas batches) under plain multiprocessing — no
+The EXACT executor UDF body (``extract_docs_arrow``: parse + batched OCR
++ per-doc assembly over Arrow record batches) under plain multiprocessing — no
 Spark transport, no JVM — measured interleaved with the Spark runs at the
 same two pinned parallelism levels (2 cycles, best of each metric):
 
