@@ -74,6 +74,11 @@ def extract_pdf(
     (poison-row isolation, SURVEY.md §4.1)."""
     try:
         doc = PDFDocument(pdf_bytes)
+        if doc.trailer.get("Encrypt") is not None:
+            # encrypted streams/strings would silently yield garbage text;
+            # at crawl scale these must surface as typed failures (a real
+            # deployment can plug an empty-password RC4/AES decryptor here)
+            return DocExtract("failed", "pdf_encrypted", 0, [], [])
         page_dicts = doc.pages()
     except PDFError as e:
         return DocExtract("failed", f"pdf_parse_error: {e}", 0, [], [])

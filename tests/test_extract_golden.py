@@ -96,3 +96,17 @@ def test_scan_pdf_routes_to_ocr(corpus_rows):
     assert d.status == "ok"
     assert all(p.needs_ocr for p in d.pages)
     assert all(p.ocr_payload for p in d.pages)
+
+
+def test_encrypted_pdf_detected():
+    """An /Encrypt trailer entry must surface as a typed failure — not
+    silently-garbled text (crawled PDFs are frequently encrypted)."""
+    from pdf_ocr_spark.fixtures.genpages import make_simple_pdf
+    from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+    pdf = make_simple_pdf([["hello"]])
+    enc = pdf.replace(b"trailer\n<<", b"trailer\n<< /Encrypt 99 0 R", 1)
+    res = extract_pdf(enc)
+    assert res.status == "failed"
+    assert res.failure_reason == "pdf_encrypted"
+    assert extract_pdf(pdf).status == "ok"
