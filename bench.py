@@ -29,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3ish",
+    "tpch_q6ish",
+    "events_session_windows",
     "events_hourly",
     "a1_ordered_concat",
     "a2_doc_headers",

@@ -432,6 +432,74 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_events_session_windows(spark, sf_dir):
+    """Session windows (30-min inactivity gap) per user — the stateful
+    sessionization shape (`F.session_window`; oracle = classic
+    gaps-and-islands SQL).  Bounded to a user slice for test speed."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), 3).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_SESSIONS = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id % 50 = 0
+),
+sessions AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+  count(*) AS n_events, {_dec_sum_sql("value", 3)} AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def q_tpch_q6ish(spark, sf_dir):
+    """TPC-H Q6-style scan-heavy filtered aggregate — pure pushdown +
+    whole-stage-codegen path (no shuffle beyond the final 1-row agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") < 24)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q6ISH = f"""
+SELECT {_dec_sum_sql("l_extendedprice * l_discount", 2)} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.8 string / regex functions
 # ---------------------------------------------------------------------------
@@ -1469,6 +1537,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3ish": (q_tpch_q3ish, SQL_TPCH_Q3ISH),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_session_windows": (q_events_session_windows, SQL_EVENTS_SESSIONS),
+    "tpch_q6ish": (q_tpch_q6ish, SQL_TPCH_Q6ISH),
     # streaming (same operator runs under Structured Streaming, see
     # pdf_ocr_spark/streaming/ and tests/test_streaming.py)
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED),
