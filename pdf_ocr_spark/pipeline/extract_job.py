@@ -35,6 +35,7 @@ from typing import Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -563,6 +564,30 @@ def lineage_metrics(page_rows: DataFrame) -> DataFrame:
             ).alias("failure_kinds"),
         )
     )
+
+
+def dedup_extracted(docs: DataFrame, mark_only: bool = False) -> DataFrame:
+    """Post-extraction exact dedup: keep one canonical document per
+    normalized-text fingerprint (min url wins — deterministic).  The
+    training-data cleanup step chained after extraction: crawl → extract
+    → dedup → clean corpus.
+
+    One shuffle on the fingerprint; failed rows (no text) pass through
+    untouched.  ``mark_only=True`` keeps every row and adds
+    ``is_canonical`` instead of filtering (lets downstream decide)."""
+    from pdf_ocr_spark.operators.dedup import normalized
+
+    fp = F.when(
+        F.col("status") == "ok", F.md5(normalized(F.col("extracted_text")))
+    )
+    w = Window.partitionBy(fp).orderBy("url")
+    marked = docs.withColumn(
+        "is_canonical",
+        fp.isNull() | (F.row_number().over(w) == 1),
+    )
+    if mark_only:
+        return marked
+    return marked.filter(F.col("is_canonical")).drop("is_canonical")
 
 
 def doc_lineage_metrics(doc_rows: DataFrame) -> DataFrame:

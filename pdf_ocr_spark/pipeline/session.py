@@ -53,6 +53,9 @@ def get_spark(
             "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2",
         )
         .config("spark.python.worker.reuse", "true")
+        # zstd ≈ snappy speed at much better ratio — at 100 TB the
+        # storage/IO saving on the output tables is substantial
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -245,3 +245,38 @@ def test_column_pruning_reaches_scan(spark, corpus_parquet):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"url", "html"}
+
+
+def test_dedup_extracted(spark, corpus_parquet):
+    """Post-extraction dedup: duplicate extracted_texts collapse to the
+    min-url canonical; failed rows always survive."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.pipeline.extract_job import dedup_extracted, extract_documents
+
+    pages = spark.read.parquet(corpus_parquet)
+    # duplicate every page under a higher url so every doc has a twin
+    dup = pages.withColumn("url", F.concat(F.lit("zz-dup://"), F.col("url")))
+    docs = extract_documents(pages.unionByName(dup), num_partitions=4)
+    total = docs.count()
+    n_failed = docs.filter(F.col("status") == "failed").count()
+
+    marked = dedup_extracted(docs, mark_only=True)
+    canon = marked.filter(F.col("is_canonical"))
+    # survivors = one per distinct normalized text (some corpus docs are
+    # already mutual dups, so this is <= half); failed rows all survive
+    from pdf_ocr_spark.operators.dedup import normalized
+
+    n_distinct = (
+        docs.filter(F.col("status") == "ok")
+        .select(F.md5(normalized(F.col("extracted_text"))).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert canon.filter(F.col("status") == "ok").count() == n_distinct
+    assert n_distinct <= (total - n_failed) / 2
+    assert canon.filter(F.col("status") == "failed").count() == n_failed
+    # canonical picks the min url (original sorts before "zz-dup://")
+    assert canon.filter(F.col("url").startswith("zz-dup://") & (F.col("status") == "ok")).count() == 0
+    # filtering variant equals marked-and-filtered
+    assert dedup_extracted(docs).count() == canon.count()
