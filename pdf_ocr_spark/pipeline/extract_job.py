@@ -6,7 +6,7 @@ partition-local).  The HOT PATH is fully fused:
     scan(pages)  [column-pruned to url, html — lineage queries never
                   read the binary]
      → repartition(P, xxhash64(url))            # salts giant-PDF skew
-     → mapInPandas(extract_docs_batch)          # K1+K3+K5 kernels + K2
+     → mapInArrow(extract_docs_arrow)           # K1+K3+K5 kernels + K2
          (parse, batched OCR, per-doc assembly — one Arrow pass; the
          groupBy(url) aggregation is partition-local by construction
          because the repartition co-locates whole documents, so it runs
