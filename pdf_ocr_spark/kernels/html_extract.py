@@ -114,17 +114,28 @@ def _parse(html_text: str) -> _Node:
 
 
 def _add_text(node: _Node, raw: str) -> None:
-    text = _WS_RE.sub(" ", _htmllib.unescape(raw))
-    if text and text != " ":
-        node.texts.append((len(node.children), text))
-    elif text == " " and node.texts:
-        node.texts.append((len(node.children), " "))
+    # whitespace runs collapse once more at line-render time, so here a
+    # cheap strip-check routes blank runs to the single-space slot and
+    # only non-blank text pays the regex
+    text = _htmllib.unescape(raw)
+    if not text:
+        return
+    if text.isspace():
+        if node.texts:
+            node.texts.append((len(node.children), " "))
+        return
+    node.texts.append((len(node.children), _WS_RE.sub(" ", text)))
 
 
 def _accumulate(node: _Node, in_link: bool) -> Tuple[int, int, int]:
     """Bottom-up totals: (text_len, link_text_len, comma_count)."""
-    tl = sum(len(t.strip()) for _, t in node.texts if t.strip())
-    cc = sum(t.count(",") + t.count("，") + t.count("、") for _, t in node.texts)
+    tl = 0
+    cc = 0
+    for _, t in node.texts:
+        st = t.strip()
+        if st:
+            tl += len(st)
+        cc += t.count(",") + t.count("，") + t.count("、")
     ll = tl if in_link else 0
     pc = 0
     for child in node.children:
