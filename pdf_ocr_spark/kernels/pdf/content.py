@@ -229,7 +229,15 @@ class ContentInterpreter:
     def __init__(self, doc: PDFDocument, page: Dict[str, Any]):
         self.doc = doc
         self.page = page
-        media = [float(doc.resolve(v)) for v in (doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
+        # tolerate mangled /MediaBox (short, non-numeric, not a list):
+        # fall back to US-Letter like viewers do
+        raw_media = doc.resolve(page.get("MediaBox"))
+        try:
+            media = [float(doc.resolve(v)) for v in raw_media]
+        except (TypeError, ValueError):
+            media = []
+        if len(media) < 4:
+            media = [0.0, 0.0, 612.0, 792.0]
         self.page_w = abs(media[2] - media[0])
         self.page_h = abs(media[3] - media[1])
         self.origin_x, self.origin_y = min(media[0], media[2]), min(media[1], media[3])

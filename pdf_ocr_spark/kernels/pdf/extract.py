@@ -53,7 +53,7 @@ def count_pdf_pages(pdf_bytes: bytes) -> int:
     splits for giant documents (SURVEY.md §4.1 straggler mitigation)."""
     try:
         return min(len(PDFDocument(pdf_bytes).pages()), MAX_PAGES)
-    except (PDFError, RecursionError, MemoryError, OverflowError, ValueError):
+    except Exception:  # noqa: BLE001 — structural pass never raises
         return 0
 
 
@@ -82,7 +82,7 @@ def extract_pdf(
         page_dicts = doc.pages()
     except PDFError as e:
         return DocExtract("failed", f"pdf_parse_error: {e}", 0, [], [])
-    except (RecursionError, MemoryError, OverflowError, ValueError) as e:
+    except Exception as e:  # noqa: BLE001 — the no-raise promise is absolute
         return DocExtract("failed", f"pdf_parse_error: {type(e).__name__}", 0, [], [])
     if not page_dicts:
         return DocExtract("failed", "pdf_no_pages", 0, [], [])
@@ -95,10 +95,7 @@ def extract_pdf(
     for i, pd in enumerate(page_dicts[lo - 1 : hi], lo):
         try:
             res = interpret_page(doc, pd)
-        except PDFError:
-            pages.append(PageExtract(i, "", 0, False, None, 0.0, 0.0))
-            continue
-        except (RecursionError, MemoryError, OverflowError, ValueError):
+        except Exception:  # noqa: BLE001 — a mangled page must not raise
             pages.append(PageExtract(i, "", 0, False, None, 0.0, 0.0))
             continue
         has_text = any(g.text.strip() for g in res.glyphs)

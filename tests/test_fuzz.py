@@ -58,3 +58,23 @@ def test_truncated_real_pdfs_never_raise(idx, cut):
     base = _PDFS[idx]
     res = extract_pdf(base[: min(cut, len(base))])
     assert isinstance(res, DocExtract)
+
+
+def test_short_mediabox_never_raises():
+    """Regression: a mutated /MediaBox with fewer than 4 numbers (or
+    garbage) must fall back to a default page box, not IndexError
+    (found by the deep mutation sweep)."""
+    import re
+
+    from pdf_ocr_spark.fixtures.genpages import make_simple_pdf
+
+    base = make_simple_pdf([["hello mediabox"]])
+    literal = re.search(rb"MediaBox *(\[[^\]]*\])", base).group(1)
+    for bad in (b"[0 0 612]", b"[]", b"[0 0]", b"(notanarray)"):
+        mutated = base.replace(literal, bad, 1)
+        assert mutated != base
+        res = extract_pdf(mutated)
+        assert isinstance(res, DocExtract)
+        # short/garbage boxes fall back to a default page, text survives
+        assert res.status == "ok"
+        assert "hello mediabox" in res.pages[0].text
