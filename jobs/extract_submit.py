@@ -47,51 +47,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.monotonic()
-    if args.split_giants:
-        from pdf_ocr_spark.pipeline.extract_job import (
-            _parquet_exists,
-            doc_lineage_metrics,
-            extract_documents_split,
-            resume_filter,
-        )
-        from pyspark.sql import functions as F
+    from pdf_ocr_spark.pipeline.extract_job import run_extraction
 
-        pages = spark.read.parquet(args.input)
-        if _parquet_exists(args.output):
-            pages = resume_filter(pages, spark.read.parquet(args.output))
-        docs = extract_documents_split(
-            pages, args.partitions, giant_bytes=args.giant_bytes
-        ).persist()
-        writer = docs.write.mode("append")
-        if args.buckets:
-            docs = docs.withColumn(
-                "url_bucket",
-                F.pmod(F.xxhash64("url"), F.lit(args.buckets)).cast("int"),
-            )
-            writer = docs.write.mode("append").partitionBy("url_bucket")
-        writer.parquet(args.output)
-        if args.sidecar:
-            doc_lineage_metrics(docs).withColumn(
-                "run_output", F.lit(args.output)
-            ).write.mode("append").parquet(args.sidecar)
-        n = spark.read.parquet(args.output).count()
-        docs.unpersist()
-    else:
-        from pdf_ocr_spark.pipeline.extract_job import run_extraction
-
-        n = run_extraction(
-            spark,
-            args.input,
-            args.output,
-            sidecar_path=args.sidecar,
-            num_partitions=args.partitions,
-            partition_buckets=args.buckets,
-        )
+    n = run_extraction(
+        spark,
+        args.input,
+        args.output,
+        sidecar_path=args.sidecar,
+        num_partitions=args.partitions,
+        partition_buckets=args.buckets,
+        split_giants=args.split_giants,
+        giant_bytes=args.giant_bytes,
+    )
 
     print(
         json.dumps(
             {
-                "docs_in_output": n,
+                # appended THIS run (0 on a fully-resumed rerun) — counting
+                # the whole output table would full-scan it every run
+                "docs_appended": n,
                 "wall_sec": round(time.monotonic() - t0, 2),
                 "output": args.output,
             }

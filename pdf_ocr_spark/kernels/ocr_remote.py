@@ -9,21 +9,30 @@ Re-expresses the reference's remote pipeline
   * ``choices[0].message.content`` extraction + token-usage accounting
     (:212-226 — A7)
   * per-language prompt selection (``parse_ocr``, :249-258 — F14)
-  * API failure → ``None`` result, never an exception across the batch
-    (:230-232)
 
-Differences by design: the reference opens one HTTPS call per page from a
-single process; here the engine lives once per executor python worker and
-a partition's pages flow through one connection (keep-alive), which is
-what makes the remote mode viable at cluster scale.  stdlib urllib only —
-no SDK dependency.
+Differences by design (checkpointed-pipeline semantics, not the
+reference's interactive failure→None at :230-232):
+  * bounded retries with exponential backoff per page — a transient
+    500/timeout must not silently become an empty page that then COMMITS
+    and is never reprocessed (the resume anti-join would pin the loss
+    forever at crawl scale);
+  * on retry exhaustion the page result is ``None`` — a *failure marker*
+    distinct from ``[]`` (a genuinely blank page) — which the pipeline
+    surfaces as a typed ``ocr_failed`` document failure that resume can
+    retry;
+  * the engine lives once per executor python worker and a partition's
+    pages flow through ONE persistent ``http.client`` connection
+    (keep-alive), reconnecting only after an error.  stdlib only — no SDK
+    dependency.
 """
 
 from __future__ import annotations
 
 import base64
+import http.client
 import json
-import urllib.request
+import time
+import urllib.parse
 from typing import List, Optional, Sequence, Tuple
 
 from pdf_ocr_spark.kernels.ocr_stub import OCR_MIN_CONFIDENCE, OcrEngine
@@ -40,6 +49,10 @@ def image_data_uri(image: bytes, mime: str = "image/png") -> str:
     """F9: raw image bytes → ``data:<mime>;base64,…`` URI
     (pdf_ocr_with_silicon_remote_vllm.py:95-125)."""
     return f"data:{mime};base64,{base64.b64encode(image).decode('ascii')}"
+
+
+class _Non5xxError(Exception):
+    """Definitive HTTP rejection (4xx other than 408/429) — not retryable."""
 
 
 class RemoteVlmEngine(OcrEngine):
@@ -61,19 +74,72 @@ class RemoteVlmEngine(OcrEngine):
         max_tokens: int = 8192,
         temperature: float = 0.0,
         timeout: float = 120.0,
+        max_attempts: int = 3,
+        backoff: float = 0.5,
     ) -> None:
-        self.endpoint = base_url.rstrip("/") + "/chat/completions"
+        u = urllib.parse.urlsplit(base_url.rstrip("/") + "/chat/completions")
+        self._https = u.scheme == "https"
+        self._host = u.hostname or "localhost"
+        self._port = u.port
+        self._path = u.path + (("?" + u.query) if u.query else "")
         self.api_key = api_key
         self.model = model
         self.prompt = PROMPTS.get(lang, PROMPTS["auto"])
         self.max_tokens = max_tokens
         self.temperature = temperature
         self.timeout = timeout
+        self.max_attempts = max_attempts
+        self.backoff = backoff
+        self._sleep = time.sleep  # injectable for tests
+        self._conn: Optional[http.client.HTTPConnection] = None
         # A7 token accounting, summed across the worker's lifetime
         self.prompt_tokens = 0
         self.completion_tokens = 0
 
+    # -- connection management (keep-alive across a partition's pages) ----
+
+    def _connection(self) -> http.client.HTTPConnection:
+        if self._conn is None:
+            cls = http.client.HTTPSConnection if self._https else http.client.HTTPConnection
+            self._conn = cls(self._host, self._port, timeout=self.timeout)
+        return self._conn
+
+    def _drop_connection(self) -> None:
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+
+    def _request_once(self, body: bytes) -> str:
+        """One POST over the persistent connection; raises on any failure.
+        5xx/408/429 raise a retryable error, other 4xx raise
+        ``_Non5xxError`` (definitive — retrying a 401 is pointless)."""
+        conn = self._connection()
+        headers = {
+            "Content-Type": "application/json",
+            "Content-Length": str(len(body)),
+        }
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        conn.request("POST", self._path, body=body, headers=headers)
+        resp = conn.getresponse()
+        data = resp.read()  # must drain to reuse the connection
+        if resp.status >= 500 or resp.status in (408, 429):
+            raise ConnectionError(f"HTTP {resp.status}")
+        if resp.status >= 400:
+            raise _Non5xxError(f"HTTP {resp.status}")
+        payload = json.loads(data.decode("utf-8"))
+        usage = payload.get("usage") or {}
+        self.prompt_tokens += int(usage.get("prompt_tokens", 0))
+        self.completion_tokens += int(usage.get("completion_tokens", 0))
+        return payload["choices"][0]["message"]["content"]
+
     def _call(self, image: bytes) -> Optional[str]:
+        """One page with bounded retries + exponential backoff.  Returns
+        the recognized text, or ``None`` after exhausting retries — the
+        caller-visible OCR-FAILED marker (never an exception: one poison
+        page must not fail the partition's task)."""
         body = json.dumps(
             {
                 "model": self.model,
@@ -93,39 +159,29 @@ class RemoteVlmEngine(OcrEngine):
                 "max_tokens": self.max_tokens,
             }
         ).encode("utf-8")
-        req = urllib.request.Request(
-            self.endpoint,
-            data=body,
-            headers={
-                "Content-Type": "application/json",
-                **(
-                    {"Authorization": f"Bearer {self.api_key}"}
-                    if self.api_key
-                    else {}
-                ),
-            },
-        )
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                payload = json.loads(resp.read().decode("utf-8"))
-            usage = payload.get("usage") or {}
-            self.prompt_tokens += int(usage.get("prompt_tokens", 0))
-            self.completion_tokens += int(usage.get("completion_tokens", 0))
-            return payload["choices"][0]["message"]["content"]
-        except Exception:  # noqa: BLE001 — API failure → None (ref :230-232)
-            return None
+        for attempt in range(self.max_attempts):
+            try:
+                return self._request_once(body)
+            except _Non5xxError:
+                self._drop_connection()
+                return None
+            except Exception:  # noqa: BLE001 — timeout, 5xx, conn reset, bad JSON
+                self._drop_connection()
+                if attempt + 1 < self.max_attempts:
+                    self._sleep(self.backoff * (2 ** attempt))
+        return None
 
     def recognize_batch(
         self, images: Sequence[Optional[bytes]]
-    ) -> List[List[Tuple[str, float]]]:
-        out: List[List[Tuple[str, float]]] = []
+    ) -> List[Optional[List[Tuple[str, float]]]]:
+        out: List[Optional[List[Tuple[str, float]]]] = []
         for img in images:
             if not img:
-                out.append([])
+                out.append([])  # no payload → genuinely nothing to OCR
                 continue
             text = self._call(img)
             if text is None:
-                out.append([])
+                out.append(None)  # OCR FAILED — distinct from a blank page
                 continue
             # remote responses carry no per-line confidence; the engine
             # reports them at 1.0 so the P1 filter (>OCR_MIN_CONFIDENCE)

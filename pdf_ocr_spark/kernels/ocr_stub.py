@@ -31,14 +31,19 @@ OCR_MIN_CONFIDENCE = 0.5
 class OcrEngine:
     """Interface every OCR backend implements.
 
-    ``recognize_batch`` takes N page images and returns N lists of
-    (text, confidence) boxes in detector order — the exact shape the
-    reference consumes from PaddleOCR (text, quad, score triples,
-    /root/reference/pdf_ocr_with_boxes_v2.py:276-391)."""
+    ``recognize_batch`` takes N page images and returns N results, each
+    either a list of (text, confidence) boxes in detector order — the
+    exact shape the reference consumes from PaddleOCR (text, quad, score
+    triples, /root/reference/pdf_ocr_with_boxes_v2.py:276-391) — or
+    ``None`` meaning THE ENGINE FAILED on that page (e.g. remote API
+    error after retries).  ``None`` is distinct from ``[]`` (a blank
+    page): the pipeline surfaces it as a typed ``ocr_failed`` document
+    failure so resume can reprocess it instead of committing silent
+    data loss."""
 
     def recognize_batch(
         self, images: Sequence[Optional[bytes]]
-    ) -> List[List[Tuple[str, float]]]:
+    ) -> List[Optional[List[Tuple[str, float]]]]:
         raise NotImplementedError
 
 
@@ -86,10 +91,17 @@ def get_engine() -> OcrEngine:
     return _ENGINE
 
 
-def ocr_page_text(boxes: List[Tuple[str, float]]) -> str:
+def ocr_page_text(
+    boxes: Optional[List[Tuple[str, float]]],
+) -> Optional[str]:
     """Confidence-filter + join box texts with newline — the reference's
     per-page OCR text assembly
     (filter: /root/reference/pdf_ocr_with_boxes_v2.py:292,322,364;
-    join: /root/reference/pdf_ocr_with_boxes_v2.py:684-686)."""
+    join: /root/reference/pdf_ocr_with_boxes_v2.py:684-686).
+
+    ``None`` boxes (engine failure marker) propagate as ``None`` so the
+    caller can distinguish OCR-failed from a blank page."""
+    if boxes is None:
+        return None
     kept = [t for t, conf in boxes if conf > OCR_MIN_CONFIDENCE and t.strip()]
     return "\n".join(kept)

@@ -208,7 +208,10 @@ def _tokenize_content(data: bytes):
                 cur.append(lex._parse_literal_string())
                 pos = lex.pos
             except PDFError:
-                pos += 1
+                # advance past the failed '(' itself — resuming from the
+                # pre-whitespace scan position would re-attempt the same
+                # failing parse once per leading-whitespace byte
+                pos = m.start() + 1
                 operands = []
                 cur = operands
                 stack = []

@@ -75,6 +75,19 @@ DOC_SCHEMA_COLS = [
 
 _GC_TUNED = False
 
+# typed TRANSIENT failure: the OCR engine gave up on a page after retries.
+# Distinct from parse failures (permanent) — resume_filter retries these.
+OCR_FAILED_REASON = "ocr_failed: engine error after retries"
+
+
+def looks_like_pdf(data: bytes) -> bool:
+    """Content sniff (P9): prefix-only ``%PDF-`` with leading-whitespace/NUL
+    tolerance (Acrobat accepts junk-prefixed headers, but substring matching
+    over the first KB misroutes HTML pages that merely *mention* ``%PDF-``).
+    Mirrors the reference's extension dispatch
+    (/root/reference/pdf_ocr_with_boxes_v2.py:744-747) made content-based."""
+    return data.lstrip(b" \t\r\n\f\x00")[:5] == b"%PDF-"
+
 
 def _tune_worker_gc() -> None:
     """Once per executor python worker: freeze the post-import heap out of
@@ -110,7 +123,7 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             data = bytes(payload) if payload is not None else b""
             n_bytes = len(data)
             try:
-                if data[:5] == b"%PDF-" or (b"%PDF-" in data[:1024]):
+                if looks_like_pdf(data):
                     doc = extract_pdf(data)
                     if doc.status != "ok":
                         rows.append(
@@ -166,8 +179,15 @@ def ocr_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         results = engine.recognize_batch(images)
         texts = [ocr_page_text(boxes) for boxes in results]
         out = pdf_batch.copy()
-        out.loc[mask, "page_text"] = texts
-        out["needs_ocr"] = False
+        for i, t in zip(out.index[mask], texts):
+            if t is None:  # engine failure marker — NOT a blank page
+                out.loc[i, "status"] = "failed"
+                out.loc[i, "failure_reason"] = OCR_FAILED_REASON
+            else:
+                out.loc[i, "page_text"] = t
+        # needs_ocr stays True as the was-OCR marker (the text is filled in)
+        # so assemble_documents / lineage_metrics count n_ocr_pages the same
+        # on every route — matches extract_range_batch's contract
         out["ocr_payload"] = None
         yield out
 
@@ -233,7 +253,7 @@ def _parse_batch(urls, payloads, engine):
         data = bytes(payload) if payload is not None else b""
         n_bytes = len(data)
         try:
-            if data[:5] == b"%PDF-" or (b"%PDF-" in data[:1024]):
+            if looks_like_pdf(data):
                 doc = extract_pdf(data)
                 if doc.status != "ok":
                     docs.append((url, "pdf", [], "failed", doc.failure_reason, n_bytes))
@@ -265,7 +285,14 @@ def _parse_batch(urls, payloads, engine):
             engine = get_engine()
         results = engine.recognize_batch([p for _, _, p in ocr_jobs])
         for (di, slot, _), boxes in zip(ocr_jobs, results):
-            docs[di][2][slot][1] = ocr_page_text(boxes)
+            text = ocr_page_text(boxes)
+            if text is None:  # engine failure after retries → typed failure
+                u, k, _pages, _s, _r, nb = docs[di]
+                docs[di] = (u, k, [], "failed", OCR_FAILED_REASON, nb)
+                continue
+            if docs[di][3] == "failed":
+                continue  # a sibling page already failed this document
+            docs[di][2][slot][1] = text
             ocr_counts[di] += 1
     return [_assemble_doc(*d, n_ocr=c) for d, c in zip(docs, ocr_counts)], engine
 
@@ -378,7 +405,9 @@ def assemble_documents(page_rows: DataFrame) -> DataFrame:
         F.when(F.col("status") == "failed", F.lit(0))
         .otherwise(F.col("n_pages"))
         .alias("n_pages"),
-        F.coalesce(F.col("n_blocks"), F.lit(0)).alias("n_blocks"),
+        F.when(F.col("status") == "failed", F.lit(0))
+        .otherwise(F.coalesce(F.col("n_blocks"), F.lit(0)))
+        .alias("n_blocks"),
         F.coalesce(F.length(extracted), F.lit(0)).alias("n_chars"),
         "status",
         "failure_reason",
@@ -484,7 +513,12 @@ def extract_range_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 engine = get_engine()
             results = engine.recognize_batch([p for _, p in ocr_slots])
             for (ri, _), boxes in zip(ocr_slots, results):
-                rows[ri][3] = ocr_page_text(boxes)
+                text = ocr_page_text(boxes)
+                if text is None:  # engine failure marker → typed failure
+                    rows[ri][7] = "failed"
+                    rows[ri][8] = OCR_FAILED_REASON
+                else:
+                    rows[ri][3] = text
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -509,12 +543,18 @@ def extract_documents_split(
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 8)
     src = pages_df.select("url", "html")
-    is_giant = F.length("html") >= giant_bytes
+    # null-safe: NULL html must take the normal path (extract_documents
+    # emits its typed failure row) — a bare length() >= N predicate is NULL
+    # for NULL payloads and silently drops the row from BOTH branches
+    is_giant = F.coalesce(F.length("html"), F.lit(0)) >= giant_bytes
 
     normal_docs = extract_documents(src.filter(~is_giant), num_partitions)
 
     giants = src.filter(is_giant)
-    counts = giants.mapInPandas(count_pages_batch, schema=RANGE_SCHEMA)
+    # counts (url, n_pages — tiny) feeds BOTH the ranges join and the
+    # failed-giants join; without a persist the expensive count pass (full
+    # structural parse over every multi-MB giant) executes once per consumer
+    counts = giants.mapInPandas(count_pages_batch, schema=RANGE_SCHEMA).persist()
     ranges = (
         giants.join(counts, "url")
         .filter(F.col("n_pages") > 0)
@@ -612,13 +652,32 @@ def doc_lineage_metrics(doc_rows: DataFrame) -> DataFrame:
     )
 
 
-def resume_filter(input_df: DataFrame, completed_urls: DataFrame) -> DataFrame:
+def resume_filter(
+    input_df: DataFrame,
+    completed_urls: DataFrame,
+    retry_transient: bool = True,
+) -> DataFrame:
     """J3 resume anti-join: drop rows whose url is already committed.
 
     On Iceberg this reads the last committed snapshot; here, the output
     parquet dir.  One line, but it is what makes a 10^12-doc run
-    restartable (north rule)."""
-    return input_df.join(completed_urls.select("url"), "url", "left_anti")
+    restartable (north rule).
+
+    ``retry_transient``: committed rows whose only outcome is a TRANSIENT
+    failure (``ocr_failed: …`` — remote engine error after retries) do NOT
+    count as completed, so the next run reprocesses them; permanent
+    failures (parse errors) stay committed.  A retried url that later
+    succeeds appends an ok row alongside the old failed row — at-least-once
+    semantics; downstream readers canonicalize by status priority (on real
+    Iceberg, MERGE INTO replaces the failed row atomically instead)."""
+    done = completed_urls
+    if retry_transient and "failure_reason" in done.columns:
+        done = done.filter(
+            F.coalesce(
+                ~F.col("failure_reason").startswith("ocr_failed"), F.lit(True)
+            )
+        )
+    return input_df.join(done.select("url"), "url", "left_anti")
 
 
 def run_extraction(
@@ -628,38 +687,50 @@ def run_extraction(
     sidecar_path: Optional[str] = None,
     num_partitions: Optional[int] = None,
     partition_buckets: Optional[int] = None,
+    split_giants: bool = False,
+    giant_bytes: int = 4 << 20,
 ) -> int:
     """Checkpointable batch run: resume → extract → append-commit.
 
     ``partition_buckets``: Iceberg-style ``bucket(url)`` layout — the
     output is hive-partitioned on ``url_bucket = xxhash64(url) % N`` so a
     resume scan, a per-bucket compaction, or a downstream co-located join
-    can prune to single buckets.  Returns the number of documents in the
-    output after this invocation."""
+    can prune to single buckets.  Returns the number of documents APPENDED
+    by this invocation (0 on a fully-resumed no-op run) — no full re-scan
+    of the output table, which at 10^12 docs would cost more than the
+    incremental run itself."""
     pages = spark.read.parquet(input_path)
     if _parquet_exists(output_path):
         done = spark.read.parquet(output_path)
         pages = resume_filter(pages, done)
-    docs = extract_documents(pages, num_partitions)
+    if split_giants:
+        docs = extract_documents_split(pages, num_partitions, giant_bytes=giant_bytes)
+    else:
+        docs = extract_documents(pages, num_partitions)
     if partition_buckets:
         docs = docs.withColumn(
             "url_bucket",
             F.pmod(F.xxhash64("url"), F.lit(partition_buckets)).cast("int"),
         )
-    # the extractor is expensive: materialize doc rows once, derive both
-    # the main table and the sidecar from the cached result (SURVEY.md §4.2
-    # double-execution caveat)
+    # the extractor is expensive: materialize doc rows once, derive the
+    # count, sidecar, and main table from the cached result (SURVEY.md §4.2
+    # double-execution caveat).  ORDER MATTERS: the resume plan reads
+    # output_path, so appending to it invalidates this cache — everything
+    # that consumes `docs` must run BEFORE the main-table write.  The
+    # sidecar therefore commits first (an orphan sidecar entry after a
+    # mid-write crash is harmless lineage; on real Iceberg both writes
+    # share one transaction).
     docs = docs.persist()
     try:
-        writer = docs.write.mode("append")
-        if partition_buckets:
-            writer = writer.partitionBy("url_bucket")
-        writer.parquet(output_path)
+        n = docs.count()  # materializes the cache; appended count, no rescan
         if sidecar_path is not None:
             doc_lineage_metrics(docs).withColumn(
                 "run_output", F.lit(output_path)
             ).write.mode("append").parquet(sidecar_path)
-        n = spark.read.parquet(output_path).count()
+        writer = docs.write.mode("append")
+        if partition_buckets:
+            writer = writer.partitionBy("url_bucket")
+        writer.parquet(output_path)
     finally:
         docs.unpersist()
     return n

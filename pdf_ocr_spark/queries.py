@@ -233,7 +233,7 @@ def q_a4_counts(spark, sf_dir):
 
 SQL_A4 = """
 SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 
@@ -1064,7 +1064,7 @@ def q_text_token_count(spark, sf_dir):
 
 
 SQL_TEXT_TOKEN_COUNT = f"""
-SELECT lang, SUM({_SQL_CNT.format(p=T.TOKEN_PATTERN)}) AS total_tokens,
+SELECT lang, CAST(SUM({_SQL_CNT.format(p=T.TOKEN_PATTERN)}) AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY lang
 """
@@ -1433,9 +1433,9 @@ def q_a7_token_usage(spark, sf_dir):
 
 SQL_A7 = """
 SELECT lang,
-  sum(n_chars // 4) AS prompt_tokens,
-  sum(n_chars // 7) AS completion_tokens,
-  sum(n_chars // 4 + n_chars // 7) AS total_tokens
+  CAST(sum(n_chars // 4) AS BIGINT) AS prompt_tokens,
+  CAST(sum(n_chars // 7) AS BIGINT) AS completion_tokens,
+  CAST(sum(n_chars // 4 + n_chars // 7) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang
 """
 

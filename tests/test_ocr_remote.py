@@ -1,28 +1,37 @@
 """Remote-VLM OCR client tests: a stdlib HTTP server plays the
 OpenAI-compatible endpoint, verifying the full request/response protocol
-(data-URI payload, message shape, auth header, token accounting, failure
-semantics) and the end-to-end pipeline swap via SPARK_GRAFT_OCR_URL."""
+(data-URI payload, message shape, auth header, token accounting, retry +
+failure semantics, keep-alive) and the end-to-end pipeline swap via
+SPARK_GRAFT_OCR_URL."""
 
 import base64
 import json
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
 
 class _FakeVlm(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"  # keep-alive, like a real endpoint
     requests = []
-    fail_next = False
+    fail_count = 0       # fail this many requests with 500, then succeed
+    fail_status = 500
 
     def do_POST(self):  # noqa: N802
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
         _FakeVlm.requests.append(
-            {"path": self.path, "auth": self.headers.get("Authorization"), "body": body}
+            {
+                "path": self.path,
+                "auth": self.headers.get("Authorization"),
+                "body": body,
+                "client_port": self.client_address[1],  # TCP conn identity
+            }
         )
-        if _FakeVlm.fail_next:
-            _FakeVlm.fail_next = False
-            self.send_response(500)
+        if _FakeVlm.fail_count > 0:
+            _FakeVlm.fail_count -= 1
+            self.send_response(_FakeVlm.fail_status)
+            self.send_header("Content-Length", "0")
             self.end_headers()
             return
         # echo the decoded image payload back as the "recognized" text
@@ -46,18 +55,27 @@ class _FakeVlm(BaseHTTPRequestHandler):
 
 @pytest.fixture(scope="module")
 def vlm_server():
-    srv = HTTPServer(("127.0.0.1", 0), _FakeVlm)
+    # Threading: keep-alive clients hold their connection open; a serial
+    # server would block every later connection behind the first engine's
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeVlm)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{srv.server_port}/v1"
     srv.shutdown()
 
 
-def test_protocol_and_token_accounting(vlm_server):
+def _engine(url, **kw):
     from pdf_ocr_spark.kernels.ocr_remote import RemoteVlmEngine
 
+    eng = RemoteVlmEngine(url, **kw)
+    eng._sleep = lambda s: None  # no real backoff waits in tests
+    return eng
+
+
+def test_protocol_and_token_accounting(vlm_server):
     _FakeVlm.requests.clear()
-    eng = RemoteVlmEngine(vlm_server, api_key="sekrit", model="test-model", lang="zh")
+    _FakeVlm.fail_count = 0
+    eng = _engine(vlm_server, api_key="sekrit", model="test-model", lang="zh")
     out = eng.recognize_batch([b"IMGDATA-1", None, b"IMGDATA-2"])
     assert len(out) == 3
     assert out[0] == [("line one of IMGDATA-1", 1.0), ("line two", 1.0)]
@@ -75,15 +93,107 @@ def test_protocol_and_token_accounting(vlm_server):
     assert content[1]["text"].startswith("提取")  # zh prompt (F14)
     # A7: usage summed across calls
     assert eng.prompt_tokens == 22 and eng.completion_tokens == 14
+    # keep-alive: both pages flowed over ONE TCP connection
+    assert r["client_port"] == _FakeVlm.requests[1]["client_port"]
 
 
-def test_api_failure_yields_empty_not_exception(vlm_server):
-    from pdf_ocr_spark.kernels.ocr_remote import RemoteVlmEngine
+def test_transient_failure_retried(vlm_server):
+    """One 500 then success: the page must NOT silently come back empty —
+    bounded retries recover it (a checkpointed pipeline commits results;
+    an unretried transient error would be permanent data loss)."""
+    _FakeVlm.requests.clear()
+    _FakeVlm.fail_count = 1
+    eng = _engine(vlm_server)
+    out = eng.recognize_batch([b"RETRYME"])
+    assert out == [[("line one of RETRYME", 1.0), ("line two", 1.0)]]
+    assert len(_FakeVlm.requests) == 2  # the failed attempt + the retry
 
-    eng = RemoteVlmEngine(vlm_server)
-    _FakeVlm.fail_next = True
+
+def test_exhausted_retries_yield_failure_marker(vlm_server):
+    """All attempts 500 → the page result is None (OCR-FAILED marker),
+    distinct from [] (blank page) — and never an exception."""
+    _FakeVlm.requests.clear()
+    _FakeVlm.fail_count = 99
+    eng = _engine(vlm_server, max_attempts=3)
     out = eng.recognize_batch([b"X"])
-    assert out == [[]]  # ref :230-232 — API failure is a result, not a raise
+    assert out == [None]
+    assert len(_FakeVlm.requests) == 3  # bounded: exactly max_attempts
+    _FakeVlm.fail_count = 0
+
+
+def test_definitive_4xx_fails_fast(vlm_server):
+    """A 401 is not retryable — one attempt, failure marker."""
+    _FakeVlm.requests.clear()
+    _FakeVlm.fail_count = 99
+    _FakeVlm.fail_status = 401
+    try:
+        eng = _engine(vlm_server, max_attempts=3)
+        out = eng.recognize_batch([b"X"])
+        assert out == [None]
+        assert len(_FakeVlm.requests) == 1
+    finally:
+        _FakeVlm.fail_count = 0
+        _FakeVlm.fail_status = 500
+
+
+def test_ocr_failure_surfaces_as_typed_doc_failure(vlm_server, monkeypatch):
+    """Pipeline contract: an OCR-failed page makes the DOCUMENT a typed
+    'ocr_failed' failure (resume retries it) — never an ok doc with
+    silently-empty text."""
+    import pandas as pd
+
+    import pdf_ocr_spark.kernels.ocr_stub as stub
+    from pdf_ocr_spark.fixtures.genpages import make_scan_pdf
+    from pdf_ocr_spark.kernels.ocr_remote import RemoteVlmEngine
+    from pdf_ocr_spark.pipeline.extract_job import (
+        OCR_FAILED_REASON,
+        extract_docs_batch,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_OCR_URL", vlm_server)
+    monkeypatch.setattr(stub, "_ENGINE", None)  # force lazy re-init
+    orig_init = RemoteVlmEngine.__init__
+
+    def fast_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        self._sleep = lambda s: None
+
+    monkeypatch.setattr(RemoteVlmEngine, "__init__", fast_init)
+    try:
+        _FakeVlm.fail_count = 99
+        pdf = make_scan_pdf(["unreachable text"])
+        batch = pd.DataFrame({"url": ["u://scan"], "html": [pdf]})
+        out = pd.concat(list(extract_docs_batch(iter([batch]))))
+        row = out.iloc[0]
+        assert row["status"] == "failed"
+        assert row["failure_reason"] == OCR_FAILED_REASON
+        assert row["extracted_text"] is None
+    finally:
+        _FakeVlm.fail_count = 0
+        monkeypatch.setattr(stub, "_ENGINE", None)
+
+
+def test_resume_retries_transient_ocr_failures(spark):
+    """resume_filter: committed 'ocr_failed' rows do NOT count as done
+    (reprocessed next run); permanent parse failures stay committed."""
+    from pdf_ocr_spark.pipeline.extract_job import OCR_FAILED_REASON, resume_filter
+
+    inp = spark.createDataFrame(
+        [("u://a",), ("u://b",), ("u://c",), ("u://d",)], "url string"
+    )
+    done = spark.createDataFrame(
+        [
+            ("u://a", "ok", None),
+            ("u://b", "failed", "pdf_parse_error: no xref"),  # permanent
+            ("u://c", "failed", OCR_FAILED_REASON),           # transient
+        ],
+        "url string, status string, failure_reason string",
+    )
+    remaining = {r["url"] for r in resume_filter(inp, done).collect()}
+    assert remaining == {"u://c", "u://d"}
+    # opt-out keeps the old strict semantics
+    strict = {r["url"] for r in resume_filter(inp, done, retry_transient=False).collect()}
+    assert strict == {"u://d"}
 
 
 def test_pipeline_env_swap(vlm_server, monkeypatch):
@@ -101,6 +211,7 @@ def test_pipeline_env_swap(vlm_server, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_OCR_URL", vlm_server)
     monkeypatch.setattr(stub, "_ENGINE", None)  # force lazy re-init
     try:
+        _FakeVlm.fail_count = 0
         pdf = make_scan_pdf(["remote ocr target"])
         batch = pd.DataFrame({"url": ["u://scan"], "html": [pdf]})
         out = pd.concat(list(extract_docs_batch(iter([batch]))))

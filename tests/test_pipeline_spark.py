@@ -78,14 +78,14 @@ def test_resume_anti_join(spark, corpus_parquet, tmp_path):
     assert remaining.count() == 60
 
     n = run_extraction(spark, corpus_parquet, out)
-    assert n == 100
+    assert n == 60  # appended count: only the uncommitted remainder
     final = spark.read.parquet(out)
     assert final.count() == 100
     assert final.select("url").distinct().count() == 100
 
     # rerunning when everything is committed processes nothing new
     n2 = run_extraction(spark, corpus_parquet, out)
-    assert n2 == 100
+    assert n2 == 0
 
     # byte-equality with a single-shot run
     single = {
@@ -106,6 +106,7 @@ def test_fused_equals_paged_route(spark, corpus_parquet, docs_df):
     cols = [
         "url", "content_kind", "extracted_text", "n_pages",
         "n_blocks", "n_chars", "status", "failure_reason", "n_bytes",
+        "n_ocr_pages",
     ]
     fused = {r["url"]: tuple(r[c] for c in cols) for r in docs_df.select(cols).collect()}
     paged = {
@@ -168,7 +169,7 @@ def test_bucketed_output_layout_and_resume(spark, corpus_parquet, tmp_path):
 
     # resume over the bucketed table processes nothing new
     n2 = run_extraction(spark, corpus_parquet, out, partition_buckets=8)
-    assert n2 == 100
+    assert n2 == 0
     assert spark.read.parquet(out).select("url").distinct().count() == 100
 
 
@@ -197,6 +198,9 @@ def test_giant_doc_split_equals_fused(spark):
     ] + [(r["url"], bytes(r["html"])) for r in gen_rows(30)]
     pages = spark.createDataFrame(
         [(u, bytearray(b)) for u, b in rows], "url string, html binary"
+    ).unionByName(
+        # NULL payload must survive the split path too (null-safe is_giant)
+        spark.createDataFrame([("big://nullhtml", None)], "url string, html binary")
     )
 
     cols = ["url", "content_kind", "extracted_text", "n_pages", "n_blocks",
@@ -215,6 +219,34 @@ def test_giant_doc_split_equals_fused(spark):
     # sanity: the 10-page doc really went through >1 range
     assert fused["big://simple10"][3] == 10  # n_pages
     assert fused["big://scan3"][9] == 3      # n_ocr_pages
+
+
+def test_pdf_sniff_prefix_only():
+    """Regression: an HTML page that merely MENTIONS '%PDF-' in its first
+    KB must route to the HTML kernel; real PDFs may carry leading
+    whitespace/NUL junk before the header."""
+    from pdf_ocr_spark.pipeline.extract_job import looks_like_pdf
+
+    assert looks_like_pdf(b"%PDF-1.7\nrest")
+    assert looks_like_pdf(b"\r\n \x00%PDF-1.4\n")
+    assert not looks_like_pdf(b"<html><body>how to detect %PDF- headers</body></html>")
+    assert not looks_like_pdf(b"")
+    assert not looks_like_pdf(b"GIF89a")
+
+
+def test_html_mentioning_pdf_magic_routes_as_html(spark):
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+
+    html = (b"<html><head><title>t</title></head><body><p>"
+            b"PDF files start with %PDF- followed by a version. "
+            b"This sentence pads the paragraph so the readability scorer keeps "
+            b"it as main content rather than boilerplate.</p></body></html>")
+    pages = spark.createDataFrame([("u://sniff", bytearray(html))],
+                                  "url string, html binary")
+    row = extract_documents(pages, num_partitions=2).collect()[0]
+    assert row["content_kind"] == "html"
+    assert row["status"] == "ok"
+    assert "%PDF-" in row["extracted_text"]
 
 
 def test_plan_has_single_planned_shuffle(spark, corpus_parquet):

@@ -57,7 +57,7 @@ def test_spark_submit_py_files_roundtrip(tmp_path, corpus_rows):
     stats = json.loads(
         [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
     )
-    assert stats["docs_in_output"] == 60
+    assert stats["docs_appended"] == 60
     assert any(d.startswith("url_bucket=") for d in os.listdir(out))
     assert os.path.isdir(side)
 
@@ -67,4 +67,11 @@ def test_spark_submit_py_files_roundtrip(tmp_path, corpus_rows):
     stats2 = json.loads(
         [ln for ln in r2.stdout.splitlines() if ln.startswith("{")][-1]
     )
-    assert stats2["docs_in_output"] == 60
+    assert stats2["docs_appended"] == 0
+
+    import duckdb
+
+    n_urls = duckdb.sql(
+        f"SELECT count(DISTINCT url) FROM read_parquet('{out}/*/*.parquet')"
+    ).fetchone()[0]
+    assert n_urls == 60
