@@ -10,8 +10,8 @@ third-party PDF libraries.
 Supported on purpose (what a 100 TB Common-Crawl PDF corpus contains):
   * classic xref tables with /Prev chains, plus xref *streams* (PDF 1.5+)
     with PNG predictors, plus object streams (/Type /ObjStm)
-  * FlateDecode (+ predictors), ASCIIHexDecode, ASCII85Decode,
-    RunLengthDecode
+  * FlateDecode (+ predictors), LZWDecode (+ EarlyChange/predictors),
+    ASCIIHexDecode, ASCII85Decode, RunLengthDecode
   * indirect /Length, broken xref offsets (brute-force object scan
     fallback), hex and literal strings with all escapes
 """
@@ -127,11 +127,73 @@ def _apply_filter(name: str, data: bytes, parms: Any, doc: "PDFDocument") -> byt
                 out += data[i + 1 : i + 2] * (257 - l)
                 i += 2
         return bytes(out)
+    if name in ("LZWDecode", "LZW"):
+        early = 1
+        if isinstance(parms, dict):
+            try:
+                early = int(doc.resolve(parms.get("EarlyChange", 1)))
+            except (TypeError, ValueError):
+                early = 1
+        return _apply_predictor(_lzw_decode(data, early), parms, doc)
     if name in ("DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode"):
         # image codecs: the extraction engine never rasterizes; image
         # payloads flow to the OCR branch as opaque bytes (SURVEY.md K2)
         return data
     raise PDFError(f"unsupported stream filter: {name}")
+
+
+_LZW_CLEAR, _LZW_EOD = 256, 257
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF/TIFF LZW (ISO 32000-1 §7.4.4): 9→12-bit variable-width codes,
+    MSB-first, clear code 256, EOD 257; ``EarlyChange`` widens the code
+    one table entry early (the spec default 1; pre-2005 crawl PDFs use
+    this constantly).  Pure python — LZW streams are rare and small
+    (legacy content streams), never the hot path."""
+    out = bytearray()
+    table: List[bytes] = []
+    width = 9
+    prev: Optional[bytes] = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    bitbuf = 0
+    bitcnt = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == _LZW_CLEAR:
+                reset()
+                continue
+            if code == _LZW_EOD:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PDFError("LZWDecode: bad first code")
+                entry = table[code]
+                out += entry
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):  # KwKwK self-reference
+                    entry = prev + prev[:1]
+                else:
+                    raise PDFError("LZWDecode: code out of range")
+                out += entry
+                table.append(prev + entry[:1])
+                if len(table) >= (1 << width) - early and width < 12:
+                    width += 1
+            prev = entry
+    return bytes(out)
 
 
 def _apply_predictor(data: bytes, parms: Any, doc: "PDFDocument") -> bytes:
@@ -426,6 +488,8 @@ class PDFDocument:
         self._cache: Dict[int, Any] = {}
         self._objstm_cache: Dict[int, Dict[int, Any]] = {}
         self._resolving: set = set()
+        self.crypt = None  # StandardSecurityHandler when /Encrypt decryptable
+        self._encrypt_num: Optional[int] = None
         try:
             self._load_xref()
         except PDFError:
@@ -434,6 +498,63 @@ class PDFDocument:
             self._brute_force_scan()
         if "Root" not in self.trailer:
             raise PDFError("no /Root catalog found")
+        self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """Empty-user-password standard-security recovery (crypt.py): most
+        "encrypted" web PDFs are owner-password-only permission locks.
+        Raises PDFEncryptedError (→ typed ``pdf_encrypted`` failure) when a
+        real password or an unsupported scheme blocks decryption."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        from pdf_ocr_spark.kernels.pdf.crypt import (
+            PDFEncryptedError,
+            StandardSecurityHandler,
+        )
+
+        if isinstance(enc_ref, Ref):
+            self._encrypt_num = enc_ref.num
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PDFEncryptedError("malformed /Encrypt")
+        ids = self.trailer.get("ID")
+        id0 = b""
+        if isinstance(ids, list) and ids:
+            first = self.resolve(ids[0])
+            if isinstance(first, bytes):
+                id0 = first
+        self.crypt = StandardSecurityHandler(enc, id0)
+        # anything parsed before the handler existed is undecrypted
+        self._cache.clear()
+        self._objstm_cache.clear()
+
+    def _decrypt_obj(self, obj: Any, num: int, gen: int) -> Any:
+        """Recursively decrypt strings (and stream payloads) of one
+        top-level object (§7.6.2: encryption applies per indirect object;
+        ObjStm members inherit the container's decryption)."""
+        c = self.crypt
+        if isinstance(obj, bytes):
+            return c.decrypt_string(obj, num, gen)
+        if isinstance(obj, list):
+            return [self._decrypt_obj(v, num, gen) for v in obj]
+        if isinstance(obj, Stream):
+            t = obj.dict.get("Type")
+            if t is not None and str(t) == "XRef":
+                return obj  # xref streams are never encrypted
+            if (
+                t is not None
+                and str(t) == "Metadata"
+                and not c.encrypt_metadata
+            ):
+                return obj
+            return Stream(
+                self._decrypt_obj(obj.dict, num, gen),
+                c.decrypt_stream(obj.raw, num, gen),
+            )
+        if isinstance(obj, dict):
+            return {k: self._decrypt_obj(v, num, gen) for k, v in obj.items()}
+        return obj
 
     # -- xref loading ------------------------------------------------------
 
@@ -616,6 +737,7 @@ class PDFDocument:
             m = _OBJ_HEADER_RE.match(self.data, max(0, offset - 32) + wm.start())
             if m is None:
                 raise PDFError(f"no object header at {offset}")
+        gen = int(m.group(2))
         lex = Lexer(self.data, m.end())
         obj = lex.parse_object()
         if isinstance(obj, tuple) and obj and obj[0] == "__stream__":
@@ -628,7 +750,9 @@ class PDFDocument:
                     end = self._find_endstream(data_start)
             else:
                 end = self._find_endstream(data_start)
-            return Stream(d, self.data[data_start:end])
+            obj = Stream(d, self.data[data_start:end])
+        if self.crypt is not None and expect_num != self._encrypt_num:
+            obj = self._decrypt_obj(obj, expect_num, gen)
         return obj
 
     def _find_endstream(self, start: int) -> int:

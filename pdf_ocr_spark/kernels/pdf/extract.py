@@ -18,6 +18,7 @@ from typing import List, NamedTuple, Optional
 
 from pdf_ocr_spark.kernels.pdf.content import interpret_page
 from pdf_ocr_spark.kernels.pdf.cos import PDFDocument, PDFError
+from pdf_ocr_spark.kernels.pdf.crypt import PDFEncryptedError
 from pdf_ocr_spark.kernels.pdf.layout import (
     Block,
     build_blocks,
@@ -73,13 +74,14 @@ def extract_pdf(
     status='failed' with a reason class, so the Spark batch keeps going
     (poison-row isolation, SURVEY.md §4.1)."""
     try:
+        # encrypted docs: PDFDocument transparently decrypts the common
+        # owner-password-only case (empty user password, RC4-40/128 or
+        # AES-128/256 — kernels/pdf/crypt.py); only a REAL user password
+        # or an unsupported handler surfaces as the typed failure below
         doc = PDFDocument(pdf_bytes)
-        if doc.trailer.get("Encrypt") is not None:
-            # encrypted streams/strings would silently yield garbage text;
-            # at crawl scale these must surface as typed failures (a real
-            # deployment can plug an empty-password RC4/AES decryptor here)
-            return DocExtract("failed", "pdf_encrypted", 0, [], [])
         page_dicts = doc.pages()
+    except PDFEncryptedError:
+        return DocExtract("failed", "pdf_encrypted", 0, [], [])
     except PDFError as e:
         return DocExtract("failed", f"pdf_parse_error: {e}", 0, [], [])
     except Exception as e:  # noqa: BLE001 — the no-raise promise is absolute

@@ -37,8 +37,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -335,6 +337,90 @@ def extract_docs_arrow(batches):
         yield pa.record_batch(
             [pa.array(c, t) for c, t in zip(cols, types)], names=names
         )
+
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("page_num", IntegerType()),
+        StructField("block_index", IntegerType()),
+        StructField("type", StringType()),          # 'title' | 'text' | 'ocr'
+        StructField("bbox", ArrayType(DoubleType())),  # [x0,y0,x1,y1] top-down
+        StructField("text", StringType()),
+        StructField("confidence", DoubleType()),
+    ]
+)
+
+
+def extract_blocks_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Block-level extractor (runs on executors): one row per typed layout
+    block with bbox + confidence — the reference's blocks JSON sink
+    (/root/reference/pdf_ocr_with_boxes_v3.py:220-227,374-377,430-441)
+    as a queryable table (SURVEY.md §1.3 documents → pages → blocks).
+
+    PDF-only by design, like the reference tool: HTML rows carry no layout
+    geometry.  Text pages emit the kernel's XY-cut blocks (type
+    'title'/'text', confidence 0.95 — v3:226); image-only pages run
+    batched OCR and emit one 'ocr' block per recognized line with the
+    engine confidence and a NULL bbox (the stub engine carries no
+    geometry; a PaddleOCR backend supplies detector quads here).
+    OCR-failed pages emit no rows — the doc-level route carries the typed
+    ``ocr_failed`` failure."""
+    from pdf_ocr_spark.kernels.ocr_stub import OCR_MIN_CONFIDENCE, get_engine
+    from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+    _tune_worker_gc()
+    engine = None
+    cols = [f.name for f in BLOCK_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        ocr_jobs = []  # (url, page_num, payload)
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not looks_like_pdf(data):
+                continue
+            try:
+                doc = extract_pdf(data)
+            except Exception:  # noqa: BLE001 — poison-row isolation
+                continue
+            if doc.status != "ok":
+                continue
+            for blk in doc.blocks:
+                rows.append(
+                    (url, blk.page_num, blk.block_index, blk.type,
+                     [float(v) for v in blk.bbox], blk.text, blk.confidence)
+                )
+            for p in doc.pages:
+                if p.needs_ocr:
+                    ocr_jobs.append((url, p.page_num, p.ocr_payload))
+        if ocr_jobs:
+            if engine is None:
+                engine = get_engine()
+            results = engine.recognize_batch([p for _, _, p in ocr_jobs])
+            for (url, pnum, _), boxes in zip(ocr_jobs, results):
+                if boxes is None:
+                    continue  # OCR failed — typed failure lives doc-level
+                idx = 0
+                for text, conf in boxes:
+                    if conf > OCR_MIN_CONFIDENCE and text.strip():
+                        rows.append((url, pnum, idx, "ocr", None, text, float(conf)))
+                        idx += 1
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_blocks(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages(url, html, …) → block-level table: one row per layout block.
+
+    Same plan shape as the document route — scan pruned to (url, html),
+    one salted repartition, one python stage — so the blocks table scales
+    exactly like the hot path."""
+    df = pages_df.select("url", "html")
+    if num_partitions is None:
+        num_partitions = max(pages_df.sparkSession.sparkContext.defaultParallelism, 8)
+    df = df.repartition(num_partitions, F.xxhash64("url"))
+    return df.mapInPandas(extract_blocks_batch, schema=BLOCK_SCHEMA)
 
 
 def extract_pages(

@@ -1246,6 +1246,71 @@ def q_extract_corpus(spark, sf_dir):
     ).orderBy("url")
 
 
+import os as _os
+
+_BLOCKS_GOLDEN = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "fixtures", "blocks_golden.parquet"
+)
+
+
+def _blocks_corpus_df(spark):
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_blocks
+
+    rows = gen_rows(60)  # must match tools/freeze_blocks_golden.py N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_blocks(pages)
+
+
+def q_blocks_table(spark, sf_dir):
+    """Block-level table (SURVEY §1.3 documents → pages → blocks): one row
+    per typed layout block with bbox + confidence, computed by the
+    distributed pipeline; the oracle reads the frozen kernel golden
+    (tools/freeze_blocks_golden.py) — value-hash equality proves the
+    Spark route reproduces the kernel byte-for-byte.  Mirrors the
+    reference blocks JSON sink
+    (/root/reference/pdf_ocr_with_boxes_v3.py:220-227,374-377)."""
+    b = _blocks_corpus_df(spark)
+    return b.select(
+        "url",
+        "page_num",
+        "block_index",
+        F.col("type").alias("block_type"),
+        "text",
+        "confidence",
+        F.element_at("bbox", 1).alias("x0"),
+        F.element_at("bbox", 2).alias("y0"),
+        F.element_at("bbox", 3).alias("x1"),
+        F.element_at("bbox", 4).alias("y1"),
+    )
+
+
+SQL_BLOCKS_TABLE = f"""
+SELECT url, page_num, block_index, block_type, text, confidence, x0, y0, x1, y1
+FROM read_parquet('{_BLOCKS_GOLDEN}')
+"""
+
+
+def q_blocks_histogram(spark, sf_dir):
+    """A3 over REAL pipeline blocks: per-type histogram of the block
+    table (the reference's block-type counts, v3:415-418)."""
+    b = _blocks_corpus_df(spark)
+    return b.groupBy(F.col("type").alias("block_type")).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.round(F.avg("confidence"), 4).alias("avg_confidence"),
+    )
+
+
+SQL_BLOCKS_HISTOGRAM = f"""
+SELECT block_type, count(*) AS n_blocks,
+       round(avg(confidence), 4) AS avg_confidence
+FROM read_parquet('{_BLOCKS_GOLDEN}') GROUP BY block_type
+"""
+
+
 def q_extract_lineage(spark, sf_dir):
     """Lineage/metrics sidecar over the same corpus (rows-only)."""
     from pdf_ocr_spark.fixtures.genpages import gen_rows
@@ -1586,6 +1651,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # extraction pipeline (kernels not SQL-expressible → rows-only)
     "extract_corpus": (q_extract_corpus, None),
     "extract_lineage": (q_extract_lineage, None),
+    # blocks level: pipeline-computed vs frozen kernel golden (full hash)
+    "blocks_table": (q_blocks_table, SQL_BLOCKS_TABLE),
+    "blocks_histogram": (q_blocks_histogram, SQL_BLOCKS_HISTOGRAM),
 }
 
 

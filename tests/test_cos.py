@@ -163,6 +163,109 @@ class TestFilters:
         assert s.decode(doc) == b"abczzz"
 
 
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Spec-faithful PDF LZW encoder (test oracle for the decoder):
+    variable 9→12-bit MSB-first codes, clear 256 / EOD 257, EarlyChange."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    codes = [(256, 9)]  # leading clear code
+    w = b""
+    for byte in data:
+        c = w + bytes([byte])
+        if c in table:
+            w = c
+            continue
+        codes.append((table[w], width))
+        if next_code < 4096:
+            table[c] = next_code
+            next_code += 1
+            # the encoder's table is ONE entry ahead of the decoder's, so
+            # it widens one entry later: at next_code==512 the decoder
+            # (len==511) has already widened (EarlyChange=1 boundaries)
+            if next_code >= (1 << width) + 1 - early and width < 12:
+                width += 1
+        w = bytes([byte])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    bitbuf = bitcnt = 0
+    out = bytearray()
+    for code, wd in codes:
+        bitbuf = (bitbuf << wd) | code
+        bitcnt += wd
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+class TestLzw:
+    def _decode(self, enc: bytes) -> bytes:
+        s = Stream({"Filter": Name("LZWDecode")}, enc)
+        return s.decode(PDFDocument(_minimal_pdf()))
+
+    def test_roundtrip_simple(self):
+        payload = b"the quick brown fox jumps over the lazy dog, twice: " * 2
+        assert self._decode(_lzw_encode(payload)) == payload
+
+    def test_kwkwk_self_reference(self):
+        # runs of one byte exercise the code==len(table) branch
+        payload = b"aaaaaaaaaaaaaaaaaaaaaaaa" + b"bbbbbbbb" + b"a" * 50
+        assert self._decode(_lzw_encode(payload)) == payload
+
+    def test_width_growth_early_change(self):
+        # >512 table entries forces 9→10-bit transition; EarlyChange=1
+        # means the decoder must widen one entry early or desynchronize
+        payload = bytes(range(256)) * 4 + b"tail marker"
+        assert self._decode(_lzw_encode(payload)) == payload
+
+    def test_early_change_zero(self):
+        payload = bytes(range(256)) * 4
+        enc = _lzw_encode(payload, early=0)
+        s = Stream(
+            {"Filter": Name("LZWDecode"), "DecodeParms": {"EarlyChange": 0}}, enc
+        )
+        assert s.decode(PDFDocument(_minimal_pdf())) == payload
+
+    def test_lzw_content_stream_in_pdf(self):
+        """A fixture PDF whose content stream is LZW-encoded (the pre-2005
+        crawl-PDF case) parses and extracts text correctly."""
+        from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+        content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (LZW legacy stream) Tj ET"
+        enc = _lzw_encode(content)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Resources << /Font << /F1 5 0 R >> >> >>",
+            b"<< /Length %d /Filter /LZWDecode >>\nstream\n%s\nendstream"
+            % (len(enc), enc),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs, 1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % (
+            len(objs) + 1,
+            xref,
+        )
+        doc = PDFDocument(bytes(out))
+        assert doc.page_content(doc.pages()[0]) == content
+        res = extract_pdf(bytes(out))
+        assert res.status == "ok"
+        assert res.pages[0].text == "LZW legacy stream"
+
+
 class TestRealSample:
     """The japanese_test.pdf acid test (SURVEY.md §5.2)."""
 

@@ -221,6 +221,49 @@ def test_giant_doc_split_equals_fused(spark):
     assert fused["big://scan3"][9] == 3      # n_ocr_pages
 
 
+def test_blocks_table_joins_back_to_pages(spark, corpus_parquet):
+    """Blocks level (SURVEY §1.3): re-joining the block table per page
+    reproduces the page-level route's page_text exactly — blocks are a
+    lossless refinement of pages, not a parallel implementation."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_blocks, extract_pages
+
+    pages_src = spark.read.parquet(corpus_parquet)
+    blocks = extract_blocks(pages_src, num_partitions=4)
+
+    # page text = block texts joined '\n' in block_index order (v2:684-686)
+    rebuilt = (
+        blocks.filter(F.col("type") != "ocr")
+        .groupBy("url", "page_num")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("block_index", "text"))
+                ).getField("text"),
+                "\n",
+            ).alias("rebuilt_text"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+    )
+    page_rows = extract_pages(pages_src, num_partitions=4).filter(
+        (F.col("status") == "ok")
+        & (F.col("content_kind") == "pdf")
+        & (~F.col("needs_ocr"))
+        & (F.col("n_blocks") > 0)
+    )
+    joined = page_rows.join(
+        rebuilt,
+        [page_rows.url == rebuilt.url, page_rows.page == rebuilt.page_num],
+    ).collect()
+    assert len(joined) == page_rows.count() > 0
+    for r in joined:
+        assert r["rebuilt_text"] == r["page_text"], r["url"]
+    # every text page appears in the blocks table; OCR pages appear as
+    # 'ocr' rows with engine confidence and no bbox
+    ocr_rows = blocks.filter(F.col("type") == "ocr").collect()
+    assert len(ocr_rows) > 0
+    assert all(r["bbox"] is None and r["confidence"] > 0.5 for r in ocr_rows)
+
+
 def test_pdf_sniff_prefix_only():
     """Regression: an HTML page that merely MENTIONS '%PDF-' in its first
     KB must route to the HTML kernel; real PDFs may carry leading
