@@ -39,7 +39,9 @@ BENCH_QUERIES = [
     "j3_anti_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_verified_lsh",
     "dedup_simhash",
+    "dedup_embedding_bucketed",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "text_lang_id",
@@ -48,7 +50,9 @@ BENCH_QUERIES = [
     "a5_span_fold",
     "p9_content_sniff",
     "stream_windowed_counts",
+    "tpch_rollup",
     "extract_corpus",
+    "blocks_table",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

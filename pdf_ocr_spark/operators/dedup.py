@@ -16,10 +16,29 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class BoundedUniverseError(ValueError):
+    """An all-pairs helper was fed more rows than its bound — at scale
+    that plan is quadratic; use the LSH-composed variant instead."""
+
+
+def _guard_bounded(df: DataFrame, max_rows: Optional[int], composed_hint: str) -> None:
+    """Cheap input-size guard for bounded-universe (all-pairs) helpers:
+    counts at most ``max_rows + 1`` rows (limit-bounded, not a full scan)
+    and refuses quadratic blowups with a pointer at the scale path."""
+    if max_rows is None:
+        return
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise BoundedUniverseError(
+            f"input exceeds {max_rows} rows: this helper is all-pairs "
+            f"(quadratic); use {composed_hint} at scale, or pass "
+            f"max_rows=None to force"
+        )
 
 
 def _h64(col, salt: str):
@@ -150,6 +169,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Near-dup clustering: connected components over candidate pairs via
     iterative min-label propagation — the step that turns pairwise LSH
@@ -158,9 +178,22 @@ def connected_components(
 
     Pure DataFrame ops: each iteration is one join + one groupBy; the
     driver only checks a convergence COUNT (O(graph diameter) rounds —
-    near-dup clusters are shallow, typically 2-3).  ``localCheckpoint``
-    truncates the iterative lineage so plans don't grow unboundedly at
-    10^12-doc scale.  Returns (doc_id, cluster_id = min reachable id)."""
+    near-dup clusters are shallow, typically 2-3).  Per-round
+    checkpointing truncates the iterative lineage so plans don't grow
+    unboundedly at 10^12-doc scale.  Returns
+    (doc_id, cluster_id = min reachable id).
+
+    ``reliable_checkpoint``: use ``df.checkpoint()`` (HDFS/S3 via
+    ``sc.setCheckpointDir``) instead of executor-local blocks — an
+    executor loss mid-iteration then recovers from storage rather than
+    failing the job; REQUIRED for production-scale runs (the local
+    default is the low-latency choice for short-lived jobs/tests)."""
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint()  # needs spark.sparkContext.setCheckpointDir
+        return df.localCheckpoint()
+
     bi = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -169,11 +202,10 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels = ckpt(
         bi.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
     )
     try:
         for _ in range(max_iters):
@@ -182,16 +214,14 @@ def connected_components(
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("neigh_label"))
             )
-            new_labels = (
-                labels.join(neigh, "doc_id", "left")
-                .select(
+            new_labels = ckpt(
+                labels.join(neigh, "doc_id", "left").select(
                     "doc_id",
                     F.least(
                         F.col("cluster_id"),
                         F.coalesce("neigh_label", F.col("cluster_id")),
                     ).alias("cluster_id"),
                 )
-                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
@@ -270,19 +300,97 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def jaccard_on_candidates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard restricted to CANDIDATE pairs — the scale
+    path's verification stage.  Only documents appearing in ``pairs``
+    are shingled (semi-join pushdown), and the intersection join fans out
+    per candidate pair instead of per shared shingle across the whole
+    corpus — linear in Σ|pair shingles|, never O(n²).
+
+    Pairs with zero shared shingles keep jaccard 0.0 (left join), so the
+    output is exactly the candidate set annotated + thresholded."""
+    involved = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        docs.join(involved, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col), k)).alias("sh"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def verified_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The full scale-safe near-dup pipeline the docstrings promise:
+    MinHash-LSH candidate generation (bucketed band join, never all-pairs)
+    → exact n-gram Jaccard verification on the candidates only.
+
+    Output: (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
+    This is the composition to run at 100 TB; ``ngram_jaccard_pairs``
+    standalone is the bounded-universe baseline."""
+    cand = minhash_lsh_pairs(docs, text_col, id_col, num_perm, bands, k)
+    return jaccard_on_candidates(docs, cand, text_col, id_col, k, threshold)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.2,
+    max_rows: Optional[int] = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs via a shingle self-join:
     |A∩B| from the equi-join on shingle, |A∪B| = |A|+|B|−|A∩B|.
 
-    At 100 TB this runs on LSH candidates only (compose with
-    minhash_lsh_pairs); standalone it is quadratic in shared shingles and
-    should be fed a bounded universe."""
+    BOUNDED UNIVERSE: standalone this is quadratic in shared shingles —
+    the ``max_rows`` guard refuses oversized inputs.  At 100 TB use
+    :func:`verified_near_pairs` (LSH candidates → exact verification)."""
+    _guard_bounded(docs, max_rows, "verified_near_pairs(docs, ...)")
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), k)).alias("sh"),
@@ -315,14 +423,51 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_rows: Optional[int] = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (bounded universe; compose with
-    LSH buckets from operators.similarity for the scale path)."""
+    """Embedding-cosine near-dup pairs — BOUNDED UNIVERSE (all-pairs
+    theta join, guarded by ``max_rows``).  At scale use
+    :func:`embedding_near_pairs_bucketed` (sign-LSH bucketed)."""
     from pdf_ocr_spark.operators.similarity import cosine_expr
 
+    _guard_bounded(emb, max_rows, "embedding_near_pairs_bucketed(emb, ...)")
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 4).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_pairs_bucketed(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 8,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH bucket the vectors
+    (operators.similarity.sign_bucket_expr), self-equi-join WITHIN
+    buckets only, exact cosine on the candidates.  The pair space shrinks
+    from O(n²) to Σ O(bucket²) with ~2^bits buckets; AQE's skew-join
+    splitting handles a degenerate hot bucket.  Near-identical vectors
+    agree on every coordinate sign, so recall at high thresholds is ~1
+    (multi-probe: union of Hamming-1 buckets, same plan)."""
+    from pdf_ocr_spark.operators.similarity import cosine_expr, sign_bucket_expr
+
+    bucketed = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket_expr(F.col(vec_col), bits).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return pairs.select(
         "id_a", "id_b", F.round(cos, 4).alias("cosine")

@@ -500,6 +500,72 @@ WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
 """
 
 
+def q_tpch_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (SURVEY §2.4: relational breadth Spark
+    gives for free) — per (returnflag, linestatus), per returnflag, and
+    grand total in one pass (partial-agg friendly, one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+SQL_TPCH_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       {_dec_sum_sql("l_quantity", 2)} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_cube(spark, sf_dir):
+    """CUBE over (event_type, hour-of-day): all four grouping sets in one
+    shuffle — the OLAP breakdown a metrics dashboard asks for."""
+    ev = _t(spark, sf_dir, "events").withColumn("hod", F.hour("ts"))
+    return (
+        ev.cube("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), 3).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_CUBE = f"""
+SELECT event_type, CAST(hour(ts) AS INT) AS hod, count(*) AS n_events,
+       {_dec_sum_sql("value", 3)} AS sum_value
+FROM events GROUP BY CUBE (event_type, hour(ts))
+"""
+
+
+def q_tpch_q2ish(spark, sf_dir):
+    """TPC-H Q2-style correlated minimum: each customer's cheapest
+    order(s) — the correlated subquery decorrelated into a groupBy-min +
+    equi-join back (what Catalyst does to Q2's inner query; the oracle
+    keeps the literal correlated form)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    mins = o.groupBy("o_custkey").agg(F.min("o_totalprice").alias("min_price"))
+    return (
+        o.join(mins, "o_custkey")
+        .filter(F.col("o_totalprice") == F.col("min_price"))
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("min_total"))
+    )
+
+
+SQL_TPCH_Q2ISH = """
+SELECT o_custkey, o_orderkey, o_totalprice AS min_total
+FROM orders o
+WHERE o_custkey < 200
+  AND o_totalprice = (
+    SELECT min(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey AND o2.o_custkey < 200
+  )
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.8 string / regex functions
 # ---------------------------------------------------------------------------
@@ -873,6 +939,105 @@ WHERE {_SQL_COSINE.format(a='a.embedding', b='b.embedding')} >= 0.3
 """
 
 
+def q_dedup_verified_lsh(spark, sf_dir):
+    """The composed 100-TB near-dup pipeline: MinHash-LSH candidates
+    (bucketed band join) → exact n-gram Jaccard verification restricted
+    to the candidates (operators.dedup.verified_near_pairs) — no
+    all-pairs stage anywhere."""
+    return D.verified_near_pairs(
+        _docs_with_variants(spark, sf_dir), num_perm=8, bands=4, k=5, threshold=0.2
+    )
+
+
+SQL_DEDUP_VERIFIED_LSH = (
+    _SQL_SIGS_VARIANTS
+    + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
+WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+      / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)) >= 0.2
+"""
+)
+
+
+def q_dedup_embedding_bucketed(spark, sf_dir):
+    """Scale path for embedding near-dup: sign-LSH bucketed self-join on
+    the FULL embeddings table (no bounded-universe cap needed — the pair
+    space is per-bucket, not global)."""
+    return D.embedding_near_pairs_bucketed(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, bits=8
+    )
+
+
+SQL_DEDUP_EMBEDDING_BUCKETED = f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({{bucket}} AS BIGINT) AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+  round({_SQL_COSINE.format(a='a.embedding', b='c.embedding')}, 4) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {_SQL_COSINE.format(a='a.embedding', b='c.embedding')} >= 0.3
+"""
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: prefix-blocked (first 8 signature bits)
+    self-join, exact Hamming ≤ 3 inside blocks — the rotate-and-block
+    family's first table."""
+    return D.simhash_near_pairs(
+        _docs_with_variants(spark, sf_dir), bits=32, max_hamming=3, prefix_bits=8
+    )
+
+
+def _sql_simhash_pairs(bits: int = 32, prefix: int = 8, max_h: int = 3) -> str:
+    h = _sql_h64("sh", "simhash")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    chars = " || ".join(
+        f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(bits - 1, -1, -1)
+    )
+    ham = (
+        f"CAST(list_sum(list_transform(range(1, {bits + 1}), i -> "
+        f"CASE WHEN substr(a.simhash, CAST(i AS INT), 1) <> "
+        f"substr(b.simhash, CAST(i AS INT), 1) THEN 1 ELSE 0 END)) AS INT)"
+    )
+    return f"""
+WITH u AS ({_SQL_VARIANTS}),
+sh AS ({_sql_shingles("u", k=4)}),
+hashed AS (SELECT doc_id, {h} AS h FROM sh),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id, {chars} AS simhash FROM votes),
+blocked AS (SELECT doc_id, simhash, substr(simhash, 1, {prefix}) AS blk FROM sigs)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ham} AS hamming
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+) WHERE hamming <= {max_h}
+"""
+
+
+SQL_DEDUP_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -914,6 +1079,11 @@ SQL_SIM_LSH_BUCKETS = f"""
 SELECT CAST({_SQL_BUCKET} AS BIGINT) AS bucket, count(*) AS n_vectors
 FROM embeddings GROUP BY 1
 """
+
+# deferred: the bucketed near-dup oracle needs _SQL_BUCKET, defined here
+SQL_DEDUP_EMBEDDING_BUCKETED = SQL_DEDUP_EMBEDDING_BUCKETED.format(
+    bucket=_SQL_BUCKET
+)
 
 
 def q_sim_topk_lsh(spark, sf_dir):
@@ -1465,17 +1635,22 @@ FROM documents
 
 def q_w3_color_roundrobin(spark, sf_dir):
     """W3: round-robin assignment COLORS[idx % 8]
-    (pdf_ocr_with_boxes_v2.py:428)."""
-    w = Window.orderBy("doc_id")
+    (pdf_ocr_with_boxes_v2.py:428).  The reference index resets per PAGE;
+    here the window partitions by the grouping key (lang as the
+    page stand-in) — which is also what keeps the plan scale-safe: a
+    no-partition ``Window.orderBy`` funnels the whole table through one
+    task."""
+    w = Window.partitionBy("lang").orderBy("doc_id")
     return (
         _t(spark, sf_dir, "documents")
-        .select("doc_id")
+        .select("doc_id", "lang")
         .withColumn("color_idx", F.pmod(F.row_number().over(w), F.lit(8)))
     )
 
 
 SQL_W3 = """
-SELECT doc_id, (row_number() OVER (ORDER BY doc_id)) % 8 AS color_idx
+SELECT doc_id, lang,
+       (row_number() OVER (PARTITION BY lang ORDER BY doc_id)) % 8 AS color_idx
 FROM documents
 """
 
@@ -1604,6 +1779,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_session_windows": (q_events_session_windows, SQL_EVENTS_SESSIONS),
     "tpch_q6ish": (q_tpch_q6ish, SQL_TPCH_Q6ISH),
+    "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
+    "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
+    "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
     # streaming (same operator runs under Structured Streaming, see
     # pdf_ocr_spark/streaming/ and tests/test_streaming.py)
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED),
@@ -1632,6 +1810,12 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cos": (q_dedup_embedding_cos, SQL_DEDUP_EMBEDDING_COS),
+    "dedup_verified_lsh": (q_dedup_verified_lsh, SQL_DEDUP_VERIFIED_LSH),
+    "dedup_embedding_bucketed": (
+        q_dedup_embedding_bucketed,
+        SQL_DEDUP_EMBEDDING_BUCKETED,
+    ),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     # similarity search
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),

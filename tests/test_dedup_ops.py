@@ -1,0 +1,96 @@
+"""Dedup operator tests: the LSH→exact-verify composition, the
+bounded-universe guards on all-pairs helpers, and the reliable-checkpoint
+mode of connected components."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(30):
+        base = f"document number {i} with some shared boilerplate text body"
+        rows.append((i, base))
+        if i < 10:  # near-dup twin: whitespace perturbation only
+            rows.append((1000 + i, "  " + base.replace(" ", "  ")))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_verified_near_pairs_composition(docs):
+    """verified pairs ⊆ LSH candidates, and every (i, 1000+i) twin pair
+    survives exact verification with jaccard 1.0 (identical normalized
+    shingles)."""
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs, num_perm=8, bands=4, k=5).collect()
+    }
+    verified = D.verified_near_pairs(docs, num_perm=8, bands=4, k=5, threshold=0.2)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified.collect()}
+    assert set(got) <= cand
+    for i in range(10):
+        assert got.get((i, 1000 + i)) == 1.0, (i, got.get((i, 1000 + i)))
+
+
+def test_jaccard_on_candidates_matches_allpairs(docs):
+    """On a bounded universe the composed path must agree with the
+    all-pairs baseline wherever the candidate set covers the pair."""
+    allpairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, k=5, threshold=0.2).collect()
+    }
+    cand = D.minhash_lsh_pairs(docs, num_perm=8, bands=4, k=5)
+    composed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_on_candidates(docs, cand, k=5, threshold=0.2).collect()
+    }
+    for pair, j in composed.items():
+        assert allpairs.get(pair) == j
+
+
+def test_bounded_universe_guard(docs, spark):
+    with pytest.raises(D.BoundedUniverseError, match="verified_near_pairs"):
+        D.ngram_jaccard_pairs(docs, max_rows=5).collect()
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(D.BoundedUniverseError, match="bucketed"):
+        D.embedding_near_pairs(emb, max_rows=5).collect()
+    # within bounds: runs fine
+    assert D.embedding_near_pairs(emb, threshold=0.99, max_rows=50).count() > 0
+
+
+def test_embedding_bucketed_matches_allpairs_within_bucket(spark):
+    """Bucketed near-pairs = all-pairs restricted to equal sign buckets."""
+    emb = spark.createDataFrame(
+        [(i, [1.0 + i / 100.0, (-1.0) ** i * 0.5, 2.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    bucketed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_near_pairs_bucketed(emb, threshold=0.5, bits=3).collect()
+    }
+    allp = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_near_pairs(emb, threshold=0.5, max_rows=None).collect()
+    }
+    # same-parity ids share a bucket (sign of dim 2 alternates)
+    assert bucketed
+    for (a, b), cos in bucketed.items():
+        assert allp[(a, b)] == cos
+        assert (a % 2) == (b % 2)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(pairs, reliable_checkpoint=True).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
