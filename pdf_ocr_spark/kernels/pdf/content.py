@@ -63,6 +63,9 @@ class PageResult(NamedTuple):
     height: float
     images: List[bytes]  # raw encoded bytes of image XObjects drawn on the page
     n_text_ops: int
+    # axis-aligned PAINTED path segments (x0, y0, x1, y1) in device space:
+    # the ruled lines table detection consumes (v4 composite-block typing)
+    rules: List[Tuple[float, float, float, float]] = []
 
 
 class _TextState:
@@ -131,7 +134,12 @@ def _tokenize_content(data: bytes):
     """Yield (operands, operator) tuples from a content stream.
 
     Tolerant: an operand/operator that fails to lex is skipped and the
-    scan resumes at the next token boundary (crawled PDFs are dirty)."""
+    scan resumes at the next token boundary (crawled PDFs are dirty).
+
+    The yielded operand LIST IS REUSED between operators (cleared after
+    each resume) — the consumer must finish with it inside its loop body,
+    which `_execute` does; this removes one list allocation per operator
+    (~400 per page) from the hottest loop."""
     lex = Lexer(data, 0)  # reused only for strings/dicts (escape handling)
     hex_cache: Dict[bytes, bytes] = {}  # per-glyph CID strings repeat constantly
     n = len(data)
@@ -168,7 +176,7 @@ def _tokenize_content(data: bytes):
                 stack = []
                 cur = operands
             yield operands, op
-            operands = []
+            operands.clear()  # reuse — consumer is done with it (see doc)
             cur = operands
         elif g == "name":
             tok = m.group()[1:]
@@ -224,6 +232,20 @@ def _tokenize_content(data: bytes):
                 pos = m.end()
 
 
+def _add_rule(
+    pending: List[Tuple[float, float, float, float]],
+    x0: float, y0: float, x1: float, y1: float,
+) -> None:
+    """Keep a path segment as a candidate ruled line: axis-aligned
+    (post-CTM) and longer than a dot — the strokes table grids are drawn
+    with.  Thin FILLED rects (the other common way to draw rules)
+    contribute their two long edges and their short edges are rejected
+    here by the length test."""
+    dx, dy = abs(x1 - x0), abs(y1 - y0)
+    if (dx < 0.5 or dy < 0.5) and max(dx, dy) > 2.0:
+        pending.append((x0, y0, x1, y1))
+
+
 class ContentInterpreter:
     """Executes one page's content, accumulating glyphs and image refs."""
 
@@ -246,9 +268,12 @@ class ContentInterpreter:
         self.origin_x, self.origin_y = min(media[0], media[2]), min(media[1], media[3])
         self.glyphs: List[Glyph] = []
         self.images: List[bytes] = []
+        self.rules: List[Tuple[float, float, float, float]] = []
         self.n_text_ops = 0
         self._seq = 0
         self._xobj_depth = 0
+
+    MAX_RULES = 10_000  # poison cap: a path-bomb page must not blow memory
 
     # -- public ------------------------------------------------------------
 
@@ -258,7 +283,8 @@ class ContentInterpreter:
         resources = self.doc.resolve(self.page.get("Resources")) or {}
         self._execute(content, fonts, resources, IDENTITY)
         return PageResult(
-            self.glyphs, self.page_w, self.page_h, self.images, self.n_text_ops
+            self.glyphs, self.page_w, self.page_h, self.images, self.n_text_ops,
+            self.rules,
         )
 
     # -- execution ---------------------------------------------------------
@@ -280,6 +306,11 @@ class ContentInterpreter:
 
         def num(v: Any, default: float = 0.0) -> float:
             return float(v) if isinstance(v, (int, float)) else default
+
+        # path tracking for ruled-line (table-grid) detection: only
+        # axis-aligned PAINTED segments are kept (see _add_rule)
+        pending: List[Tuple[float, float, float, float]] = []
+        pt: Optional[Tuple[float, float]] = None
 
         for operands, op in _tokenize_content(content):
             if len(self.glyphs) >= self.MAX_GLYPHS:
@@ -357,6 +388,41 @@ class ContentInterpreter:
                     tm = self._show(operands[-1], ts, tlm, ctm)
                 elif op == b"Do" and operands:
                     self._do_xobject(operands[-1], resources, ctm, fonts)
+                elif op == b"re" and len(operands) >= 4:
+                    x, y, w, h = (num(v) for v in operands[-4:])
+                    dev = [
+                        mat_apply(ctm, x, y),
+                        mat_apply(ctm, x + w, y),
+                        mat_apply(ctm, x + w, y + h),
+                        mat_apply(ctm, x, y + h),
+                    ]
+                    for (x0, y0), (x1, y1) in zip(dev, dev[1:] + dev[:1]):
+                        _add_rule(pending, x0, y0, x1, y1)
+                    pt = dev[0]
+                elif op == b"m" and len(operands) >= 2:
+                    pt = mat_apply(ctm, num(operands[-2]), num(operands[-1]))
+                elif op == b"l" and len(operands) >= 2:
+                    p2 = mat_apply(ctm, num(operands[-2]), num(operands[-1]))
+                    if pt is not None:
+                        _add_rule(pending, pt[0], pt[1], p2[0], p2[1])
+                    pt = p2
+                elif op in (b"c", b"v", b"y") and len(operands) >= 2:
+                    # curves contribute no straight rules; track the pen
+                    pt = mat_apply(ctm, num(operands[-2]), num(operands[-1]))
+                elif op in (b"S", b"s", b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*"):
+                    if pending:
+                        room = self.MAX_RULES - len(self.rules)
+                        if room > 0:
+                            ox, oy = self.origin_x, self.origin_y
+                            self.rules.extend(
+                                (x0 - ox, y0 - oy, x1 - ox, y1 - oy)
+                                for x0, y0, x1, y1 in pending[:room]
+                            )
+                        pending = []
+                    pt = None
+                elif op == b"n":  # clipping path: not painted
+                    pending = []
+                    pt = None
             except PDFError:
                 continue  # skip malformed op, keep going
 

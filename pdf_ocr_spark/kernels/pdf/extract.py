@@ -24,6 +24,8 @@ from pdf_ocr_spark.kernels.pdf.layout import (
     build_blocks,
     build_lines,
     page_text_from_blocks,
+    retype_table_blocks,
+    table_regions,
     xy_cut_order,
 )
 
@@ -110,6 +112,10 @@ def extract_pdf(
         lines = build_lines(res.glyphs, res.height)
         ordered = xy_cut_order(lines)
         pblocks = build_blocks(ordered, i)
+        if res.rules:  # ruled-line grids → 'table' typed blocks (v4)
+            pblocks = retype_table_blocks(
+                pblocks, table_regions(res.rules, res.height)
+            )
         blocks.extend(pblocks)
         pages.append(
             PageExtract(

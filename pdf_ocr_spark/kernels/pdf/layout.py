@@ -94,25 +94,25 @@ def build_lines(glyphs: Sequence[Glyph], page_h: float) -> List[Line]:
 
     # sort by baseline (top-down), then x, then emission order
     # (decorated tuples: one key build per glyph, no per-compare lambdas;
-    # seq is unique so the trailing Glyph is never compared)
-    items = [
-        t[3]
-        for t in sorted(
-            (round(page_h - g.y, 2), round(g.x, 2), g.seq, g) for g in vis
-        )
-    ]
-    lines: List[List[Glyph]] = []
+    # seq is unique so the trailing fields are never compared).  The
+    # (x_r, seq, g) triple is carried into the per-line sort so each
+    # glyph is decorated (and rounded) exactly once.
+    items = sorted(
+        (round(page_h - g.y, 2), round(g.x, 2), g.seq, page_h - g.y, g)
+        for g in vis
+    )
+    lines: List[List[Tuple[float, int, Glyph]]] = []
     anchors: List[float] = []
-    for g in items:
-        yt = page_h - g.y
+    for _ytr, x_r, seq, yt, g in items:
         if lines and abs(yt - anchors[-1]) <= tol:
-            lines[-1].append(g)
+            lines[-1].append((x_r, seq, g))
         else:
-            lines.append([g])
+            lines.append([(x_r, seq, g)])
             anchors.append(yt)
     out: List[Line] = []
-    for group in lines:
-        group = [t[2] for t in sorted((round(g.x, 2), g.seq, g) for g in group)]
+    for triples in lines:
+        triples.sort()  # (x_r, seq) — same order as re-decorating would give
+        group = [t[2] for t in triples]
         sizes = [g.size for g in group if g.size > 0]
         gsize = _median(sizes, med_size)
         # split a y-cluster on big horizontal jumps (column gutters / cells)
@@ -259,6 +259,83 @@ def build_blocks(ordered_lines: List[Line], page_num: int) -> List[Block]:
             )
         )
     return blocks
+
+
+# -- ruled-line table detection (v4 composite-block typing) ------------------
+
+
+def table_regions(
+    rules: Sequence[Tuple[float, float, float, float]],
+    page_h: float,
+    min_h: int = 2,
+    min_v: int = 2,
+) -> List[Tuple[float, float, float, float]]:
+    """Detect table grids from PAINTED axis-aligned rules (device coords,
+    y up): cluster touching/overlapping segments (union-find, 3pt
+    tolerance); a cluster with ≥2 distinct horizontal AND ≥2 distinct
+    vertical rules is a grid — its bbox (top-down coords) is a table
+    region.  The honest stand-in for the reference's layout-model table
+    blocks (/root/reference/pdf_ocr_with_boxes_v4.py:232-260): no ML, so
+    only RULED tables are typed; borderless tables stay 'text'."""
+    if not rules or len(rules) > 2000:  # path-bomb pages: skip detection
+        return []
+    segs = []
+    for x0, y0, x1, y1 in rules:
+        t0, t1 = page_h - y0, page_h - y1
+        xa, xb = (x0, x1) if x0 <= x1 else (x1, x0)
+        ya, yb = (t0, t1) if t0 <= t1 else (t1, t0)
+        segs.append((xa, ya, xb, yb, (yb - ya) < 0.5))
+    parent = list(range(len(segs)))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    tol = 3.0
+    for i in range(len(segs)):
+        a = segs[i]
+        for j in range(i + 1, len(segs)):
+            b = segs[j]
+            if (a[0] - tol <= b[2] and b[0] - tol <= a[2]
+                    and a[1] - tol <= b[3] and b[1] - tol <= a[3]):
+                pi, pj = find(i), find(j)
+                if pi != pj:
+                    parent[pi] = pj
+    groups: Dict[int, List[tuple]] = {}
+    for i in range(len(segs)):
+        groups.setdefault(find(i), []).append(segs[i])
+    regions = []
+    for g in groups.values():
+        hs = {round((s[1] + s[3]) / 2.0) for s in g if s[4]}
+        vs = {round((s[0] + s[2]) / 2.0) for s in g if not s[4]}
+        if len(hs) >= min_h and len(vs) >= min_v:
+            regions.append(
+                (min(s[0] for s in g), min(s[1] for s in g),
+                 max(s[2] for s in g), max(s[3] for s in g))
+            )
+    return regions
+
+
+def retype_table_blocks(
+    blocks: List[Block],
+    regions: Sequence[Tuple[float, float, float, float]],
+) -> List[Block]:
+    """Blocks whose bbox center falls inside a detected grid region are
+    typed 'table' (text/bbox/confidence unchanged — page text stays
+    byte-identical; downstream P3/P4 dispatch sees the type)."""
+    if not regions:
+        return blocks
+    out = []
+    for b in blocks:
+        cx = (b.bbox[0] + b.bbox[2]) / 2.0
+        cy = (b.bbox[1] + b.bbox[3]) / 2.0
+        inside = any(
+            rx0 <= cx <= rx1 and ry0 <= cy <= ry1 for rx0, ry0, rx1, ry1 in regions
+        )
+        out.append(b._replace(type="table") if inside else b)
+    return out
 
 
 def page_text_from_blocks(blocks: Sequence[Block]) -> str:

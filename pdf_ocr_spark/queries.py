@@ -13,6 +13,7 @@ Conventions that make the oracle comparison byte-stable:
 
 from __future__ import annotations
 
+import os as _os
 from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,14 @@ _NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _golden(name: str) -> str:
+    """Path of a frozen kernel golden (tools/freeze_goldens.py) — the
+    DuckDB oracle for non-SQL-expressible kernels reads these."""
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "fixtures", f"{name}_golden.parquet"
+    )
 
 
 def _dec_sum_sql(expr: str, r: int = 2) -> str:
@@ -1282,20 +1291,25 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def _media_corpus(spark, n: int = 50):
+    """Media universe for the multimodal queries: synthetic corpus
+    payloads as opaque blobs (must match tools/freeze_goldens.media_rows
+    — the frozen-golden oracle recomputes the same rows kernel-side)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+
+    rows = [
+        (i, bytearray(r["html"]) if r["html"] is not None else None)
+        for i, r in enumerate(gen_rows(n))
+    ]
+    return spark.createDataFrame(rows, schema="media_id long, blob binary")
+
+
 def q_multimodal_frames(spark, sf_dir):
-    """Arrow-batched media decode fan-out (deterministic fake decoder;
-    rows-only check — the decode is not SQL-expressible)."""
+    """Arrow-batched media decode fan-out (deterministic fake decoder);
+    oracle = frozen kernel golden — full value-hash gate."""
     from pdf_ocr_spark.operators.multimodal import decode_frames
 
-    media = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 50)
-        .select(
-            F.col("doc_id").alias("media_id"),
-            F.encode(F.col("text"), "utf-8").alias("blob"),
-        )
-    )
-    frames = decode_frames(media)
+    frames = decode_frames(_media_corpus(spark))
     return frames.select(
         "media_id",
         "frame_idx",
@@ -1303,6 +1317,12 @@ def q_multimodal_frames(spark, sf_dir):
             F.aggregate(F.col("feature"), F.lit(0.0), lambda a, v: a + v), 6
         ).alias("feature_sum"),
     )
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+SELECT media_id, frame_idx, feature_sum
+FROM read_parquet('{_golden("multimodal_frames")}')
+"""
 
 
 def q_multimodal_resize(spark, sf_dir):
@@ -1338,19 +1358,11 @@ FROM m
 
 
 def q_multimodal_frame_sample(spark, sf_dir):
-    """Frame-sampling composed over the decode fan-out (every 2nd frame;
-    rows-only — the fake decoder is not SQL-expressible)."""
+    """Frame-sampling composed over the decode fan-out (every 2nd frame);
+    oracle = frozen frames golden filtered on the frame index."""
     from pdf_ocr_spark.operators.multimodal import decode_frames, sample_frames
 
-    media = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 50)
-        .select(
-            F.col("doc_id").alias("media_id"),
-            F.encode(F.col("text"), "utf-8").alias("blob"),
-        )
-    )
-    return sample_frames(decode_frames(media), every_nth=2).select(
+    return sample_frames(decode_frames(_media_corpus(spark)), every_nth=2).select(
         "media_id",
         "frame_idx",
         F.round(
@@ -1359,31 +1371,47 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+SQL_MULTIMODAL_FRAME_SAMPLE = f"""
+SELECT media_id, frame_idx, feature_sum
+FROM read_parquet('{_golden("multimodal_frames")}')
+WHERE frame_idx % 2 = 0
+"""
+
+
 def q_sink_overlay_svg(spark, sf_dir):
-    """S7 annotated-overlay sink (SVG; rows-only — the renderer is a
-    kernel, pinned by md5 over the deterministic markup)."""
+    """S7 annotated-overlay sink (SVG): the distributed grouped-map
+    renderer vs the overlay kernel run locally — oracle = frozen golden
+    (md5 + length of the deterministic markup per page)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
     from pdf_ocr_spark.operators.sinks import render_overlays
 
-    blocks = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 60)
-        .select(
-            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-            (F.col("doc_id") % 3 + 1).cast("int").alias("page"),
-            F.lit(612.0).alias("page_w"),
-            F.lit(792.0).alias("page_h"),
-            F.substring("text", 1, 24).alias("text"),
-            F.array(
-                F.array(F.lit(10.0), (F.col("doc_id") % 20).cast("double") * 30),
-                F.array(F.lit(200.0), (F.col("doc_id") % 20).cast("double") * 30),
-                F.array(F.lit(200.0), (F.col("doc_id") % 20).cast("double") * 30 + 20),
-                F.array(F.lit(10.0), (F.col("doc_id") % 20).cast("double") * 30 + 20),
-            ).alias("quad"),
-        )
+    rows = [
+        (f"doc://{i}", i % 3 + 1, (r["text"] or "")[:24], float(i % 20) * 30.0)
+        for i, r in enumerate(gen_rows(60))
+    ]
+    src = spark.createDataFrame(rows, "url string, page int, text string, y double")
+    blocks = src.select(
+        "url",
+        "page",
+        F.lit(612.0).alias("page_w"),
+        F.lit(792.0).alias("page_h"),
+        "text",
+        F.array(
+            F.array(F.lit(10.0), F.col("y")),
+            F.array(F.lit(200.0), F.col("y")),
+            F.array(F.lit(200.0), F.col("y") + 20.0),
+            F.array(F.lit(10.0), F.col("y") + 20.0),
+        ).alias("quad"),
     )
     return render_overlays(blocks).select(
         "url", "page", F.md5("svg").alias("svg_md5"), F.length("svg").alias("svg_len")
     )
+
+
+SQL_SINK_OVERLAY_SVG = f"""
+SELECT url, page, svg_md5, CAST(svg_len AS INT) AS svg_len
+FROM read_parquet('{_golden("sink_overlay")}')
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1394,8 +1422,9 @@ def q_sink_overlay_svg(spark, sf_dir):
 def q_extract_corpus(spark, sf_dir):
     """The flagship operator: full extraction pipeline over the
     deterministic synthetic pages corpus (PDF glyph/simple/scan + HTML +
-    broken rows). Returns stable per-url results with a content md5 so
-    the rows-only check still pins the bytes."""
+    broken rows).  Oracle = frozen golden computed by running the SAME
+    UDF body in-process (tools/freeze_goldens.py) — a full value-hash
+    gate on the distributed pipeline, text bytes pinned via md5."""
     from pdf_ocr_spark.fixtures.genpages import gen_rows
     from pdf_ocr_spark.pipeline.extract_job import extract_documents
 
@@ -1416,11 +1445,15 @@ def q_extract_corpus(spark, sf_dir):
     ).orderBy("url")
 
 
-import os as _os
+SQL_EXTRACT_CORPUS = f"""
+SELECT url, content_kind, status, CAST(n_pages AS INT) AS n_pages,
+       CAST(n_blocks AS INT) AS n_blocks, CAST(n_chars AS INT) AS n_chars,
+       text_md5
+FROM read_parquet('{_golden("extract_corpus")}')
+"""
 
-_BLOCKS_GOLDEN = _os.path.join(
-    _os.path.dirname(_os.path.abspath(__file__)), "fixtures", "blocks_golden.parquet"
-)
+
+_BLOCKS_GOLDEN = _golden("blocks")
 
 
 def _blocks_corpus_df(spark):
@@ -1827,13 +1860,18 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # multimodal
+    # non-SQL-expressible kernels: oracle = frozen kernel golden
+    # (tools/freeze_goldens.py) → full value-hash gate
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "multimodal_frames": (q_multimodal_frames, None),  # decode not SQL-expressible
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
-    "multimodal_frame_sample": (q_multimodal_frame_sample, None),
-    "sink_overlay_svg": (q_sink_overlay_svg, None),  # S7 renderer kernel
-    # extraction pipeline (kernels not SQL-expressible → rows-only)
-    "extract_corpus": (q_extract_corpus, None),
+    "multimodal_frame_sample": (
+        q_multimodal_frame_sample,
+        SQL_MULTIMODAL_FRAME_SAMPLE,
+    ),
+    "sink_overlay_svg": (q_sink_overlay_svg, SQL_SINK_OVERLAY_SVG),
+    "extract_corpus": (q_extract_corpus, SQL_EXTRACT_CORPUS),
+    # lineage stays rows-only: part_id depends on physical partitioning
     "extract_lineage": (q_extract_lineage, None),
     # blocks level: pipeline-computed vs frozen kernel golden (full hash)
     "blocks_table": (q_blocks_table, SQL_BLOCKS_TABLE),

@@ -121,3 +121,81 @@ class TestBlocks:
         lines = [L("x", 10, 10, 50, 22), L("y", 12, 26, 80, 38)]
         b = build_blocks(xy_cut_order(lines), 1)[0]
         assert b.bbox == (10.0, 10.0, 80.0, 38.0)
+
+
+class TestTableDetection:
+    """Ruled-line table typing (v4 composite blocks, honest no-ML
+    stand-in): a painted grid types the blocks inside it 'table'."""
+
+    def _grid_pdf(self):
+        from tests.test_cos import _minimal_pdf
+
+        content = (
+            b"BT /F1 14 Tf 1 0 0 1 72 740 Tm (Quarterly Report) Tj ET\n"
+            b"0.5 w 72 600 300 100 re S\n"       # outer border
+            b"72 650 m 372 650 l S\n"            # inner horizontal rule
+            b"200 600 m 200 700 l S\n"           # inner vertical rule
+            b"BT /F1 10 Tf 1 0 0 1 80 670 Tm (Revenue) Tj ET\n"
+            b"BT /F1 10 Tf 1 0 0 1 210 670 Tm (1200) Tj ET\n"
+            b"BT /F1 10 Tf 1 0 0 1 80 620 Tm (Cost) Tj ET\n"
+            b"BT /F1 10 Tf 1 0 0 1 210 620 Tm (800) Tj ET\n"
+        )
+        # _minimal_pdf has no font resource; build with one (as in crypt tests)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Resources << /Font << /F1 5 0 R >> >> >>",
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs, 1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % (
+            len(objs) + 1, xref,
+        )
+        return bytes(out)
+
+    def test_grid_blocks_typed_table(self):
+        from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+        res = extract_pdf(self._grid_pdf())
+        assert res.status == "ok"
+        by_text = {b.text: b for b in res.blocks}
+        assert by_text["Quarterly Report"].type in ("text", "title")
+        for cell in ("Revenue", "1200", "Cost", "800"):
+            assert by_text[cell].type == "table", (cell, by_text[cell])
+        # page text unchanged by typing (byte-identity preserved)
+        assert "Quarterly Report" in res.pages[0].text
+        assert "Revenue" in res.pages[0].text
+
+    def test_clip_only_rect_is_not_a_table(self):
+        from pdf_ocr_spark.kernels.pdf.content import interpret_page
+        from pdf_ocr_spark.kernels.pdf.cos import PDFDocument
+        from tests.test_cos import _minimal_pdf
+
+        # W n = clipping path, never painted -> no rules
+        doc = PDFDocument(_minimal_pdf(b"72 600 300 100 re W n"))
+        res = interpret_page(doc, doc.pages()[0])
+        assert res.rules == []
+
+    def test_painted_rect_emits_rules(self):
+        from pdf_ocr_spark.kernels.pdf.content import interpret_page
+        from pdf_ocr_spark.kernels.pdf.cos import PDFDocument
+        from tests.test_cos import _minimal_pdf
+
+        doc = PDFDocument(_minimal_pdf(b"72 600 300 100 re S"))
+        res = interpret_page(doc, doc.pages()[0])
+        assert len(res.rules) == 4  # four axis-aligned edges
+
+    def test_single_line_no_table(self):
+        from pdf_ocr_spark.kernels.pdf.layout import table_regions
+
+        assert table_regions([(72, 600, 372, 600)], 792.0) == []

@@ -1,0 +1,119 @@
+"""Freeze kernel-computed goldens for the registry queries whose
+semantics are not SQL-expressible: the DuckDB oracle then reads the
+frozen parquet, giving those queries a FULL value-hash correctness gate
+instead of a rows-only check.
+
+Every golden is computed WITHOUT Spark (the kernels / batch UDF bodies
+run in-process) over the repo's own deterministic corpus
+(fixtures/genpages.gen_rows) — so the gate compares the DISTRIBUTED
+pipeline against an independent local execution, and never depends on
+the driver's testdata seeds.
+
+Rerun (and commit the results) only when kernel semantics intentionally
+change:  python tools/freeze_goldens.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf_ocr_spark.fixtures.genpages import gen_rows  # noqa: E402
+
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pdf_ocr_spark", "fixtures",
+)
+
+
+def freeze_blocks() -> pd.DataFrame:
+    from tools.freeze_blocks_golden import OUT, golden_frame
+
+    df = golden_frame()
+    df.to_parquet(OUT, index=False)
+    return df
+
+
+def freeze_extract_corpus() -> pd.DataFrame:
+    """Golden for the flagship query: the fused extractor UDF body run
+    in-process over gen_rows(150) (must match q_extract_corpus)."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_docs_batch
+
+    rows = gen_rows(150)
+    batch = pd.DataFrame(
+        {"url": [r["url"] for r in rows],
+         "html": [bytes(r["html"]) if r["html"] is not None else None for r in rows]}
+    )
+    out = pd.concat(list(extract_docs_batch(iter([batch]))), ignore_index=True)
+    out["text_md5"] = [
+        hashlib.md5((t if isinstance(t, str) else "").encode("utf-8")).hexdigest()
+        for t in out["extracted_text"]
+    ]
+    golden = out[
+        ["url", "content_kind", "status", "n_pages", "n_blocks", "n_chars", "text_md5"]
+    ].sort_values("url", kind="mergesort").reset_index(drop=True)
+    golden.to_parquet(os.path.join(FIXTURES, "extract_corpus_golden.parquet"), index=False)
+    return golden
+
+
+def media_rows(n: int = 50):
+    """Shared media universe for the multimodal queries: (media_id, blob)
+    from the synthetic corpus payloads (must match queries._media_corpus)."""
+    return [
+        (i, bytes(r["html"]) if r["html"] is not None else None)
+        for i, r in enumerate(gen_rows(n))
+    ]
+
+
+def freeze_multimodal_frames() -> pd.DataFrame:
+    from pdf_ocr_spark.operators.multimodal import decode_frames_batch
+
+    rows = media_rows(50)
+    batch = pd.DataFrame(
+        {"media_id": [m for m, _ in rows], "blob": [b for _, b in rows]}
+    )
+    out = pd.concat(list(decode_frames_batch(iter([batch]))), ignore_index=True)
+    out["feature_sum"] = [round(sum(f), 6) for f in out["feature"]]
+    golden = out[["media_id", "frame_idx", "feature_sum"]]
+    golden.to_parquet(
+        os.path.join(FIXTURES, "multimodal_frames_golden.parquet"), index=False
+    )
+    return golden
+
+
+def freeze_sink_overlay() -> pd.DataFrame:
+    """Golden for the S7 SVG sink: the overlay kernel run directly over
+    the same synthetic single-box pages q_sink_overlay_svg builds."""
+    from pdf_ocr_spark.operators.sinks import overlay_svg
+
+    recs = []
+    for i, r in enumerate(gen_rows(60)):
+        y = float(i % 20) * 30.0
+        quad = [[10.0, y], [200.0, y], [200.0, y + 20.0], [10.0, y + 20.0]]
+        text = (r["text"] or "")[:24]
+        svg = overlay_svg(612.0, 792.0, [(text, quad)])
+        recs.append(
+            (f"doc://{i}", i % 3 + 1,
+             hashlib.md5(svg.encode("utf-8")).hexdigest(), len(svg))
+        )
+    golden = pd.DataFrame(recs, columns=["url", "page", "svg_md5", "svg_len"])
+    golden.to_parquet(
+        os.path.join(FIXTURES, "sink_overlay_golden.parquet"), index=False
+    )
+    return golden
+
+
+if __name__ == "__main__":
+    for name, fn in [
+        ("blocks", freeze_blocks),
+        ("extract_corpus", freeze_extract_corpus),
+        ("multimodal_frames", freeze_multimodal_frames),
+        ("sink_overlay", freeze_sink_overlay),
+    ]:
+        df = fn()
+        print(f"{name}: {len(df)} rows frozen")
