@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "sim_topk_lsh",
     "text_lang_id",
     "text_quality",
+    "text_gopher",
+    "text_repetition",
     "text_fingerprint",
     "a5_span_fold",
     "p9_content_sniff",

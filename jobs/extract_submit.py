@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--split-giants", action="store_true",
                     help="page-range-split documents larger than --giant-bytes")
     ap.add_argument("--giant-bytes", type=int, default=4 << 20)
+    ap.add_argument("--snapshot-log", action="store_true",
+                    help="Iceberg-style snapshot-log table: atomic manifest "
+                         "commits + snapshot-isolation resume (crash-safe)")
     args = ap.parse_args()
 
     # under spark-submit the session comes preconfigured by the cluster;
@@ -47,18 +50,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.monotonic()
-    from pdf_ocr_spark.pipeline.extract_job import run_extraction
+    if args.snapshot_log:
+        from pdf_ocr_spark.pipeline.snapshot_log import run_extraction_snapshot
 
-    n = run_extraction(
-        spark,
-        args.input,
-        args.output,
-        sidecar_path=args.sidecar,
-        num_partitions=args.partitions,
-        partition_buckets=args.buckets,
-        split_giants=args.split_giants,
-        giant_bytes=args.giant_bytes,
-    )
+        n = run_extraction_snapshot(
+            spark,
+            args.input,
+            args.output,
+            num_partitions=args.partitions,
+            partition_buckets=args.buckets,
+            split_giants=args.split_giants,
+            giant_bytes=args.giant_bytes,
+        )
+    else:
+        from pdf_ocr_spark.pipeline.extract_job import run_extraction
+
+        n = run_extraction(
+            spark,
+            args.input,
+            args.output,
+            sidecar_path=args.sidecar,
+            num_partitions=args.partitions,
+            partition_buckets=args.buckets,
+            split_giants=args.split_giants,
+            giant_bytes=args.giant_bytes,
+        )
 
     print(
         json.dumps(

@@ -72,6 +72,111 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def gopher_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rules quality gate (Rae et al. 2021, §A1.1 heuristics — the
+    standard web-text pretraining filter), as pure codegen'd column
+    expressions.  RE2-safe patterns only (no lookaround) so the DuckDB
+    oracle evaluates the identical regexes:
+
+      * word count in [50, 100000]
+      * mean word length in [3, 10]
+      * symbol-to-word ratio (# / ellipsis) <= 0.1
+      * bullet-started line fraction <= 0.9
+      * ellipsis-ended line fraction <= 0.3
+      * >= 80% of words contain an alphabetic character
+    """
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"\S+"))
+    word_chars = F.regexp_count(t, F.lit(r"\S"))
+    n_lines = F.regexp_count(t, F.lit(r"\n")) + 1
+    symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
+    # [ \t]* not \s*: multiline \s spans newlines and Java/RE2 disagree
+    # on \s members — the explicit class is engine-identical
+    bullet_lines = F.regexp_count(t, F.lit(r"(?m)^[ \t]*[-•\*]"))
+    ellipsis_lines = F.regexp_count(t, F.lit(r"(?m)(\.\.\.|…)[ \t]*$"))
+    alpha_words = F.regexp_count(t, F.lit(r"(?:^|\s)[^\s]*[A-Za-z]"))
+    mwl = word_chars / F.greatest(words, F.lit(1))
+    sym_ratio = symbols / F.greatest(words, F.lit(1))
+    bullet_frac = bullet_lines / n_lines
+    ellipsis_frac = ellipsis_lines / n_lines
+    alpha_frac = alpha_words / F.greatest(words, F.lit(1))
+    passes = (
+        (words >= 50) & (words <= 100_000)
+        & (mwl >= 3.0) & (mwl <= 10.0)
+        & (sym_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+    )
+    return docs.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        passes.alias("passes_gopher"),
+    )
+
+
+def c4_filters(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style cleanup signals (Raffel et al. 2020 §2.2): sentence count,
+    code/boilerplate markers, terminal-punctuation line fraction, and the
+    resulting keep decision."""
+    t = F.col(text_col)
+    n_sentences = F.regexp_count(t, F.lit(r"[.!?]"))
+    has_curly = t.contains("{")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_js = F.lower(t).contains("javascript")
+    n_lines = F.regexp_count(t, F.lit(r"\n")) + 1
+    terminal_lines = F.regexp_count(t, F.lit(r"(?m)[.!?][ \t]*$"))
+    keep = (
+        (n_sentences >= 3) & ~has_curly & ~has_lorem & ~has_js
+    )
+    return docs.select(
+        F.col(id_col),
+        n_sentences.alias("n_sentences"),
+        has_curly.alias("has_curly"),
+        has_lorem.alias("has_lorem"),
+        has_js.alias("has_javascript"),
+        F.round(terminal_lines / n_lines, 4).alias("terminal_line_frac"),
+        keep.alias("keep_c4"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition signals (Gopher §A1.1 dup-fraction family): duplicate
+    line and duplicate paragraph fractions via array built-ins — one
+    projection, no explode/shuffle."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda s: F.trim(s) != "")
+    paras = F.filter(F.split(t, r"\n\n"), lambda s: F.trim(s) != "")
+    n_lines = F.size(lines)
+    n_paras = F.size(paras)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 4),
+    ).otherwise(F.lit(0.0))
+    dup_para_frac = F.when(
+        n_paras > 0,
+        F.round((n_paras - F.size(F.array_distinct(paras))) / n_paras, 4),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        n_paras.alias("n_paras"),
+        dup_para_frac.alias("dup_para_frac"),
+    )
+
+
 def fingerprint_expr(col: Column) -> Column:
     """Content fingerprint: md5 of lowercased, whitespace-collapsed text
     (kernels.textstats.fingerprint_md5 parity)."""

@@ -344,7 +344,7 @@ BLOCK_SCHEMA = StructType(
         StructField("url", StringType()),
         StructField("page_num", IntegerType()),
         StructField("block_index", IntegerType()),
-        StructField("type", StringType()),          # 'title' | 'text' | 'ocr'
+        StructField("type", StringType()),  # 'title' | 'text' | 'table' | 'ocr'
         StructField("bbox", ArrayType(DoubleType())),  # [x0,y0,x1,y1] top-down
         StructField("text", StringType()),
         StructField("confidence", DoubleType()),

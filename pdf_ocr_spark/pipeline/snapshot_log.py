@@ -1,0 +1,165 @@
+"""Iceberg-style snapshot log on plain parquet (table-format lite).
+
+The north rule names Iceberg tables; this sandbox ships no
+iceberg-spark-runtime jar, so this module implements the part of the
+table format the pipeline actually depends on — ATOMIC COMMITS and
+SNAPSHOT-ISOLATION READS — with the same mechanics Iceberg uses
+(immutable data files + a manifest log, commit = one atomic metadata
+operation):
+
+    table/
+      data/<run_id>/part-*.parquet        immutable per-run data files
+      data/<run_id>/_sidecar/*.parquet    lineage rows for the run
+      _snapshots/<seq>-<run_id>.json      manifest: one per committed run
+
+A reader sees exactly the union of data dirs named by manifests; a run
+that crashes mid-write leaves an orphan data dir that NO manifest names
+— invisible to readers and to resume, so partially-written output can
+never poison the table (the directory-listing append mode can't promise
+that).  The manifest is committed via write-temp + ``os.rename`` —
+atomic on POSIX; on real object storage this maps to Iceberg's
+metadata-pointer swap.  The sidecar commits in the SAME manifest as its
+data, closing the orphan-sidecar window run_extraction's append mode
+documents.
+
+On a cluster with the Iceberg runtime, `run_extraction_snapshot` maps
+1:1 onto `df.writeTo(table).append()` + `MERGE INTO` for retried
+transient failures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _snapshots_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_snapshots")
+
+
+def committed_manifests(table_path: str) -> List[dict]:
+    """All committed manifests in commit (seq) order."""
+    sdir = _snapshots_dir(table_path)
+    if not os.path.isdir(sdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(sdir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(sdir, name)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def committed_data_dirs(table_path: str) -> List[str]:
+    return [
+        os.path.join(table_path, "data", m["run_id"])
+        for m in committed_manifests(table_path)
+        if m.get("n_docs", 0) > 0
+    ]
+
+
+def read_snapshot_table(spark: SparkSession, table_path: str) -> Optional[DataFrame]:
+    """Snapshot-isolation read: union of committed runs only.  Returns
+    None for an empty table.  Orphan (uncommitted) data dirs are never
+    read — they are not in any manifest."""
+    dirs = committed_data_dirs(table_path)
+    if not dirs:
+        return None
+    # per-run reads unioned (not one multi-path read): each run dir may be
+    # hive-partitioned on url_bucket, and partition discovery across
+    # differently-rooted paths is fragile; per-dir discovery is exact
+    dfs = [spark.read.parquet(d) for d in dirs]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def read_snapshot_sidecar(spark: SparkSession, table_path: str) -> Optional[DataFrame]:
+    dirs = [
+        os.path.join(d, "_sidecar")
+        for d in committed_data_dirs(table_path)
+        if os.path.isdir(os.path.join(d, "_sidecar"))
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def commit_run(table_path: str, run_id: str, n_docs: int) -> None:
+    """Atomic commit: temp-write the manifest, fsync, rename into
+    ``_snapshots/``.  The rename is the commit point — before it, the
+    run's data dir is invisible; after it, fully visible."""
+    sdir = _snapshots_dir(table_path)
+    os.makedirs(sdir, exist_ok=True)
+    seq = len([n for n in os.listdir(sdir) if n.endswith(".json")])
+    final = os.path.join(sdir, f"{seq:06d}-{run_id}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"seq": seq, "run_id": run_id, "n_docs": n_docs}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+
+
+def run_extraction_snapshot(
+    spark: SparkSession,
+    input_path: str,
+    table_path: str,
+    num_partitions: Optional[int] = None,
+    partition_buckets: Optional[int] = None,
+    split_giants: bool = False,
+    giant_bytes: int = 4 << 20,
+) -> int:
+    """Checkpointable batch run against a snapshot-log table: resume →
+    extract → write data+sidecar to a fresh run dir → ATOMIC manifest
+    commit.  Returns the number of documents appended by this run.
+
+    Kill-and-restart safe at any point: a crash before the manifest
+    rename leaves only an invisible orphan run dir; rerunning resumes
+    from the last committed snapshot and re-extracts the lost work."""
+    from pdf_ocr_spark.pipeline.extract_job import (
+        doc_lineage_metrics,
+        extract_documents,
+        extract_documents_split,
+        resume_filter,
+    )
+
+    pages = spark.read.parquet(input_path)
+    done = read_snapshot_table(spark, table_path)
+    if done is not None:
+        pages = resume_filter(pages, done)
+    if split_giants:
+        docs = extract_documents_split(pages, num_partitions, giant_bytes=giant_bytes)
+    else:
+        docs = extract_documents(pages, num_partitions)
+    if partition_buckets:
+        docs = docs.withColumn(
+            "url_bucket",
+            F.pmod(F.xxhash64("url"), F.lit(partition_buckets)).cast("int"),
+        )
+
+    run_id = uuid.uuid4().hex[:16]
+    run_dir = os.path.join(table_path, "data", run_id)
+    docs = docs.persist()
+    try:
+        n = docs.count()
+        if n > 0:
+            writer = docs.write.mode("overwrite")  # fresh dir: overwrite=create
+            if partition_buckets:
+                writer = writer.partitionBy("url_bucket")
+            writer.parquet(run_dir)
+            doc_lineage_metrics(docs).withColumn(
+                "run_id", F.lit(run_id)
+            ).write.mode("overwrite").parquet(os.path.join(run_dir, "_sidecar"))
+        # the commit point — everything above is invisible until here
+        commit_run(table_path, run_id, n)
+    finally:
+        docs.unpersist()
+    return n

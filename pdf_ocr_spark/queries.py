@@ -1249,6 +1249,104 @@ FROM documents GROUP BY lang
 """
 
 
+def q_text_gopher(spark, sf_dir):
+    """Gopher-rules quality gate (web-text pretraining filter) — all
+    codegen'd regexp_count arithmetic, RE2-safe so the oracle evaluates
+    the identical patterns."""
+    return T.gopher_quality(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+
+def _cnt(p: str) -> str:
+    return _SQL_CNT.format(p=p)
+
+
+_C_WORDS = _cnt(r"\S+")
+_C_WCHARS = _cnt(r"\S")
+_C_BULLET = _cnt(r"(?m)^[ \t]*[-•\*]")
+_C_ELLIP = _cnt(r"(?m)(\.\.\.|…)[ \t]*$")
+_C_SYM = _cnt(r"#|\.\.\.|…")
+_C_ALPHAW = _cnt(r"(?:^|\s)[^\s]*[A-Za-z]")
+_C_NL = _cnt(r"\n")
+
+SQL_TEXT_GOPHER = f"""
+WITH f AS (
+  SELECT doc_id,
+    {_C_WORDS} AS words,
+    {_C_WCHARS} AS word_chars,
+    {_C_BULLET} AS bullet_lines,
+    {_C_ELLIP} AS ellipsis_lines,
+    {_C_SYM} AS symbols,
+    {_C_ALPHAW} AS alpha_words,
+    {_C_NL} + 1 AS n_lines
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id, words AS n_words,
+  round(word_chars / greatest(words, 1), 4) AS mean_word_len,
+  round(symbols / greatest(words, 1), 4) AS symbol_ratio,
+  round(bullet_lines / n_lines, 4) AS bullet_frac,
+  round(ellipsis_lines / n_lines, 4) AS ellipsis_frac,
+  round(alpha_words / greatest(words, 1), 4) AS alpha_word_frac,
+  (words >= 50 AND words <= 100000
+   AND word_chars / greatest(words, 1) >= 3.0
+   AND word_chars / greatest(words, 1) <= 10.0
+   AND symbols / greatest(words, 1) <= 0.1
+   AND bullet_lines / n_lines <= 0.9
+   AND ellipsis_lines / n_lines <= 0.3
+   AND alpha_words / greatest(words, 1) >= 0.8) AS passes_gopher
+FROM f
+"""
+
+
+def q_text_c4(spark, sf_dir):
+    """C4-style cleanup signals + keep decision."""
+    return T.c4_filters(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
+
+
+_C_SENT = _cnt(r"[.!?]")
+_C_TERM = _cnt(r"(?m)[.!?][ \t]*$")
+
+SQL_TEXT_C4 = f"""
+SELECT doc_id,
+  {_C_SENT} AS n_sentences,
+  contains(text, '{{') AS has_curly,
+  contains(lower(text), 'lorem ipsum') AS has_lorem,
+  contains(lower(text), 'javascript') AS has_javascript,
+  round({_C_TERM} / ({_C_NL} + 1), 4) AS terminal_line_frac,
+  ({_C_SENT} >= 3 AND NOT contains(text, '{{')
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(lower(text), 'javascript')) AS keep_c4
+FROM documents WHERE doc_id < 300
+"""
+
+
+def q_text_repetition(spark, sf_dir):
+    """Duplicate-line / duplicate-paragraph fractions (Gopher repetition
+    family) — array built-ins, no explode."""
+    return T.repetition_stats(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH f AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), s -> trim(s) <> '') AS lines,
+    list_filter(string_split(text, chr(10) || chr(10)), s -> trim(s) <> '') AS paras
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+  CAST(len(lines) AS INT) AS n_lines,
+  CASE WHEN len(lines) > 0
+       THEN round((len(lines) - len(list_distinct(lines))) / len(lines), 4)
+       ELSE 0.0 END AS dup_line_frac,
+  CAST(len(paras) AS INT) AS n_paras,
+  CASE WHEN len(paras) > 0
+       THEN round((len(paras) - len(list_distinct(paras))) / len(paras), 4)
+       ELSE 0.0 END AS dup_para_frac
+FROM f
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 over normalized text."""
     return (
@@ -1511,6 +1609,39 @@ SQL_BLOCKS_HISTOGRAM = f"""
 SELECT block_type, count(*) AS n_blocks,
        round(avg(confidence), 4) AS avg_confidence
 FROM read_parquet('{_BLOCKS_GOLDEN}') GROUP BY block_type
+"""
+
+
+def q_extract_lineage_totals(spark, sf_dir):
+    """Corpus-wide lineage totals: partition-INDEPENDENT aggregation over
+    the per-partition sidecar rows — oracle = frozen kernel golden (the
+    per-partition rows themselves stay rows-only since part_id is
+    physical)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_pages, lineage_metrics
+
+    rows = gen_rows(150)
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"]) if r["html"] is not None else None)
+         for r in rows],
+        schema="url string, html binary",
+    )
+    m = lineage_metrics(extract_pages(pages, num_partitions=8))
+    return m.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_pages").cast("long").alias("n_pages"),
+        F.sum("n_failed").cast("long").alias("n_failed"),
+        F.sum("n_ocr_pages").cast("long").alias("n_ocr_pages"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+SQL_EXTRACT_LINEAGE_TOTALS = f"""
+SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_failed AS BIGINT) AS n_failed,
+       CAST(n_ocr_pages AS BIGINT) AS n_ocr_pages,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM read_parquet('{_golden("lineage_totals")}')
 """
 
 
@@ -1859,6 +1990,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_gopher": (q_text_gopher, SQL_TEXT_GOPHER),
+    "text_c4": (q_text_c4, SQL_TEXT_C4),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     # multimodal
     # non-SQL-expressible kernels: oracle = frozen kernel golden
     # (tools/freeze_goldens.py) → full value-hash gate
@@ -1871,8 +2005,13 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     ),
     "sink_overlay_svg": (q_sink_overlay_svg, SQL_SINK_OVERLAY_SVG),
     "extract_corpus": (q_extract_corpus, SQL_EXTRACT_CORPUS),
-    # lineage stays rows-only: part_id depends on physical partitioning
+    # lineage rows stay rows-only: part_id depends on physical
+    # partitioning; the partition-independent TOTALS get a full oracle
     "extract_lineage": (q_extract_lineage, None),
+    "extract_lineage_totals": (
+        q_extract_lineage_totals,
+        SQL_EXTRACT_LINEAGE_TOTALS,
+    ),
     # blocks level: pipeline-computed vs frozen kernel golden (full hash)
     "blocks_table": (q_blocks_table, SQL_BLOCKS_TABLE),
     "blocks_histogram": (q_blocks_histogram, SQL_BLOCKS_HISTOGRAM),

@@ -60,6 +60,77 @@ def test_truncated_real_pdfs_never_raise(idx, cut):
     assert isinstance(res, DocExtract)
 
 
+_SPECIALS = None  # lazily-built encrypted/LZW fixtures (expensive AES setup)
+
+
+def _specials():
+    global _SPECIALS
+    if _SPECIALS is None:
+        from tests.test_crypt import _aesv2_pdf, _aesv3_pdf, _rc4_pdf
+
+        _SPECIALS = [_rc4_pdf(r=2, keybits=40), _rc4_pdf(), _aesv2_pdf(), _aesv3_pdf()]
+    return _SPECIALS
+
+
+@settings(max_examples=60, deadline=5000, derandomize=True)
+@given(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=2000),
+    st.binary(min_size=1, max_size=48),
+)
+def test_mutated_encrypted_pdfs_never_raise(idx, pos, junk):
+    """Corrupting /Encrypt dicts, O/U entries, or ciphertext must yield a
+    typed failure (or survive), never an exception — crypt.py is inside
+    the kernel's no-raise promise."""
+    base = _specials()[idx]
+    pos = min(pos, len(base) - 1)
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    res = extract_pdf(mutated)
+    assert isinstance(res, DocExtract)
+    assert res.status in ("ok", "failed")
+
+
+@settings(max_examples=40, deadline=3000, derandomize=True)
+@given(
+    st.integers(min_value=0, max_value=2000),
+    st.binary(min_size=1, max_size=48),
+)
+def test_mutated_lzw_pdfs_never_raise(pos, junk):
+    """Corrupt LZW code streams (out-of-range codes, truncated bit
+    runs) must fail typed, never raise."""
+    from tests.test_cos import _lzw_encode
+
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (LZW fuzz target) Tj ET"
+    enc = _lzw_encode(content)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d /Filter /LZWDecode >>\nstream\n%s\nendstream"
+        % (len(enc), enc),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % (
+        len(objs) + 1, xref,
+    )
+    base = bytes(out)
+    pos = min(pos, len(base) - 1)
+    mutated = base[:pos] + junk + base[pos + len(junk):]
+    res = extract_pdf(mutated)
+    assert isinstance(res, DocExtract)
+    assert res.status in ("ok", "failed")
+
+
 def test_short_mediabox_never_raises():
     """Regression: a mutated /MediaBox with fewer than 4 numbers (or
     garbage) must fall back to a default page box, not IndexError

@@ -173,6 +173,48 @@ def test_ocr_failure_surfaces_as_typed_doc_failure(vlm_server, monkeypatch):
         monkeypatch.setattr(stub, "_ENGINE", None)
 
 
+def test_ocr_batch_paged_route_marks_failure(vlm_server, monkeypatch):
+    """The page-level route too: an OCR-failed page row becomes
+    status='failed' with the typed reason, not a silently-blank page."""
+    import pandas as pd
+
+    import pdf_ocr_spark.kernels.ocr_stub as stub
+    from pdf_ocr_spark.kernels.ocr_remote import RemoteVlmEngine
+    from pdf_ocr_spark.pipeline.extract_job import (
+        OCR_FAILED_REASON,
+        PAGE_SCHEMA,
+        ocr_batch,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_OCR_URL", vlm_server)
+    monkeypatch.setattr(stub, "_ENGINE", None)
+    orig_init = RemoteVlmEngine.__init__
+
+    def fast_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        self._sleep = lambda s: None
+
+    monkeypatch.setattr(RemoteVlmEngine, "__init__", fast_init)
+    try:
+        _FakeVlm.fail_count = 99
+        cols = [f.name for f in PAGE_SCHEMA.fields]
+        batch = pd.DataFrame(
+            [
+                ("u://a", "pdf", 1, None, 0, True, b"IMG", "ok", None, 10),
+                ("u://a", "pdf", 2, "text page", 3, False, None, "ok", None, 10),
+            ],
+            columns=cols,
+        )
+        out = pd.concat(list(ocr_batch(iter([batch]))))
+        failed = out[out["page"] == 1].iloc[0]
+        assert failed["status"] == "failed"
+        assert failed["failure_reason"] == OCR_FAILED_REASON
+        assert out[out["page"] == 2].iloc[0]["status"] == "ok"
+    finally:
+        _FakeVlm.fail_count = 0
+        monkeypatch.setattr(stub, "_ENGINE", None)
+
+
 def test_resume_retries_transient_ocr_failures(spark):
     """resume_filter: committed 'ocr_failed' rows do NOT count as done
     (reprocessed next run); permanent parse failures stay committed."""

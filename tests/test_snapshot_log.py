@@ -1,0 +1,74 @@
+"""Snapshot-log table tests: atomic commits, snapshot-isolation resume,
+orphan-run invisibility (kill-and-restart safety the directory-append
+mode cannot promise), and the atomically-co-committed sidecar."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.pipeline.snapshot_log import (
+    committed_manifests,
+    read_snapshot_sidecar,
+    read_snapshot_table,
+    run_extraction_snapshot,
+)
+
+
+def test_commit_resume_and_orphan_invisibility(spark, corpus_parquet, tmp_path):
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+
+    table = str(tmp_path / "table")
+    pages = spark.read.parquet(corpus_parquet)
+
+    # partial first run: commit 40 urls through the snapshot protocol
+    first = pages.orderBy("url").limit(40)
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    extract_documents(first).write.parquet(os.path.join(table, "data", "run-a"))
+    from pdf_ocr_spark.pipeline.snapshot_log import commit_run
+
+    commit_run(table, "run-a", 40)
+
+    # CRASHED second run: data written but no manifest → must be invisible
+    nxt = pages.orderBy("url").limit(50)
+    extract_documents(nxt).write.parquet(os.path.join(table, "data", "run-orphan"))
+    assert read_snapshot_table(spark, table).count() == 40  # orphan unseen
+
+    # restart: resumes from the committed snapshot → appends exactly 60
+    n = run_extraction_snapshot(spark, corpus_parquet, table, num_partitions=4)
+    assert n == 60
+    final = read_snapshot_table(spark, table)
+    assert final.count() == 100
+    assert final.select("url").distinct().count() == 100
+
+    # byte-equality with a single-shot run (the orphan never leaked in)
+    single = {r["url"]: r["extracted_text"] for r in extract_documents(pages).collect()}
+    committed = {r["url"]: r["extracted_text"] for r in final.collect()}
+    assert committed == single
+
+    # fully-committed rerun: a no-op commit, nothing reprocessed
+    n2 = run_extraction_snapshot(spark, corpus_parquet, table, num_partitions=4)
+    assert n2 == 0
+    assert read_snapshot_table(spark, table).count() == 100
+    assert [m["n_docs"] for m in committed_manifests(table)] == [40, 60, 0]
+
+
+def test_bucketed_snapshot_runs_and_sidecar(spark, corpus_parquet, tmp_path):
+    table = str(tmp_path / "btable")
+    n = run_extraction_snapshot(
+        spark, corpus_parquet, table, num_partitions=4, partition_buckets=8
+    )
+    assert n == 100
+    run_dirs = os.listdir(os.path.join(table, "data"))
+    assert len(run_dirs) == 1
+    inside = os.listdir(os.path.join(table, "data", run_dirs[0]))
+    assert any(d.startswith("url_bucket=") for d in inside)
+
+    df = read_snapshot_table(spark, table)
+    assert df.count() == 100
+    assert df.filter(F.col("url_bucket") == 3).count() >= 0  # prunable column
+
+    # sidecar committed in the SAME manifest as its data
+    side = read_snapshot_sidecar(spark, table)
+    rows = side.collect()
+    assert sum(r["n_docs"] for r in rows) == 100
+    assert all(r["run_id"] == run_dirs[0] for r in rows)

