@@ -177,6 +177,61 @@ def repetition_stats(
     )
 
 
+# PII patterns (RE2-safe, shared verbatim with the oracle): the Dolma-
+# style scrub for web-text pretraining corpora
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_PATTERN = r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction: emails / IPv4 addresses / phone numbers replaced by
+    typed placeholder tokens (Dolma convention), plus per-doc match
+    counts.  IPs scrub BEFORE phones so dotted octets can't half-match
+    the phone pattern.  All regexp built-ins — codegen'd, no UDF."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_PATTERN, "|||EMAIL|||"),
+            IPV4_PATTERN,
+            "|||IP|||",
+        ),
+        PHONE_PATTERN,
+        "|||PHONE|||",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_PATTERN)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PHONE_PATTERN)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
+def normalize_url_expr(url: Column) -> Column:
+    """Canonical URL for url-level dedup: lowercase scheme+host, strip
+    default ports, tracking (utm_*) params, fragments, and the trailing
+    slash — regex-only so the oracle normalizes identically."""
+    scheme_host = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    )
+    scheme_host = F.regexp_replace(scheme_host, r":(80|443)$", "")
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    x = F.concat(scheme_host, rest)
+    x = F.regexp_replace(x, r"#.*$", "")          # fragment
+    x = F.regexp_replace(x, r"utm_[^&#]*&", "")   # utm_ followed by more params
+    x = F.regexp_replace(x, r"[?&]utm_[^&#]*", "")  # lone/last utm_ param
+    x = F.regexp_replace(x, r"\?$", "")
+    return F.regexp_replace(x, r"/$", "")
+
+
+def domain_expr(norm_url: Column) -> Column:
+    return F.regexp_extract(norm_url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+
 def fingerprint_expr(col: Column) -> Column:
     """Content fingerprint: md5 of lowercased, whitespace-collapsed text
     (kernels.textstats.fingerprint_md5 parity)."""

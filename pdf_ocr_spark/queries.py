@@ -1347,6 +1347,128 @@ FROM f
 """
 
 
+_PII_SYNTH = (
+    "substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.example.com or 10.0.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.7, call 555-123-4567.'"
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails/IPv4/phones → typed placeholders) over a
+    deterministic synthesized corpus — the documents table carries no
+    natural PII, so both sides inject the same addresses per doc_id."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    synth = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com or 10.0."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7, call 555-123-4567."),
+    )
+    return T.pii_scrub(d.select("doc_id", synth.alias("text")))
+
+
+SQL_PII_SCRUB = f"""
+WITH u AS (
+  SELECT doc_id, {_PII_SYNTH} AS text FROM documents WHERE doc_id < 300
+),
+s AS (
+  SELECT doc_id, text,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '{T.EMAIL_PATTERN}', '|||EMAIL|||', 'g'),
+        '{T.IPV4_PATTERN}', '|||IP|||', 'g'),
+      '{T.PHONE_PATTERN}', '|||PHONE|||', 'g') AS scrubbed
+  FROM u
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{T.EMAIL_PATTERN}')) AS n_emails,
+  len(regexp_extract_all(text, '{T.IPV4_PATTERN}')) AS n_ips,
+  len(regexp_extract_all(text, '{T.PHONE_PATTERN}')) AS n_phones,
+  md5(scrubbed) AS scrubbed_md5,
+  CAST(length(scrubbed) AS INT) AS scrubbed_len
+FROM s
+"""
+
+
+_URL_SYNTH = (
+    "'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR)"
+    " || '/?utm_source=feed&utm_id=' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '&id=' || CAST(doc_id AS VARCHAR) || '#Section-2'"
+)
+
+_SQL_URL_NORM = """
+regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+    ':(80|443)$', '')
+  || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+  '#.*$', ''), 'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*', '', 'g'),
+  '\\?$', ''), '/$', '')
+"""
+
+
+def _url_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("HTTPS://Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM:443/Path/"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&utm_id="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&id="), F.col("doc_id").cast("string"), F.lit("#Section-2"),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization for url-level dedup: lowercase scheme+host,
+    strip default port / utm_* params / fragment / trailing slash."""
+    u = _url_corpus(spark, sf_dir)
+    norm = T.normalize_url_expr(F.col("url"))
+    return u.select(
+        "doc_id", norm.alias("norm_url"), T.domain_expr(norm).alias("domain")
+    )
+
+
+SQL_URL_NORMALIZE = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SYNTH} AS url FROM documents WHERE doc_id < 300
+),
+n AS (SELECT doc_id, {_SQL_URL_NORM} AS norm_url FROM u)
+SELECT doc_id, norm_url,
+  regexp_extract(norm_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain
+FROM n
+"""
+
+
+def q_url_domain_counts(spark, sf_dir):
+    """Per-domain crawl accounting over normalized urls (the blocklist /
+    per-site-quota filter shape): one groupBy on the extracted domain."""
+    u = _url_corpus(spark, sf_dir)
+    norm = T.normalize_url_expr(F.col("url"))
+    return (
+        u.select(norm.alias("norm_url"), T.domain_expr(norm).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("norm_url").alias("n_distinct"),
+        )
+    )
+
+
+SQL_URL_DOMAIN_COUNTS = f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SYNTH} AS url FROM documents WHERE doc_id < 300
+),
+n AS (SELECT {_SQL_URL_NORM} AS norm_url FROM u)
+SELECT regexp_extract(norm_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain,
+       count(*) AS n_urls, count(DISTINCT norm_url) AS n_distinct
+FROM n GROUP BY 1
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 over normalized text."""
     return (
@@ -1609,6 +1731,41 @@ SQL_BLOCKS_HISTOGRAM = f"""
 SELECT block_type, count(*) AS n_blocks,
        round(avg(confidence), 4) AS avg_confidence
 FROM read_parquet('{_BLOCKS_GOLDEN}') GROUP BY block_type
+"""
+
+
+def q_pages_table(spark, sf_dir):
+    """Pages-level table (SURVEY §1.3 documents → PAGES → blocks): the
+    page-route output with text pinned by md5; oracle = frozen kernel
+    golden, so the distributed page route is value-hash verified too."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_pages
+
+    rows = gen_rows(100)
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"]) if r["html"] is not None else None)
+         for r in rows],
+        schema="url string, html binary",
+    )
+    p = extract_pages(pages, num_partitions=8)
+    return p.select(
+        "url",
+        "content_kind",
+        "page",
+        F.md5(F.coalesce(F.col("page_text"), F.lit(""))).alias("page_md5"),
+        "n_blocks",
+        "needs_ocr",
+        "status",
+        "failure_reason",
+        "n_bytes",
+    )
+
+
+SQL_PAGES_TABLE = f"""
+SELECT url, content_kind, CAST(page AS INT) AS page, page_md5,
+       CAST(n_blocks AS INT) AS n_blocks, needs_ocr, status,
+       failure_reason, CAST(n_bytes AS BIGINT) AS n_bytes
+FROM read_parquet('{_golden("pages_table")}')
 """
 
 
@@ -1993,6 +2150,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_gopher": (q_text_gopher, SQL_TEXT_GOPHER),
     "text_c4": (q_text_c4, SQL_TEXT_C4),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "url_domain_counts": (q_url_domain_counts, SQL_URL_DOMAIN_COUNTS),
     # multimodal
     # non-SQL-expressible kernels: oracle = frozen kernel golden
     # (tools/freeze_goldens.py) → full value-hash gate
@@ -2005,6 +2165,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     ),
     "sink_overlay_svg": (q_sink_overlay_svg, SQL_SINK_OVERLAY_SVG),
     "extract_corpus": (q_extract_corpus, SQL_EXTRACT_CORPUS),
+    "pages_table": (q_pages_table, SQL_PAGES_TABLE),
     # lineage rows stay rows-only: part_id depends on physical
     # partitioning; the partition-independent TOTALS get a full oracle
     "extract_lineage": (q_extract_lineage, None),

@@ -61,6 +61,33 @@ def freeze_extract_corpus() -> pd.DataFrame:
     return golden
 
 
+def freeze_pages_table() -> pd.DataFrame:
+    """Golden for the pages-level table (documents → PAGES → blocks):
+    the page-route kernel (extract + OCR stage) run in-process over
+    gen_rows(100); page text pinned by md5 (must match q_pages_table)."""
+    import hashlib
+
+    from pdf_ocr_spark.pipeline.extract_job import extract_batch, ocr_batch
+
+    rows = gen_rows(100)
+    batch = pd.DataFrame(
+        {"url": [r["url"] for r in rows],
+         "html": [bytes(r["html"]) if r["html"] is not None else None for r in rows]}
+    )
+    pages = pd.concat(list(extract_batch(iter([batch]))), ignore_index=True)
+    pages = pd.concat(list(ocr_batch(iter([pages]))), ignore_index=True)
+    pages["page_md5"] = [
+        hashlib.md5((t if isinstance(t, str) else "").encode("utf-8")).hexdigest()
+        for t in pages["page_text"]
+    ]
+    golden = pages[
+        ["url", "content_kind", "page", "page_md5", "n_blocks", "needs_ocr",
+         "status", "failure_reason", "n_bytes"]
+    ].sort_values(["url", "page"], kind="mergesort").reset_index(drop=True)
+    golden.to_parquet(os.path.join(FIXTURES, "pages_table_golden.parquet"), index=False)
+    return golden
+
+
 def freeze_lineage_totals() -> pd.DataFrame:
     """Corpus-wide lineage totals (partition-independent, unlike the
     per-partition sidecar rows): the page-level kernel run in-process."""
@@ -141,6 +168,7 @@ if __name__ == "__main__":
     for name, fn in [
         ("blocks", freeze_blocks),
         ("extract_corpus", freeze_extract_corpus),
+        ("pages_table", freeze_pages_table),
         ("lineage_totals", freeze_lineage_totals),
         ("multimodal_frames", freeze_multimodal_frames),
         ("sink_overlay", freeze_sink_overlay),
