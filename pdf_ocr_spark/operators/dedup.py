@@ -314,43 +314,37 @@ def jaccard_on_candidates(
     per candidate pair instead of per shared shingle across the whole
     corpus — linear in Σ|pair shingles|, never O(n²).
 
-    Pairs with zero shared shingles keep jaccard 0.0 (left join), so the
-    output is exactly the candidate set annotated + thresholded."""
+    Pairs with zero shared shingles keep jaccard 0.0, so the output is
+    exactly the candidate set annotated + thresholded.
+
+    Plan notes: the shingle SETS stay as arrays — ``array_intersect``
+    computes |A∩B| per pair JVM-side, so there is NO shingle explode and
+    no (pair × shingle) fan-out shuffle (the explode-join formulation
+    measured 2.5× slower than even the all-pairs baseline on a small
+    universe; this one is linear in Σ|pair| with two candidate-keyed
+    joins).  ``pairs`` is persisted: the id semi-join and the final join
+    both reference it, and an expensive candidate generator (the full
+    MinHash-LSH subplan) must compute once, not per reference."""
+    pairs = pairs.persist()
     involved = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = (
-        docs.join(involved, id_col, "left_semi")
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles(F.col(text_col), k)).alias("sh"),
-        )
+    sh_arr = docs.join(involved, id_col, "left_semi").select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        pairs.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.coalesce(F.col("n_inter"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
-                4,
-            ).alias("jaccard"),
+            F.round(inter / union, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
