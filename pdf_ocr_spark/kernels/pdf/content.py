@@ -265,7 +265,30 @@ class ContentInterpreter:
             media = [0.0, 0.0, 612.0, 792.0]
         self.page_w = abs(media[2] - media[0])
         self.page_h = abs(media[3] - media[1])
-        self.origin_x, self.origin_y = min(media[0], media[2]), min(media[1], media[3])
+        ox = min(media[0], media[2])
+        oy = min(media[1], media[3])
+        # /Rotate (inherited, §7.7.3.3): fold the media-box origin shift
+        # and the viewing rotation into ONE base CTM so glyph/rule device
+        # coords land in the VIEWED (upright) page space — scanners emit
+        # sideways content + /Rotate 90/270 constantly, and ignoring it
+        # scrambles reading order on those pages
+        try:
+            rot = int(doc.resolve(page.get("Rotate", 0)) or 0) % 360
+        except (TypeError, ValueError):
+            rot = 0
+        base: Matrix = (1.0, 0.0, 0.0, 1.0, -ox, -oy)
+        w, h = self.page_w, self.page_h
+        if rot == 90:    # content (x,y) → viewed (y, w−x); page becomes h×w
+            base = mat_mul(base, (0.0, -1.0, 1.0, 0.0, 0.0, w))
+            self.page_w, self.page_h = h, w
+        elif rot == 180:  # (x,y) → (w−x, h−y)
+            base = mat_mul(base, (-1.0, 0.0, 0.0, -1.0, w, h))
+        elif rot == 270:  # (x,y) → (h−y, x); page becomes h×w
+            base = mat_mul(base, (0.0, 1.0, -1.0, 0.0, h, 0.0))
+            self.page_w, self.page_h = h, w
+        self.base_ctm = base
+        # origin handling lives in base_ctm now; per-glyph subtraction off
+        self.origin_x, self.origin_y = 0.0, 0.0
         self.glyphs: List[Glyph] = []
         self.images: List[bytes] = []
         self.rules: List[Tuple[float, float, float, float]] = []
@@ -281,7 +304,7 @@ class ContentInterpreter:
         content = self.doc.page_content(self.page)
         fonts = load_page_fonts(self.doc, self.page.get("Resources"))
         resources = self.doc.resolve(self.page.get("Resources")) or {}
-        self._execute(content, fonts, resources, IDENTITY)
+        self._execute(content, fonts, resources, self.base_ctm)
         return PageResult(
             self.glyphs, self.page_w, self.page_h, self.images, self.n_text_ops,
             self.rules,

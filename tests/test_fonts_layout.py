@@ -199,3 +199,78 @@ class TestTableDetection:
         from pdf_ocr_spark.kernels.pdf.layout import table_regions
 
         assert table_regions([(72, 600, 372, 600)], 792.0) == []
+
+
+class TestPageRotate:
+    """/Rotate handling: glyph device coords land in the VIEWED page
+    space, so reading order on scanner-rotated pages is upright order."""
+
+    def _pdf(self, rotate, contents):
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792]"
+            b" /Rotate %d >>" % rotate,
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Resources << /Font << /F1 5 0 R >> >> >>",
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(contents), contents),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs, 1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % (
+            len(objs) + 1, xref,
+        )
+        return bytes(out)
+
+    def test_rotate_90_coords_and_dims(self):
+        from pdf_ocr_spark.kernels.pdf.content import interpret_page
+        from pdf_ocr_spark.kernels.pdf.cos import PDFDocument
+
+        content = b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (X) Tj ET"
+        doc = PDFDocument(self._pdf(90, content))
+        res = interpret_page(doc, doc.pages()[0])
+        assert (res.width, res.height) == (792.0, 612.0)  # dims swap
+        g = res.glyphs[0]
+        # content (100, 700) → viewed (700, 612 − 100)
+        assert abs(g.x - 700.0) < 1e-6 and abs(g.y - 512.0) < 1e-6
+
+    def test_rotate_180_reading_order_upright(self):
+        from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+        # authored upside down: the line at content-BOTTOM is the viewed TOP
+        content = (
+            b"BT /F1 12 Tf -1 0 0 -1 300 100 Tm (VIEWTOP line) Tj ET\n"
+            b"BT /F1 12 Tf -1 0 0 -1 300 700 Tm (VIEWBOTTOM line) Tj ET"
+        )
+        res = extract_pdf(self._pdf(180, content))
+        assert res.status == "ok"
+        text = res.pages[0].text
+        assert text.index("VIEWTOP") < text.index("VIEWBOTTOM")
+
+    def test_rotate_270_dims(self):
+        from pdf_ocr_spark.kernels.pdf.content import interpret_page
+        from pdf_ocr_spark.kernels.pdf.cos import PDFDocument
+
+        content = b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (X) Tj ET"
+        doc = PDFDocument(self._pdf(270, content))
+        res = interpret_page(doc, doc.pages()[0])
+        assert (res.width, res.height) == (792.0, 612.0)
+        g = res.glyphs[0]
+        # content (100, 700) → viewed (792 − 700, 100)
+        assert abs(g.x - 92.0) < 1e-6 and abs(g.y - 100.0) < 1e-6
+
+    def test_garbage_rotate_ignored(self):
+        from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+        content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (plain) Tj ET"
+        pdf = self._pdf(90, content).replace(b"/Rotate 90", b"/Rotate 45")
+        res = extract_pdf(pdf)  # non-multiple-of-90 → treated as 0
+        assert res.status == "ok"
+        assert res.pages[0].text == "plain"
