@@ -113,6 +113,12 @@ _CONTENT_TOK = re.compile(
 _NONHEX = re.compile(rb"[^0-9A-Fa-f]")
 
 
+# the ID token that separates an inline image's dict from its binary
+# payload; one whitespace byte after it belongs to the delimiter
+_INLINE_ID_RE = re.compile(rb"(?<![A-Za-z0-9])ID[\x00\t\n\x0c\r ]")
+WS_BYTES = frozenset(b"\x00\t\n\x0c\r ")
+
+
 def _skip_inline_image(data: bytes, pos: int) -> int:
     """Skip past an inline image: find EI at a token boundary."""
     n = len(data)
@@ -164,8 +170,20 @@ def _tokenize_content(data: bytes):
             op = m.group()
             pos = m.end()
             if op == b"BI":
-                pos = _skip_inline_image(data, pos)
-                operands = []
+                end = _skip_inline_image(data, pos)
+                # capture the payload between the ID token and EI and
+                # emit it as a synthetic operator: scanner PDFs that
+                # embed the page scan as an INLINE image (not an
+                # XObject) must still reach the OCR branch
+                id_m = _INLINE_ID_RE.search(data, pos, end)
+                if id_m is not None and end - 2 > id_m.end():
+                    pend = end - 2
+                    # the single whitespace before EI is delimiter, not data
+                    if pend > id_m.end() and data[pend - 1] in WS_BYTES:
+                        pend -= 1
+                    yield [data[id_m.end() : pend]], b"__inline_image__"
+                pos = end
+                operands.clear()
                 cur = operands
                 stack = []
                 continue
@@ -411,6 +429,10 @@ class ContentInterpreter:
                     tm = self._show(operands[-1], ts, tlm, ctm)
                 elif op == b"Do" and operands:
                     self._do_xobject(operands[-1], resources, ctm, fonts)
+                elif op == b"__inline_image__" and operands:
+                    payload = operands[-1]
+                    if isinstance(payload, bytes) and payload.strip():
+                        self.images.append(payload)
                 elif op == b"re" and len(operands) >= 4:
                     x, y, w, h = (num(v) for v in operands[-4:])
                     dev = [

@@ -575,6 +575,54 @@ WHERE o_custkey < 200
 """
 
 
+def q_tpch_q4ish(spark, sf_dir):
+    """TPC-H Q4-style EXISTS: orders with at least one qualifying
+    lineitem, counted per priority — the correlated EXISTS decorrelates
+    to a LEFT SEMI join (what Catalyst plans; the oracle keeps the
+    literal EXISTS form)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4ISH = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q18ish(spark, sf_dir):
+    """TPC-H Q18-style large-volume orders: HAVING-filtered per-order
+    quantity totals joined back to orders (the IN-subquery shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    totals = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.join(totals, o["o_orderkey"] == totals["l_orderkey"]).select(
+        "o_orderkey", "o_custkey", "sum_qty"
+    )
+
+
+SQL_TPCH_Q18ISH = f"""
+SELECT o.o_orderkey, o.o_custkey, t.sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey, {_dec_sum_sql("l_quantity", 2)} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {_dec_sum_sql("l_quantity", 2)} > 180) t
+  ON o.o_orderkey = t.l_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.8 string / regex functions
 # ---------------------------------------------------------------------------
@@ -2103,6 +2151,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
     "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
     "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
+    "tpch_q4ish": (q_tpch_q4ish, SQL_TPCH_Q4ISH),
+    "tpch_q18ish": (q_tpch_q18ish, SQL_TPCH_Q18ISH),
     # streaming (same operator runs under Structured Streaming, see
     # pdf_ocr_spark/streaming/ and tests/test_streaming.py)
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED),

@@ -1,6 +1,7 @@
 from pdf_ocr_spark.streaming.stream_job import (  # noqa: F401
     PAGES_SCHEMA,
     running_totals_stateful,
+    stream_dedup_exact,
     stream_extract,
     windowed_event_counts,
 )

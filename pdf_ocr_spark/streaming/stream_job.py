@@ -123,6 +123,29 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST document per normalized-text
+    fingerprint inside the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — the streaming twin of the batch
+    ``dedup_extracted`` stage).  Dedup state ages out with the watermark,
+    which is what keeps it bounded on an unbounded crawl: an exact
+    re-crawl of a page weeks later is deduplicated by the BATCH pass over
+    the accumulated table, not by streaming state."""
+    from pdf_ocr_spark.operators.dedup import normalized
+
+    return (
+        docs.withColumn("fingerprint", F.md5(normalized(F.col(text_col))))
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 _STATE_SCHEMA = StructType(
     [StructField("n_docs", LongType()), StructField("n_bytes", LongType())]
 )

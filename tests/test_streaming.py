@@ -107,6 +107,66 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     assert len(g) >= 0.8 * len(e)
 
 
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup: duplicate texts across two micro-batches
+    collapse to the first-seen row while distinct texts all survive."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.streaming import stream_dedup_exact
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    base = datetime.datetime(2025, 1, 1, 10, 0, 0)
+
+    def chunk(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                    "warc_ts": pa.array(
+                        [base + datetime.timedelta(minutes=r[0]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            os.path.join(src, name),
+        )
+
+    # batch 1: A, B, A-dup (whitespace variant); batch 2: B-dup, C
+    chunk("f0.parquet", [(1, "alpha text one"), (2, "beta text two"),
+                         (3, "  alpha   text  one ")])
+    chunk("f1.parquet", [(4, "beta  text   two"), (5, "gamma text three")])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_dedup_exact(stream, watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_stream").collect()
+    by_fp = {}
+    for r in rows:
+        by_fp.setdefault(r["fingerprint"], []).append(r["doc_id"])
+    # one survivor per fingerprint, three distinct texts total
+    assert len(rows) == 3, rows
+    assert sorted(len(v) for v in by_fp.values()) == [1, 1, 1]
+    survivors = {v[0] for v in by_fp.values()}
+    assert survivors <= {1, 2, 3, 4, 5}
+    assert 5 in survivors  # gamma is unique → must survive
+
+
 def test_running_totals_stateful(spark, tmp_path):
     """applyInPandasWithState keeps running totals across micro-batches:
     with maxFilesPerTrigger=1 and two input files, the second update for a
