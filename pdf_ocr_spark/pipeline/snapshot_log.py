@@ -22,6 +22,20 @@ metadata-pointer swap.  The sidecar commits in the SAME manifest as its
 data, closing the orphan-sidecar window run_extraction's append mode
 documents.
 
+A compaction manifest may carry ``replaces: [run_id, ...]`` — readers
+then skip the superseded run dirs (see :func:`compact_table`), which is
+how incremental/streaming appends' small files fold into one run without
+breaking snapshot isolation (the compacted data commits atomically
+BEFORE its sources are marked replaced; replaced dirs stay on disk for
+time-travel/GC, exactly Iceberg's rewrite-files action).
+
+Single-writer assumption: the commit sequence number comes from listing
+``_snapshots/`` — two simultaneous writers could pick the same sequence
+and one manifest would overwrite the other (its data dir becoming an
+invisible orphan — safe but lost work).  Real Iceberg serializes this
+with an optimistic metadata-pointer swap; coordinate concurrent writers
+externally (one driver per table), as with any Hive-style table.
+
 On a cluster with the Iceberg runtime, `run_extraction_snapshot` maps
 1:1 onto `df.writeTo(table).append()` + `MERGE INTO` for retried
 transient failures.
@@ -57,10 +71,14 @@ def committed_manifests(table_path: str) -> List[dict]:
 
 
 def committed_data_dirs(table_path: str) -> List[str]:
+    manifests = committed_manifests(table_path)
+    replaced = set()
+    for m in manifests:
+        replaced.update(m.get("replaces", []))
     return [
         os.path.join(table_path, "data", m["run_id"])
-        for m in committed_manifests(table_path)
-        if m.get("n_docs", 0) > 0
+        for m in manifests
+        if m.get("n_docs", 0) > 0 and m["run_id"] not in replaced
     ]
 
 
@@ -82,30 +100,80 @@ def read_snapshot_table(spark: SparkSession, table_path: str) -> Optional[DataFr
 
 
 def read_snapshot_sidecar(spark: SparkSession, table_path: str) -> Optional[DataFrame]:
+    """Lineage sidecars of EVERY committed run, including runs later
+    superseded by a compaction — lineage is history, not table state."""
     dirs = [
-        os.path.join(d, "_sidecar")
-        for d in committed_data_dirs(table_path)
-        if os.path.isdir(os.path.join(d, "_sidecar"))
+        os.path.join(table_path, "data", m["run_id"], "_sidecar")
+        for m in committed_manifests(table_path)
     ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
 
 
-def commit_run(table_path: str, run_id: str, n_docs: int) -> None:
+def commit_run(
+    table_path: str,
+    run_id: str,
+    n_docs: int,
+    replaces: Optional[List[str]] = None,
+) -> None:
     """Atomic commit: temp-write the manifest, fsync, rename into
     ``_snapshots/``.  The rename is the commit point — before it, the
-    run's data dir is invisible; after it, fully visible."""
+    run's data dir is invisible; after it, fully visible.  ``replaces``
+    marks source runs superseded by this one (compaction)."""
     sdir = _snapshots_dir(table_path)
     os.makedirs(sdir, exist_ok=True)
     seq = len([n for n in os.listdir(sdir) if n.endswith(".json")])
     final = os.path.join(sdir, f"{seq:06d}-{run_id}.json")
     tmp = final + ".tmp"
+    manifest = {"seq": seq, "run_id": run_id, "n_docs": n_docs}
+    if replaces:
+        manifest["replaces"] = list(replaces)
     with open(tmp, "w") as f:
-        json.dump({"seq": seq, "run_id": run_id, "n_docs": n_docs}, f)
+        json.dump(manifest, f)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, final)
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    target_partitions: int = 32,
+    min_runs: int = 2,
+) -> int:
+    """Fold all committed runs into ONE compacted run (the small-files
+    maintenance pass streaming/incremental appends need at scale):
+    read the current snapshot, rewrite it coalesced, commit the new run
+    with ``replaces`` naming every source — one atomic swap, readers see
+    either the old set or the compacted one, never both.  Superseded
+    dirs stay on disk (time-travel/GC territory).  Returns the number of
+    rows compacted (0 = nothing to do)."""
+    manifests = committed_manifests(table_path)
+    replaced_already = set()
+    for m in manifests:
+        replaced_already.update(m.get("replaces", []))
+    live = [
+        m["run_id"] for m in manifests
+        if m.get("n_docs", 0) > 0 and m["run_id"] not in replaced_already
+    ]
+    if len(live) < min_runs:
+        return 0
+    df = read_snapshot_table(spark, table_path)
+    run_id = "compact-" + uuid.uuid4().hex[:12]
+    run_dir = os.path.join(table_path, "data", run_id)
+    df = df.persist()
+    try:
+        n = df.count()
+        writer = df.coalesce(target_partitions).write.mode("overwrite")
+        if "url_bucket" in df.columns:  # keep the prunable layout
+            writer = writer.partitionBy("url_bucket")
+        writer.parquet(run_dir)
+        commit_run(table_path, run_id, n, replaces=live)
+    finally:
+        df.unpersist()
+    return n
 
 
 def run_extraction_snapshot(

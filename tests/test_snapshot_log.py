@@ -52,6 +52,49 @@ def test_commit_resume_and_orphan_invisibility(spark, corpus_parquet, tmp_path):
     assert [m["n_docs"] for m in committed_manifests(table)] == [40, 60, 0]
 
 
+def test_compaction_folds_runs_atomically(spark, corpus_parquet, tmp_path):
+    """compact_table: N committed runs fold into one compacted run via a
+    'replaces' manifest; the table's rows are unchanged, a later append
+    still works, and lineage sidecars of replaced runs remain readable."""
+    import os as _os
+
+    from pdf_ocr_spark.pipeline.snapshot_log import compact_table
+
+    table = str(tmp_path / "ctable")
+    # three incremental runs (40 + 30 + 30 urls) — streaming-append shape
+    pages = spark.read.parquet(corpus_parquet).orderBy("url").cache()
+    for lo, hi in ((0, 40), (40, 70), (70, 100)):
+        sub = str(tmp_path / f"in_{lo}")
+        pages.limit(hi).subtract(pages.limit(lo)).write.parquet(sub)
+        run_extraction_snapshot(spark, sub, table, num_partitions=4)
+    before = read_snapshot_table(spark, table)
+    rows_before = {(r["url"], r["extracted_text"]) for r in before.collect()}
+    assert len(rows_before) == 100
+    assert len(committed_manifests(table)) == 3
+
+    n = compact_table(spark, table, target_partitions=2)
+    assert n == 100
+    after = read_snapshot_table(spark, table)
+    assert {(r["url"], r["extracted_text"]) for r in after.collect()} == rows_before
+    # exactly one LIVE data dir feeds the read; sources still on disk
+    from pdf_ocr_spark.pipeline.snapshot_log import committed_data_dirs
+
+    live = committed_data_dirs(table)
+    assert len(live) == 1 and "compact-" in live[0]
+    assert len(_os.listdir(_os.path.join(table, "data"))) == 4
+    # sidecar lineage of the replaced runs still visible
+    side = read_snapshot_sidecar(spark, table)
+    assert sum(r["n_docs"] for r in side.collect()) == 100
+
+    # re-compacting a single live run is a no-op
+    assert compact_table(spark, table) == 0
+
+    # appends after compaction still resume correctly (nothing to do)
+    n2 = run_extraction_snapshot(spark, corpus_parquet, table, num_partitions=4)
+    assert n2 == 0
+    pages.unpersist()
+
+
 def test_bucketed_snapshot_runs_and_sidecar(spark, corpus_parquet, tmp_path):
     table = str(tmp_path / "btable")
     n = run_extraction_snapshot(
