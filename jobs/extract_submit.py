@@ -28,7 +28,8 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", default=None,
+                    help="pages parquet (required unless --compact)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--sidecar", default=None)
     ap.add_argument("--partitions", type=int, default=None)
@@ -40,7 +41,13 @@ def main() -> None:
     ap.add_argument("--snapshot-log", action="store_true",
                     help="Iceberg-style snapshot-log table: atomic manifest "
                          "commits + snapshot-isolation resume (crash-safe)")
+    ap.add_argument("--compact", action="store_true",
+                    help="instead of extracting, fold the snapshot table's "
+                         "committed runs into one compacted run (small-files "
+                         "maintenance; implies --snapshot-log layout)")
     args = ap.parse_args()
+    if not args.compact and not args.input:
+        ap.error("--input is required unless --compact")
 
     # under spark-submit the session comes preconfigured by the cluster;
     # getOrCreate attaches to it (local runs fall back to the defaults)
@@ -50,7 +57,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.monotonic()
-    if args.snapshot_log:
+    if args.compact:
+        from pdf_ocr_spark.pipeline.snapshot_log import compact_table
+
+        n = compact_table(spark, args.output,
+                          target_partitions=args.partitions or 32)
+    elif args.snapshot_log:
         from pdf_ocr_spark.pipeline.snapshot_log import run_extraction_snapshot
 
         n = run_extraction_snapshot(
