@@ -130,10 +130,15 @@ class RemoteVlmEngine(OcrEngine):
         if resp.status >= 400:
             raise _Non5xxError(f"HTTP {resp.status}")
         payload = json.loads(data.decode("utf-8"))
+        # extract the content BEFORE counting usage: a malformed 200
+        # (e.g. an error object served with usage but no choices) is
+        # retried, and counting first would inflate A7 accounting once
+        # per attempt
+        content = payload["choices"][0]["message"]["content"]
         usage = payload.get("usage") or {}
         self.prompt_tokens += int(usage.get("prompt_tokens", 0))
         self.completion_tokens += int(usage.get("completion_tokens", 0))
-        return payload["choices"][0]["message"]["content"]
+        return content
 
     def _call(self, image: bytes) -> Optional[str]:
         """One page with bounded retries + exponential backoff.  Returns

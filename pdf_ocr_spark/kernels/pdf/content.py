@@ -13,7 +13,7 @@ for the OCR branch.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 from pdf_ocr_spark.kernels.pdf.cos import (
     Lexer,
@@ -64,8 +64,10 @@ class PageResult(NamedTuple):
     images: List[bytes]  # raw encoded bytes of image XObjects drawn on the page
     n_text_ops: int
     # axis-aligned PAINTED path segments (x0, y0, x1, y1) in device space:
-    # the ruled lines table detection consumes (v4 composite-block typing)
-    rules: List[Tuple[float, float, float, float]] = []
+    # the ruled lines table detection consumes (v4 composite-block typing).
+    # Default is an immutable EMPTY TUPLE — a mutable [] default would be
+    # one shared class-level list across every defaulted instance
+    rules: Sequence[Tuple[float, float, float, float]] = ()
 
 
 class _TextState:

@@ -228,7 +228,9 @@ def compute_file_key_rc4(
     h = hashlib.md5()
     h.update((user_password + PAD)[:32])
     h.update(owner_entry[:32])
-    h.update(struct.pack("<i", perms))
+    # /P is SIGNED in the spec but many producers write the unsigned
+    # 32-bit form (e.g. 4294963392 for -3904); mask to the same 4 bytes
+    h.update(struct.pack("<I", perms & 0xFFFFFFFF))
     h.update(id0)
     if revision >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")
@@ -303,6 +305,12 @@ class StandardSecurityHandler:
                     return "identity"
                 d = cf.get(name)
                 m = str((d or {}).get("CFM", "None"))
+                # per-crypt-filter /Length (Table 25) — some producers put
+                # it ONLY here; writers disagree on bytes vs bits, so
+                # treat values ≥ 40 as bits (16 → 16 bytes, 128 → 16)
+                cl = (d or {}).get("Length")
+                if isinstance(cl, (int, float)) and cl > 0:
+                    self.key_len = int(cl) // 8 if cl >= 40 else int(cl)
                 if m == "V2":
                     return "rc4"
                 if m in ("AESV2", "AESV3"):

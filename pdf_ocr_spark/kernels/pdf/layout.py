@@ -276,8 +276,13 @@ def table_regions(
     vertical rules is a grid — its bbox (top-down coords) is a table
     region.  The honest stand-in for the reference's layout-model table
     blocks (/root/reference/pdf_ocr_with_boxes_v4.py:232-260): no ML, so
-    only RULED tables are typed; borderless tables stay 'text'."""
-    if not rules or len(rules) > 2000:  # path-bomb pages: skip detection
+    only RULED tables are typed; borderless tables stay 'text'.
+
+    Clustering is O(n²) pairwise union-find, so pages with more rules
+    than any real table carries (dense vector art: charts, maps) skip
+    detection — the 400-segment cap bounds the cost to ~0.1 ms/page
+    while the richest ruled tables stay well under it."""
+    if not rules or len(rules) > 400:  # vector-art pages: skip detection
         return []
     segs = []
     for x0, y0, x1, y1 in rules:

@@ -324,7 +324,10 @@ def jaccard_on_candidates(
     universe; this one is linear in Σ|pair| with two candidate-keyed
     joins).  ``pairs`` is persisted: the id semi-join and the final join
     both reference it, and an expensive candidate generator (the full
-    MinHash-LSH subplan) must compute once, not per reference."""
+    MinHash-LSH subplan) must compute once, not per reference.  Cache
+    ownership: the entry stays persisted after the action (evicted LRU);
+    a long-lived session calling this in a loop should unpersist between
+    rounds via ``spark.catalog.clearCache()`` or its own handle."""
     pairs = pairs.persist()
     involved = (
         pairs.select(F.col("doc_a").alias(id_col))

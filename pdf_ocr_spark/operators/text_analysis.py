@@ -72,13 +72,28 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+# Engine-identical pattern constants, shared VERBATIM with the DuckDB
+# oracle SQL.  No shorthand classes or bare multiline anchors: Java's \s
+# includes \x0b while RE2's does not, and Java's multiline $ matches
+# before the \r of a CRLF (RE2: before \n only) — explicit classes and
+# (\r?\n|\z) endings behave identically in both engines.
+_WSC = r" \t\n\x0b\f\r"
+WORD_PATTERN_SPLIT = rf"[^{_WSC}]+"
+WORD_CHAR_PATTERN = rf"[^{_WSC}]"
+BULLET_LINE_PATTERN = r"(^|\n)[ \t]*[-•\*]"
+ELLIPSIS_LINE_PATTERN = r"(\.\.\.|…)[ \t]*(\r?\n|\z)"
+ALPHA_WORD_PATTERN = rf"(^|[{_WSC}])[^{_WSC}]*[A-Za-z]"
+TERMINAL_LINE_PATTERN = r"[.!?][ \t]*(\r?\n|\z)"
+SYMBOL_PATTERN = r"#|\.\.\.|…"
+SENTENCE_PATTERN = r"[.!?]"
+
+
 def gopher_quality(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Gopher-rules quality gate (Rae et al. 2021, §A1.1 heuristics — the
     standard web-text pretraining filter), as pure codegen'd column
-    expressions.  RE2-safe patterns only (no lookaround) so the DuckDB
-    oracle evaluates the identical regexes:
+    expressions over the engine-identical pattern constants above:
 
       * word count in [50, 100000]
       * mean word length in [3, 10]
@@ -88,15 +103,13 @@ def gopher_quality(
       * >= 80% of words contain an alphabetic character
     """
     t = F.col(text_col)
-    words = F.regexp_count(t, F.lit(r"\S+"))
-    word_chars = F.regexp_count(t, F.lit(r"\S"))
+    words = F.regexp_count(t, F.lit(WORD_PATTERN_SPLIT))
+    word_chars = F.regexp_count(t, F.lit(WORD_CHAR_PATTERN))
     n_lines = F.regexp_count(t, F.lit(r"\n")) + 1
-    symbols = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
-    # [ \t]* not \s*: multiline \s spans newlines and Java/RE2 disagree
-    # on \s members — the explicit class is engine-identical
-    bullet_lines = F.regexp_count(t, F.lit(r"(?m)^[ \t]*[-•\*]"))
-    ellipsis_lines = F.regexp_count(t, F.lit(r"(?m)(\.\.\.|…)[ \t]*$"))
-    alpha_words = F.regexp_count(t, F.lit(r"(?:^|\s)[^\s]*[A-Za-z]"))
+    symbols = F.regexp_count(t, F.lit(SYMBOL_PATTERN))
+    bullet_lines = F.regexp_count(t, F.lit(BULLET_LINE_PATTERN))
+    ellipsis_lines = F.regexp_count(t, F.lit(ELLIPSIS_LINE_PATTERN))
+    alpha_words = F.regexp_count(t, F.lit(ALPHA_WORD_PATTERN))
     mwl = word_chars / F.greatest(words, F.lit(1))
     sym_ratio = symbols / F.greatest(words, F.lit(1))
     bullet_frac = bullet_lines / n_lines
@@ -129,12 +142,12 @@ def c4_filters(
     code/boilerplate markers, terminal-punctuation line fraction, and the
     resulting keep decision."""
     t = F.col(text_col)
-    n_sentences = F.regexp_count(t, F.lit(r"[.!?]"))
+    n_sentences = F.regexp_count(t, F.lit(SENTENCE_PATTERN))
     has_curly = t.contains("{")
     has_lorem = F.lower(t).contains("lorem ipsum")
     has_js = F.lower(t).contains("javascript")
     n_lines = F.regexp_count(t, F.lit(r"\n")) + 1
-    terminal_lines = F.regexp_count(t, F.lit(r"(?m)[.!?][ \t]*$"))
+    terminal_lines = F.regexp_count(t, F.lit(TERMINAL_LINE_PATTERN))
     keep = (
         (n_sentences >= 3) & ~has_curly & ~has_lorem & ~has_js
     )

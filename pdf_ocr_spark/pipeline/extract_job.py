@@ -83,12 +83,25 @@ OCR_FAILED_REASON = "ocr_failed: engine error after retries"
 
 
 def looks_like_pdf(data: bytes) -> bool:
-    """Content sniff (P9): prefix-only ``%PDF-`` with leading-whitespace/NUL
-    tolerance (Acrobat accepts junk-prefixed headers, but substring matching
-    over the first KB misroutes HTML pages that merely *mention* ``%PDF-``).
-    Mirrors the reference's extension dispatch
-    (/root/reference/pdf_ocr_with_boxes_v2.py:744-747) made content-based."""
-    return data.lstrip(b" \t\r\n\f\x00")[:5] == b"%PDF-"
+    """Content sniff (P9).  ``%PDF-`` as the (whitespace/NUL-tolerant)
+    prefix is definitive; a header within the first KB (the spec/Acrobat
+    allowance for junk-prefixed files — stray HTTP headers, ad banners)
+    also counts UNLESS the prefix is markup, in which case the magic is
+    just page text mentioning PDFs.  Mirrors the reference's extension
+    dispatch (/root/reference/pdf_ocr_with_boxes_v2.py:744-747) made
+    content-based."""
+    stripped = data.lstrip(b" \t\r\n\f\x00")
+    if stripped[:5] == b"%PDF-":
+        return True
+    idx = data.find(b"%PDF-", 0, 1024)
+    if idx <= 0:
+        return False
+    prefix = data[:idx].lower()
+    return (
+        stripped[:1] != b"<"
+        and b"<html" not in prefix
+        and b"<!doctype" not in prefix
+    )
 
 
 def _tune_worker_gc() -> None:

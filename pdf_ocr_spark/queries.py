@@ -1308,12 +1308,14 @@ def _cnt(p: str) -> str:
     return _SQL_CNT.format(p=p)
 
 
-_C_WORDS = _cnt(r"\S+")
-_C_WCHARS = _cnt(r"\S")
-_C_BULLET = _cnt(r"(?m)^[ \t]*[-•\*]")
-_C_ELLIP = _cnt(r"(?m)(\.\.\.|…)[ \t]*$")
-_C_SYM = _cnt(r"#|\.\.\.|…")
-_C_ALPHAW = _cnt(r"(?:^|\s)[^\s]*[A-Za-z]")
+# patterns imported from the operator module — VERBATIM the strings the
+# Spark side compiles, so both engines evaluate identical regexes
+_C_WORDS = _cnt(T.WORD_PATTERN_SPLIT)
+_C_WCHARS = _cnt(T.WORD_CHAR_PATTERN)
+_C_BULLET = _cnt(T.BULLET_LINE_PATTERN)
+_C_ELLIP = _cnt(T.ELLIPSIS_LINE_PATTERN)
+_C_SYM = _cnt(T.SYMBOL_PATTERN)
+_C_ALPHAW = _cnt(T.ALPHA_WORD_PATTERN)
 _C_NL = _cnt(r"\n")
 
 SQL_TEXT_GOPHER = f"""
@@ -1350,8 +1352,8 @@ def q_text_c4(spark, sf_dir):
     return T.c4_filters(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
 
 
-_C_SENT = _cnt(r"[.!?]")
-_C_TERM = _cnt(r"(?m)[.!?][ \t]*$")
+_C_SENT = _cnt(T.SENTENCE_PATTERN)
+_C_TERM = _cnt(T.TERMINAL_LINE_PATTERN)
 
 SQL_TEXT_C4 = f"""
 SELECT doc_id,

@@ -122,7 +122,13 @@ def _build_pdf(enc_dict: bytes, enc_stream, enc_string) -> bytes:
     return bytes(out)
 
 
-def _rc4_pdf(r: int = 3, keybits: int = 128, user_pw: bytes = b"") -> bytes:
+def _rc4_pdf(
+    r: int = 3,
+    keybits: int = 128,
+    user_pw: bytes = b"",
+    unsigned_p: bool = False,
+    cf_length_only: bool = False,
+) -> bytes:
     n = keybits // 8
     o = _compute_O(b"ownersecret", user_pw, r, n)
     perms = -44
@@ -130,11 +136,22 @@ def _rc4_pdf(r: int = 3, keybits: int = 128, user_pw: bytes = b"") -> bytes:
     u = expected_user_entry(key, ID0, r)
     if r >= 3:
         u = u + b"\x00" * 16  # 16 significant + 16 arbitrary bytes
-    v = 1 if r == 2 else 2
-    enc_dict = (
-        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O %s /U %s >>"
-        % (v, r, keybits, perms, _hexstr(o), _hexstr(u))
-    )
+    # some producers write /P as the unsigned 32-bit form
+    p_written = (perms & 0xFFFFFFFF) if unsigned_p else perms
+    if cf_length_only:
+        # V4 layout where ONLY the crypt filter dict carries /Length
+        enc_dict = (
+            b"<< /Filter /Standard /V 4 /R 4 /P %d /O %s /U %s"
+            b" /CF << /StdCF << /CFM /V2 /Length %d >> >>"
+            b" /StmF /StdCF /StrF /StdCF >>"
+            % (p_written, _hexstr(o), _hexstr(u), keybits)
+        )
+    else:
+        v = 1 if r == 2 else 2
+        enc_dict = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O %s /U %s >>"
+            % (v, r, keybits, p_written, _hexstr(o), _hexstr(u))
+        )
 
     def enc(data, num, gen):
         return rc4(_object_key(key, num, gen, n, False), data)
@@ -204,6 +221,18 @@ class TestEncryptedPdf:
 
     def test_aes256_v5_r6(self):
         self._assert_recovered(_aesv3_pdf())
+
+    def test_unsigned_p_value_recovered(self):
+        """Many producers write /P as the unsigned 32-bit form
+        (4294967252 instead of -44); key derivation must mask, not
+        crash on struct.pack('<i', ...)."""
+        self._assert_recovered(_rc4_pdf(r=3, keybits=128, unsigned_p=True))
+
+    def test_v4_crypt_filter_length_only(self):
+        """V4 layout where the key length lives ONLY in the crypt-filter
+        dict (/CF /StdCF /Length, per Table 25) — an RC4-128 file must
+        not fall back to the 40-bit default and refuse its own key."""
+        self._assert_recovered(_rc4_pdf(r=4, keybits=128, cf_length_only=True))
 
     def test_real_user_password_refused(self):
         res = extract_pdf(_rc4_pdf(r=3, keybits=128, user_pw=b"letmein"))

@@ -17,6 +17,7 @@ class _FakeVlm(BaseHTTPRequestHandler):
     requests = []
     fail_count = 0       # fail this many requests with 500, then succeed
     fail_status = 500
+    malformed_200 = 0    # serve this many 200s with usage but NO choices
 
     def do_POST(self):  # noqa: N802
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
@@ -33,6 +34,18 @@ class _FakeVlm(BaseHTTPRequestHandler):
             self.send_response(_FakeVlm.fail_status)
             self.send_header("Content-Length", "0")
             self.end_headers()
+            return
+        if _FakeVlm.malformed_200 > 0:
+            _FakeVlm.malformed_200 -= 1
+            payload = json.dumps(
+                {"error": "filtered", "usage": {"prompt_tokens": 1000,
+                                                "completion_tokens": 0}}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
             return
         # echo the decoded image payload back as the "recognized" text
         uri = body["messages"][0]["content"][0]["image_url"]["url"]
@@ -119,6 +132,20 @@ def test_exhausted_retries_yield_failure_marker(vlm_server):
     assert out == [None]
     assert len(_FakeVlm.requests) == 3  # bounded: exactly max_attempts
     _FakeVlm.fail_count = 0
+
+
+def test_malformed_200_does_not_inflate_usage(vlm_server):
+    """A 200 carrying usage but no choices is retried — its token counts
+    must NOT accumulate once per attempt (A7 accounting integrity)."""
+    _FakeVlm.requests.clear()
+    _FakeVlm.malformed_200 = 99
+    try:
+        eng = _engine(vlm_server, max_attempts=3)
+        out = eng.recognize_batch([b"X"])
+        assert out == [None]
+        assert eng.prompt_tokens == 0  # never counted, despite 3 attempts
+    finally:
+        _FakeVlm.malformed_200 = 0
 
 
 def test_definitive_4xx_fails_fast(vlm_server):

@@ -272,7 +272,13 @@ def test_pdf_sniff_prefix_only():
 
     assert looks_like_pdf(b"%PDF-1.7\nrest")
     assert looks_like_pdf(b"\r\n \x00%PDF-1.4\n")
+    # junk-prefixed header within 1KB (spec/Acrobat allowance) is a PDF…
+    assert looks_like_pdf(b"HTTP/1.1 200 OK\nContent-Type: x\n\n%PDF-1.4\n")
+    assert looks_like_pdf(b"ad-banner-bytes\xff\xfe%PDF-1.5\n")
+    # …but markup prefixes mean the magic is just page text
     assert not looks_like_pdf(b"<html><body>how to detect %PDF- headers</body></html>")
+    assert not looks_like_pdf(b"<!DOCTYPE html><p>%PDF- magic</p>")
+    assert not looks_like_pdf(b"<div>see %PDF- files</div>")
     assert not looks_like_pdf(b"")
     assert not looks_like_pdf(b"GIF89a")
 
