@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_embedding_bucketed",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
+    "sim_topk_ivf_kmeans",
     "text_lang_id",
     "text_quality",
     "text_gopher",

@@ -132,6 +132,52 @@ def seeded_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """REAL coarse quantizer for IVF: Lloyd's k-means with deterministic
+    seeding (first-k by id) and a fixed iteration count — fully
+    DataFrame-expressed, so the oracle gate replays the identical
+    training.  Each iteration: broadcast-assign every vector to its
+    nearest centroid (``ivf_assign``) → per-cell per-dimension means.
+    Means go through exact DECIMAL sums divided as doubles and rounded,
+    making the floating-point result partition-order independent — the
+    property that keeps k-means itself value-hash verifiable.
+
+    At 100 TB: train on a sample (``corpus.sample(...)``) — the plan is
+    identical; ``iters`` is a fixed hyperparameter, not a convergence
+    loop, so the lineage stays bounded without checkpoints."""
+    cents = seeded_centroids(corpus, n_centroids, id_col, vec_col)
+    mean_cols = [
+        F.round(
+            F.sum(
+                F.element_at(F.col(vec_col), i + 1)
+                .cast("double")
+                .cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias(f"m{i}")
+        for i in range(dim)
+    ]
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        cents = (
+            assigned.groupBy("cent_id")
+            .agg(*mean_cols)
+            .select(
+                "cent_id",
+                F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec"),
+            )
+        )
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -163,12 +209,22 @@ def cosine_topk_ivf(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "seeded",
+    kmeans_iters: int = 2,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus, then search only the
     query's own centroid cell (nprobe=1; multi-probe = union of the
     next-nearest cells).  Queries are corpus rows selected by
-    ``query_filter``."""
-    cents = seeded_centroids(corpus, n_centroids, id_col, vec_col)
+    ``query_filter``.  ``quantizer='kmeans'`` trains the real Lloyd
+    quantizer (:func:`kmeans_centroids`); 'seeded' keeps the
+    deterministic first-k baseline."""
+    if quantizer == "kmeans":
+        cents = kmeans_centroids(
+            corpus, n_centroids, kmeans_iters, id_col, vec_col, dim
+        )
+    else:
+        cents = seeded_centroids(corpus, n_centroids, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     q = assigned.filter(query_filter).select(
         F.col(id_col).alias("query_id"),

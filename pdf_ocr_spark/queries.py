@@ -1185,6 +1185,92 @@ list_sum(list_transform(list_zip({a}, {b}),
             * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))))
 """
 
+
+def _sql_kmeans_cte(k: int = 8, dim: int = 64) -> str:
+    """CTE chain replaying kmeans_centroids exactly: seeded init + two
+    unrolled Lloyd iterations with exact-decimal per-dimension means."""
+    mean = ", ".join(
+        f"round(CAST(sum(CAST(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)"
+        for i in range(dim)
+    )
+
+    def assign(csrc: str) -> str:
+        return f"""
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round({_SQL_L2SQ.format(a='e.embedding', b='c.cvec')}, 6), c.cent_id
+      ) AS rn
+    FROM embeddings e CROSS JOIN {csrc} c) WHERE rn = 1
+"""
+
+    return f"""
+cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cent_id, embedding AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+a1 AS ({assign('cents0')}),
+c1 AS (SELECT cent_id, [{mean}] AS cvec FROM a1 GROUP BY cent_id),
+a2 AS ({assign('c1')}),
+c2 AS (SELECT cent_id, [{mean}] AS cvec FROM a2 GROUP BY cent_id)
+"""
+
+
+def q_sim_kmeans_centroids(spark, sf_dir):
+    """The trained IVF quantizer itself: 2 Lloyd iterations from the
+    seeded init, centroids exploded per dimension so the gate value-
+    hashes the full trained model (8 cells × 64 dims)."""
+    cents = S.kmeans_centroids(_t(spark, sf_dir, "embeddings"), n_centroids=8, iters=2)
+    return cents.select(
+        "cent_id", F.posexplode("cvec").alias("dim_idx", "value")
+    )
+
+
+SQL_SIM_KMEANS_CENTROIDS = f"""
+WITH {_sql_kmeans_cte()}
+SELECT cent_id, CAST(i - 1 AS INT) AS dim_idx, cvec[CAST(i AS INT)] AS value
+FROM c2, range(1, 65) t(i)
+"""
+
+
+def q_sim_topk_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with the REAL trained quantizer: kmeans cells instead of
+    the seeded stand-in, same nprobe=1 probe + exact in-cell cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(
+        emb, F.col("vec_id") % 100 == 0, k=3, n_centroids=8, quantizer="kmeans"
+    )
+
+
+SQL_SIM_TOPK_IVF_KMEANS = f"""
+WITH {_sql_kmeans_cte()},
+assigned AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round({_SQL_L2SQ.format(a='e.embedding', b='c.cvec')}, 6), c.cent_id
+      ) AS rn
+    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cent_id
+  FROM assigned WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+    round({_SQL_COSINE.format(a='q.qv', b='a.embedding')}, 4) AS cosine
+  FROM assigned a JOIN q ON a.cent_id = q.cent_id
+  WHERE q.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
 SQL_SIM_TOPK_IVF = f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS cent_id, embedding AS cvec
@@ -2194,6 +2280,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
     "sim_topk_lsh": (q_sim_topk_lsh, SQL_SIM_TOPK_LSH),
     "sim_topk_ivf": (q_sim_topk_ivf, SQL_SIM_TOPK_IVF),
+    "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS_CENTROIDS),
+    "sim_topk_ivf_kmeans": (q_sim_topk_ivf_kmeans, SQL_SIM_TOPK_IVF_KMEANS),
     # text analysis
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
