@@ -1127,10 +1127,33 @@ def q_sim_lsh_buckets(spark, sf_dir):
     return S.lsh_bucket_histogram(_t(spark, sf_dir, "embeddings"), bits=8)
 
 
-_SQL_BUCKET = " + ".join(
-    f"CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) > 0.0 THEN {1 << j} ELSE 0 END"
-    for j in range(8)
+def _sql_bucket(bits: int = 8) -> str:
+    return " + ".join(
+        f"CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) > 0.0 THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    )
+
+
+_SQL_BUCKET = _sql_bucket(8)
+
+
+def _sql_topk_lsh(bits: int) -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_sql_bucket(bits)} AS BIGINT) AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round({_SQL_COSINE.format(a='q.qv', b='e.embedding')}, 4) AS cosine
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE q.query_id <> e.vec_id
 )
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
 
 SQL_SIM_LSH_BUCKETS = f"""
 SELECT CAST({_SQL_BUCKET} AS BIGINT) AS bucket, count(*) AS n_vectors
@@ -1306,6 +1329,70 @@ WHERE rank <= 3
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
+
+
+def q_sim_recall(spark, sf_dir):
+    """ANN quality observability ("measure, don't guess"): recall@3 of
+    each approximate method (sign-LSH buckets, seeded IVF, k-means IVF)
+    against the exact brute-force top-3 — the dashboard row that tells a
+    100-TB operator whether the cheap path is safe to rely on, and shows
+    the tuning lever: lsh8 (256 buckets) prunes hardest and misses most;
+    lsh4 (16 buckets) trades candidate-set size for recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = S.cosine_topk_bruteforce(emb, queries_df, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    methods = {
+        "lsh8": S.cosine_topk_lsh(emb, queries_df, k=3, bits=8),
+        "lsh4": S.cosine_topk_lsh(emb, queries_df, k=3, bits=4),
+        "ivf": S.cosine_topk_ivf(emb, F.col("vec_id") % 100 == 0, k=3),
+        "ivf_kmeans": S.cosine_topk_ivf(
+            emb, F.col("vec_id") % 100 == 0, k=3, quantizer="kmeans"
+        ),
+    }
+    outs = []
+    for name, df in methods.items():
+        hits = df.select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        outs.append(
+            truth.join(hits, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count("hit").alias("n_hits"),
+                F.count(F.lit(1)).alias("n_truth"),
+                F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+            )
+            .select(
+                F.lit(name).alias("method"), "n_hits", "n_truth", "recall"
+            )
+        )
+    res = outs[0]
+    for df in outs[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def _sql_recall_arm(name: str, approx_sql: str) -> str:
+    return f"""
+SELECT '{name}' AS method,
+  count(l.neighbor_id) AS n_hits, count(*) AS n_truth,
+  round(count(l.neighbor_id) / count(*), 4) AS recall
+FROM bf b LEFT JOIN (SELECT query_id, neighbor_id FROM ({approx_sql})) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+"""
+
+
+SQL_SIM_RECALL = f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({SQL_SIM_TOPK}))
+{_sql_recall_arm('lsh8', _sql_topk_lsh(8))}
+UNION ALL
+{_sql_recall_arm('lsh4', _sql_topk_lsh(4))}
+UNION ALL
+{_sql_recall_arm('ivf', SQL_SIM_TOPK_IVF)}
+UNION ALL
+{_sql_recall_arm('ivf_kmeans', SQL_SIM_TOPK_IVF_KMEANS)}
+"""
 
 
 def q_text_lang_id(spark, sf_dir):
@@ -2282,6 +2369,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_topk_ivf": (q_sim_topk_ivf, SQL_SIM_TOPK_IVF),
     "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS_CENTROIDS),
     "sim_topk_ivf_kmeans": (q_sim_topk_ivf_kmeans, SQL_SIM_TOPK_IVF_KMEANS),
+    "sim_recall": (q_sim_recall, SQL_SIM_RECALL),
     # text analysis
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
