@@ -1992,6 +1992,53 @@ FROM read_parquet('{_golden("pages_table")}')
 """
 
 
+def q_pipeline_end_to_end(spark, sf_dir):
+    """The engine's reason to exist, as ONE composed plan: crawl pages →
+    fused extraction → Gopher quality gate on the EXTRACTED text → exact
+    dedup (canonical per normalized fingerprint) → clean-corpus
+    accounting per content kind.  Oracle = frozen golden computed by a
+    THIRD engine (in-process kernel + python-re quality twins +
+    hashlib dedup, tools/freeze_goldens.py) — so Spark, DuckDB-read
+    golden, and plain python all agree on the full composition."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.operators import text_analysis as TT
+    from pdf_ocr_spark.pipeline.extract_job import dedup_extracted, extract_documents
+
+    rows = gen_rows(150)
+    # every 3rd page also appears under a mirror url (the recrawl/mirror
+    # case) so the dedup leg is load-bearing: n_clean < n_quality
+    data = [
+        (r["url"], bytearray(r["html"]) if r["html"] is not None else None)
+        for r in rows
+    ] + [
+        ("zz-mirror://" + r["url"],
+         bytearray(r["html"]) if r["html"] is not None else None)
+        for i, r in enumerate(rows) if i % 3 == 0
+    ]
+    pages = spark.createDataFrame(data, schema="url string, html binary")
+    ok = extract_documents(pages).filter(F.col("status") == "ok")
+    feats = TT.gopher_quality(
+        ok.select(F.col("url").alias("doc_id"), F.col("extracted_text").alias("text")),
+        id_col="doc_id",
+    ).select(F.col("doc_id").alias("url"), "passes_gopher")
+    marked = dedup_extracted(ok.join(feats, "url"), mark_only=True)
+    return marked.groupBy("content_kind").agg(
+        F.count(F.lit(1)).alias("n_extracted"),
+        F.sum(F.when(F.col("passes_gopher"), 1).otherwise(0)).alias("n_quality"),
+        F.sum(
+            F.when(F.col("passes_gopher") & F.col("is_canonical"), 1).otherwise(0)
+        ).alias("n_clean"),
+    )
+
+
+SQL_PIPELINE_E2E = f"""
+SELECT content_kind, CAST(n_extracted AS BIGINT) AS n_extracted,
+       CAST(n_quality AS BIGINT) AS n_quality,
+       CAST(n_clean AS BIGINT) AS n_clean
+FROM read_parquet('{_golden("pipeline_e2e")}')
+"""
+
+
 def q_extract_lineage_totals(spark, sf_dir):
     """Corpus-wide lineage totals: partition-INDEPENDENT aggregation over
     the per-partition sidecar rows — oracle = frozen kernel golden (the
@@ -2394,6 +2441,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sink_overlay_svg": (q_sink_overlay_svg, SQL_SINK_OVERLAY_SVG),
     "extract_corpus": (q_extract_corpus, SQL_EXTRACT_CORPUS),
     "pages_table": (q_pages_table, SQL_PAGES_TABLE),
+    "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
     # lineage rows stay rows-only: part_id depends on physical
     # partitioning; the partition-independent TOTALS get a full oracle
     "extract_lineage": (q_extract_lineage, None),

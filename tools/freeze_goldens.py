@@ -117,6 +117,79 @@ def freeze_lineage_totals() -> pd.DataFrame:
     return golden
 
 
+def freeze_pipeline_e2e() -> pd.DataFrame:
+    """Golden for the end-to-end composition (extract → Gopher gate →
+    exact dedup → per-kind accounting), computed with a THIRD engine:
+    the extraction UDF body in-process + python `re` twins of the
+    engine-identical quality patterns (\\z spelled \\Z for python) +
+    hashlib dedup — independent of both Spark and DuckDB."""
+    import hashlib
+    import re
+
+    from pdf_ocr_spark.operators import text_analysis as T
+    from pdf_ocr_spark.pipeline.extract_job import extract_docs_batch
+
+    rows = gen_rows(150)
+    urls = [r["url"] for r in rows] + [
+        "zz-mirror://" + r["url"] for i, r in enumerate(rows) if i % 3 == 0
+    ]
+    htmls = [
+        bytes(r["html"]) if r["html"] is not None else None for r in rows
+    ] + [
+        bytes(r["html"]) if r["html"] is not None else None
+        for i, r in enumerate(rows) if i % 3 == 0
+    ]
+    batch = pd.DataFrame({"url": urls, "html": htmls})
+    docs = pd.concat(list(extract_docs_batch(iter([batch]))), ignore_index=True)
+    ok = docs[docs["status"] == "ok"].copy()
+
+    def cnt(pattern: str, text: str) -> int:
+        return sum(1 for _ in re.finditer(pattern.replace(r"\z", r"\Z"), text))
+
+    def passes_gopher(text: str) -> bool:
+        words = cnt(T.WORD_PATTERN_SPLIT, text)
+        if words == 0:
+            return False
+        word_chars = cnt(T.WORD_CHAR_PATTERN, text)
+        n_lines = text.count("\n") + 1
+        mwl = word_chars / words
+        return (
+            50 <= words <= 100_000
+            and 3.0 <= mwl <= 10.0
+            and cnt(T.SYMBOL_PATTERN, text) / words <= 0.1
+            and cnt(T.BULLET_LINE_PATTERN, text) / n_lines <= 0.9
+            and cnt(T.ELLIPSIS_LINE_PATTERN, text) / n_lines <= 0.3
+            and cnt(T.ALPHA_WORD_PATTERN, text) / words >= 0.8
+        )
+
+    ok["passes"] = [passes_gopher(t or "") for t in ok["extracted_text"]]
+    # exact dedup: canonical = min url per normalized-text fingerprint
+    # (the Java-\s ASCII class, matching operators.dedup.normalized)
+    def fp(t: str) -> str:
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (t or "").lower()).strip()
+        return hashlib.md5(norm.encode("utf-8")).hexdigest()
+
+    ok["fp"] = [fp(t) for t in ok["extracted_text"]]
+    canon = set(ok.groupby("fp")["url"].min())
+    ok["canonical"] = ok["url"].isin(canon)
+    golden = (
+        ok.assign(
+            n_quality=ok["passes"].astype(int),
+            n_clean=(ok["passes"] & ok["canonical"]).astype(int),
+        )
+        .groupby("content_kind", as_index=False)
+        .agg(
+            n_extracted=("url", "count"),
+            n_quality=("n_quality", "sum"),
+            n_clean=("n_clean", "sum"),
+        )
+        .sort_values("content_kind")
+        .reset_index(drop=True)
+    )
+    golden.to_parquet(os.path.join(FIXTURES, "pipeline_e2e_golden.parquet"), index=False)
+    return golden
+
+
 def media_rows(n: int = 50):
     """Shared media universe for the multimodal queries: (media_id, blob)
     from the synthetic corpus payloads (must match queries._media_corpus)."""
@@ -170,6 +243,7 @@ if __name__ == "__main__":
         ("extract_corpus", freeze_extract_corpus),
         ("pages_table", freeze_pages_table),
         ("lineage_totals", freeze_lineage_totals),
+        ("pipeline_e2e", freeze_pipeline_e2e),
         ("multimodal_frames", freeze_multimodal_frames),
         ("sink_overlay", freeze_sink_overlay),
     ]:
