@@ -1173,22 +1173,7 @@ def q_sim_topk_lsh(spark, sf_dir):
     return S.cosine_topk_lsh(emb, queries, k=3, bits=8)
 
 
-SQL_SIM_TOPK_LSH = f"""
-WITH b AS (
-  SELECT vec_id, embedding, CAST({_SQL_BUCKET} AS BIGINT) AS bucket FROM embeddings
-),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % 100 = 0),
-scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-    round({_SQL_COSINE.format(a='q.qv', b='e.embedding')}, 4) AS cosine
-  FROM b e JOIN q ON e.bucket = q.bucket
-  WHERE q.query_id <> e.vec_id
-)
-SELECT query_id, neighbor_id, cosine, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM scored)
-WHERE rank <= 3
-"""
+SQL_SIM_TOPK_LSH = _sql_topk_lsh(8)  # same text sim_recall's lsh8 arm uses
 
 
 def q_sim_topk_ivf(spark, sf_dir):
@@ -1209,17 +1194,12 @@ list_sum(list_transform(list_zip({a}, {b}),
 """
 
 
-def _sql_kmeans_cte(k: int = 8, dim: int = 64) -> str:
-    """CTE chain replaying kmeans_centroids exactly: seeded init + two
-    unrolled Lloyd iterations with exact-decimal per-dimension means."""
-    mean = ", ".join(
-        f"round(CAST(sum(CAST(CAST(embedding[{i + 1}] AS DOUBLE)"
-        f" AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)"
-        for i in range(dim)
-    )
-
-    def assign(csrc: str) -> str:
-        return f"""
+def _sql_ivf_assign(csrc: str) -> str:
+    """Argmin-L2 cell assignment (the SQL twin of ivf_assign): round-6
+    distance with cent_id tie-break — ONE definition shared by the
+    k-means training iterations and the final probe assignment, so the
+    contract cannot desynchronize."""
+    return f"""
   SELECT vec_id, embedding, cent_id FROM (
     SELECT e.vec_id, e.embedding, c.cent_id,
       row_number() OVER (
@@ -1229,14 +1209,23 @@ def _sql_kmeans_cte(k: int = 8, dim: int = 64) -> str:
     FROM embeddings e CROSS JOIN {csrc} c) WHERE rn = 1
 """
 
+
+def _sql_kmeans_cte(k: int = 8, dim: int = 64) -> str:
+    """CTE chain replaying kmeans_centroids exactly: seeded init + two
+    unrolled Lloyd iterations with exact-decimal per-dimension means."""
+    mean = ", ".join(
+        f"round(CAST(sum(CAST(CAST(embedding[{i + 1}] AS DOUBLE)"
+        f" AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)"
+        for i in range(dim)
+    )
     return f"""
 cents0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS cent_id, embedding AS cvec
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
 ),
-a1 AS ({assign('cents0')}),
+a1 AS ({_sql_ivf_assign('cents0')}),
 c1 AS (SELECT cent_id, [{mean}] AS cvec FROM a1 GROUP BY cent_id),
-a2 AS ({assign('c1')}),
+a2 AS ({_sql_ivf_assign('c1')}),
 c2 AS (SELECT cent_id, [{mean}] AS cvec FROM a2 GROUP BY cent_id)
 """
 
@@ -1269,15 +1258,7 @@ def q_sim_topk_ivf_kmeans(spark, sf_dir):
 
 SQL_SIM_TOPK_IVF_KMEANS = f"""
 WITH {_sql_kmeans_cte()},
-assigned AS (
-  SELECT vec_id, embedding, cent_id FROM (
-    SELECT e.vec_id, e.embedding, c.cent_id,
-      row_number() OVER (
-        PARTITION BY e.vec_id
-        ORDER BY round({_SQL_L2SQ.format(a='e.embedding', b='c.cvec')}, 6), c.cent_id
-      ) AS rn
-    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
-),
+assigned AS ({_sql_ivf_assign('c2')}),
 q AS (
   SELECT vec_id AS query_id, embedding AS qv, cent_id
   FROM assigned WHERE vec_id % 100 = 0
