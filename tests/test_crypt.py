@@ -244,3 +244,37 @@ class TestEncryptedPdf:
         res = extract_pdf(pdf.replace(b"/Filter /Standard", b"/Filter /Custom1"))
         assert res.status == "failed"
         assert res.failure_reason == "pdf_encrypted"
+
+
+class TestPrimitiveProperties:
+    """Property tests: the pure-python primitives roundtrip for arbitrary
+    keys and payloads (beyond the fixed FIPS vectors)."""
+
+    def test_aes_cbc_roundtrip_random(self):
+        import hashlib
+
+        for seed in range(40):
+            key = hashlib.sha256(b"k%d" % seed).digest()[: 16 if seed % 2 else 32]
+            iv = hashlib.md5(b"iv%d" % seed).digest()
+            pt = hashlib.sha512(b"p%d" % seed).digest()[: seed % 65]
+            assert aes_cbc_decrypt(key, aes_cbc_encrypt(key, iv, pt)) == pt
+
+    def test_rc4_roundtrip_random(self):
+        import hashlib
+
+        for seed in range(40):
+            key = hashlib.md5(b"k%d" % seed).digest()[: 5 + seed % 12]
+            data = hashlib.sha512(b"d%d" % seed).digest()[: 1 + seed % 63]
+            assert rc4(key, rc4(key, data)) == data
+
+    def test_object_keys_differ_per_object(self):
+        from pdf_ocr_spark.kernels.pdf.crypt import StandardSecurityHandler
+
+        pdf_like = {"V": 2, "R": 3, "Length": 128, "P": -44,
+                    "O": _compute_O(b"own", b"", 3, 16)}
+        key = compute_file_key_rc4(pdf_like["O"], -44, ID0, 3, 16)
+        pdf_like["U"] = expected_user_entry(key, ID0, 3) + b"\x00" * 16
+        h = StandardSecurityHandler(pdf_like, ID0)
+        k1 = h._object_key(4, 0, False)
+        k2 = h._object_key(5, 0, False)
+        assert k1 != k2 and len(k1) == 16
