@@ -1,0 +1,111 @@
+"""WARC source tests: a hand-built WARC/1.0 archive (the ENCODER lives
+here, independent of the reader) in plain and per-record-gzip layouts,
+HTTP quirks (chunked, gzip bodies), poison tolerance, and the Spark
+route end-to-end into the extraction pipeline."""
+
+import gzip
+import os
+
+from pdf_ocr_spark.sources.warc import iter_warc_records, warc_to_pages
+
+HTML_A = (b"<html><body><article><p>warc record one main content, long "
+          b"enough for the readability scorer to keep it around as the "
+          b"densest subtree of this little page.</p></article></body></html>")
+HTML_B = b"<html><body><p>second record body</p></body></html>"
+
+
+def _record(rtype: bytes, uri: bytes, payload: bytes, date=b"2025-03-04T05:06:07Z"):
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + rtype + b"\r\n"
+        b"WARC-Target-URI: " + uri + b"\r\n"
+        b"WARC-Date: " + date + b"\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n"
+    )
+    return head + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, extra: bytes = b"") -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" + extra
+            + b"\r\n" + body)
+
+
+def _archive() -> bytes:
+    chunked = (b"%x\r\n" % len(HTML_B[:10]) + HTML_B[:10] + b"\r\n"
+               + b"%x\r\n" % len(HTML_B[10:]) + HTML_B[10:] + b"\r\n0\r\n\r\n")
+    return b"".join(
+        [
+            _record(b"warcinfo", b"", b"software: test"),  # no uri → skipped
+            _record(b"request", b"http://a.test/", b"GET / HTTP/1.1\r\n\r\n"),
+            _record(b"response", b"http://a.test/", _http(HTML_A)),
+            _record(b"response", b"http://b.test/",
+                    _http(chunked, b"Transfer-Encoding: chunked\r\n")),
+            _record(b"response", b"http://c.test/gz",
+                    _http(gzip.compress(HTML_B), b"Content-Encoding: gzip\r\n")),
+            _record(b"resource", b"http://d.test/raw", HTML_B),
+        ]
+    )
+
+
+def test_iter_warc_records_plain():
+    recs = list(iter_warc_records(_archive()))
+    assert [u for u, _, _ in recs] == [
+        "http://a.test/", "http://b.test/", "http://c.test/gz", "http://d.test/raw"
+    ]
+    bodies = {u: b for u, _, b in recs}
+    assert bodies["http://a.test/"] == HTML_A
+    assert bodies["http://b.test/"] == HTML_B      # chunked reassembled
+    assert bodies["http://c.test/gz"] == HTML_B    # gzip body decoded
+    assert bodies["http://d.test/raw"] == HTML_B   # bare resource record
+    assert all(d == "2025-03-04T05:06:07Z" for _, d, _ in recs)
+
+
+def test_iter_warc_records_gzip_members():
+    # CC layout: each record its own gzip member, concatenated
+    plain = _archive()
+    members = []
+    pos = 0
+    while pos < len(plain):
+        nxt = plain.find(b"WARC/", pos + 1)
+        nxt = len(plain) if nxt < 0 else nxt
+        members.append(gzip.compress(plain[pos:nxt]))
+        pos = nxt
+    gz = b"".join(members)
+    assert [u for u, _, _ in iter_warc_records(gz)] == [
+        "http://a.test/", "http://b.test/", "http://c.test/gz", "http://d.test/raw"
+    ]
+
+
+def test_truncated_and_garbage_archives_never_raise():
+    arc = _archive()
+    for cut in (0, 10, 100, len(arc) // 2, len(arc) - 3):
+        list(iter_warc_records(arc[:cut]))  # must not raise
+    list(iter_warc_records(b"not a warc at all"))
+    list(iter_warc_records(b"\x1f\x8bgarbage-gzip"))
+    # bad content-length recovers at the next record boundary
+    broken = arc.replace(b"Content-Length: ", b"Content-Length: x", 1)
+    assert len(list(iter_warc_records(broken))) >= 3
+
+
+def test_warc_to_pages_feeds_extraction(spark, tmp_path):
+    """End-to-end crawl shape: WARC files → pages table → fused
+    extraction; the HTML boilerplate stripper sees the record bodies."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+
+    src = str(tmp_path / "warcs")
+    os.makedirs(src)
+    with open(os.path.join(src, "seg-0.warc"), "wb") as f:
+        f.write(_archive())
+    with open(os.path.join(src, "seg-1.warc.gz"), "wb") as f:
+        f.write(gzip.compress(_archive().replace(b".test/", b".mirror/")))
+
+    pages = warc_to_pages(spark, src)
+    rows = {r["url"]: r for r in pages.collect()}
+    assert len(rows) == 8  # 4 records × 2 segments
+    assert bytes(rows["http://a.test/"]["html"]) == HTML_A
+    assert rows["http://a.test/"]["warc_ts"] is not None
+
+    docs = {r["url"]: r for r in extract_documents(pages, num_partitions=4).collect()}
+    assert docs["http://a.test/"]["status"] == "ok"
+    assert "warc record one main content" in docs["http://a.test/"]["extracted_text"]
