@@ -30,6 +30,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None,
                     help="pages parquet (required unless --compact)")
+    ap.add_argument("--input-format", choices=("parquet", "warc"),
+                    default="parquet",
+                    help="'warc' ingests raw *.warc/*.warc.gz/*.wet.gz "
+                         "segments straight into the pipeline")
     ap.add_argument("--output", required=True)
     ap.add_argument("--sidecar", default=None)
     ap.add_argument("--partitions", type=int, default=None)
@@ -73,6 +77,7 @@ def main() -> None:
             partition_buckets=args.buckets,
             split_giants=args.split_giants,
             giant_bytes=args.giant_bytes,
+            input_format=args.input_format,
         )
     else:
         from pdf_ocr_spark.pipeline.extract_job import run_extraction
@@ -86,6 +91,7 @@ def main() -> None:
             partition_buckets=args.buckets,
             split_giants=args.split_giants,
             giant_bytes=args.giant_bytes,
+            input_format=args.input_format,
         )
 
     print(

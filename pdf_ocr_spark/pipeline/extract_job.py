@@ -779,6 +779,18 @@ def resume_filter(
     return input_df.join(done.select("url"), "url", "left_anti")
 
 
+def read_pages(
+    spark: SparkSession, input_path: str, input_format: str = "parquet"
+) -> DataFrame:
+    """Input-side dispatch: the pages table from parquet/Iceberg-style
+    storage, or straight from raw WARC/WET crawl segments."""
+    if input_format == "warc":
+        from pdf_ocr_spark.sources.warc import warc_to_pages
+
+        return warc_to_pages(spark, input_path)
+    return spark.read.parquet(input_path)
+
+
 def run_extraction(
     spark: SparkSession,
     input_path: str,
@@ -788,6 +800,7 @@ def run_extraction(
     partition_buckets: Optional[int] = None,
     split_giants: bool = False,
     giant_bytes: int = 4 << 20,
+    input_format: str = "parquet",
 ) -> int:
     """Checkpointable batch run: resume → extract → append-commit.
 
@@ -798,7 +811,7 @@ def run_extraction(
     by this invocation (0 on a fully-resumed no-op run) — no full re-scan
     of the output table, which at 10^12 docs would cost more than the
     incremental run itself."""
-    pages = spark.read.parquet(input_path)
+    pages = read_pages(spark, input_path, input_format)
     if _parquet_exists(output_path):
         done = spark.read.parquet(output_path)
         pages = resume_filter(pages, done)

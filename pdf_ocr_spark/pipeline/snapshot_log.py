@@ -184,6 +184,7 @@ def run_extraction_snapshot(
     partition_buckets: Optional[int] = None,
     split_giants: bool = False,
     giant_bytes: int = 4 << 20,
+    input_format: str = "parquet",
 ) -> int:
     """Checkpointable batch run against a snapshot-log table: resume →
     extract → write data+sidecar to a fresh run dir → ATOMIC manifest
@@ -196,10 +197,11 @@ def run_extraction_snapshot(
         doc_lineage_metrics,
         extract_documents,
         extract_documents_split,
+        read_pages,
         resume_filter,
     )
 
-    pages = spark.read.parquet(input_path)
+    pages = read_pages(spark, input_path, input_format)
     done = read_snapshot_table(spark, table_path)
     if done is not None:
         pages = resume_filter(pages, done)

@@ -122,7 +122,8 @@ def iter_warc_records(
         pos = body_start + length
         rtype = headers.get("warc-type", "").lower()
         uri = headers.get("warc-target-uri", "")
-        if rtype in ("response", "resource") and uri:
+        # 'conversion' = WET extracted-text records — same shape, bare body
+        if rtype in ("response", "resource", "conversion") and uri:
             yield uri, headers.get("warc-date"), _http_body(payload)
 
 

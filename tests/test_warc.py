@@ -88,6 +88,29 @@ def test_truncated_and_garbage_archives_never_raise():
     assert len(list(iter_warc_records(broken))) >= 3
 
 
+def test_wet_conversion_records():
+    wet = _record(b"conversion", b"http://a.test/", b"extracted plain text")
+    recs = list(iter_warc_records(wet))
+    assert recs == [("http://a.test/", "2025-03-04T05:06:07Z",
+                     b"extracted plain text")]
+
+
+def test_run_extraction_from_warc(spark, tmp_path):
+    """The full checkpointed batch entrypoint ingesting raw WARC
+    segments (input_format='warc') — resume included."""
+    from pdf_ocr_spark.pipeline.extract_job import run_extraction
+
+    src = str(tmp_path / "w")
+    out = str(tmp_path / "docs")
+    os.makedirs(src)
+    with open(os.path.join(src, "seg.warc"), "wb") as f:
+        f.write(_archive())
+    n = run_extraction(spark, src, out, num_partitions=2, input_format="warc")
+    assert n == 4
+    n2 = run_extraction(spark, src, out, num_partitions=2, input_format="warc")
+    assert n2 == 0  # resumed: every url already committed
+
+
 def test_warc_to_pages_feeds_extraction(spark, tmp_path):
     """End-to-end crawl shape: WARC files → pages table → fused
     extraction; the HTML boilerplate stripper sees the record bodies."""
