@@ -20,6 +20,7 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 class BoundedUniverseError(ValueError):
@@ -235,6 +236,49 @@ def connected_components(
     finally:
         bi.unpersist()
     return labels
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document PARAGRAPH dedup (the Dolma-style pass below
+    document-level dedup): explode paragraphs, keep each normalized
+    paragraph's globally FIRST occurrence (by doc id, then position),
+    reassemble every document from its surviving paragraphs in original
+    order.  Boilerplate repeated across a site vanishes from all but the
+    first page that carried it.
+
+    One shuffle on the paragraph fingerprint (the first-occurrence
+    window), one on the doc id (reassembly) — both partial-agg friendly;
+    no all-pairs anything.  Returns
+    (doc_id, clean_text, n_paras, n_paras_kept)."""
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("idx", "para"),
+    ).filter(F.trim("para") != "")
+    fp = F.md5(normalized(F.col("para")))
+    w = Window.partitionBy(fp).orderBy("doc_id", "idx")
+    marked = paras.withColumn("rn", F.row_number().over(w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1,
+                            F.struct(F.col("idx"), F.col("para")),
+                        )
+                    )
+                ).getField("para"),
+                "\n\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_paras_kept"),
+        )
+    )
 
 
 def simhash_signatures(

@@ -996,6 +996,60 @@ WHERE {_SQL_COSINE.format(a='a.embedding', b='b.embedding')} >= 0.3
 """
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Cross-document paragraph dedup: synthesize a corpus where every
+    doc shares one boilerplate paragraph (the site-footer case) plus its
+    own body — the footer must survive only in its first carrier."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    synth = F.concat(
+        F.lit("Shared footer boilerplate paragraph.\n\n"),
+        F.substring("text", 1, 120),
+        F.lit("\n\nDoc-specific tail "),
+        F.col("doc_id").cast("string"),
+    )
+    out = D.dedup_paragraphs(d.select("doc_id", synth.alias("text")))
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").alias("clean_len"),
+        "n_paras",
+        F.col("n_paras_kept").cast("long").alias("n_paras_kept"),
+    )
+
+
+SQL_DEDUP_PARAGRAPHS = f"""
+WITH u AS (
+  SELECT doc_id,
+    'Shared footer boilerplate paragraph.' || chr(10) || chr(10)
+    || substr(text, 1, 120) || chr(10) || chr(10)
+    || 'Doc-specific tail ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 200
+),
+p AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS idx,
+         parts[CAST(i AS INT)] AS para
+  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts FROM u),
+       range(1, 100) t(i)
+  WHERE i <= len(parts) AND trim(parts[CAST(i AS INT)]) <> ''
+),
+m AS (
+  SELECT doc_id, idx, para,
+    row_number() OVER (
+      PARTITION BY md5({_NORM_SQL.format(c='para')})
+      ORDER BY doc_id, idx) AS rn
+  FROM p
+)
+SELECT doc_id,
+  md5(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) || chr(10)
+                 ORDER BY idx)) AS clean_md5,
+  CAST(length(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) || chr(10)
+                          ORDER BY idx)) AS INT) AS clean_len,
+  count(*) AS n_paras,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_paras_kept
+FROM m GROUP BY doc_id
+"""
+
+
 def q_dedup_verified_lsh(spark, sf_dir):
     """The composed 100-TB near-dup pipeline: MinHash-LSH candidates
     (bucketed band join) → exact n-gram Jaccard verification restricted
@@ -2385,6 +2439,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cos": (q_dedup_embedding_cos, SQL_DEDUP_EMBEDDING_COS),
     "dedup_verified_lsh": (q_dedup_verified_lsh, SQL_DEDUP_VERIFIED_LSH),
+    "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     "dedup_embedding_bucketed": (
         q_dedup_embedding_bucketed,
         SQL_DEDUP_EMBEDDING_BUCKETED,
