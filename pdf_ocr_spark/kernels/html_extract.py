@@ -219,6 +219,36 @@ def _render_text(node: _Node, out: List[str], line: List[str]) -> None:
         line.clear()
 
 
+_HREF_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
+def extract_links(data: bytes) -> List[str]:
+    """All anchor hrefs in document order, entity-decoded, first
+    occurrence kept — the crawl-frontier discovery pass a Common-Crawl
+    pipeline runs alongside extraction.  Regex tag scan (same grammar as
+    the parser's _TAG_RE), deterministic, never raises."""
+    try:
+        text = data.decode("utf-8", "replace")
+    except Exception:  # noqa: BLE001 — bytes-ish inputs only
+        return []
+    out: List[str] = []
+    seen = set()
+    for m in _TAG_RE.finditer(text):
+        closing, tag, attrs, _ = m.groups()
+        if closing or tag.lower() != "a":
+            continue
+        hm = _HREF_RE.search(attrs)
+        if not hm:
+            continue
+        href = _htmllib.unescape(
+            hm.group(1) or hm.group(2) or hm.group(3) or ""
+        ).strip()
+        if href and href not in seen:
+            seen.add(href)
+            out.append(href)
+    return out
+
+
 def extract_html(data: bytes) -> Tuple[str, str, Optional[str]]:
     """bytes → (main_text, status, failure_reason).
 

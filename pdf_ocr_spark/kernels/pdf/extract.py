@@ -14,7 +14,7 @@ Semantics reproduced from the reference:
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple, Optional, Tuple
 
 from pdf_ocr_spark.kernels.pdf.content import interpret_page
 from pdf_ocr_spark.kernels.pdf.cos import PDFDocument, PDFError
@@ -48,6 +48,7 @@ class DocExtract(NamedTuple):
     n_pages: int
     pages: List[PageExtract]
     blocks: List[Block]
+    links: Tuple[str, ...] = ()  # /Annots Link URIs, document order, deduped
 
 
 def count_pdf_pages(pdf_bytes: bytes) -> int:
@@ -96,7 +97,13 @@ def extract_pdf(
     hi = len(page_dicts) if page_hi is None else min(page_hi, len(page_dicts))
     pages: List[PageExtract] = []
     blocks: List[Block] = []
+    links: List[str] = []
+    seen_links: set = set()
     for i, pd in enumerate(page_dicts[lo - 1 : hi], lo):
+        for u in _page_link_uris(doc, pd):
+            if u not in seen_links:
+                seen_links.add(u)
+                links.append(u)
         try:
             res = interpret_page(doc, pd)
         except Exception:  # noqa: BLE001 — a mangled page must not raise
@@ -128,7 +135,31 @@ def extract_pdf(
                 res.height,
             )
         )
-    return DocExtract("ok", None, len(pages), pages, blocks)
+    return DocExtract("ok", None, len(pages), pages, blocks, tuple(links))
+
+
+def _page_link_uris(doc: PDFDocument, page: dict) -> List[str]:
+    """Link-annotation URIs of one page (/Annots → /Subtype /Link →
+    /A /S /URI) — PDF hyperlinks feed the crawl frontier like HTML
+    anchors do.  Tolerant: malformed annots are skipped."""
+    out: List[str] = []
+    try:
+        annots = doc.resolve(page.get("Annots"))
+        if not isinstance(annots, list):
+            return out
+        for a in annots[:256]:  # poison cap
+            ad = doc.resolve(a)
+            if not isinstance(ad, dict) or str(ad.get("Subtype", "")) != "Link":
+                continue
+            action = doc.resolve(ad.get("A"))
+            if not isinstance(action, dict) or str(action.get("S", "")) != "URI":
+                continue
+            uri = doc.resolve(action.get("URI"))
+            if isinstance(uri, bytes):
+                out.append(uri.decode("utf-8", "replace"))
+    except Exception:  # noqa: BLE001 — never fail a page over its annots
+        return out
+    return out
 
 
 def page_header(page_num: int, text: str) -> str:

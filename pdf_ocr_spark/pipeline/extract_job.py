@@ -436,6 +436,54 @@ def extract_blocks(
     return df.mapInPandas(extract_blocks_batch, schema=BLOCK_SCHEMA)
 
 
+LINK_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("link", StringType()),
+        StructField("link_index", IntegerType()),
+        StructField("source_kind", StringType()),  # 'html' | 'pdf'
+    ]
+)
+
+
+def extract_links_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Crawl-frontier extractor: one row per outgoing hyperlink — HTML
+    anchor hrefs plus PDF /Annots Link URIs, document order preserved."""
+    from pdf_ocr_spark.kernels.html_extract import extract_links as html_links
+    from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+    _tune_worker_gc()
+    cols = [f.name for f in LINK_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            try:
+                if looks_like_pdf(data):
+                    doc = extract_pdf(data)
+                    if doc.status == "ok":
+                        for i, u in enumerate(doc.links):
+                            rows.append((url, u, i, "pdf"))
+                else:
+                    for i, u in enumerate(html_links(data)):
+                        rows.append((url, u, i, "html"))
+            except Exception:  # noqa: BLE001 — poison-row isolation
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_links(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages(url, html, …) → outgoing-link edges (url, link, index,
+    source_kind) — same plan shape as the other extraction routes."""
+    df = pages_df.select("url", "html")
+    if num_partitions is None:
+        num_partitions = max(pages_df.sparkSession.sparkContext.defaultParallelism, 8)
+    df = df.repartition(num_partitions, F.xxhash64("url"))
+    return df.mapInPandas(extract_links_batch, schema=LINK_SCHEMA)
+
+
 def extract_pages(
     pages_df: DataFrame,
     num_partitions: Optional[int] = None,

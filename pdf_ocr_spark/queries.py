@@ -2027,6 +2027,27 @@ FROM read_parquet('{_golden("pages_table")}')
 """
 
 
+def q_link_edges(spark, sf_dir):
+    """Crawl-frontier link graph: one row per outgoing hyperlink (HTML
+    anchors + PDF /Annots Link URIs), oracle = frozen kernel golden."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_links
+
+    rows = gen_rows(100)
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"]) if r["html"] is not None else None)
+         for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_links(pages)
+
+
+SQL_LINK_EDGES = f"""
+SELECT url, link, CAST(link_index AS INT) AS link_index, source_kind
+FROM read_parquet('{_golden("link_edges")}')
+"""
+
+
 def q_pipeline_end_to_end(spark, sf_dir):
     """The engine's reason to exist, as ONE composed plan: crawl pages →
     fused extraction → Gopher quality gate on the EXTRACTED text → exact
@@ -2478,6 +2499,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "extract_corpus": (q_extract_corpus, SQL_EXTRACT_CORPUS),
     "pages_table": (q_pages_table, SQL_PAGES_TABLE),
     "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
+    "link_edges": (q_link_edges, SQL_LINK_EDGES),
     # lineage rows stay rows-only: part_id depends on physical
     # partitioning; the partition-independent TOTALS get a full oracle
     "extract_lineage": (q_extract_lineage, None),

@@ -331,3 +331,57 @@ class TestInlineImages:
         doc = PDFDocument(self._page(content))
         res = interpret_page(doc, doc.pages()[0])
         assert res.images == [b"payload"]
+
+
+class TestPdfLinks:
+    def test_link_annotations_extracted(self):
+        from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+        content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (see link) Tj ET"
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Resources << /Font << /F1 5 0 R >> >>"
+            b" /Annots [6 0 R 7 0 R 8 0 R] >>",
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Annot /Subtype /Link /Rect [72 690 200 710]"
+            b" /A << /S /URI /URI (https://example.test/a) >> >>",
+            b"<< /Type /Annot /Subtype /Link /Rect [72 650 200 670]"
+            b" /A << /S /URI /URI (https://example.test/b) >> >>",
+            # non-URI action (GoTo) must be skipped, not crash
+            b"<< /Type /Annot /Subtype /Link /Rect [0 0 1 1]"
+            b" /A << /S /GoTo /D (page2) >> >>",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs, 1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % (
+            len(objs) + 1, xref,
+        )
+        res = extract_pdf(bytes(out))
+        assert res.status == "ok"
+        assert res.links == ("https://example.test/a", "https://example.test/b")
+        assert res.pages[0].text == "see link"  # annots don't disturb text
+
+
+class TestHtmlLinks:
+    def test_extract_links_order_dedupe_entities(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_links
+
+        html = (b"<html><body>"
+                b"<a href='/one'>1</a>"
+                b'<a href="/two?a=1&amp;b=2">2</a>'
+                b"<a href=/bare>3</a>"
+                b"<a href='/one'>dup</a>"
+                b"<a name='anchor-no-href'>skip</a>"
+                b"</body></html>")
+        assert extract_links(html) == ["/one", "/two?a=1&b=2", "/bare"]
+        assert extract_links(b"\xff\xfe not html") == []

@@ -190,6 +190,24 @@ def freeze_pipeline_e2e() -> pd.DataFrame:
     return golden
 
 
+def freeze_link_edges() -> pd.DataFrame:
+    """Golden for the link-graph route (HTML hrefs + PDF Link URIs) —
+    the link extractor run in-process over gen_rows(100)."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_links_batch
+
+    rows = gen_rows(100)
+    batch = pd.DataFrame(
+        {"url": [r["url"] for r in rows],
+         "html": [bytes(r["html"]) if r["html"] is not None else None for r in rows]}
+    )
+    out = pd.concat(list(extract_links_batch(iter([batch]))), ignore_index=True)
+    golden = out.sort_values(["url", "link_index"], kind="mergesort").reset_index(
+        drop=True
+    )
+    golden.to_parquet(os.path.join(FIXTURES, "link_edges_golden.parquet"), index=False)
+    return golden
+
+
 def media_rows(n: int = 50):
     """Shared media universe for the multimodal queries: (media_id, blob)
     from the synthetic corpus payloads (must match queries._media_corpus)."""
@@ -244,6 +262,7 @@ if __name__ == "__main__":
         ("pages_table", freeze_pages_table),
         ("lineage_totals", freeze_lineage_totals),
         ("pipeline_e2e", freeze_pipeline_e2e),
+        ("link_edges", freeze_link_edges),
         ("multimodal_frames", freeze_multimodal_frames),
         ("sink_overlay", freeze_sink_overlay),
     ]:
