@@ -2048,6 +2048,54 @@ FROM read_parquet('{_golden("link_edges")}')
 """
 
 
+def q_link_pagerank(spark, sf_dir):
+    """PageRank over the extracted link graph (3 iterations, d=0.85) —
+    the crawl-prioritization signal computed from `link_edges`; every
+    iteration's mass goes through exact decimal sums, so the oracle's
+    unrolled-CTE replay hashes identically."""
+    from pdf_ocr_spark.operators.graph import pagerank
+
+    edges = spark.read.parquet(_golden("link_edges")).select(
+        F.col("url").alias("src"), F.col("link").alias("dst")
+    )
+    return pagerank(edges, iters=3, damping=0.85, prec=10)
+
+
+def _sql_pagerank(iters: int = 3, damping: float = 0.85, prec: int = 10) -> str:
+    # (1.0 - d) as an explicit DOUBLE subtraction: python's 1.0-0.85 is
+    # 0.15000000000000002, one ulp off decimal 0.15 — the oracle must
+    # perform the IDENTICAL IEEE operation
+    base = f"(CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE)) / (SELECT n FROM nn)"
+
+    def it(prev: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT n.node,
+    round(coalesce(s.mass, 0) * CAST({damping} AS DOUBLE) + {base}, {prec}) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(sum(CAST(p.pr / d.deg AS DECIMAL(28,14))) AS DOUBLE) AS mass
+    FROM e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)"""
+
+    its = ",".join(it(f"pr{i}" if i else "pr0", f"pr{i + 1}") for i in range(iters))
+    return f"""
+WITH e AS (
+  SELECT url AS src, link AS dst FROM read_parquet('{_golden("link_edges")}')
+),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+pr0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), {prec}) AS pr FROM nodes),
+{its}
+SELECT node, pr FROM pr{iters}
+"""
+
+
+SQL_LINK_PAGERANK = _sql_pagerank()
+
+
 def q_pipeline_end_to_end(spark, sf_dir):
     """The engine's reason to exist, as ONE composed plan: crawl pages →
     fused extraction → Gopher quality gate on the EXTRACTED text → exact
@@ -2500,6 +2548,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pages_table": (q_pages_table, SQL_PAGES_TABLE),
     "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
     "link_edges": (q_link_edges, SQL_LINK_EDGES),
+    "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     # lineage rows stay rows-only: part_id depends on physical
     # partitioning; the partition-independent TOTALS get a full oracle
     "extract_lineage": (q_extract_lineage, None),
