@@ -82,6 +82,34 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+# Affine-permutation MinHash (the standard construction): ONE base hash
+# per shingle, then h_i = (A_i * h + B_i) mod P per permutation — md5 runs
+# once per shingle instead of num_perm times (the dominant per-byte cost
+# at 100 TB), and the expression tree Catalyst must compile shrinks ~8x.
+# Arithmetic stays below 2^62 (base < 2^40, A < 2^20, B < P = 2^61-1), so
+# BIGINT math is exact AND identical in Spark and DuckDB (no overflow
+# wrap in either engine) — the oracle reproduces signatures bit-for-bit.
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_perm_consts(num_perm: int) -> List[tuple]:
+    """Deterministic (A_i, B_i) affine constants, mirrored verbatim into
+    the SQL oracle generator (queries._sql_minhash_mins)."""
+    import random
+
+    out = []
+    for i in range(num_perm):
+        rng = random.Random(0xC0FFEE ^ (i * 0x9E3779B1))
+        out.append((rng.randrange(1, 1 << 20) | 1, rng.randrange(0, MINHASH_P)))
+    return out
+
+
+def _hbase40(col):
+    """40-bit md5-derived base hash, reproducible in DuckDB:
+    CAST('0x' || substr(md5(x), 1, 10) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 10), 16, 10).cast("long")
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -90,13 +118,15 @@ def minhash_signatures(
     k: int = 5,
 ) -> DataFrame:
     """MinHash signatures over k-char shingles: explode distinct shingles,
-    take per-permutation minima (map-side partial agg → one shuffle)."""
+    one md5 base hash per shingle, affine permutations, per-permutation
+    minima (map-side partial agg → one shuffle)."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), k)).alias("sh"),
-    )
+    ).select("doc_id", _hbase40(F.col("sh")).alias("hb"))
     aggs = [
-        F.min(_h64(F.col("sh"), f"mh{i}")).alias(f"mh{i}") for i in range(num_perm)
+        F.min((F.col("hb") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_perm_consts(num_perm))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -378,8 +408,16 @@ def jaccard_on_candidates(
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    # hash each shingle to a 40-bit BIGINT before shuffling: the pair
+    # join moves 8-byte longs instead of k-char strings (plus per-string
+    # object headers), and array_intersect compares longs — the md5
+    # formula is mirrored in the oracle, so jaccard stays exact even in
+    # the (negligible) collision case
     sh_arr = docs.join(involved, id_col, "left_semi").select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), _hbase40)
+        ).alias("sh"),
     )
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -827,9 +827,21 @@ def _sql_h64(expr: str, salt: str) -> str:
     return f"CAST(('0x' || substr(md5({expr} || ':{salt}'), 1, 15)) AS BIGINT)"
 
 
+def _sql_minhash_mins(num_perm: int = 8) -> str:
+    """Per-permutation minima over the affine-permuted 40-bit base hash —
+    the SAME constants as operators.dedup.minhash_perm_consts, so DuckDB
+    reproduces the Spark signatures bit-for-bit (all arithmetic < 2^62:
+    exact BIGINT in both engines)."""
+    hb = "CAST(('0x' || substr(md5(sh), 1, 10)) AS BIGINT)"
+    return ", ".join(
+        f"min(({hb} * {a} + {b}) % {D.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(D.minhash_perm_consts(num_perm))
+    )
+
+
 def q_dedup_minhash_sigs(spark, sf_dir):
-    """MinHash signatures (8 permutations over 5-char shingles) — the
-    md5-derived hashes are reproduced exactly by the SQL oracle."""
+    """MinHash signatures (8 affine permutations over one md5-derived
+    base hash per 5-char shingle) — reproduced exactly by the SQL oracle."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return D.minhash_signatures(docs, num_perm=8, k=5)
 
@@ -837,7 +849,7 @@ def q_dedup_minhash_sigs(spark, sf_dir):
 SQL_DEDUP_MINHASH_SIGS = f"""
 WITH sh AS ({_sql_shingles("(SELECT doc_id, text FROM documents WHERE doc_id < 200)")})
 SELECT doc_id,
-  {", ".join(f"min({_sql_h64('sh', f'mh{i}')}) AS mh{i}" for i in range(8))}
+  {_sql_minhash_mins(8)}
 FROM sh GROUP BY doc_id
 """
 
@@ -855,7 +867,7 @@ WITH u AS ({_SQL_VARIANTS}),
 sh AS ({_sql_shingles("u")}),
 sigs AS (
   SELECT doc_id,
-    {", ".join(f"min({_sql_h64('sh', f'mh{i}')}) AS mh{i}" for i in range(8))}
+    {_sql_minhash_mins(8)}
   FROM sh GROUP BY doc_id
 ),
 bands AS (
@@ -1068,12 +1080,17 @@ SQL_DEDUP_VERIFIED_LSH = (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 10)) AS BIGINT) AS hb
+  FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
   FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  JOIN shh a ON a.doc_id = c.doc_a
+  JOIN shh b ON b.doc_id = c.doc_b AND b.hb = a.hb
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b,
