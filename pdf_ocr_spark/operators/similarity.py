@@ -165,6 +165,7 @@ def kmeans_centroids(
         ).alias(f"m{i}")
         for i in range(dim)
     ]
+    spark = corpus.sparkSession
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
         cents = (
@@ -174,6 +175,15 @@ def kmeans_centroids(
                 "cent_id",
                 F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec"),
             )
+        )
+        # materialize the k×dim centroid table between iterations (tiny:
+        # k rows — this is the standard cluster practice too).  Without
+        # it, iteration N+1's logical plan embeds iteration N's ENTIRE
+        # subplan, and the final search query embeds the whole training
+        # lineage — Catalyst re-optimizes an exponentially nested tree
+        # and the corpus is re-scanned once per nesting level.
+        cents = spark.createDataFrame(
+            cents.collect(), schema="cent_id bigint, cvec array<double>"
         )
     return cents
 
