@@ -414,6 +414,117 @@ def make_html_page(rng: random.Random, lang: str) -> Tuple[bytes, str]:
     return html.encode("utf-8"), " ".join(paras)
 
 
+# -- composite-block fixtures (v4 table/figure semantics) --------------------------
+
+
+def make_ruled_table_pdf(
+    caption: str, cells: List[List[str]], footnote: str
+) -> bytes:
+    """One-page PDF with a ruled 2-column grid: caption line just above
+    the grid, one text row per cell row, footnote just below — exercises
+    table typing + caption/footnote attachment (v4 composite blocks)."""
+    n_rows = len(cells)
+    row_h = 36.0
+    top = 700.0
+    bottom = top - n_rows * row_h
+    parts = [
+        b"BT /F1 10 Tf 1 0 0 1 72 %.0f Tm (%s) Tj ET\n"
+        % (top + 6, caption.encode("ascii", "replace")),
+        b"0.5 w 72 %.0f 300 %.0f re S\n" % (bottom, top - bottom),
+        b"222 %.0f m 222 %.0f l S\n" % (bottom, top),
+    ]
+    for r in range(1, n_rows):
+        y = top - r * row_h
+        parts.append(b"72 %.0f m 372 %.0f l S\n" % (y, y))
+    for r, row in enumerate(cells):
+        y = top - r * row_h - row_h / 2 - 4
+        for c, text in enumerate(row[:2]):
+            x = 80 + c * 150
+            parts.append(
+                b"BT /F1 10 Tf 1 0 0 1 %.0f %.0f Tm (%s) Tj ET\n"
+                % (x, y, text.encode("ascii", "replace"))
+            )
+    parts.append(
+        b"BT /F1 10 Tf 1 0 0 1 72 %.0f Tm (%s) Tj ET\n"
+        % (bottom - 14, footnote.encode("ascii", "replace"))
+    )
+    return _one_page_pdf(b"".join(parts))
+
+
+def make_figure_pdf(paragraph: str, caption: str) -> bytes:
+    """One-page PDF with a body paragraph, an image XObject draw, and a
+    'Figure N: …' caption line below it — exercises image-typed blocks +
+    image_caption attachment."""
+    img_body = b"\x80" * 64
+    content = (
+        b"BT /F1 10 Tf 1 0 0 1 72 740 Tm (%s) Tj ET\n"
+        % paragraph.encode("ascii", "replace")
+        + b"q 200 0 0 120 100 480 cm /Im1 Do Q\n"
+        + b"BT /F1 10 Tf 1 0 0 1 100 458 Tm (%s) Tj ET\n"
+        % caption.encode("ascii", "replace")
+    )
+    return _one_page_pdf(content, image_body=img_body)
+
+
+def _one_page_pdf(content: bytes, image_body: Optional[bytes] = None) -> bytes:
+    w = _PdfWriter()
+    font_num = w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    res = b"/Font << /F1 %d 0 R >>" % font_num
+    if image_body is not None:
+        img_num = w.add_stream(
+            b"/Type /XObject /Subtype /Image /Width 8 /Height 8"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8",
+            image_body,
+            compress=False,
+        )
+        res += b" /XObject << /Im1 %d 0 R >>" % img_num
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    content_num = w.add_stream(b"", content, compress=True)
+    page_num = w.add(
+        b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R /Resources << %s >> >>"
+        % (pages_num, content_num, res)
+    )
+    w.fill(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%d 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        % page_num,
+    )
+    return w.build(catalog)
+
+
+def gen_composite_rows(n: int, seed: int = 7) -> List[dict]:
+    """Deterministic corpus for the composite-blocks queries: cycles
+    table / figure / plain-text docs (plain docs prove the route emits
+    nothing for them)."""
+    rows: List[dict] = []
+    for i in range(n):
+        rng = random.Random((seed << 16) ^ i)
+        kind = ("table", "figure", "plain")[i % 3]
+        url = f"https://example.test/composite/{kind}/{i:05d}"
+        if kind == "table":
+            n_rows = rng.randint(1, 3)
+            cells = [
+                [f"metric {i}-{r}", str(rng.randint(100, 9999))]
+                for r in range(n_rows)
+            ]
+            payload = make_ruled_table_pdf(
+                f"Table {i}: {_sentence(rng, 'en')}",
+                cells,
+                f"Source: dataset {rng.randint(1, 99)}",
+            )
+        elif kind == "figure":
+            payload = make_figure_pdf(
+                _sentence(rng, "en"),
+                f"Figure {i}: {_sentence(rng, 'en')}",
+            )
+        else:
+            payload = make_simple_pdf([[_sentence(rng, "en") for _ in range(4)]])
+        rows.append(dict(url=url, html=payload, kind=kind))
+    return rows
+
+
 # -- broken payloads ---------------------------------------------------------------
 
 

@@ -45,6 +45,20 @@ def mat_apply(m: Matrix, x: float, y: float) -> Tuple[float, float]:
     return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
 
 
+def unit_square_bbox(ctm: Matrix) -> Tuple[float, float, float, float]:
+    """Device-space bbox of the unit square under ``ctm`` — an image's
+    painted area (images draw into the unit square, PDF 32000-1 §8.9.4)."""
+    pts = (
+        mat_apply(ctm, 0.0, 0.0),
+        mat_apply(ctm, 1.0, 0.0),
+        mat_apply(ctm, 0.0, 1.0),
+        mat_apply(ctm, 1.0, 1.0),
+    )
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
 class Glyph(NamedTuple):
     """One positioned glyph in device space."""
 
@@ -68,6 +82,10 @@ class PageResult(NamedTuple):
     # Default is an immutable EMPTY TUPLE — a mutable [] default would be
     # one shared class-level list across every defaulted instance
     rules: Sequence[Tuple[float, float, float, float]] = ()
+    # device-space bbox (x0, y0, x1, y1, y-up) of each image DRAW (the
+    # unit square under the CTM at Do/BI time) — image-typed layout
+    # blocks + v4 image_caption attachment consume these
+    image_draws: Sequence[Tuple[float, float, float, float]] = ()
 
 
 class _TextState:
@@ -311,6 +329,7 @@ class ContentInterpreter:
         self.origin_x, self.origin_y = 0.0, 0.0
         self.glyphs: List[Glyph] = []
         self.images: List[bytes] = []
+        self.image_draws: List[Tuple[float, float, float, float]] = []
         self.rules: List[Tuple[float, float, float, float]] = []
         self.n_text_ops = 0
         self._seq = 0
@@ -327,7 +346,7 @@ class ContentInterpreter:
         self._execute(content, fonts, resources, self.base_ctm)
         return PageResult(
             self.glyphs, self.page_w, self.page_h, self.images, self.n_text_ops,
-            self.rules,
+            self.rules, self.image_draws,
         )
 
     # -- execution ---------------------------------------------------------
@@ -435,6 +454,7 @@ class ContentInterpreter:
                     payload = operands[-1]
                     if isinstance(payload, bytes) and payload.strip():
                         self.images.append(payload)
+                        self.image_draws.append(unit_square_bbox(ctm))
                 elif op == b"re" and len(operands) >= 4:
                     x, y, w, h = (num(v) for v in operands[-4:])
                     dev = [
@@ -530,6 +550,7 @@ class ContentInterpreter:
         subtype = str(self.doc.resolve(xo.dict.get("Subtype", "")))
         if subtype == "Image":
             self.images.append(xo.raw)
+            self.image_draws.append(unit_square_bbox(ctm))
             return
         if subtype == "Form":
             inner_res = self.doc.resolve(xo.dict.get("Resources")) or res

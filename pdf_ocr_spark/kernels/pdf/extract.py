@@ -21,8 +21,10 @@ from pdf_ocr_spark.kernels.pdf.cos import PDFDocument, PDFError
 from pdf_ocr_spark.kernels.pdf.crypt import PDFEncryptedError
 from pdf_ocr_spark.kernels.pdf.layout import (
     Block,
+    attach_captions,
     build_blocks,
     build_lines,
+    image_blocks,
     page_text_from_blocks,
     retype_table_blocks,
     table_regions,
@@ -119,15 +121,25 @@ def extract_pdf(
         lines = build_lines(res.glyphs, res.height)
         ordered = xy_cut_order(lines)
         pblocks = build_blocks(ordered, i)
-        if res.rules:  # ruled-line grids → 'table' typed blocks (v4)
-            pblocks = retype_table_blocks(
-                pblocks, table_regions(res.rules, res.height)
+        regions = table_regions(res.rules, res.height) if res.rules else []
+        if regions:  # ruled-line grids → 'table' typed blocks (v4)
+            pblocks = retype_table_blocks(pblocks, regions)
+        # page text comes from the TEXT-layout blocks only, BEFORE image
+        # blocks / caption retyping — 'image' blocks carry empty text and
+        # caption typing changes only the type field, so extracted text
+        # stays byte-identical to the v2/v3 reference output
+        text = page_text_from_blocks(pblocks)
+        if res.image_draws:
+            pblocks = pblocks + image_blocks(
+                res.image_draws, res.height, i, len(pblocks)
             )
+        if regions or res.image_draws:
+            pblocks = attach_captions(pblocks, regions)
         blocks.extend(pblocks)
         pages.append(
             PageExtract(
                 i,
-                page_text_from_blocks(pblocks),
+                text,
                 len(pblocks),
                 False,
                 None,

@@ -347,3 +347,153 @@ def page_text_from_blocks(blocks: Sequence[Block]) -> str:
     """Page text = block texts joined with newline
     (/root/reference/pdf_ocr_with_boxes_v2.py:684-686)."""
     return "\n".join(b.text for b in blocks)
+
+
+# -- v4 composite blocks: image blocks + caption/footnote attachment ---------
+
+
+def image_blocks(
+    image_draws: Sequence[Tuple[float, float, float, float]],
+    page_h: float,
+    page_num: int,
+    start_index: int,
+) -> List[Block]:
+    """One 'image' typed block per image DRAW on a text page (bbox =
+    unit square under the draw-time CTM, flipped to top-down coords;
+    empty text — page text never carries image bytes).  Mirrors the
+    reference's image composite blocks
+    (/root/reference/pdf_ocr_with_boxes_v4.py:250-260) minus the layout
+    model: geometry comes from the content stream, not ML."""
+    out = []
+    for i, (x0, y0, x1, y1) in enumerate(image_draws):
+        t0, t1 = page_h - y1, page_h - y0  # y-up → top-down
+        out.append(
+            Block(
+                page_num,
+                start_index + i,
+                "image",
+                (round(x0, 2), round(t0, 2), round(x1, 2), round(t1, 2)),
+                "",
+                1.0,
+            )
+        )
+    return out
+
+
+def _h_overlap_frac(a: Tuple[float, ...], b: Tuple[float, ...]) -> float:
+    """Horizontal overlap of two top-down bboxes as a fraction of the
+    narrower one's width."""
+    lo = max(a[0], b[0])
+    hi = min(a[2], b[2])
+    w = min(a[2] - a[0], b[2] - b[0])
+    return (hi - lo) / w if w > 0 else 0.0
+
+
+def attach_captions(
+    blocks: List[Block],
+    table_bboxes: Sequence[Tuple[float, float, float, float]] = (),
+    max_gap: float = 24.0,
+) -> List[Block]:
+    """Geometric caption attachment (v4 composite-block semantics,
+    /root/reference/pdf_ocr_with_boxes_v4.py:232-260): for each detected
+    table REGION (``table_bboxes``, top-down — the grid bbox, not the
+    individual cell blocks), the nearest 'text' block directly ABOVE it
+    (vertical gap ≤ max_gap, ≥50% horizontal overlap) becomes
+    'table_caption' and the nearest text block directly BELOW becomes
+    'table_footnote'; for each 'image' block the nearest text block
+    BELOW (else above) becomes 'image_caption' (figure-caption
+    convention).  Only the ``type`` field changes — block text, bbox,
+    order, and page text bytes stay identical."""
+    out = list(blocks)
+    targets = [("table", bb) for bb in table_bboxes] + [
+        ("image", b.bbox) for b in blocks if b.type == "image"
+    ]
+    for kind, tb in targets:
+        best_above = best_below = None
+        for ci, c in enumerate(out):
+            if c.type != "text":
+                continue
+            if _h_overlap_frac(tb, c.bbox) < 0.5:
+                continue
+            gap_above = tb[1] - c.bbox[3]  # caption bottom → target top
+            gap_below = c.bbox[1] - tb[3]  # target bottom → caption top
+            if 0.0 <= gap_above <= max_gap and (
+                best_above is None or gap_above < best_above[0]
+            ):
+                best_above = (gap_above, ci)
+            if 0.0 <= gap_below <= max_gap and (
+                best_below is None or gap_below < best_below[0]
+            ):
+                best_below = (gap_below, ci)
+        if kind == "table":
+            # table convention: caption above, footnote below
+            if best_above is not None:
+                out[best_above[1]] = out[best_above[1]]._replace(type="table_caption")
+            if best_below is not None:
+                out[best_below[1]] = out[best_below[1]]._replace(
+                    type="table_footnote"
+                )
+        else:
+            # figure convention: caption below ('Figure 1: …'), else above
+            pick = best_below if best_below is not None else best_above
+            if pick is not None:
+                out[pick[1]] = out[pick[1]]._replace(type="image_caption")
+    return out
+
+
+def composite_text(blocks: Sequence[Block]) -> List[Tuple[int, int, str]]:
+    """v4 composite rendering — the reference's exact output strings
+    (/root/reference/pdf_ocr_with_boxes_v4.py:232-260):
+      table → 'table caption: {c}\\ntable body: {b}\\ntable footnote: {f}'
+      image → 'image caption: {c}'
+    with 'NULL' for missing parts.  All 'table' cell blocks on a page
+    form one table (body = cell texts in block order, joined with
+    newline, keyed by the first cell's block_index — multi-table pages
+    merge, a documented limit of the no-ML region model);
+    caption/footnote/image captions come from :func:`attach_captions`
+    typing, matched by vertical proximity.  Returns
+    (page_num, block_index, text) triples sorted by page then index
+    (block_index restarts per page)."""
+
+    def nearest(kind: str, page: int, bbox: Tuple[float, ...]) -> str:
+        best = None
+        for c in blocks:
+            if c.type != kind or c.page_num != page:
+                continue
+            d = abs(((c.bbox[1] + c.bbox[3]) - (bbox[1] + bbox[3])) / 2.0)
+            if best is None or d < best[0]:
+                best = (d, c.text)
+        return best[1] if best is not None else "NULL"
+
+    out: List[Tuple[int, int, str]] = []
+    pages: Dict[int, List[Block]] = {}
+    for b in blocks:
+        if b.type == "table":
+            pages.setdefault(b.page_num, []).append(b)
+        elif b.type == "image":
+            out.append(
+                (
+                    b.page_num,
+                    b.block_index,
+                    "image caption: "
+                    + nearest("image_caption", b.page_num, b.bbox),
+                )
+            )
+    for page, cells in pages.items():
+        bbox = (
+            min(c.bbox[0] for c in cells),
+            min(c.bbox[1] for c in cells),
+            max(c.bbox[2] for c in cells),
+            max(c.bbox[3] for c in cells),
+        )
+        body = "\n".join(c.text for c in cells if c.text) or "NULL"
+        out.append(
+            (
+                page,
+                cells[0].block_index,
+                f"table caption: {nearest('table_caption', page, bbox)}\n"
+                f"table body: {body}\n"
+                f"table footnote: {nearest('table_footnote', page, bbox)}",
+            )
+        )
+    return sorted(out)

@@ -436,6 +436,60 @@ def extract_blocks(
     return df.mapInPandas(extract_blocks_batch, schema=BLOCK_SCHEMA)
 
 
+COMPOSITE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("page_num", IntegerType()),
+        StructField("block_index", IntegerType()),
+        StructField("kind", StringType()),  # 'table' | 'image'
+        StructField("composite", StringType()),  # the v4 rendering string
+    ]
+)
+
+
+def extract_composites_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Composite-block renderer (v4 semantics): per table/figure on a
+    page, the reference's exact composite string —
+    'table caption: …\\ntable body: …\\ntable footnote: …' /
+    'image caption: …' (/root/reference/pdf_ocr_with_boxes_v4.py:232-260).
+    Typing + association are geometric (ruled grids, draw bboxes,
+    caption adjacency — kernels/pdf/layout.py); plain pages emit no rows."""
+    from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+    from pdf_ocr_spark.kernels.pdf.layout import composite_text
+
+    _tune_worker_gc()
+    cols = [f.name for f in COMPOSITE_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not looks_like_pdf(data):
+                continue
+            try:
+                doc = extract_pdf(data)
+            except Exception:  # noqa: BLE001 — poison-row isolation
+                continue
+            if doc.status != "ok":
+                continue
+            for page, idx, text in composite_text(doc.blocks):
+                kind = "image" if text.startswith("image caption:") else "table"
+                rows.append((url, page, idx, kind, text))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_composites(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages(url, html, …) → composite-block table (v4): one row per
+    table/figure with its rendered caption/body/footnote string.  Same
+    plan shape as the other extraction routes."""
+    df = pages_df.select("url", "html")
+    if num_partitions is None:
+        num_partitions = max(pages_df.sparkSession.sparkContext.defaultParallelism, 8)
+    df = df.repartition(num_partitions, F.xxhash64("url"))
+    return df.mapInPandas(extract_composites_batch, schema=COMPOSITE_SCHEMA)
+
+
 LINK_SCHEMA = StructType(
     [
         StructField("url", StringType()),

@@ -2009,6 +2009,35 @@ FROM read_parquet('{_BLOCKS_GOLDEN}') GROUP BY block_type
 """
 
 
+_COMPOSITES_GOLDEN = _golden("composites")
+
+
+def q_blocks_composite(spark, sf_dir):
+    """v4 composite blocks through the distributed pipeline: one row per
+    table/figure with the reference's exact rendered string —
+    'table caption: …\\ntable body: …\\ntable footnote: …' /
+    'image caption: …' (/root/reference/pdf_ocr_with_boxes_v4.py:232-260).
+    Table typing comes from ruled-grid detection, image blocks from
+    draw-time CTM bboxes, captions/footnotes from geometric adjacency
+    (kernels/pdf/layout.py attach_captions/composite_text).  Oracle =
+    frozen kernel golden (tools/freeze_composites_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_composite_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_composites
+
+    rows = gen_composite_rows(45)  # must match the freeze tool's N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_composites(pages)
+
+
+SQL_BLOCKS_COMPOSITE = f"""
+SELECT url, page_num, block_index, kind, composite
+FROM read_parquet('{_COMPOSITES_GOLDEN}')
+"""
+
+
 def q_pages_table(spark, sf_dir):
     """Pages-level table (SURVEY §1.3 documents → PAGES → blocks): the
     page-route output with text pinned by md5; oracle = frozen kernel
@@ -2576,6 +2605,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # blocks level: pipeline-computed vs frozen kernel golden (full hash)
     "blocks_table": (q_blocks_table, SQL_BLOCKS_TABLE),
     "blocks_histogram": (q_blocks_histogram, SQL_BLOCKS_HISTOGRAM),
+    "blocks_composite": (q_blocks_composite, SQL_BLOCKS_COMPOSITE),
 }
 
 

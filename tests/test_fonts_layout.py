@@ -385,3 +385,124 @@ class TestHtmlLinks:
                 b"</body></html>")
         assert extract_links(html) == ["/one", "/two?a=1&b=2", "/bare"]
         assert extract_links(b"\xff\xfe not html") == []
+
+
+class TestCompositeBlocks:
+    """v4 composite-block semantics (reference
+    pdf_ocr_with_boxes_v4.py:232-260): image-typed blocks from image
+    draws, geometric caption/footnote attachment, and the reference's
+    exact composite text strings — no ML, geometry from the content
+    stream only."""
+
+    def _pdf(self, content, extra_objs=b"", resources=b"/Font << /F1 5 0 R >>"):
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Resources << %s >> >>" % resources,
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+        if extra_objs:
+            objs.append(extra_objs)
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs, 1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % (
+            len(objs) + 1, xref,
+        )
+        return bytes(out)
+
+    def _table_pdf(self):
+        content = (
+            b"BT /F1 10 Tf 1 0 0 1 72 706 Tm (Table 1: Quarterly revenue) Tj ET\n"
+            b"0.5 w 72 600 300 100 re S\n"
+            b"72 650 m 372 650 l S\n"
+            b"200 600 m 200 700 l S\n"
+            b"BT /F1 10 Tf 1 0 0 1 80 670 Tm (Revenue) Tj ET\n"
+            b"BT /F1 10 Tf 1 0 0 1 210 670 Tm (1200) Tj ET\n"
+            b"BT /F1 10 Tf 1 0 0 1 80 620 Tm (Cost) Tj ET\n"
+            b"BT /F1 10 Tf 1 0 0 1 210 620 Tm (800) Tj ET\n"
+            b"BT /F1 10 Tf 1 0 0 1 72 586 Tm (Source: annual filing) Tj ET\n"
+        )
+        return self._pdf(content)
+
+    def _image_pdf(self):
+        img = (
+            b"<< /Type /XObject /Subtype /Image /Width 10 /Height 10"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length 100 >>\n"
+            b"stream\n" + b"\xaa" * 100 + b"\nendstream"
+        )
+        content = (
+            b"BT /F1 10 Tf 1 0 0 1 72 740 Tm (Intro paragraph text) Tj ET\n"
+            b"q 200 0 0 100 100 500 cm /Im1 Do Q\n"
+            b"BT /F1 10 Tf 1 0 0 1 100 478 Tm (Figure 1: sample plot) Tj ET\n"
+        )
+        return self._pdf(
+            content,
+            extra_objs=img,
+            resources=b"/Font << /F1 5 0 R >> /XObject << /Im1 6 0 R >>",
+        )
+
+    def test_table_caption_and_footnote_typed(self):
+        from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+        res = extract_pdf(self._table_pdf())
+        assert res.status == "ok"
+        by_text = {b.text: b for b in res.blocks}
+        assert by_text["Table 1: Quarterly revenue"].type == "table_caption"
+        assert by_text["Source: annual filing"].type == "table_footnote"
+        # same-baseline cells can merge into one span ("Revenue1200")
+        cells = [b.text for b in res.blocks if b.type == "table"]
+        assert sorted(cells) == ["800", "Cost", "Revenue1200"]
+        # typing never touches text bytes: caption/footnote still in page text
+        assert "Table 1: Quarterly revenue" in res.pages[0].text
+        assert "Source: annual filing" in res.pages[0].text
+
+    def test_image_block_bbox_and_caption(self):
+        from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+        res = extract_pdf(self._image_pdf())
+        assert res.status == "ok"
+        imgs = [b for b in res.blocks if b.type == "image"]
+        assert len(imgs) == 1
+        # unit square under [200 0 0 100 100 500] → x 100-300, y-up 500-600
+        # → top-down (792-600, 792-500) = (192, 292)
+        assert imgs[0].bbox == (100.0, 192.0, 300.0, 292.0)
+        assert imgs[0].text == ""
+        by_text = {b.text: b for b in res.blocks}
+        assert by_text["Figure 1: sample plot"].type == "image_caption"
+        assert by_text["Intro paragraph text"].type in ("text", "title")
+        # image block contributes NO bytes to page text
+        assert res.pages[0].text == "Intro paragraph text\nFigure 1: sample plot"
+
+    def test_composite_text_reference_format(self):
+        from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+        from pdf_ocr_spark.kernels.pdf.layout import composite_text
+
+        res = extract_pdf(self._table_pdf())
+        comps = composite_text(res.blocks)
+        assert len(comps) == 1
+        _, _, txt = comps[0]
+        assert txt == (
+            "table caption: Table 1: Quarterly revenue\n"
+            "table body: Revenue1200\nCost\n800\n"
+            "table footnote: Source: annual filing"
+        )
+
+        res = extract_pdf(self._image_pdf())
+        comps = composite_text(res.blocks)
+        assert len(comps) == 1
+        assert comps[0][2] == "image caption: Figure 1: sample plot"
+
+    def test_no_caption_is_null(self):
+        from pdf_ocr_spark.kernels.pdf.layout import Block, composite_text
+
+        blocks = [Block(1, 0, "image", (10.0, 10.0, 50.0, 50.0), "", 1.0)]
+        assert composite_text(blocks) == [(1, 0, "image caption: NULL")]

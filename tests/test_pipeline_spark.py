@@ -149,6 +149,21 @@ def test_fused_plan_single_shuffle_no_aggregate(spark, corpus_parquet):
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
 
 
+def test_composites_plan_single_shuffle(spark, corpus_parquet):
+    """The composite-blocks route keeps the hot-path plan shape: scan
+    pruned to (url, html) → one salted Exchange → one python stage."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_composites
+
+    pages = spark.read.parquet(corpus_parquet).filter(F.length("url") >= 0)
+    plan = (
+        extract_composites(pages, num_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "xxhash64" in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
 def test_bucketed_output_layout_and_resume(spark, corpus_parquet, tmp_path):
     """Iceberg-style bucket(url) output layout: hive-partitioned on
     url_bucket, prunable by the scan, and still resumable."""

@@ -69,6 +69,99 @@ def worker(cpus: int, corpus: str, timed_runs: int = 3, warmups: int = 2) -> Non
     spark.stop()
 
 
+def multi_worker(wid: int, cpus: int, sync_dir: str, files: list) -> None:
+    """One JVM of the multi-JVM cluster stand-in: its own SparkSession
+    (own heap, GC, python workers — a separate memory arena), reading its
+    own stripe of the corpus.  Warmups run unsynchronized; the timed
+    window is synchronized across JVMs via ready/go files so all arenas
+    contend for the memory bus exactly as concurrent executors would."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+    from pdf_ocr_spark.pipeline.session import get_spark
+
+    spark = get_spark(f"scaling-multi-{wid}", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(*files)
+
+    def run_once() -> float:
+        t0 = time.monotonic()
+        extract_documents(pages, num_partitions=cpus).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.monotonic() - t0
+
+    for _ in range(2):
+        run_once()
+    n = pages.count()
+    with open(os.path.join(sync_dir, f"ready_{wid}"), "w"):
+        pass
+    go = os.path.join(sync_dir, "go")
+    while not os.path.exists(go):
+        time.sleep(0.02)
+    # two back-to-back timed runs: overlapped windows across JVMs (same
+    # per-run duration), noise averaged over 2n docs
+    dt = run_once() + run_once()
+    print(json.dumps({"wid": wid, "cpus": cpus, "docs": 2 * n,
+                      "sec": round(dt, 3),
+                      "docs_per_sec": round(2 * n / dt, 2)}))
+    spark.stop()
+
+
+def multi_jvm_level(corpus: str, n_jvms: int, cpus_each: int) -> dict:
+    """Separate-memory-arena scaling point: N = one pinned JVM on one
+    corpus stripe; 4N = ``n_jvms`` concurrent JVMs, each pinned to a
+    DISJOINT core band with its own stripe.  Models N vs 4N *executors*
+    more closely than one growing JVM: each arena has its own heap,
+    allocator, GC threads, and python workers — only the host memory bus
+    stays shared (which real separate nodes would not share)."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(corpus, "*.parquet")))
+    stripes = [files[i::n_jvms] for i in range(n_jvms)]
+
+    def launch(wid: int, stripe: list, core_lo: int, sync_dir: str):
+        return subprocess.Popen(
+            ["taskset", "-c", f"{core_lo}-{core_lo + cpus_each - 1}",
+             sys.executable, os.path.abspath(__file__), "--multi-worker",
+             str(wid), str(cpus_each), sync_dir] + stripe,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+
+    def run_group(n: int) -> list:
+        with tempfile.TemporaryDirectory() as sync_dir:
+            procs = [launch(w, stripes[w], w * cpus_each, sync_dir)
+                     for w in range(n)]
+            while sum(os.path.exists(os.path.join(sync_dir, f"ready_{w}"))
+                      for w in range(n)) < n:
+                time.sleep(0.05)
+                if any(p.poll() not in (None,) and p.poll() != 0 for p in procs):
+                    raise RuntimeError("multi-jvm worker died during warmup")
+            with open(os.path.join(sync_dir, "go"), "w"):
+                pass
+            outs = []
+            for p in procs:
+                out, _ = p.communicate()
+                outs.append(json.loads(out.strip().splitlines()[-1]))
+            return outs
+
+    base = run_group(1)[0]
+    base_rate = base["docs_per_sec"]
+    group = run_group(n_jvms)
+    agg_docs = sum(g["docs"] for g in group)
+    max_wall = max(g["sec"] for g in group)
+    agg_rate = agg_docs / max_wall
+    eff = agg_rate / (n_jvms * base_rate)
+    res = {
+        "baseline_1jvm": base,
+        "group": group,
+        "aggregate_docs_per_sec": round(agg_rate, 2),
+        "multi_jvm_efficiency": round(eff, 3),
+        "n_jvms": n_jvms,
+        "cpus_each": cpus_each,
+    }
+    print(json.dumps(res), file=sys.stderr)
+    return res
+
+
 def ceiling(procs: int, n_docs: int = N_DOCS) -> float:
     """Hardware ceiling: the EXACT executor UDF body over the SAME
     ``gen_rows(N_DOCS)`` corpus the Spark levels read, under plain
@@ -133,6 +226,25 @@ def main() -> None:
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--ceiling":
         print(json.dumps(ceiling(int(sys.argv[2]))))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--multi-worker":
+        multi_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+                     sys.argv[5:])
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--multi":
+        # standalone separate-arena run: N = 1 JVM x 8 cores,
+        # 4N = 4 JVMs x 8 cores on disjoint core bands
+        with tempfile.TemporaryDirectory() as tmp:
+            corpus = os.path.join(tmp, "pages.parquet")
+            print(f"generating {N_DOCS}-doc corpus …", file=sys.stderr)
+            write_corpus(corpus, N_DOCS)
+            best = None
+            for _ in range(2):
+                r = multi_jvm_level(corpus, n_jvms=4, cpus_each=8)
+                if best is None or (r["multi_jvm_efficiency"]
+                                    > best["multi_jvm_efficiency"]):
+                    best = r
+            print(json.dumps(best))
         return
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -271,6 +383,14 @@ same two pinned parallelism levels (2 cycles, best of each metric):
 - plan shape at both levels: one Exchange (the explicit
   `repartition(P, xxhash64(url))`), one fused python stage, no
   aggregate shuffle (see `test_fused_plan_single_shuffle_no_aggregate`)
+
+## Multi-JVM (separate memory arenas): `python tools/bench_scaling.py --multi`
+
+N = 1 pinned 8-core JVM on one corpus stripe; 4N = 4 concurrent JVMs on
+disjoint 8-core bands, each with its own heap, GC, and python workers
+(synchronized timed windows).  This models N vs 4N *executors* more
+closely than one growing JVM — see the measured numbers in the section
+committed alongside this file.
 
 ## Sustained run (memory stability / amortization)
 
