@@ -525,6 +525,58 @@ def gen_composite_rows(n: int, seed: int = 7) -> List[dict]:
     return rows
 
 
+def make_table_html(rng: random.Random, i: int) -> bytes:
+    """Deterministic HTML page with 1-2 data tables (caption on some),
+    navigation boilerplate, and body paragraphs — exercises structured
+    <table> extraction alongside main-content stripping."""
+    n_tables = rng.randint(1, 2)
+    tables = []
+    for t in range(n_tables):
+        n_rows = rng.randint(2, 4)
+        cap = (
+            f"<caption>Dataset {i}-{t}: {_sentence(rng, 'en')}</caption>"
+            if rng.random() < 0.6
+            else ""
+        )
+        head = "<tr><th>Key</th><th>Value</th><th>Note</th></tr>"
+        body = "".join(
+            f"<tr><td>k{i}-{t}-{r}</td><td>{rng.randint(10, 9999)}</td>"
+            f"<td>{_sentence(rng, 'en')}</td></tr>"
+            for r in range(n_rows)
+        )
+        tables.append(f"<table>{cap}{head}{body}</table>")
+    paras = "".join(f"<p>{_sentence(rng, 'en')}</p>" for _ in range(3))
+    html = (
+        "<html><head><title>tables</title></head><body>"
+        "<nav><a href='/'>home</a> <a href='/about'>about</a></nav>"
+        f"<main>{paras}{''.join(tables)}</main>"
+        "<footer>© 2025</footer></body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def gen_html_table_rows(n: int, seed: int = 11) -> List[dict]:
+    """Deterministic corpus for the html_tables query: table pages plus
+    tableless pages (which must emit no rows)."""
+    rows: List[dict] = []
+    for i in range(n):
+        rng = random.Random((seed << 18) ^ i)
+        if i % 4 == 3:
+            payload, _ = make_html_page(rng, "en")  # tableless page
+            kind = "plain"
+        else:
+            payload = make_table_html(rng, i)
+            kind = "tables"
+        rows.append(
+            dict(
+                url=f"https://example.test/htmltbl/{kind}/{i:05d}",
+                html=payload,
+                kind=kind,
+            )
+        )
+    return rows
+
+
 # -- broken payloads ---------------------------------------------------------------
 
 

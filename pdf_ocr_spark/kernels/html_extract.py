@@ -219,6 +219,83 @@ def _render_text(node: _Node, out: List[str], line: List[str]) -> None:
         line.clear()
 
 
+class HtmlTable(NamedTuple):
+    """One extracted <table>: caption, row-major cell text, and shape."""
+
+    table_index: int        # document order, 0-based
+    caption: str            # <caption> subtree text, '' if absent
+    n_rows: int
+    n_cols: int             # max cells per row (ragged rows allowed)
+    rows: List[List[str]]   # cell texts, whitespace-collapsed
+
+
+def _node_text(node: _Node) -> str:
+    """Whitespace-collapsed subtree text (inline flow, no block breaks)."""
+    parts: List[str] = []
+
+    def walk(n: _Node) -> None:
+        slots: Dict[int, List[str]] = {}
+        for slot, t in n.texts:
+            slots.setdefault(slot, []).append(t)
+        parts.extend(slots.get(0, []))
+        for i, child in enumerate(n.children, 1):
+            walk(child)
+            parts.extend(slots.get(i, []))
+
+    walk(node)
+    return _WS_RE.sub(" ", "".join(parts)).strip()
+
+
+def _nearest_table(node: _Node) -> Optional[_Node]:
+    p = node.parent
+    while p is not None:
+        if p.tag == "table":
+            return p
+        p = p.parent
+    return None
+
+
+def extract_tables(data: bytes) -> List[HtmlTable]:
+    """Structured <table> extraction — the HTML twin of the PDF
+    ruled-grid table blocks (kernels/pdf/layout.py table_regions): one
+    entry per <table> in document order with caption, shape, and
+    row-major cell texts.  Rows are this table's own <tr> (a nested
+    table's rows belong to the nested entry; its full text still appears
+    inside the enclosing cell).  Never raises; undecodable or tableless
+    input returns []."""
+    try:
+        text = data.decode("utf-8", "replace")
+        root = _parse(text)
+    except Exception:  # noqa: BLE001 — poison input must not raise
+        return []
+    out: List[HtmlTable] = []
+    tables = [n for n in _iter_nodes(root) if n.tag == "table"]
+    for ti, tbl in enumerate(tables):
+        caption = ""
+        rows: List[List[str]] = []
+        for n in _iter_nodes(tbl):
+            if n is tbl:
+                continue
+            if n.tag == "caption" and not caption and _nearest_table(n) is tbl:
+                caption = _node_text(n)
+            elif n.tag == "tr" and _nearest_table(n) is tbl:
+                cells = [
+                    _node_text(c) for c in n.children if c.tag in ("td", "th")
+                ]
+                if cells:
+                    rows.append(cells)
+        out.append(
+            HtmlTable(
+                ti,
+                caption,
+                len(rows),
+                max((len(r) for r in rows), default=0),
+                rows,
+            )
+        )
+    return out
+
+
 _HREF_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
 

@@ -7,6 +7,7 @@ live in kernels/textstats.py.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -249,3 +250,69 @@ def fingerprint_expr(col: Column) -> Column:
     """Content fingerprint: md5 of lowercased, whitespace-collapsed text
     (kernels.textstats.fingerprint_md5 parity)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+# -- encoding hygiene: mojibake repair + unicode normalization ---------------
+
+# Common double-encoded-UTF-8 sequences (UTF-8 bytes mis-decoded as
+# cp1252, latin-1 fallback for cp1252's undefined bytes — browser
+# behavior) and their repairs — the fixed-table subset of what ftfy
+# fixes, as pure string replaces so the repair runs JVM-side inside
+# whole-stage codegen AND replays verbatim in the DuckDB oracle (the
+# same computed literals are interpolated into the oracle SQL).
+
+
+def _as_mojibake(ch: str) -> str:
+    """What ``ch`` looks like after its UTF-8 bytes are mis-decoded."""
+    out = []
+    for byte in ch.encode("utf-8"):
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(bytes([byte]).decode("latin-1"))
+    return "".join(out)
+
+
+MOJIBAKE_CHARS = "\u2019\u2018\u201c\u201d\u2014\u2013\u2026\u00e9\u00e8\u00e4\u00f6\u00fc\u00f1\u00e7\u00e0\u00a0"
+MOJIBAKE_MAP = [(_as_mojibake(c), c) for c in MOJIBAKE_CHARS]
+
+
+def mojibake_repair_expr(col: Column) -> Column:
+    """Chained replaces over MOJIBAKE_MAP — repairs the common
+    UTF-8-read-as-latin-1 sequences a web crawl accumulates."""
+    out = col
+    for bad, good in MOJIBAKE_MAP:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def mojibake_corrupt_expr(col: Column) -> Column:
+    """The INVERSE map (good → mojibake), applied in reverse order — used
+    by tests/queries to synthesize corrupted input deterministically from
+    clean text, entirely in-engine."""
+    out = col
+    for bad, good in reversed(MOJIBAKE_MAP):
+        out = F.replace(out, F.lit(good), F.lit(bad))
+    return out
+
+
+def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization via an Arrow-batched pandas UDF (Spark
+    has no normalization built-in; this is the sanctioned python path —
+    vectorized, never per-row).  The DuckDB oracle replays it with its
+    native nfc_normalize(), so the gate cross-checks two independent
+    NFC implementations (python unicodedata vs utf8proc)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: annotations are postponed (module-level future import), so the
+    # hint strings must resolve against module globals — hence the
+    # module-level ``import pandas as pd`` below the stdlib imports
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return docs.withColumn(text_col, _nfc(F.col(text_col)))

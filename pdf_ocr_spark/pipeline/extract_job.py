@@ -490,6 +490,63 @@ def extract_composites(
     return df.mapInPandas(extract_composites_batch, schema=COMPOSITE_SCHEMA)
 
 
+HTML_TABLE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("table_index", IntegerType()),
+        StructField("caption", StringType()),
+        StructField("n_rows", IntegerType()),
+        StructField("n_cols", IntegerType()),
+        StructField("tsv", StringType()),  # rows joined by \n, cells by \t
+    ]
+)
+
+
+def extract_html_tables_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Structured <table> extractor (runs on executors): one row per
+    HTML table with caption, shape, and row-major cells as TSV — the
+    HTML twin of the PDF composite table blocks.  Non-HTML and
+    poison rows emit nothing."""
+    from pdf_ocr_spark.kernels.html_extract import extract_tables
+
+    _tune_worker_gc()
+    cols = [f.name for f in HTML_TABLE_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not data or looks_like_pdf(data):
+                continue
+            for t in extract_tables(data):
+                rows.append(
+                    (
+                        url,
+                        t.table_index,
+                        t.caption,
+                        t.n_rows,
+                        t.n_cols,
+                        "\n".join("\t".join(r) for r in t.rows),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_html_tables(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages(url, html, …) → HTML tables (url, table_index, caption,
+    n_rows, n_cols, tsv).  Same plan shape as the other extraction
+    routes: scan pruned to (url, html), one salted repartition, one
+    python stage."""
+    df = pages_df.select("url", "html")
+    if num_partitions is None:
+        num_partitions = max(pages_df.sparkSession.sparkContext.defaultParallelism, 8)
+    df = df.repartition(num_partitions, F.xxhash64("url"))
+    return df.mapInPandas(extract_html_tables_batch, schema=HTML_TABLE_SCHEMA)
+
+
 LINK_SCHEMA = StructType(
     [
         StructField("url", StringType()),

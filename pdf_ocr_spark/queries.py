@@ -1594,6 +1594,86 @@ FROM documents WHERE doc_id < 300
 """
 
 
+# -- encoding hygiene: mojibake repair + NFC normalization -------------------
+
+# unicode-rich suffixes appended to the (mostly-ASCII) synthetic docs so
+# the encoding ops have real work; chars drawn from T.MOJIBAKE_CHARS and
+# decomposed NFC sequences
+_MOJI_SUFFIX = " caf\u00e9 \u2014 \u201cquoted\u201d \u2026 na\u00efve"
+_NFC_SUFFIX = " cafe\u0301 nai\u0308ve A\u030angstro\u0308m"
+
+
+def _sql_replace_chain(expr: str, mapping) -> str:
+    out = expr
+    for a, b in mapping:
+        out = f"replace({out}, '{a}', '{b}')"
+    return out
+
+
+def q_text_mojibake(spark, sf_dir):
+    """Mojibake (double-encoded UTF-8) repair: synthesize corrupted text
+    in-engine via the inverse map, repair it with the forward map — both
+    pure chained replaces (JVM-side, codegen'd), replayed verbatim by the
+    oracle from the same computed literals (operators.text_analysis
+    MOJIBAKE_MAP).  roundtrip_ok proves repair(corrupt(x)) == x."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    base = F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
+    corrupted = T.mojibake_corrupt_expr(base)
+    repaired = T.mojibake_repair_expr(corrupted)
+    return d.select(
+        "doc_id",
+        F.md5(corrupted).alias("corrupt_md5"),
+        F.md5(repaired).alias("repaired_md5"),
+        (repaired == base).alias("roundtrip_ok"),
+    )
+
+
+def _sql_text_mojibake() -> str:
+    base = f"(text || '{_MOJI_SUFFIX}')"
+    corrupted = _sql_replace_chain(
+        base, [(g, b) for b, g in reversed(T.MOJIBAKE_MAP)]
+    )
+    repaired = _sql_replace_chain(corrupted, T.MOJIBAKE_MAP)
+    return f"""
+SELECT doc_id,
+  md5({corrupted}) AS corrupt_md5,
+  md5({repaired}) AS repaired_md5,
+  ({repaired} = {base}) AS roundtrip_ok
+FROM documents WHERE doc_id < 200
+"""
+
+
+SQL_TEXT_MOJIBAKE = _sql_text_mojibake()
+
+
+def q_text_nfc(spark, sf_dir):
+    """Unicode NFC normalization via an Arrow-batched pandas UDF (python
+    unicodedata); the oracle replays it with DuckDB's native
+    nfc_normalize (utf8proc) — two independent NFC implementations must
+    agree on the md5 of every normalized document."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select(
+            "doc_id", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("text")
+        )
+    )
+    n = T.nfc_normalize(d)
+    return n.select(
+        "doc_id",
+        F.md5("text").alias("nfc_md5"),
+        F.length("text").alias("nfc_len"),
+    )
+
+
+SQL_TEXT_NFC = f"""
+SELECT doc_id,
+  md5(nfc_normalize(text || '{_NFC_SUFFIX}')) AS nfc_md5,
+  CAST(length(nfc_normalize(text || '{_NFC_SUFFIX}')) AS INT) AS nfc_len
+FROM documents WHERE doc_id < 150
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Duplicate-line / duplicate-paragraph fractions (Gopher repetition
     family) — array built-ins, no explode."""
@@ -2035,6 +2115,33 @@ def q_blocks_composite(spark, sf_dir):
 SQL_BLOCKS_COMPOSITE = f"""
 SELECT url, page_num, block_index, kind, composite
 FROM read_parquet('{_COMPOSITES_GOLDEN}')
+"""
+
+
+_HTML_TABLES_GOLDEN = _golden("html_tables")
+
+
+def q_html_tables(spark, sf_dir):
+    """Structured <table> extraction from HTML pages — the HTML twin of
+    the PDF composite table blocks: one row per table with caption,
+    shape, and row-major cells as TSV, computed by the distributed
+    pipeline (extract_html_tables; same single-shuffle plan shape as the
+    hot path).  Tableless pages emit nothing.  Oracle = frozen kernel
+    golden (tools/freeze_html_tables_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_html_table_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_html_tables
+
+    rows = gen_html_table_rows(40)  # must match the freeze tool's N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_html_tables(pages)
+
+
+SQL_HTML_TABLES = f"""
+SELECT url, table_index, caption, n_rows, n_cols, tsv
+FROM read_parquet('{_HTML_TABLES_GOLDEN}')
 """
 
 
@@ -2576,6 +2683,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_gopher": (q_text_gopher, SQL_TEXT_GOPHER),
     "text_c4": (q_text_c4, SQL_TEXT_C4),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_mojibake": (q_text_mojibake, SQL_TEXT_MOJIBAKE),
+    "text_nfc": (q_text_nfc, SQL_TEXT_NFC),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "url_domain_counts": (q_url_domain_counts, SQL_URL_DOMAIN_COUNTS),
@@ -2606,6 +2715,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "blocks_table": (q_blocks_table, SQL_BLOCKS_TABLE),
     "blocks_histogram": (q_blocks_histogram, SQL_BLOCKS_HISTOGRAM),
     "blocks_composite": (q_blocks_composite, SQL_BLOCKS_COMPOSITE),
+    "html_tables": (q_html_tables, SQL_HTML_TABLES),
 }
 
 

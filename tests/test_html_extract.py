@@ -80,3 +80,60 @@ def test_charset_fallback_latin1():
     text, status, _ = extract_html(html)
     assert status == "ok"
     assert "café" in text
+
+
+class TestHtmlTables:
+    """Structured <table> extraction (HTML twin of the PDF ruled-grid
+    table blocks)."""
+
+    HTML = (
+        b"<html><body><p>intro</p>"
+        b"<table><caption>Sales by region</caption>"
+        b"<tr><th>Region</th><th>Sales</th></tr>"
+        b"<tr><td>North</td><td>1,200</td></tr>"
+        b"<tr><td>South</td><td><b>900</b> units</td></tr>"
+        b"</table>"
+        b"<table><tr><td>a</td><td>b</td><td>c</td></tr></table>"
+        b"</body></html>"
+    )
+
+    def test_tables_shape_and_cells(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_tables
+
+        tables = extract_tables(self.HTML)
+        assert len(tables) == 2
+        t0 = tables[0]
+        assert t0.caption == "Sales by region"
+        assert (t0.n_rows, t0.n_cols) == (3, 2)
+        assert t0.rows[0] == ["Region", "Sales"]
+        assert t0.rows[2] == ["South", "900 units"]  # inline markup flattened
+        assert tables[1].caption == ""
+        assert (tables[1].n_rows, tables[1].n_cols) == (1, 3)
+
+    def test_nested_table_rows_stay_separate(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_tables
+
+        html = (
+            b"<table><tr><td>outer <table><tr><td>inner</td></tr></table>"
+            b"</td></tr></table>"
+        )
+        tables = extract_tables(html)
+        assert len(tables) == 2
+        assert tables[0].rows == [["outer inner"]]  # nested text flows in
+        assert tables[1].rows == [["inner"]]        # but rows are its own
+
+    def test_tableless_and_poison(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_tables
+
+        assert extract_tables(b"<p>nothing</p>") == []
+        assert extract_tables(b"\xff\xfe\x00garbage") == []
+        assert extract_tables(b"") == []
+
+    def test_deterministic_corpus(self):
+        from pdf_ocr_spark.fixtures.genpages import gen_html_table_rows
+
+        a = gen_html_table_rows(12)
+        b = gen_html_table_rows(12)
+        assert [r["url"] for r in a] == [r["url"] for r in b]
+        assert [r["html"] for r in a] == [r["html"] for r in b]
+        assert any(r["kind"] == "plain" for r in a)
