@@ -551,3 +551,87 @@ def embedding_near_pairs_bucketed(
     return pairs.select(
         "id_a", "id_b", F.round(cos, 4).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Cross-document EXACT duplicate spans — the windowed approximation
+    of suffix-array exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    k-char window of normalized text that appears verbatim in more than
+    one document marks a duplicated region; overlapping marked windows
+    merge into spans.
+
+    Construction (all JVM built-ins, oracle-replayable):
+      1. CONTENT-DEFINED window anchors (winnowing-style): positions
+         where the hash of the 8-char anchor gram ≡ 0 (mod stride) —
+         fixed-grid sampling would only catch duplicates whose offsets
+         agree mod stride; content anchors land at the same places
+         inside shared text regardless of where it sits in each doc
+      2. one 40-bit md5 hash per k-char window at each anchor (same
+         formula as the MinHash base hash)
+      3. hashes held by >1 distinct doc = duplicated windows (one
+         map-side-combined groupBy)
+      4. join back, then per-doc gaps-and-islands merge (Window
+         functions PARTITIONED BY doc — never a global sort)
+
+    Output: (doc_id, span_start, span_end, span_len), 1-based inclusive
+    character positions in the NORMALIZED text.
+
+    Scale notes: anchor selection hashes every position (what a suffix
+    array pays in sort space; a production build swaps the md5 anchor
+    for a rolling hash) but only ~len/stride windows survive to the
+    shuffle.  The dup-hash side of the join-back is small (duplicated
+    content only) — AQE converts it to a broadcast join when it fits."""
+    anchor_w = 8
+    norm = normalized(F.col(text_col))
+    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    anchors = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: _hbase40(norm.substr(i, F.lit(anchor_w))) % stride == 0,
+    )
+    wins = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                anchors,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    _hbase40(norm.substr(i, F.lit(k))).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("h")
+    )
+    marked = wins.join(dup_hashes, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = F.sum(
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    ).over(w)
+    return (
+        marked.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )

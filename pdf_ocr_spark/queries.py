@@ -1062,6 +1062,57 @@ FROM m GROUP BY doc_id
 """
 
 
+def q_dedup_dup_spans(spark, sf_dir):
+    """Cross-document exact duplicate spans (windowed ExactSubstr, Lee et
+    al. 2022) over the dup-variant universe: every original/variant pair
+    shares its full normalized text, and template docs share sentences —
+    the merged (doc_id, span_start, span_end) regions must match the
+    oracle's identical window-hash + gaps-and-islands construction."""
+    return D.duplicate_spans(
+        _docs_with_variants(spark, sf_dir), k=40, stride=10
+    )
+
+
+def _sql_dup_spans(k: int = 40, stride: int = 10, anchor_w: int = 8) -> str:
+    hb = "CAST(('0x' || substr(md5(substr(t, CAST(pos AS INT), {k})), 1, 10)) AS BIGINT)".format(k=k)
+    anchor = (
+        "CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), {w})), 1, 10))"
+        " AS BIGINT) % {s} = 0"
+    ).format(w=anchor_w, s=stride)
+    return f"""
+WITH u AS ({_SQL_VARIANTS}),
+n AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM u),
+wins AS (
+  SELECT doc_id, pos, {hb} AS h
+  FROM n, unnest(list_filter(range(1, greatest(length(t) - {k - 1}, 1) + 1),
+                 i -> {anchor})) AS r(pos)
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + {k - 1}) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS new_grp
+  FROM marked
+),
+grps AS (
+  SELECT doc_id, pos,
+    sum(new_grp) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM isl
+)
+SELECT doc_id, min(pos) AS span_start,
+  CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+  CAST(max(pos) + {k - 1} - min(pos) + 1 AS BIGINT) AS span_len
+FROM grps GROUP BY doc_id, grp
+"""
+
+
+SQL_DEDUP_DUP_SPANS = _sql_dup_spans()
+
+
 def q_dedup_verified_lsh(spark, sf_dir):
     """The composed 100-TB near-dup pipeline: MinHash-LSH candidates
     (bucketed band join) → exact n-gram Jaccard verification restricted
@@ -2661,6 +2712,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cos": (q_dedup_embedding_cos, SQL_DEDUP_EMBEDDING_COS),
     "dedup_verified_lsh": (q_dedup_verified_lsh, SQL_DEDUP_VERIFIED_LSH),
+    "dedup_dup_spans": (q_dedup_dup_spans, SQL_DEDUP_DUP_SPANS),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     "dedup_embedding_bucketed": (
         q_dedup_embedding_bucketed,

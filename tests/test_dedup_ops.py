@@ -94,3 +94,35 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for r in D.connected_components(pairs, reliable_checkpoint=True).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_duplicate_spans_windowed_exactsubstr(spark):
+    """Docs sharing one long verbatim passage get a span covering it;
+    fully-unique docs emit no rows; exact-duplicate docs are covered
+    end-to-end."""
+    shared = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "crawler extracts byte identical text from every mirror"
+    )
+    rows = [
+        (1, f"unique preamble alpha. {shared} unique tail alpha."),
+        (2, f"different opening beta beta. {shared} other ending beta."),
+        (3, "entirely unique document gamma with no repeated passage at "
+            "all, nothing shared with any sibling row whatsoever here"),
+        (4, "duplicated doc delta " * 8),
+        (5, "duplicated doc delta " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in D.duplicate_spans(docs, k=40, stride=10).collect()
+    }
+    assert 3 not in spans            # unique doc: no duplicated window
+    assert 1 in spans and 2 in spans # shared passage marked in both
+    # the span must cover most of the shared passage (stride granularity
+    # trims up to stride-1 chars at each edge)
+    assert spans[1][2] >= len(shared) - 2 * 10
+    # exact-duplicate docs: span covers (nearly) the whole normalized text
+    norm_len = len(("duplicated doc delta " * 8).strip())
+    assert spans[4][2] >= norm_len - 2 * 10
+    assert spans[4] == spans[5]
