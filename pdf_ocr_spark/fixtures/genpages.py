@@ -577,6 +577,36 @@ def gen_html_table_rows(n: int, seed: int = 11) -> List[dict]:
     return rows
 
 
+def gen_link_rows() -> List[dict]:
+    """Corpus for the link-graph queries: the standard 100-doc mix plus
+    dedicated pages exercising the rel=nofollow/ugc/sponsored link-level
+    opt-outs (absent from the generic HTML fixtures)."""
+    rows = gen_rows(100)
+    rel_pages = [
+        (
+            "https://example.test/links/rel/00000",
+            "<html><body>"
+            "<a href='/editorial'>editorial</a>"
+            "<a href='/paid' rel='sponsored'>ad</a>"
+            "<a href='/comment' rel=\"ugc\">user link</a>"
+            "<a href='/untrusted' rel='nofollow noopener'>untrusted</a>"
+            "<a href='/follow2' rel='noopener'>trusted</a>"
+            "</body></html>",
+        ),
+        (
+            "https://example.test/links/rel/00001",
+            "<html><body>"
+            "<a rel=nofollow href='/bare-attr'>bare</a>"
+            "<a href='/plain'>plain</a>"
+            "</body></html>",
+        ),
+    ]
+    for url, html in rel_pages:
+        rows.append(dict(url=url, warc_ts=None, html=html.encode("utf-8"),
+                         text="", lang="en", kind="html_page"))
+    return rows
+
+
 # -- broken payloads ---------------------------------------------------------------
 
 

@@ -262,14 +262,17 @@ def extract_tables(data: bytes) -> List[HtmlTable]:
     row-major cell texts.  Rows are this table's own <tr> (a nested
     table's rows belong to the nested entry; its full text still appears
     inside the enclosing cell).  Never raises; undecodable or tableless
-    input returns []."""
+    input returns [].
+
+    Poison cap: at most 200 tables per document — a nested-table bomb
+    (<table> x N) otherwise costs O(N²) subtree visits."""
     try:
         text = data.decode("utf-8", "replace")
         root = _parse(text)
+        tables = [n for n in _iter_nodes(root) if n.tag == "table"][:200]
     except Exception:  # noqa: BLE001 — poison input must not raise
         return []
     out: List[HtmlTable] = []
-    tables = [n for n in _iter_nodes(root) if n.tag == "table"]
     for ti, tbl in enumerate(tables):
         caption = ""
         rows: List[List[str]] = []
@@ -299,16 +302,21 @@ def extract_tables(data: bytes) -> List[HtmlTable]:
 _HREF_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
 
-def extract_links(data: bytes) -> List[str]:
-    """All anchor hrefs in document order, entity-decoded, first
-    occurrence kept — the crawl-frontier discovery pass a Common-Crawl
-    pipeline runs alongside extraction.  Regex tag scan (same grammar as
-    the parser's _TAG_RE), deterministic, never raises."""
+_REL_RE = re.compile(r"""rel\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
+def extract_links_attrs(data: bytes) -> List[Tuple[str, bool]]:
+    """All anchor (href, nofollow) pairs in document order,
+    entity-decoded, first occurrence kept — the crawl-frontier discovery
+    pass a Common-Crawl pipeline runs alongside extraction; ``nofollow``
+    (rel="nofollow"/"ugc"/"sponsored", the robots link-level opt-outs)
+    drives frontier prioritization.  Regex tag scan (same grammar as the
+    parser's _TAG_RE), deterministic, never raises."""
     try:
         text = data.decode("utf-8", "replace")
     except Exception:  # noqa: BLE001 — bytes-ish inputs only
         return []
-    out: List[str] = []
+    out: List[Tuple[str, bool]] = []
     seen = set()
     for m in _TAG_RE.finditer(text):
         closing, tag, attrs, _ = m.groups()
@@ -320,10 +328,21 @@ def extract_links(data: bytes) -> List[str]:
         href = _htmllib.unescape(
             hm.group(1) or hm.group(2) or hm.group(3) or ""
         ).strip()
-        if href and href not in seen:
-            seen.add(href)
-            out.append(href)
+        if not href or href in seen:
+            continue
+        seen.add(href)
+        rm = _REL_RE.search(attrs)
+        rel = (rm.group(1) or rm.group(2) or rm.group(3) or "") if rm else ""
+        nofollow = bool(
+            {"nofollow", "ugc", "sponsored"} & set(rel.lower().split())
+        )
+        out.append((href, nofollow))
     return out
+
+
+def extract_links(data: bytes) -> List[str]:
+    """Hrefs only — see :func:`extract_links_attrs`."""
+    return [href for href, _ in extract_links_attrs(data)]
 
 
 def extract_html(data: bytes) -> Tuple[str, str, Optional[str]]:

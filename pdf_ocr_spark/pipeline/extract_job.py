@@ -553,14 +553,16 @@ LINK_SCHEMA = StructType(
         StructField("link", StringType()),
         StructField("link_index", IntegerType()),
         StructField("source_kind", StringType()),  # 'html' | 'pdf'
+        StructField("nofollow", BooleanType()),  # rel=nofollow/ugc/sponsored
     ]
 )
 
 
 def extract_links_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Crawl-frontier extractor: one row per outgoing hyperlink — HTML
-    anchor hrefs plus PDF /Annots Link URIs, document order preserved."""
-    from pdf_ocr_spark.kernels.html_extract import extract_links as html_links
+    anchor hrefs (with the rel=nofollow/ugc/sponsored opt-out flag) plus
+    PDF /Annots Link URIs, document order preserved."""
+    from pdf_ocr_spark.kernels.html_extract import extract_links_attrs
     from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
 
     _tune_worker_gc()
@@ -574,10 +576,10 @@ def extract_links_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     doc = extract_pdf(data)
                     if doc.status == "ok":
                         for i, u in enumerate(doc.links):
-                            rows.append((url, u, i, "pdf"))
+                            rows.append((url, u, i, "pdf", False))
                 else:
-                    for i, u in enumerate(html_links(data)):
-                        rows.append((url, u, i, "html"))
+                    for i, (u, nf) in enumerate(extract_links_attrs(data)):
+                        rows.append((url, u, i, "html", nf))
             except Exception:  # noqa: BLE001 — poison-row isolation
                 continue
         yield pd.DataFrame(rows, columns=cols)

@@ -2233,11 +2233,12 @@ FROM read_parquet('{_golden("pages_table")}')
 
 def q_link_edges(spark, sf_dir):
     """Crawl-frontier link graph: one row per outgoing hyperlink (HTML
-    anchors + PDF /Annots Link URIs), oracle = frozen kernel golden."""
-    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    anchors with the rel=nofollow/ugc/sponsored opt-out flag + PDF
+    /Annots Link URIs), oracle = frozen kernel golden."""
+    from pdf_ocr_spark.fixtures.genpages import gen_link_rows
     from pdf_ocr_spark.pipeline.extract_job import extract_links
 
-    rows = gen_rows(100)
+    rows = gen_link_rows()
     pages = spark.createDataFrame(
         [(r["url"], bytearray(r["html"]) if r["html"] is not None else None)
          for r in rows],
@@ -2247,7 +2248,7 @@ def q_link_edges(spark, sf_dir):
 
 
 SQL_LINK_EDGES = f"""
-SELECT url, link, CAST(link_index AS INT) AS link_index, source_kind
+SELECT url, link, CAST(link_index AS INT) AS link_index, source_kind, nofollow
 FROM read_parquet('{_golden("link_edges")}')
 """
 

@@ -137,3 +137,37 @@ class TestHtmlTables:
         assert [r["url"] for r in a] == [r["url"] for r in b]
         assert [r["html"] for r in a] == [r["html"] for r in b]
         assert any(r["kind"] == "plain" for r in a)
+
+    def test_nested_table_bomb_capped(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_tables
+
+        bomb = b"<table>" * 2000 + b"<tr><td>x</td></tr>" + b"</table>" * 2000
+        tables = extract_tables(bomb)
+        assert len(tables) == 200  # poison cap
+
+
+class TestLinkRelAttrs:
+    def test_nofollow_variants(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_links_attrs
+
+        html = (
+            b"<html><body>"
+            b"<a href='/a'>a</a>"
+            b"<a href='/b' rel='nofollow'>b</a>"
+            b"<a href='/c' rel=\"ugc noopener\">c</a>"
+            b"<a href='/d' rel='sponsored'>d</a>"
+            b"<a href='/e' rel='noopener'>e</a>"
+            b"<a rel=nofollow href='/f'>f</a>"
+            b"</body></html>"
+        )
+        got = dict(extract_links_attrs(html))
+        assert got == {
+            "/a": False, "/b": True, "/c": True,
+            "/d": True, "/e": False, "/f": True,
+        }
+
+    def test_extract_links_unchanged(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_links
+
+        html = b"<a href='/x' rel='nofollow'>x</a><a href='/y'>y</a>"
+        assert extract_links(html) == ["/x", "/y"]

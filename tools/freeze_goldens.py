@@ -193,9 +193,10 @@ def freeze_pipeline_e2e() -> pd.DataFrame:
 def freeze_link_edges() -> pd.DataFrame:
     """Golden for the link-graph route (HTML hrefs + PDF Link URIs) —
     the link extractor run in-process over gen_rows(100)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_link_rows
     from pdf_ocr_spark.pipeline.extract_job import extract_links_batch
 
-    rows = gen_rows(100)
+    rows = gen_link_rows()
     batch = pd.DataFrame(
         {"url": [r["url"] for r in rows],
          "html": [bytes(r["html"]) if r["html"] is not None else None for r in rows]}
