@@ -607,6 +607,52 @@ def gen_link_rows() -> List[dict]:
     return rows
 
 
+def gen_robots_rows(n_domains: int, seed: int = 23) -> Tuple[List[dict], List[str]]:
+    """Deterministic robots.txt corpus + candidate frontier URLs.
+
+    Returns (robots_rows, urls): robots_rows have (domain, body) — bodies
+    cycle through empty, allow-all, deny-all, path rules with wildcards /
+    end anchors, and multi-agent groups; urls probe each domain's rules
+    plus one domain with NO robots.txt at all (must default to allowed)."""
+    robots: List[dict] = []
+    urls: List[str] = []
+    for i in range(n_domains):
+        rng = random.Random((seed << 12) ^ i)
+        domain = f"site{i:03d}.example.test"
+        variant = i % 5
+        if variant == 0:
+            body = "User-agent: *\nDisallow:\n"
+        elif variant == 1:
+            body = "User-agent: *\nDisallow: /\n"
+        elif variant == 2:
+            body = (
+                "User-agent: *\n"
+                f"Disallow: /private{i}/\n"
+                f"Allow: /private{i}/ok$\n"
+                "Disallow: /*.pdf$\n"
+            )
+        elif variant == 3:
+            body = (
+                "User-agent: graftbot\nDisallow: /graft-only/\n\n"
+                "User-agent: *\nDisallow: /everyone/\n"
+            )
+        else:
+            body = (
+                f"# comment line\nSitemap: https://{domain}/sitemap.xml\n"
+                "User-agent: a\nUser-agent: b\n"
+                f"Disallow: /shared{i}\n"
+            )
+        robots.append(dict(domain=domain, body=body.encode("utf-8")))
+        for path in (
+            "/", f"/private{i}/x", f"/private{i}/ok", "/doc.pdf",
+            "/graft-only/page", "/everyone/page", f"/shared{i}/y",
+            f"/page{rng.randint(0, 99)}",
+        ):
+            urls.append(f"https://{domain}{path}")
+    urls.append("https://norobots.example.test/anything")
+    return robots, urls
+
+
 # -- broken payloads ---------------------------------------------------------------
 
 

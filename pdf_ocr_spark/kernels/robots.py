@@ -1,0 +1,112 @@
+"""robots.txt engine (RFC 9309, the Google REP subset a crawl frontier
+needs): group selection by user-agent token, Allow/Disallow patterns
+with ``*`` wildcards and ``$`` end anchor, longest-match precedence with
+Allow winning ties.
+
+Not present in the reference (a single-machine OCR tool) — required
+upstream of the link-graph/frontier operators: a 10^12-page crawl must
+drop disallowed URLs before fetch.  Pure python reference implementation
+here; the distributed path emits each rule as an anchored regex (RE2-safe,
+identical under Java regex and DuckDB) plus its specificity so the
+longest-match argmax runs as DataFrame ops (pipeline/extract_job.py
+``robots_rules`` / ``frontier_allowed``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, NamedTuple
+
+
+class RobotsRule(NamedTuple):
+    agent: str       # lowercased user-agent token ('*' for the catch-all)
+    allow: bool      # Allow vs Disallow
+    pattern: str     # raw pattern as written
+    regex: str       # anchored RE2-safe regex equivalent
+    specificity: int  # pattern length in chars — longest-match precedence
+    order: int       # document order (stable tiebreak only)
+
+
+_SPECIAL = re.compile(r"[.^+?{}\[\]|()\\]")
+
+
+def pattern_regex(pattern: str) -> str:
+    """robots pattern → anchored regex: escape regex metachars, ``*`` →
+    ``.*``, trailing ``$`` → end anchor; prefix-match otherwise.  Uses
+    only RE2-safe constructs so Java regex and DuckDB agree."""
+    anchored_end = pattern.endswith("$")
+    body = pattern[:-1] if anchored_end else pattern
+    out = []
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif _SPECIAL.match(ch):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + ("$" if anchored_end else "")
+
+
+def parse_robots(text: str) -> List[RobotsRule]:
+    """Parse a robots.txt body into rules.  Group semantics per RFC 9309:
+    consecutive ``User-agent`` lines open a group that the following
+    Allow/Disallow lines join; a rule line without a preceding agent line
+    belongs to ``*``.  An empty-pattern rule ('Disallow:' = allow
+    everything) becomes a zero-specificity allow-all sentinel — it keeps
+    the GROUP in existence (an agent with an empty group must NOT fall
+    back to '*', RFC 9309 §2.2.1) while losing every longest-match
+    contest."""
+    rules: List[RobotsRule] = []
+    agents: List[str] = []
+    in_group_rules = False
+    order = 0
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_rules:  # a new group starts
+                agents = []
+                in_group_rules = False
+            agents.append(value.lower() or "*")
+        elif field in ("allow", "disallow"):
+            in_group_rules = True
+            if not value:
+                for agent in agents or ["*"]:
+                    rules.append(RobotsRule(agent, True, "", "^", 0, order))
+                order += 1
+                continue
+            for agent in agents or ["*"]:
+                rules.append(
+                    RobotsRule(
+                        agent,
+                        field == "allow",
+                        value,
+                        pattern_regex(value),
+                        len(value),
+                        order,
+                    )
+                )
+            order += 1
+        # crawl-delay / sitemap etc.: not fetch-permission rules
+    return rules
+
+
+def is_allowed(rules: List[RobotsRule], agent: str, path: str) -> bool:
+    """Reference matcher: pick the agent's group (exact token match,
+    else '*'), take the longest matching pattern; Allow wins ties; no
+    match → allowed."""
+    agent = agent.lower()
+    group = [r for r in rules if r.agent == agent]
+    if not group:
+        group = [r for r in rules if r.agent == "*"]
+    best = None  # (specificity, allow_as_int)
+    for r in group:
+        if re.match(r.regex, path):
+            key = (r.specificity, 1 if r.allow else 0)
+            if best is None or key > best:
+                best = key
+    return True if best is None else bool(best[1])

@@ -1,0 +1,141 @@
+"""Crawl-frontier operators: distributed robots.txt rule tables and the
+longest-match fetch-permission join (RFC 9309 semantics, kernel twin in
+kernels/robots.py).
+
+Scale design: rules tables are tiny relative to the frontier (one
+robots.txt per host), so ``frontier_allowed`` broadcasts the rules side —
+the URL frontier itself never shuffles for the join; the only exchange
+is the per-url argmax over MATCHED rules (a small fraction of the
+frontier).  Matching uses ``regexp_like`` with RE2-safe anchored
+patterns emitted by the kernel, so the DuckDB oracle replays the same
+match on the same regexes."""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ROBOTS_RULE_SCHEMA = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("agent", StringType()),
+        StructField("allow", BooleanType()),
+        StructField("pattern", StringType()),
+        StructField("regex", StringType()),
+        StructField("specificity", IntegerType()),
+        StructField("rule_order", IntegerType()),
+    ]
+)
+
+
+def _rules_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pdf_ocr_spark.kernels.robots import parse_robots
+
+    cols = [f.name for f in ROBOTS_RULE_SCHEMA.fields]
+    for batch in batches:
+        rows = []
+        for domain, body in zip(batch["domain"], batch["body"]):
+            try:
+                text = (
+                    bytes(body).decode("utf-8", "replace")
+                    if not isinstance(body, str)
+                    else body
+                )
+                for r in parse_robots(text):
+                    rows.append(
+                        (domain, r.agent, r.allow, r.pattern, r.regex,
+                         r.specificity, r.order)
+                    )
+            except Exception:  # noqa: BLE001 — poison robots must not raise
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def robots_rules(
+    robots_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """robots(domain, body) → one row per Allow/Disallow rule with its
+    anchored RE2-safe regex and specificity (kernel parse per RFC 9309,
+    including the empty-Disallow allow-all group sentinel)."""
+    df = robots_df.select("domain", "body")
+    if num_partitions is None:
+        num_partitions = max(
+            robots_df.sparkSession.sparkContext.defaultParallelism, 8
+        )
+    df = df.repartition(num_partitions, F.xxhash64("domain"))
+    return df.mapInPandas(_rules_batch, schema=ROBOTS_RULE_SCHEMA)
+
+
+_URL_PARTS = r"^[a-z][a-z0-9+.-]*://([^/?#]+)([^?#]*)"
+
+
+def frontier_allowed(
+    urls_df: DataFrame,
+    rules_df: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Fetch permission per frontier URL: RFC 9309 group selection (the
+    agent's own group if one exists for its domain, else '*'), then
+    longest-match over the group's patterns with Allow winning ties; no
+    matching rule (or no robots.txt) → allowed.
+
+    Entirely relational: a broadcast join against the (tiny) rules
+    table, regexp_like matching, one argmax aggregation keyed by url —
+    max(struct(specificity, allow)) picks the winner without a sort."""
+    agent = agent.lower()
+    urls = urls_df.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(url_col, _URL_PARTS, 1).alias("domain"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(url_col, _URL_PARTS, 2), F.lit("")),
+            F.lit("/"),
+        ).alias("path"),
+    )
+    # RFC group selection is per-domain, BEFORE path matching: a domain
+    # with any exact-agent rule uses ONLY those rules
+    has_exact = rules_df.groupBy("domain").agg(
+        F.max((F.col("agent") == agent).cast("int")).alias("has_exact")
+    )
+    eff = (
+        rules_df.filter(F.col("agent").isin(agent, "*"))
+        .join(F.broadcast(has_exact), "domain")
+        .filter(
+            ((F.col("agent") == agent) & (F.col("has_exact") == 1))
+            | ((F.col("agent") == "*") & (F.col("has_exact") == 0))
+        )
+        .select("domain", "allow", "regex", "specificity")
+    )
+    matched = (
+        urls.join(F.broadcast(eff), "domain")
+        .filter(F.regexp_like(F.col("path"), F.col("regex")))
+        .groupBy("url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("specificity").alias("s"),
+                    F.col("allow").cast("int").alias("a"),
+                )
+            ).alias("best")
+        )
+        .select("url", (F.col("best.a") == 1).alias("match_allow"))
+    )
+    return (
+        urls.join(matched, "url", "left")
+        .select(
+            "url",
+            "domain",
+            "path",
+            F.coalesce(F.col("match_allow"), F.lit(True)).alias("allowed"),
+        )
+    )

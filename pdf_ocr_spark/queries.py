@@ -2253,6 +2253,86 @@ FROM read_parquet('{_golden("link_edges")}')
 """
 
 
+def q_robots_rules(spark, sf_dir):
+    """robots.txt rule tables through the distributed route (RFC 9309
+    parse: agent groups, Allow/Disallow, wildcard/end-anchor patterns,
+    empty-Disallow allow-all sentinel) — oracle = frozen kernel golden
+    (tools/freeze_robots_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_robots_rows
+    from pdf_ocr_spark.operators.frontier import robots_rules
+
+    robots, _ = gen_robots_rows(25)  # must match the freeze tool
+    df = spark.createDataFrame(
+        [(r["domain"], bytearray(r["body"])) for r in robots],
+        schema="domain string, body binary",
+    )
+    return robots_rules(df)
+
+
+SQL_ROBOTS_RULES = f"""
+SELECT domain, agent, allow, pattern, regex,
+       CAST(specificity AS INT) AS specificity,
+       CAST(rule_order AS INT) AS rule_order
+FROM read_parquet('{_golden("robots_rules")}')
+"""
+
+
+def q_robots_frontier(spark, sf_dir):
+    """Fetch permission per frontier URL (agent 'graftbot'): RFC 9309
+    group selection + longest-match with Allow winning ties, computed
+    relationally (broadcast rules join + regexp_like + argmax-by-struct).
+    The oracle RECOMPUTES the verdicts in DuckDB from the frozen rules
+    and URL fixtures — an independent implementation of the matcher, not
+    a read-back of answers."""
+    from pdf_ocr_spark.fixtures.genpages import gen_robots_rows
+    from pdf_ocr_spark.operators.frontier import frontier_allowed, robots_rules
+
+    robots, urls = gen_robots_rows(25)
+    robots_df = spark.createDataFrame(
+        [(r["domain"], bytearray(r["body"])) for r in robots],
+        schema="domain string, body binary",
+    )
+    urls_df = spark.createDataFrame([(u,) for u in urls], schema="url string")
+    return frontier_allowed(urls_df, robots_rules(robots_df), agent="graftbot")
+
+
+SQL_ROBOTS_FRONTIER = f"""
+WITH urls AS (
+  SELECT url,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)([^?#]*)', 1) AS domain,
+    coalesce(nullif(
+      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)([^?#]*)', 2), ''),
+      '/') AS path
+  FROM read_parquet('{_golden("robots_urls")}')
+),
+rules AS (SELECT * FROM read_parquet('{_golden("robots_rules")}')),
+sel AS (
+  SELECT domain,
+    max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_exact
+  FROM rules GROUP BY domain
+),
+eff AS (
+  SELECT r.domain, r.allow, r.regex, r.specificity
+  FROM rules r JOIN sel USING (domain)
+  WHERE (r.agent = 'graftbot' AND sel.has_exact = 1)
+     OR (r.agent = '*' AND sel.has_exact = 0)
+),
+matched AS (
+  SELECT u.url, e.allow, e.specificity,
+    row_number() OVER (
+      PARTITION BY u.url
+      ORDER BY e.specificity DESC, CAST(e.allow AS INT) DESC
+    ) AS rn
+  FROM urls u JOIN eff e ON u.domain = e.domain
+  WHERE regexp_matches(u.path, e.regex)
+)
+SELECT u.url, u.domain, u.path,
+  coalesce((SELECT m.allow FROM matched m WHERE m.url = u.url AND m.rn = 1),
+           TRUE) AS allowed
+FROM urls u
+"""
+
+
 def q_link_pagerank(spark, sf_dir):
     """PageRank over the extracted link graph (3 iterations, d=0.85) —
     the crawl-prioritization signal computed from `link_edges`; every
@@ -2757,6 +2837,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
     "link_edges": (q_link_edges, SQL_LINK_EDGES),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
+    "robots_rules": (q_robots_rules, SQL_ROBOTS_RULES),
+    "robots_frontier": (q_robots_frontier, SQL_ROBOTS_FRONTIER),
     # lineage rows stay rows-only: part_id depends on physical
     # partitioning; the partition-independent TOTALS get a full oracle
     "extract_lineage": (q_extract_lineage, None),

@@ -1,0 +1,76 @@
+"""robots.txt kernel tests (RFC 9309 semantics) — the Spark route and
+the independent DuckDB matcher are gated by the oracle queries
+``robots_rules`` / ``robots_frontier``; these pin the kernel itself."""
+
+from pdf_ocr_spark.kernels.robots import is_allowed, parse_robots, pattern_regex
+
+TXT = """
+# global group
+User-agent: *
+Disallow: /private/
+Allow: /private/public$
+Disallow: /*.pdf$
+Sitemap: https://x.test/sitemap.xml
+
+User-agent: goodbot
+Disallow:
+
+User-agent: a
+User-agent: b
+Disallow: /shared
+
+User-agent: badbot
+Disallow: /
+"""
+
+
+class TestParse:
+    def test_groups_and_counts(self):
+        rules = parse_robots(TXT)
+        agents = {r.agent for r in rules}
+        assert agents == {"*", "goodbot", "a", "b", "badbot"}
+        # multi-agent group: the same rule emitted for both tokens
+        shared = [r for r in rules if r.pattern == "/shared"]
+        assert {r.agent for r in shared} == {"a", "b"}
+
+    def test_empty_disallow_sentinel(self):
+        rules = [r for r in parse_robots(TXT) if r.agent == "goodbot"]
+        assert len(rules) == 1
+        assert rules[0].allow and rules[0].specificity == 0
+
+    def test_sitemap_and_comments_ignored(self):
+        assert all("sitemap" not in r.pattern.lower() for r in parse_robots(TXT))
+
+
+class TestPatternRegex:
+    def test_plain_prefix(self):
+        assert pattern_regex("/private/") == "^/private/"
+
+    def test_wildcard_and_anchor(self):
+        assert pattern_regex("/*.pdf$") == r"^/.*\.pdf$"
+
+    def test_metachars_escaped(self):
+        assert pattern_regex("/a+b(c)") == r"^/a\+b\(c\)"
+
+
+class TestMatch:
+    def setup_method(self):
+        self.rules = parse_robots(TXT)
+
+    def test_longest_match_allow_wins(self):
+        assert not is_allowed(self.rules, "*", "/private/x")
+        assert is_allowed(self.rules, "*", "/private/public")
+
+    def test_end_anchor(self):
+        assert not is_allowed(self.rules, "*", "/docs/a.pdf")
+        assert is_allowed(self.rules, "*", "/docs/a.pdf.html")
+
+    def test_group_selection_no_fallback(self):
+        # goodbot has its own (empty) group: '*' rules must NOT apply
+        assert is_allowed(self.rules, "goodbot", "/private/x")
+        # unknown agents use '*'
+        assert not is_allowed(self.rules, "unknownbot", "/private/x")
+        assert not is_allowed(self.rules, "badbot", "/anything")
+
+    def test_no_rules_default_allow(self):
+        assert is_allowed([], "*", "/whatever")

@@ -1,0 +1,59 @@
+"""Freeze the robots goldens: (1) the rules table produced by the
+kernel parser in-process (``robots_rules_golden.parquet`` — the oracle
+for the distributed parse route), and (2) the deterministic frontier URL
+list (``robots_urls_golden.parquet`` — the INPUT fixture the
+``robots_frontier`` oracle SQL reads so it can recompute the
+longest-match verdicts independently from the frozen rules).
+
+Rerun (and commit the result) only when robots semantics intentionally
+change:  python tools/freeze_robots_golden.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf_ocr_spark.fixtures.genpages import gen_robots_rows  # noqa: E402
+from pdf_ocr_spark.kernels.robots import parse_robots  # noqa: E402
+
+N_DOMAINS = 25  # must match q_robots_rules / q_robots_frontier
+
+FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pdf_ocr_spark", "fixtures",
+)
+
+
+def golden_frames() -> tuple:
+    robots, urls = gen_robots_rows(N_DOMAINS)
+    rows = []
+    for r in robots:
+        for rule in parse_robots(bytes(r["body"]).decode("utf-8")):
+            rows.append(
+                (r["domain"], rule.agent, rule.allow, rule.pattern,
+                 rule.regex, rule.specificity, rule.order)
+            )
+    rules = pd.DataFrame(
+        rows,
+        columns=["domain", "agent", "allow", "pattern", "regex",
+                 "specificity", "rule_order"],
+    ).sort_values(
+        ["domain", "rule_order", "agent"], kind="mergesort"
+    ).reset_index(drop=True)
+    return rules, pd.DataFrame({"url": urls})
+
+
+if __name__ == "__main__":
+    rules, urls = golden_frames()
+    rules.to_parquet(
+        os.path.join(FIXTURES, "robots_rules_golden.parquet"), index=False
+    )
+    urls.to_parquet(
+        os.path.join(FIXTURES, "robots_urls_golden.parquet"), index=False
+    )
+    print(f"wrote {len(rules)} rules, {len(urls)} urls")
