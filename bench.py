@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "tpch_rollup",
     "extract_corpus",
     "blocks_table",
+    "html_tables",
+    "dedup_dup_spans",
+    "text_mojibake",
+    "sample_stratified",
+    "robots_frontier",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

@@ -305,18 +305,23 @@ _HREF_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 _REL_RE = re.compile(r"""rel\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
 
-def extract_links_attrs(data: bytes) -> List[Tuple[str, bool]]:
-    """All anchor (href, nofollow) pairs in document order,
-    entity-decoded, first occurrence kept — the crawl-frontier discovery
-    pass a Common-Crawl pipeline runs alongside extraction; ``nofollow``
-    (rel="nofollow"/"ugc"/"sponsored", the robots link-level opt-outs)
-    drives frontier prioritization.  Regex tag scan (same grammar as the
-    parser's _TAG_RE), deterministic, never raises."""
+_A_CLOSE_RE = re.compile(r"</a\s*>", re.I)
+
+
+def extract_links_attrs(data: bytes) -> List[Tuple[str, bool, str]]:
+    """All anchor (href, nofollow, anchor_text) triples in document
+    order, entity-decoded, first occurrence kept — the crawl-frontier
+    discovery pass a Common-Crawl pipeline runs alongside extraction.
+    ``nofollow`` (rel="nofollow"/"ugc"/"sponsored", the robots link-level
+    opt-outs) drives frontier prioritization; ``anchor_text`` (inner
+    markup stripped, whitespace collapsed, capped at 200 chars) is the
+    classic target-page relevance label.  Regex tag scan (same grammar
+    as the parser's _TAG_RE), deterministic, never raises."""
     try:
         text = data.decode("utf-8", "replace")
     except Exception:  # noqa: BLE001 — bytes-ish inputs only
         return []
-    out: List[Tuple[str, bool]] = []
+    out: List[Tuple[str, bool, str]] = []
     seen = set()
     for m in _TAG_RE.finditer(text):
         closing, tag, attrs, _ = m.groups()
@@ -336,13 +341,18 @@ def extract_links_attrs(data: bytes) -> List[Tuple[str, bool]]:
         nofollow = bool(
             {"nofollow", "ugc", "sponsored"} & set(rel.lower().split())
         )
-        out.append((href, nofollow))
+        cm = _A_CLOSE_RE.search(text, m.end())
+        anchor = ""
+        if cm is not None:
+            inner = _TAG_RE.sub(" ", text[m.end() : cm.start()])
+            anchor = _WS_RE.sub(" ", _htmllib.unescape(inner)).strip()[:200]
+        out.append((href, nofollow, anchor))
     return out
 
 
 def extract_links(data: bytes) -> List[str]:
     """Hrefs only — see :func:`extract_links_attrs`."""
-    return [href for href, _ in extract_links_attrs(data)]
+    return [href for href, _, _ in extract_links_attrs(data)]
 
 
 def extract_html(data: bytes) -> Tuple[str, str, Optional[str]]:

@@ -554,6 +554,7 @@ LINK_SCHEMA = StructType(
         StructField("link_index", IntegerType()),
         StructField("source_kind", StringType()),  # 'html' | 'pdf'
         StructField("nofollow", BooleanType()),  # rel=nofollow/ugc/sponsored
+        StructField("anchor_text", StringType()),  # inner text, 200-char cap
     ]
 )
 
@@ -576,10 +577,10 @@ def extract_links_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     doc = extract_pdf(data)
                     if doc.status == "ok":
                         for i, u in enumerate(doc.links):
-                            rows.append((url, u, i, "pdf", False))
+                            rows.append((url, u, i, "pdf", False, ""))
                 else:
-                    for i, (u, nf) in enumerate(extract_links_attrs(data)):
-                        rows.append((url, u, i, "html", nf))
+                    for i, (u, nf, at) in enumerate(extract_links_attrs(data)):
+                        rows.append((url, u, i, "html", nf, at))
             except Exception:  # noqa: BLE001 — poison-row isolation
                 continue
         yield pd.DataFrame(rows, columns=cols)

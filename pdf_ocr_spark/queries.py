@@ -2248,8 +2248,36 @@ def q_link_edges(spark, sf_dir):
 
 
 SQL_LINK_EDGES = f"""
-SELECT url, link, CAST(link_index AS INT) AS link_index, source_kind, nofollow
+SELECT url, link, CAST(link_index AS INT) AS link_index, source_kind, nofollow,
+       anchor_text
 FROM read_parquet('{_golden("link_edges")}')
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (training-mix reweighting):
+    per-language hash-threshold rates — en 30%, ja 100%, zh 10% — the
+    same md5-derived verdict per doc_id on every run/engine/partitioning
+    (operators/sampling.py).  The oracle replays the identical CASE +
+    hash + modulo expression."""
+    from pdf_ocr_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, {"en": 0.30, "ja": 1.0, "zh": 0.10}, stratum_col="lang",
+        key_col="doc_id",
+    )
+
+
+_SQL_H40_KEY = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_SQL_H40_KEY} % 10000 <
+  CASE WHEN lang = 'zh' THEN 1000
+       WHEN lang = 'ja' THEN 10000
+       WHEN lang = 'en' THEN 3000
+       ELSE 0 END
 """
 
 
@@ -2837,6 +2865,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
     "link_edges": (q_link_edges, SQL_LINK_EDGES),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "robots_rules": (q_robots_rules, SQL_ROBOTS_RULES),
     "robots_frontier": (q_robots_frontier, SQL_ROBOTS_FRONTIER),
     # lineage rows stay rows-only: part_id depends on physical

@@ -160,11 +160,24 @@ class TestLinkRelAttrs:
             b"<a rel=nofollow href='/f'>f</a>"
             b"</body></html>"
         )
-        got = dict(extract_links_attrs(html))
+        got = {href: nf for href, nf, _ in extract_links_attrs(html)}
         assert got == {
             "/a": False, "/b": True, "/c": True,
             "/d": True, "/e": False, "/f": True,
         }
+
+    def test_anchor_text(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_links_attrs
+
+        html = (
+            b"<a href='/x'>Read <b>the full</b> report</a>"
+            b"<a href='/y'></a>"
+            b"<a href='/z'>unclosed anchor"
+        )
+        got = {href: at for href, _, at in extract_links_attrs(html)}
+        assert got["/x"] == "Read the full report"
+        assert got["/y"] == ""
+        assert got["/z"] == ""  # no closing tag -> no capture
 
     def test_extract_links_unchanged(self):
         from pdf_ocr_spark.kernels.html_extract import extract_links
