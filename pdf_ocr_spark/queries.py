@@ -2409,6 +2409,85 @@ SELECT node, pr FROM pr{iters}
 SQL_LINK_PAGERANK = _sql_pagerank()
 
 
+def q_frontier_discover(spark, sf_dir):
+    """Crawl-frontier discovery as ONE composed plan: extracted link
+    edges → absolute-URL resolution (root-relative links against the
+    source's scheme+host) → anti-join against already-crawled urls →
+    per-target priority = Σ pagerank(source) with rel=nofollow sources
+    demoted 2× (mass through exact DECIMAL sums, like pagerank itself,
+    so the float result is partition-order independent) → top-50.  The
+    oracle recomputes the whole composition including the unrolled
+    pagerank CTE."""
+    from pdf_ocr_spark.operators.graph import pagerank
+
+    edges = spark.read.parquet(_golden("link_edges"))
+    pr = pagerank(
+        edges.select(F.col("url").alias("src"), F.col("link").alias("dst")),
+        iters=3,
+    )
+    scheme = F.regexp_extract("url", r"^([a-z][a-z0-9+.-]*)://", 1)
+    host = F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    target = (
+        F.when(F.col("link").rlike("^https?://"), F.col("link"))
+        .when(
+            F.col("link").startswith("/"),
+            F.concat(scheme, F.lit("://"), host, F.col("link")),
+        )
+    )
+    cand = edges.select(
+        F.col("url").alias("src"), target.alias("target"), "nofollow"
+    ).filter(F.col("target").isNotNull())
+    seen = edges.select(F.col("url").alias("target")).distinct()
+    weight = F.when(F.col("nofollow"), F.lit(0.5)).otherwise(F.lit(1.0))
+    return (
+        cand.join(seen, "target", "left_anti")
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy("target")
+        .agg(
+            F.round(
+                F.sum((F.col("pr") * weight).cast("decimal(28,14)")).cast(
+                    "double"
+                ),
+                8,
+            ).alias("priority"),
+            F.count(F.lit(1)).alias("n_inlinks"),
+        )
+        .orderBy(F.desc("priority"), "target")
+        .limit(50)
+    )
+
+
+SQL_FRONTIER_DISCOVER = f"""
+WITH pr AS (SELECT * FROM ({SQL_LINK_PAGERANK})),
+e AS (
+  SELECT url, link, nofollow FROM read_parquet('{_golden("link_edges")}')
+),
+cand AS (
+  SELECT url AS src,
+    CASE WHEN regexp_matches(link, '^https?://') THEN link
+         WHEN link LIKE '/%' THEN
+           regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) || '://'
+           || regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) || link
+         ELSE NULL END AS target,
+    nofollow
+  FROM e
+),
+new AS (
+  SELECT c.* FROM cand c
+  WHERE c.target IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM e WHERE e.url = c.target)
+)
+SELECT n.target,
+  round(CAST(sum(CAST(pr.pr * CASE WHEN n.nofollow THEN 0.5 ELSE 1.0 END
+                      AS DECIMAL(28,14))) AS DOUBLE), 8) AS priority,
+  count(*) AS n_inlinks
+FROM new n JOIN pr ON pr.node = n.src
+GROUP BY n.target
+ORDER BY priority DESC, n.target
+LIMIT 50
+"""
+
+
 def q_pipeline_end_to_end(spark, sf_dir):
     """The engine's reason to exist, as ONE composed plan: crawl pages →
     fused extraction → Gopher quality gate on the EXTRACTED text → exact
@@ -2868,6 +2947,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "robots_rules": (q_robots_rules, SQL_ROBOTS_RULES),
     "robots_frontier": (q_robots_frontier, SQL_ROBOTS_FRONTIER),
+    "frontier_discover": (q_frontier_discover, SQL_FRONTIER_DISCOVER),
     # lineage rows stay rows-only: part_id depends on physical
     # partitioning; the partition-independent TOTALS get a full oracle
     "extract_lineage": (q_extract_lineage, None),
