@@ -641,15 +641,21 @@ def gen_robots_rows(n_domains: int, seed: int = 23) -> Tuple[List[dict], List[st
                 f"# comment line\nSitemap: https://{domain}/sitemap.xml\n"
                 "User-agent: a\nUser-agent: b\n"
                 f"Disallow: /shared{i}\n"
-            )
+                "User-agent: *\n"
+                "Disallow: /*?print=\n"  # query-targeting rule (REP matches
+            )                            # path+query, not bare path)
         robots.append(dict(domain=domain, body=body.encode("utf-8")))
         for path in (
             "/", f"/private{i}/x", f"/private{i}/ok", "/doc.pdf",
             "/graft-only/page", "/everyone/page", f"/shared{i}/y",
+            "/article?print=1", "/article?page=2",
             f"/page{rng.randint(0, 99)}",
         ):
             urls.append(f"https://{domain}{path}")
     urls.append("https://norobots.example.test/anything")
+    # scheme/host are case-insensitive (RFC 3986): this must join against
+    # site001's deny-all rules, not default to allowed
+    urls.append("HTTPS://SITE001.Example.TEST/mixed/case")
     return robots, urls
 
 

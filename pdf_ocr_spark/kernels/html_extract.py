@@ -306,6 +306,7 @@ _REL_RE = re.compile(r"""rel\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
 
 _A_CLOSE_RE = re.compile(r"</a\s*>", re.I)
+_A_OPEN_RE = re.compile(r"<a[\s>]", re.I)
 
 
 def extract_links_attrs(data: bytes) -> List[Tuple[str, bool, str]]:
@@ -341,10 +342,19 @@ def extract_links_attrs(data: bytes) -> List[Tuple[str, bool, str]]:
         nofollow = bool(
             {"nofollow", "ugc", "sponsored"} & set(rel.lower().split())
         )
+        # capture ends at </a> OR at the next <a …> open tag — HTML5
+        # auto-closes an unclosed anchor there, and without the bound an
+        # unclosed <a> would swallow the NEXT anchor's text as its own
         cm = _A_CLOSE_RE.search(text, m.end())
+        om = _A_OPEN_RE.search(text, m.end())
         anchor = ""
-        if cm is not None:
-            inner = _TAG_RE.sub(" ", text[m.end() : cm.start()])
+        end = None
+        if cm is not None and (om is None or cm.start() < om.start()):
+            end = cm.start()
+        elif om is not None:
+            end = om.start()
+        if end is not None:
+            inner = _TAG_RE.sub(" ", text[m.end() : end])
             anchor = _WS_RE.sub(" ", _htmllib.unescape(inner)).strip()[:200]
         out.append((href, nofollow, anchor))
     return out

@@ -27,7 +27,10 @@ class RobotsRule(NamedTuple):
     order: int       # document order (stable tiebreak only)
 
 
-_SPECIAL = re.compile(r"[.^+?{}\[\]|()\\]")
+# '$' included: it is special only at PATTERN END (handled separately) —
+# a literal mid-pattern '$' must be escaped or it becomes an end anchor
+# that makes the rule match nothing
+_SPECIAL = re.compile(r"[.^$+?{}\[\]|()\\]")
 
 
 def pattern_regex(pattern: str) -> str:

@@ -426,12 +426,15 @@ def jaccard_on_candidates(
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
+        # threshold the UNROUNDED ratio (the oracle SQL filters the raw
+        # value too — filtering the rounded column would keep pairs in
+        # [threshold - 5e-5, threshold) that the oracle drops)
+        .filter((inter / union) >= threshold)
         .select(
             "doc_a",
             "doc_b",
             F.round(inter / union, 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -483,17 +486,12 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(jac >= threshold)  # unrounded, like the oracle
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -514,9 +512,9 @@ def embedding_near_pairs(
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
-    return pairs.select(
+    return pairs.filter(cos >= threshold).select(  # unrounded, like the oracle
         "id_a", "id_b", F.round(cos, 4).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    )
 
 
 def embedding_near_pairs_bucketed(
@@ -548,9 +546,9 @@ def embedding_near_pairs_bucketed(
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
-    return pairs.select(
+    return pairs.filter(cos >= threshold).select(  # unrounded, like the oracle
         "id_a", "id_b", F.round(cos, 4).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    )
 
 
 def duplicate_spans(

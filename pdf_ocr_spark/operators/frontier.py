@@ -67,16 +67,19 @@ def robots_rules(
     """robots(domain, body) → one row per Allow/Disallow rule with its
     anchored RE2-safe regex and specificity (kernel parse per RFC 9309,
     including the empty-Disallow allow-all group sentinel)."""
-    df = robots_df.select("domain", "body")
-    if num_partitions is None:
-        num_partitions = max(
-            robots_df.sparkSession.sparkContext.defaultParallelism, 8
-        )
-    df = df.repartition(num_partitions, F.xxhash64("domain"))
-    return df.mapInPandas(_rules_batch, schema=ROBOTS_RULE_SCHEMA)
+    from pdf_ocr_spark.pipeline.extract_job import kernel_route
+
+    return kernel_route(
+        robots_df, _rules_batch, ROBOTS_RULE_SCHEMA,
+        key="domain", cols=("domain", "body"),
+        num_partitions=num_partitions,
+    )
 
 
-_URL_PARTS = r"^[a-z][a-z0-9+.-]*://([^/?#]+)([^?#]*)"
+# case-insensitive scheme (RFC 3986: scheme and host are case-insensitive;
+# discovered links are NOT pre-normalized); group 2 keeps the QUERY STRING —
+# robots patterns like 'Disallow: /*?sessionid=' match path+query per REP
+_URL_PARTS = r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)([^#]*)"
 
 
 def frontier_allowed(
@@ -96,7 +99,9 @@ def frontier_allowed(
     agent = agent.lower()
     urls = urls_df.select(
         F.col(url_col).alias("url"),
-        F.regexp_extract(url_col, _URL_PARTS, 1).alias("domain"),
+        # host is case-insensitive (RFC 3986): lowercase before joining
+        # against the rules table (keyed by lowercase fetch domain)
+        F.lower(F.regexp_extract(url_col, _URL_PARTS, 1)).alias("domain"),
         F.coalesce(
             F.nullif(F.regexp_extract(url_col, _URL_PARTS, 2), F.lit("")),
             F.lit("/"),

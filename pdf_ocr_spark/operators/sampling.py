@@ -24,7 +24,7 @@ _M = 10_000  # rate resolution: 0.01%
 def hash_keep_expr(key: Column, rate: float) -> Column:
     """True for a deterministic ``rate`` fraction of keys (same verdict
     for the same key on every run, engine, and partitioning)."""
-    return (_hbase40(key.cast("string")) % _M) < int(rate * _M)
+    return (_hbase40(key.cast("string")) % _M) < int(round(rate * _M))
 
 
 def stratified_sample(
@@ -42,9 +42,11 @@ def stratified_sample(
     The rate lookup compiles to a CASE expression (broadcast-free: the
     map is a plan literal), the verdict to one md5 + modulo per row —
     no shuffle, no RNG, resume-stable."""
-    rate = F.lit(int(default_rate * _M))
+    rate = F.lit(int(round(default_rate * _M)))
     for stratum, r in sorted(rates.items()):
-        rate = F.when(F.col(stratum_col) == stratum, F.lit(int(r * _M))).otherwise(
+        rate = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(round(r * _M)))
+        ).otherwise(
             rate
         )
     keep = (_hbase40(F.col(key_col).cast("string")) % _M) < rate

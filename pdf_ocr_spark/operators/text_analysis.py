@@ -227,17 +227,27 @@ def pii_scrub(
 
 def normalize_url_expr(url: Column) -> Column:
     """Canonical URL for url-level dedup: lowercase scheme+host, strip
-    default ports, tracking (utm_*) params, fragments, and the trailing
-    slash — regex-only so the oracle normalizes identically."""
+    scheme-default ports (http:80 / https:443 ONLY — :80 on https is a
+    real distinct endpoint), tracking (utm_*) params, fragments, and the
+    trailing slash — regex-only (no lookaheads: the oracle's RE2 lacks
+    them) so DuckDB normalizes identically.
+
+    utm stripping is boundary-anchored (``[?&]utm_``, never mid-token:
+    ``xutm_b=2`` is a different param and survives) and keeps the
+    separator, so following params are not corrupted.  A run of
+    consecutive utm params loses alternate members per pass — three
+    passes cover runs up to 8, beyond any real tracking URL."""
     scheme_host = F.lower(
         F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     )
-    scheme_host = F.regexp_replace(scheme_host, r":(80|443)$", "")
+    scheme_host = F.regexp_replace(scheme_host, r"^(http://[^:/]*):80$", "$1")
+    scheme_host = F.regexp_replace(scheme_host, r"^(https://[^:/]*):443$", "$1")
     rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     x = F.concat(scheme_host, rest)
     x = F.regexp_replace(x, r"#.*$", "")          # fragment
-    x = F.regexp_replace(x, r"utm_[^&#]*&", "")   # utm_ followed by more params
-    x = F.regexp_replace(x, r"[?&]utm_[^&#]*", "")  # lone/last utm_ param
+    for _ in range(3):  # runs of consecutive utm params (see docstring)
+        x = F.regexp_replace(x, r"([?&])utm_[^&#]*&", "$1")
+    x = F.regexp_replace(x, r"[?&]utm_[^&#]*$", "")  # lone/last utm_ param
     x = F.regexp_replace(x, r"\?$", "")
     return F.regexp_replace(x, r"/$", "")
 

@@ -421,6 +421,28 @@ def extract_blocks_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame(rows, columns=cols)
 
 
+def kernel_route(
+    pages_df: DataFrame,
+    batch_fn,
+    schema: StructType,
+    key: str = "url",
+    cols: tuple = ("url", "html"),
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """The shared plan shape of every kernel extraction route: scan
+    pruned to ``cols`` → ONE salted repartition on ``xxhash64(key)``
+    (bounds giant-payload skew; the job's single planned shuffle) → one
+    python stage running ``batch_fn``.  Changing the salting key or the
+    parallelism floor happens HERE, once, for all routes."""
+    df = pages_df.select(*cols)
+    if num_partitions is None:
+        num_partitions = max(
+            pages_df.sparkSession.sparkContext.defaultParallelism, 8
+        )
+    df = df.repartition(num_partitions, F.xxhash64(key))
+    return df.mapInPandas(batch_fn, schema=schema)
+
+
 def extract_blocks(
     pages_df: DataFrame, num_partitions: Optional[int] = None
 ) -> DataFrame:
@@ -429,11 +451,10 @@ def extract_blocks(
     Same plan shape as the document route — scan pruned to (url, html),
     one salted repartition, one python stage — so the blocks table scales
     exactly like the hot path."""
-    df = pages_df.select("url", "html")
-    if num_partitions is None:
-        num_partitions = max(pages_df.sparkSession.sparkContext.defaultParallelism, 8)
-    df = df.repartition(num_partitions, F.xxhash64("url"))
-    return df.mapInPandas(extract_blocks_batch, schema=BLOCK_SCHEMA)
+    return kernel_route(
+        pages_df, extract_blocks_batch, BLOCK_SCHEMA,
+        num_partitions=num_partitions,
+    )
 
 
 COMPOSITE_SCHEMA = StructType(
@@ -483,11 +504,10 @@ def extract_composites(
     """pages(url, html, …) → composite-block table (v4): one row per
     table/figure with its rendered caption/body/footnote string.  Same
     plan shape as the other extraction routes."""
-    df = pages_df.select("url", "html")
-    if num_partitions is None:
-        num_partitions = max(pages_df.sparkSession.sparkContext.defaultParallelism, 8)
-    df = df.repartition(num_partitions, F.xxhash64("url"))
-    return df.mapInPandas(extract_composites_batch, schema=COMPOSITE_SCHEMA)
+    return kernel_route(
+        pages_df, extract_composites_batch, COMPOSITE_SCHEMA,
+        num_partitions=num_partitions,
+    )
 
 
 HTML_TABLE_SCHEMA = StructType(
@@ -540,11 +560,10 @@ def extract_html_tables(
     n_rows, n_cols, tsv).  Same plan shape as the other extraction
     routes: scan pruned to (url, html), one salted repartition, one
     python stage."""
-    df = pages_df.select("url", "html")
-    if num_partitions is None:
-        num_partitions = max(pages_df.sparkSession.sparkContext.defaultParallelism, 8)
-    df = df.repartition(num_partitions, F.xxhash64("url"))
-    return df.mapInPandas(extract_html_tables_batch, schema=HTML_TABLE_SCHEMA)
+    return kernel_route(
+        pages_df, extract_html_tables_batch, HTML_TABLE_SCHEMA,
+        num_partitions=num_partitions,
+    )
 
 
 LINK_SCHEMA = StructType(
@@ -591,11 +610,10 @@ def extract_links(
 ) -> DataFrame:
     """pages(url, html, …) → outgoing-link edges (url, link, index,
     source_kind) — same plan shape as the other extraction routes."""
-    df = pages_df.select("url", "html")
-    if num_partitions is None:
-        num_partitions = max(pages_df.sparkSession.sparkContext.defaultParallelism, 8)
-    df = df.repartition(num_partitions, F.xxhash64("url"))
-    return df.mapInPandas(extract_links_batch, schema=LINK_SCHEMA)
+    return kernel_route(
+        pages_df, extract_links_batch, LINK_SCHEMA,
+        num_partitions=num_partitions,
+    )
 
 
 def extract_pages(

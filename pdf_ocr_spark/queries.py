@@ -1803,16 +1803,22 @@ _URL_SYNTH = (
     "'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)"
     " || '.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR)"
     " || '/?utm_source=feed&utm_id=' || CAST(doc_id % 3 AS VARCHAR)"
-    " || '&id=' || CAST(doc_id AS VARCHAR) || '#Section-2'"
+    " || '&id=' || CAST(doc_id AS VARCHAR)"
+    " || '&xutm_keep=' || CAST(doc_id % 2 AS VARCHAR) || '#Section-2'"
 )
 
 _SQL_URL_NORM = """
-regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(
   regexp_replace(
-    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
-    ':(80|443)$', '')
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+      '^(http://[^:/]*):80$', '\\1'),
+      '^(https://[^:/]*):443$', '\\1')
   || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-  '#.*$', ''), 'utm_[^&#]*&', '', 'g'), '[?&]utm_[^&#]*', '', 'g'),
+  '#.*$', ''),
+  '([?&])utm_[^&#]*&', '\\1', 'g'), '([?&])utm_[^&#]*&', '\\1', 'g'),
+  '([?&])utm_[^&#]*&', '\\1', 'g'), '[?&]utm_[^&#]*$', ''),
   '\\?$', ''), '/$', '')
 """
 
@@ -1823,7 +1829,9 @@ def _url_corpus(spark, sf_dir):
         F.lit("HTTPS://Site"), (F.col("doc_id") % 7).cast("string"),
         F.lit(".Example.COM:443/Path/"), F.col("doc_id").cast("string"),
         F.lit("/?utm_source=feed&utm_id="), (F.col("doc_id") % 3).cast("string"),
-        F.lit("&id="), F.col("doc_id").cast("string"), F.lit("#Section-2"),
+        F.lit("&id="), F.col("doc_id").cast("string"),
+        F.lit("&xutm_keep="), (F.col("doc_id") % 2).cast("string"),
+        F.lit("#Section-2"),
     )
     return d.select("doc_id", url.alias("url"))
 
@@ -2327,9 +2335,10 @@ def q_robots_frontier(spark, sf_dir):
 SQL_ROBOTS_FRONTIER = f"""
 WITH urls AS (
   SELECT url,
-    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)([^?#]*)', 1) AS domain,
+    lower(regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)([^#]*)', 1))
+      AS domain,
     coalesce(nullif(
-      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)([^?#]*)', 2), ''),
+      regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)([^#]*)', 2), ''),
       '/') AS path
   FROM read_parquet('{_golden("robots_urls")}')
 ),

@@ -26,22 +26,24 @@ from typing import Iterator, List, Optional, Tuple
 _CRLF2 = b"\r\n\r\n"
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (the .warc.gz layout)."""
-    out = []
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Yield each gzip member of a .warc.gz archive decompressed ONE AT A
+    TIME — Common Crawl gzips every record as its own member, so this is
+    record-at-a-time streaming: peak memory is one decompressed record
+    (plus the compressed blob), never the whole ~4-5 GB segment."""
     pos = 0
     n = len(data)
     while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
         try:
-            out.append(d.decompress(data[pos:]))
+            chunk = d.decompress(data[pos:])
         except zlib.error:
             break  # truncated/corrupt member: keep what decoded
+        yield chunk
         rest = d.unused_data
         if not rest:
             break
         pos = n - len(rest)
-    return b"".join(out)
 
 
 def _parse_headers(block: bytes) -> dict:
@@ -99,9 +101,19 @@ def iter_warc_records(
     """Yield (target_uri, warc_date, payload_body) for every WARC
     *response*/*resource* record in one archive (gzipped or plain).
     Request/metadata/warcinfo records are skipped; malformed records end
-    the scan rather than raising."""
+    the scan rather than raising.  Gzipped archives decompress
+    member-by-member (one record in memory at a time, see
+    ``_iter_gzip_members``)."""
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        for member in _iter_gzip_members(data):
+            yield from _iter_records_plain(member)
+        return
+    yield from _iter_records_plain(data)
+
+
+def _iter_records_plain(
+    data: bytes,
+) -> Iterator[Tuple[str, Optional[str], bytes]]:
     pos = 0
     n = len(data)
     while pos < n:

@@ -179,6 +179,15 @@ class TestLinkRelAttrs:
         assert got["/y"] == ""
         assert got["/z"] == ""  # no closing tag -> no capture
 
+    def test_unclosed_anchor_does_not_swallow_next(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_links_attrs
+
+        # HTML5 auto-closes an unclosed <a> at the next <a>
+        html = b"<a href='/x'>one <a href='/y'>two</a>"
+        got = {href: at for href, _, at in extract_links_attrs(html)}
+        assert got["/x"] == "one"
+        assert got["/y"] == "two"
+
     def test_extract_links_unchanged(self):
         from pdf_ocr_spark.kernels.html_extract import extract_links
 

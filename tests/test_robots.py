@@ -74,3 +74,20 @@ class TestMatch:
 
     def test_no_rules_default_allow(self):
         assert is_allowed([], "*", "/whatever")
+
+
+class TestReviewRegressions:
+    """Regressions from review: query-string matching, case-insensitive
+    scheme/host, mid-pattern '$' escaping."""
+
+    def test_mid_pattern_dollar_escaped(self):
+        assert pattern_regex("/a$b") == r"^/a\$b"
+        rules = parse_robots("User-agent: *\nDisallow: /a$b\n")
+        assert not is_allowed(rules, "*", "/a$b")
+        assert is_allowed(rules, "*", "/ab")
+
+    def test_query_targeting_rule(self):
+        rules = parse_robots("User-agent: *\nDisallow: /*?print=\n")
+        # kernel matcher receives path+query (as frontier_allowed extracts)
+        assert not is_allowed(rules, "*", "/article?print=1")
+        assert is_allowed(rules, "*", "/article?page=2")

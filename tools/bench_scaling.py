@@ -306,6 +306,10 @@ def main() -> None:
         sustained = json.loads(out.stdout.strip().splitlines()[-1])
         print(out.stdout.strip().splitlines()[-1], file=sys.stderr)
 
+        # separate-memory-arena datapoint: 1 vs 4 pinned JVMs
+        print("multi-JVM level (1 vs 4 pinned JVMs) …", file=sys.stderr)
+        multi = multi_jvm_level(corpus, n_jvms=4, cpus_each=LEVELS[0])
+
     lo, hi = results
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
     factor = hi["cpus"] / lo["cpus"]
@@ -327,6 +331,7 @@ def main() -> None:
         "spark_fraction_of_ceiling": [round(spark_frac_lo, 3), round(spark_frac_hi, 3)],
         "bandwidth_normalized_efficiency": round(norm_eff, 3),
         "sustained": sustained,
+        "multi_jvm": multi,
     }
     print(json.dumps(report))
 
@@ -384,13 +389,27 @@ same two pinned parallelism levels (2 cycles, best of each metric):
   `repartition(P, xxhash64(url))`), one fused python stage, no
   aggregate shuffle (see `test_fused_plan_single_shuffle_no_aggregate`)
 
-## Multi-JVM (separate memory arenas): `python tools/bench_scaling.py --multi`
+## Multi-JVM executors (separate memory arenas)
 
-N = 1 pinned 8-core JVM on one corpus stripe; 4N = 4 concurrent JVMs on
-disjoint 8-core bands, each with its own heap, GC, and python workers
-(synchronized timed windows).  This models N vs 4N *executors* more
-closely than one growing JVM — see the measured numbers in the section
-committed alongside this file.
+One growing JVM is the *pessimistic* stand-in for N→4N executors: heap,
+allocator, and GC are shared.  A closer model is separate JVMs on
+disjoint core bands — each its own memory arena, like separate executor
+processes (N = 1 pinned {LEVELS[0]}-core JVM on one corpus stripe;
+4N = {len(multi['group'])} concurrent JVMs on disjoint bands,
+synchronized timed windows):
+
+| configuration | aggregate docs/sec |
+|---|---|
+| 1 JVM × {LEVELS[0]} cores | {multi['baseline_1jvm']['docs_per_sec']:.0f} |
+| {multi['n_jvms']} JVM × {multi['cpus_each']} cores (concurrent) | {multi['aggregate_docs_per_sec']:.0f} |
+
+- **multi-JVM scaling efficiency: {multi['multi_jvm_efficiency']:.3f}**
+  vs the measured hardware ceiling {hw_eff:.3f}: with separate arenas,
+  Spark scales at the plain-multiprocessing bandwidth limit of this box.
+  The residual inefficiency is the shared host memory bus; N vs 4N
+  executors on separate nodes (independent buses) do not share that
+  term, which is what the bandwidth-normalized number estimates.
+  (Also standalone: `python tools/bench_scaling.py --multi`.)
 
 ## Sustained run (memory stability / amortization)
 
