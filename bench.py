@@ -93,9 +93,13 @@ def bench_extraction(spark, n_docs: int) -> tuple[float, int]:
         write_corpus(corpus, n_docs, n_files=32)
         pages = spark.read.parquet(corpus)
         force(extract_documents(pages))  # warmup: python workers + codegen
-        t0 = time.monotonic()
-        force(extract_documents(pages))
-        return time.monotonic() - t0, n_docs
+        best = None
+        for _ in range(2):  # best-of-2, like the per-query timings
+            t0 = time.monotonic()
+            force(extract_documents(pages))
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        return best, n_docs
 
 
 def warmup_session(spark) -> None:

@@ -630,10 +630,12 @@ def gen_robots_rows(n_domains: int, seed: int = 23) -> Tuple[List[dict], List[st
                 f"Disallow: /private{i}/\n"
                 f"Allow: /private{i}/ok$\n"
                 "Disallow: /*.pdf$\n"
+                "Crawl-delay: 2\n"
             )
         elif variant == 3:
             body = (
-                "User-agent: graftbot\nDisallow: /graft-only/\n\n"
+                "User-agent: graftbot\nDisallow: /graft-only/\n"
+                "Crawl-delay: 0.5\n\n"
                 "User-agent: *\nDisallow: /everyone/\n"
             )
         else:

@@ -94,7 +94,11 @@ def parse_robots(text: str) -> List[RobotsRule]:
                     )
                 )
             order += 1
-        # crawl-delay / sitemap etc.: not fetch-permission rules
+        elif field == "crawl-delay":
+            # not a fetch-permission rule, but it IS a group member: a
+            # User-agent line after it starts a NEW group
+            in_group_rules = True
+        # sitemap etc.: ignored
     return rules
 
 
@@ -113,3 +117,36 @@ def is_allowed(rules: List[RobotsRule], agent: str, path: str) -> bool:
             if best is None or key > best:
                 best = key
     return True if best is None else bool(best[1])
+
+
+def parse_crawl_delays(text: str) -> List[Tuple[str, float]]:
+    """Per-agent-group ``Crawl-delay`` directives (the de-facto REP
+    extension most crawlers honor for politeness rate-limiting): one
+    (agent, delay_seconds) per group that declares it.  Group selection
+    mirrors :func:`parse_robots`; non-numeric values are ignored."""
+    out: List[Tuple[str, float]] = []
+    agents: List[str] = []
+    in_group_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_rules:
+                agents = []
+                in_group_rules = False
+            agents.append(value.lower() or "*")
+        elif field in ("allow", "disallow"):
+            in_group_rules = True
+        elif field == "crawl-delay":
+            in_group_rules = True
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            for agent in agents or ["*"]:
+                out.append((agent, delay))
+    return out

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -143,4 +144,48 @@ def frontier_allowed(
             "path",
             F.coalesce(F.col("match_allow"), F.lit(True)).alias("allowed"),
         )
+    )
+
+
+DELAY_SCHEMA = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("agent", StringType()),
+        StructField("delay_s", DoubleType()),
+    ]
+)
+
+
+def _delays_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pdf_ocr_spark.kernels.robots import parse_crawl_delays
+
+    cols = [f.name for f in DELAY_SCHEMA.fields]
+    for batch in batches:
+        rows = []
+        for domain, body in zip(batch["domain"], batch["body"]):
+            try:
+                text = (
+                    bytes(body).decode("utf-8", "replace")
+                    if not isinstance(body, str)
+                    else body
+                )
+                for agent, delay in parse_crawl_delays(text):
+                    rows.append((domain, agent, delay))
+            except Exception:  # noqa: BLE001 — poison robots must not raise
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def robots_delays(
+    robots_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """robots(domain, body) → per-agent-group Crawl-delay seconds — the
+    politeness rate limit a frontier scheduler divides each domain's
+    fetch budget by."""
+    from pdf_ocr_spark.pipeline.extract_job import kernel_route
+
+    return kernel_route(
+        robots_df, _delays_batch, DELAY_SCHEMA,
+        key="domain", cols=("domain", "body"),
+        num_partitions=num_partitions,
     )

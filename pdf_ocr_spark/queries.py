@@ -2313,6 +2313,27 @@ FROM read_parquet('{_golden("robots_rules")}')
 """
 
 
+def q_robots_delays(spark, sf_dir):
+    """Per-agent-group Crawl-delay directives (the de-facto politeness
+    extension a frontier scheduler rate-limits by) through the
+    distributed route — oracle = frozen kernel golden."""
+    from pdf_ocr_spark.fixtures.genpages import gen_robots_rows
+    from pdf_ocr_spark.operators.frontier import robots_delays
+
+    robots, _ = gen_robots_rows(25)
+    df = spark.createDataFrame(
+        [(r["domain"], bytearray(r["body"])) for r in robots],
+        schema="domain string, body binary",
+    )
+    return robots_delays(df)
+
+
+SQL_ROBOTS_DELAYS = f"""
+SELECT domain, agent, delay_s
+FROM read_parquet('{_golden("robots_delays")}')
+"""
+
+
 def q_robots_frontier(spark, sf_dir):
     """Fetch permission per frontier URL (agent 'graftbot'): RFC 9309
     group selection + longest-match with Allow winning ties, computed
@@ -2956,6 +2977,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "robots_rules": (q_robots_rules, SQL_ROBOTS_RULES),
     "robots_frontier": (q_robots_frontier, SQL_ROBOTS_FRONTIER),
+    "robots_delays": (q_robots_delays, SQL_ROBOTS_DELAYS),
     "frontier_discover": (q_frontier_discover, SQL_FRONTIER_DISCOVER),
     # lineage rows stay rows-only: part_id depends on physical
     # partitioning; the partition-independent TOTALS get a full oracle

@@ -91,3 +91,20 @@ class TestReviewRegressions:
         # kernel matcher receives path+query (as frontier_allowed extracts)
         assert not is_allowed(rules, "*", "/article?print=1")
         assert is_allowed(rules, "*", "/article?page=2")
+
+    def test_crawl_delay_parsing(self):
+        from pdf_ocr_spark.kernels.robots import parse_crawl_delays
+
+        txt = (
+            "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+            "User-agent: fast\nCrawl-delay: 0.5\n\n"
+            "User-agent: bad\nCrawl-delay: soon\n"
+        )
+        assert parse_crawl_delays(txt) == [("*", 2.0), ("fast", 0.5)]
+
+    def test_crawl_delay_closes_group(self):
+        # a User-agent AFTER a crawl-delay starts a NEW group
+        rules = parse_robots(
+            "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n"
+        )
+        assert {r.agent for r in rules} == {"b"}

@@ -19,7 +19,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pdf_ocr_spark.fixtures.genpages import gen_robots_rows  # noqa: E402
-from pdf_ocr_spark.kernels.robots import parse_robots  # noqa: E402
+from pdf_ocr_spark.kernels.robots import parse_crawl_delays, parse_robots  # noqa: E402
 
 N_DOMAINS = 25  # must match q_robots_rules / q_robots_frontier
 
@@ -45,15 +45,25 @@ def golden_frames() -> tuple:
     ).sort_values(
         ["domain", "rule_order", "agent"], kind="mergesort"
     ).reset_index(drop=True)
-    return rules, pd.DataFrame({"url": urls})
+    drows = []
+    for r in robots:
+        for agent, delay in parse_crawl_delays(bytes(r["body"]).decode("utf-8")):
+            drows.append((r["domain"], agent, delay))
+    delays = pd.DataFrame(
+        drows, columns=["domain", "agent", "delay_s"]
+    ).sort_values(["domain", "agent"], kind="mergesort").reset_index(drop=True)
+    return rules, pd.DataFrame({"url": urls}), delays
 
 
 if __name__ == "__main__":
-    rules, urls = golden_frames()
+    rules, urls, delays = golden_frames()
     rules.to_parquet(
         os.path.join(FIXTURES, "robots_rules_golden.parquet"), index=False
     )
     urls.to_parquet(
         os.path.join(FIXTURES, "robots_urls_golden.parquet"), index=False
     )
-    print(f"wrote {len(rules)} rules, {len(urls)} urls")
+    delays.to_parquet(
+        os.path.join(FIXTURES, "robots_delays_golden.parquet"), index=False
+    )
+    print(f"wrote {len(rules)} rules, {len(urls)} urls, {len(delays)} delays")
