@@ -150,3 +150,22 @@ def parse_crawl_delays(text: str) -> List[Tuple[str, float]]:
             for agent in agents or ["*"]:
                 out.append((agent, delay))
     return out
+
+
+def parse_sitemaps(text: str) -> List[str]:
+    """``Sitemap:`` URLs in document order (RFC 9309 §2.3 allows them
+    anywhere in the file, outside group scope), first occurrence kept —
+    a crawl seeds its frontier from these."""
+    out: List[str] = []
+    seen = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            value = value.strip()
+            if value and value not in seen:
+                seen.add(value)
+                out.append(value)
+    return out

@@ -189,3 +189,46 @@ def robots_delays(
         key="domain", cols=("domain", "body"),
         num_partitions=num_partitions,
     )
+
+
+SITEMAP_SCHEMA = StructType(
+    [
+        StructField("domain", StringType()),
+        StructField("sitemap_url", StringType()),
+        StructField("sm_index", IntegerType()),
+    ]
+)
+
+
+def _sitemaps_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pdf_ocr_spark.kernels.robots import parse_sitemaps
+
+    cols = [f.name for f in SITEMAP_SCHEMA.fields]
+    for batch in batches:
+        rows = []
+        for domain, body in zip(batch["domain"], batch["body"]):
+            try:
+                text = (
+                    bytes(body).decode("utf-8", "replace")
+                    if not isinstance(body, str)
+                    else body
+                )
+                for i, u in enumerate(parse_sitemaps(text)):
+                    rows.append((domain, u, i))
+            except Exception:  # noqa: BLE001 — poison robots must not raise
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def robots_sitemaps(
+    robots_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """robots(domain, body) → declared Sitemap URLs (document order) —
+    the frontier-seeding discovery source alongside extracted links."""
+    from pdf_ocr_spark.pipeline.extract_job import kernel_route
+
+    return kernel_route(
+        robots_df, _sitemaps_batch, SITEMAP_SCHEMA,
+        key="domain", cols=("domain", "body"),
+        num_partitions=num_partitions,
+    )

@@ -2334,6 +2334,26 @@ FROM read_parquet('{_golden("robots_delays")}')
 """
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap URLs declared in robots.txt (frontier seeding) through the
+    distributed route — oracle = frozen kernel golden."""
+    from pdf_ocr_spark.fixtures.genpages import gen_robots_rows
+    from pdf_ocr_spark.operators.frontier import robots_sitemaps
+
+    robots, _ = gen_robots_rows(25)
+    df = spark.createDataFrame(
+        [(r["domain"], bytearray(r["body"])) for r in robots],
+        schema="domain string, body binary",
+    )
+    return robots_sitemaps(df)
+
+
+SQL_ROBOTS_SITEMAPS = f"""
+SELECT domain, sitemap_url, CAST(sm_index AS INT) AS sm_index
+FROM read_parquet('{_golden("robots_sitemaps")}')
+"""
+
+
 def q_robots_frontier(spark, sf_dir):
     """Fetch permission per frontier URL (agent 'graftbot'): RFC 9309
     group selection + longest-match with Allow winning ties, computed
@@ -2978,6 +2998,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "robots_rules": (q_robots_rules, SQL_ROBOTS_RULES),
     "robots_frontier": (q_robots_frontier, SQL_ROBOTS_FRONTIER),
     "robots_delays": (q_robots_delays, SQL_ROBOTS_DELAYS),
+    "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "frontier_discover": (q_frontier_discover, SQL_FRONTIER_DISCOVER),
     # lineage rows stay rows-only: part_id depends on physical
     # partitioning; the partition-independent TOTALS get a full oracle

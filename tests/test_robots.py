@@ -108,3 +108,15 @@ class TestReviewRegressions:
             "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n"
         )
         assert {r.agent for r in rules} == {"b"}
+
+    def test_sitemap_parsing(self):
+        from pdf_ocr_spark.kernels.robots import parse_sitemaps
+
+        txt = (
+            "User-agent: *\nSitemap: https://x.test/s1.xml\nDisallow: /\n"
+            "Sitemap: https://x.test/s1.xml\n"   # dup kept once
+            "sitemap: https://x.test/s2.xml\n"   # case-insensitive field
+        )
+        assert parse_sitemaps(txt) == [
+            "https://x.test/s1.xml", "https://x.test/s2.xml",
+        ]

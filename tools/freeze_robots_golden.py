@@ -19,7 +19,11 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pdf_ocr_spark.fixtures.genpages import gen_robots_rows  # noqa: E402
-from pdf_ocr_spark.kernels.robots import parse_crawl_delays, parse_robots  # noqa: E402
+from pdf_ocr_spark.kernels.robots import (  # noqa: E402
+    parse_crawl_delays,
+    parse_robots,
+    parse_sitemaps,
+)
 
 N_DOMAINS = 25  # must match q_robots_rules / q_robots_frontier
 
@@ -52,11 +56,18 @@ def golden_frames() -> tuple:
     delays = pd.DataFrame(
         drows, columns=["domain", "agent", "delay_s"]
     ).sort_values(["domain", "agent"], kind="mergesort").reset_index(drop=True)
-    return rules, pd.DataFrame({"url": urls}), delays
+    srows = []
+    for r in robots:
+        for i, u in enumerate(parse_sitemaps(bytes(r["body"]).decode("utf-8"))):
+            srows.append((r["domain"], u, i))
+    sitemaps = pd.DataFrame(
+        srows, columns=["domain", "sitemap_url", "sm_index"]
+    ).sort_values(["domain", "sm_index"], kind="mergesort").reset_index(drop=True)
+    return rules, pd.DataFrame({"url": urls}), delays, sitemaps
 
 
 if __name__ == "__main__":
-    rules, urls, delays = golden_frames()
+    rules, urls, delays, sitemaps = golden_frames()
     rules.to_parquet(
         os.path.join(FIXTURES, "robots_rules_golden.parquet"), index=False
     )
@@ -66,4 +77,8 @@ if __name__ == "__main__":
     delays.to_parquet(
         os.path.join(FIXTURES, "robots_delays_golden.parquet"), index=False
     )
-    print(f"wrote {len(rules)} rules, {len(urls)} urls, {len(delays)} delays")
+    sitemaps.to_parquet(
+        os.path.join(FIXTURES, "robots_sitemaps_golden.parquet"), index=False
+    )
+    print(f"wrote {len(rules)} rules, {len(urls)} urls, "
+          f"{len(delays)} delays, {len(sitemaps)} sitemaps")
