@@ -661,6 +661,49 @@ def gen_robots_rows(n_domains: int, seed: int = 23) -> Tuple[List[dict], List[st
     return robots, urls
 
 
+def gen_sitemap_rows(n: int, seed: int = 31) -> List[dict]:
+    """Deterministic sitemap-XML corpus: urlsets (some gzipped, some with
+    lastmod), one sitemapindex per cycle, and broken docs (must emit
+    nothing)."""
+    import gzip as _gzip
+
+    rows: List[dict] = []
+    for i in range(n):
+        rng = random.Random((seed << 14) ^ i)
+        domain = f"smsite{i:03d}.example.test"
+        url = f"https://{domain}/sitemap.xml"
+        variant = i % 4
+        if variant == 3:
+            body = b"<html>this is not a sitemap</html>"
+        elif variant == 2:
+            children = "".join(
+                f"<sitemap><loc>https://{domain}/sitemap-{k}.xml</loc></sitemap>"
+                for k in range(rng.randint(2, 4))
+            )
+            body = f"<?xml version=\"1.0\"?><sitemapindex>{children}</sitemapindex>".encode()
+        else:
+            entries = []
+            for k in range(rng.randint(2, 6)):
+                lastmod = (
+                    f"<lastmod>2025-0{rng.randint(1, 9)}-1{k % 10}</lastmod>"
+                    if rng.random() < 0.5
+                    else ""
+                )
+                entries.append(
+                    f"<url><loc>https://{domain}/page/{k}?a=1&amp;b={k}</loc>{lastmod}</url>"
+                )
+            body = (
+                "<?xml version=\"1.0\"?>"
+                "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+                + "".join(entries) + "</urlset>"
+            ).encode()
+            if variant == 1:
+                body = _gzip.compress(body, mtime=0)
+                url = f"https://{domain}/sitemap.xml.gz"
+        rows.append(dict(url=url, body=body))
+    return rows
+
+
 # -- broken payloads ---------------------------------------------------------------
 
 

@@ -169,3 +169,42 @@ def parse_sitemaps(text: str) -> List[str]:
                 seen.add(value)
                 out.append(value)
     return out
+
+
+_LOC_RE = re.compile(rb"<loc>\s*([^<]+?)\s*</loc>", re.I)
+_LASTMOD_RE = re.compile(rb"<lastmod>\s*([^<]+?)\s*</lastmod>", re.I)
+_ENTRY_RE = re.compile(rb"<(url|sitemap)\b[^>]*>(.*?)</\1>", re.I | re.S)
+
+
+def parse_sitemap_xml(data: bytes) -> List[tuple]:
+    """Sitemap-protocol XML (sitemaps.org) → [(loc, lastmod|None, kind)]
+    where kind is 'url' for <urlset> page entries and 'sitemap' for
+    <sitemapindex> children (which a crawler fetches recursively).
+    Gzipped payloads (.xml.gz) decompress transparently; the scan is a
+    regex pass (no XML library dependency), tolerant of namespaces and
+    attribute noise; malformed input yields what parsed.  Entity-decoded
+    locs (sitemap XML escapes & as &amp;), first occurrence kept."""
+    import html as _h
+    import zlib as _z
+
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = _z.decompress(data, 16 + _z.MAX_WBITS)
+        except _z.error:
+            return []
+    out: List[tuple] = []
+    seen = set()
+    for m in _ENTRY_RE.finditer(data):
+        kind = m.group(1).decode("ascii").lower()
+        body = m.group(2)
+        lm = _LOC_RE.search(body)
+        if not lm:
+            continue
+        loc = _h.unescape(lm.group(1).decode("utf-8", "replace")).strip()
+        if not loc or loc in seen:
+            continue
+        seen.add(loc)
+        dm = _LASTMOD_RE.search(body)
+        lastmod = dm.group(1).decode("ascii", "replace").strip() if dm else None
+        out.append((loc, lastmod, kind))
+    return out

@@ -232,3 +232,46 @@ def robots_sitemaps(
         key="domain", cols=("domain", "body"),
         num_partitions=num_partitions,
     )
+
+
+SITEMAP_URL_SCHEMA = StructType(
+    [
+        StructField("sitemap", StringType()),   # the sitemap document's url
+        StructField("loc", StringType()),       # discovered page/sitemap url
+        StructField("lastmod", StringType()),   # raw lastmod, NULL if absent
+        StructField("kind", StringType()),      # 'url' | 'sitemap' (index child)
+    ]
+)
+
+
+def _sitemap_urls_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pdf_ocr_spark.kernels.robots import parse_sitemap_xml
+
+    cols = [f.name for f in SITEMAP_URL_SCHEMA.fields]
+    for batch in batches:
+        rows = []
+        for url, body in zip(batch["url"], batch["body"]):
+            try:
+                for loc, lastmod, kind in parse_sitemap_xml(
+                    bytes(body) if body is not None else b""
+                ):
+                    rows.append((url, loc, lastmod, kind))
+            except Exception:  # noqa: BLE001 — poison sitemaps must not raise
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def sitemap_urls(
+    sitemaps_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """sitemaps(url, body) → discovered URLs: one row per <loc>, with
+    lastmod and whether the entry is a page ('url') or a nested sitemap
+    ('sitemap', which the fetch loop enqueues recursively).  Gzipped
+    documents decompress in-kernel."""
+    from pdf_ocr_spark.pipeline.extract_job import kernel_route
+
+    return kernel_route(
+        sitemaps_df, _sitemap_urls_batch, SITEMAP_URL_SCHEMA,
+        key="url", cols=("url", "body"),
+        num_partitions=num_partitions,
+    )

@@ -2354,6 +2354,28 @@ FROM read_parquet('{_golden("robots_sitemaps")}')
 """
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap-protocol XML parsing through the distributed route:
+    urlsets (plain + gzipped), sitemapindex children (kind='sitemap',
+    fetched recursively), lastmod, entity-decoded locs; broken docs emit
+    nothing.  Oracle = frozen kernel golden."""
+    from pdf_ocr_spark.fixtures.genpages import gen_sitemap_rows
+    from pdf_ocr_spark.operators.frontier import sitemap_urls
+
+    rows = gen_sitemap_rows(20)  # must match the freeze tool
+    df = spark.createDataFrame(
+        [(r["url"], bytearray(r["body"])) for r in rows],
+        schema="url string, body binary",
+    )
+    return sitemap_urls(df)
+
+
+SQL_SITEMAP_URLS = f"""
+SELECT sitemap, loc, lastmod, kind
+FROM read_parquet('{_golden("sitemap_urls")}')
+"""
+
+
 def q_robots_frontier(spark, sf_dir):
     """Fetch permission per frontier URL (agent 'graftbot'): RFC 9309
     group selection + longest-match with Allow winning ties, computed
@@ -2999,6 +3021,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "robots_frontier": (q_robots_frontier, SQL_ROBOTS_FRONTIER),
     "robots_delays": (q_robots_delays, SQL_ROBOTS_DELAYS),
     "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
+    "sitemap_urls": (q_sitemap_urls, SQL_SITEMAP_URLS),
     "frontier_discover": (q_frontier_discover, SQL_FRONTIER_DISCOVER),
     # lineage rows stay rows-only: part_id depends on physical
     # partitioning; the partition-independent TOTALS get a full oracle

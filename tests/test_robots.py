@@ -120,3 +120,40 @@ class TestReviewRegressions:
         assert parse_sitemaps(txt) == [
             "https://x.test/s1.xml", "https://x.test/s2.xml",
         ]
+
+
+class TestSitemapXml:
+    def test_urlset_with_lastmod_and_entities(self):
+        from pdf_ocr_spark.kernels.robots import parse_sitemap_xml
+
+        xml = (
+            b'<urlset><url><loc>https://x.test/a?b=1&amp;c=2</loc>'
+            b'<lastmod>2025-01-02</lastmod></url>'
+            b'<url><loc> https://x.test/b </loc></url>'
+            b'<url><loc>https://x.test/a?b=1&amp;c=2</loc></url></urlset>'
+        )
+        assert parse_sitemap_xml(xml) == [
+            ("https://x.test/a?b=1&c=2", "2025-01-02", "url"),
+            ("https://x.test/b", None, "url"),
+        ]
+
+    def test_sitemapindex_children(self):
+        from pdf_ocr_spark.kernels.robots import parse_sitemap_xml
+
+        idx = (
+            b"<sitemapindex><sitemap><loc>https://x.test/s1.xml</loc>"
+            b"</sitemap></sitemapindex>"
+        )
+        assert parse_sitemap_xml(idx) == [("https://x.test/s1.xml", None, "sitemap")]
+
+    def test_gzip_and_poison(self):
+        import gzip
+
+        from pdf_ocr_spark.kernels.robots import parse_sitemap_xml
+
+        xml = b"<urlset><url><loc>https://x.test/p</loc></url></urlset>"
+        assert parse_sitemap_xml(gzip.compress(xml, mtime=0)) == [
+            ("https://x.test/p", None, "url")
+        ]
+        assert parse_sitemap_xml(b"not xml") == []
+        assert parse_sitemap_xml(b"\x1f\x8bcorrupt") == []

@@ -18,10 +18,14 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pdf_ocr_spark.fixtures.genpages import gen_robots_rows  # noqa: E402
+from pdf_ocr_spark.fixtures.genpages import (  # noqa: E402
+    gen_robots_rows,
+    gen_sitemap_rows,
+)
 from pdf_ocr_spark.kernels.robots import (  # noqa: E402
     parse_crawl_delays,
     parse_robots,
+    parse_sitemap_xml,
     parse_sitemaps,
 )
 
@@ -63,11 +67,18 @@ def golden_frames() -> tuple:
     sitemaps = pd.DataFrame(
         srows, columns=["domain", "sitemap_url", "sm_index"]
     ).sort_values(["domain", "sm_index"], kind="mergesort").reset_index(drop=True)
-    return rules, pd.DataFrame({"url": urls}), delays, sitemaps
+    smrows = []
+    for r in gen_sitemap_rows(20):  # must match q_sitemap_urls
+        for loc, lastmod, kind in parse_sitemap_xml(bytes(r["body"])):
+            smrows.append((r["url"], loc, lastmod, kind))
+    sm_urls = pd.DataFrame(
+        smrows, columns=["sitemap", "loc", "lastmod", "kind"]
+    ).sort_values(["sitemap", "loc"], kind="mergesort").reset_index(drop=True)
+    return rules, pd.DataFrame({"url": urls}), delays, sitemaps, sm_urls
 
 
 if __name__ == "__main__":
-    rules, urls, delays, sitemaps = golden_frames()
+    rules, urls, delays, sitemaps, sm_urls = golden_frames()
     rules.to_parquet(
         os.path.join(FIXTURES, "robots_rules_golden.parquet"), index=False
     )
@@ -80,5 +91,8 @@ if __name__ == "__main__":
     sitemaps.to_parquet(
         os.path.join(FIXTURES, "robots_sitemaps_golden.parquet"), index=False
     )
-    print(f"wrote {len(rules)} rules, {len(urls)} urls, "
-          f"{len(delays)} delays, {len(sitemaps)} sitemaps")
+    sm_urls.to_parquet(
+        os.path.join(FIXTURES, "sitemap_urls_golden.parquet"), index=False
+    )
+    print(f"wrote {len(rules)} rules, {len(urls)} urls, {len(delays)} delays, "
+          f"{len(sitemaps)} sitemaps, {len(sm_urls)} sitemap urls")
