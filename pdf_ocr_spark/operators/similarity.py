@@ -51,15 +51,29 @@ def cosine_topk_bruteforce(
     queries is broadcast (small side); ranking ties break on neighbor id
     so the result is fully deterministic."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms are computed ONCE per row on each side of the join (a Project
+    # below the join boundary — Catalyst does not inline it across), so
+    # each of the N×Q pairs only pays the dot product, not 2 norms.
+    # Same float ops in the same order as cosine_expr → bit-identical.
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("cnorm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qv"), F.col("cv"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                4,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -152,40 +166,61 @@ def kmeans_centroids(
     At 100 TB: train on a sample (``corpus.sample(...)``) — the plan is
     identical; ``iters`` is a fixed hyperparameter, not a convergence
     loop, so the lineage stays bounded without checkpoints."""
-    cents = seeded_centroids(corpus, n_centroids, id_col, vec_col)
-    mean_cols = [
-        F.round(
-            F.sum(
-                F.element_at(F.col(vec_col), i + 1)
-                .cast("double")
-                .cast("decimal(18,6)")
-            ).cast("double")
-            / F.count(F.lit(1)),
-            4,
-        ).alias(f"m{i}")
-        for i in range(dim)
-    ]
+    cents = _collect_centroids(seeded_centroids(corpus, n_centroids, id_col, vec_col))
     spark = corpus.sparkSession
     for _ in range(iters):
-        assigned = ivf_assign(corpus, cents, id_col, vec_col)
-        cents = (
-            assigned.groupBy("cent_id")
-            .agg(*mean_cols)
-            .select(
-                "cent_id",
-                F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cvec"),
+        # One Lloyd step as ONE compact plan: map-side argmin assign →
+        # posexplode to (cent_id, dim_idx, value) → a SINGLE decimal-mean
+        # aggregate.  Decimal sums are exact → partition-order
+        # independent, and grouping by (cent_id, dim_idx) instead of 64
+        # per-dimension agg columns keeps the expression tree ~64×
+        # smaller — the wide-agg form spent seconds per iteration in
+        # Catalyst/codegen before a single row was touched.  Centroids
+        # live as driver lists between iterations (k×dim — tiny at any
+        # corpus scale; this is the standard cluster practice too).
+        assigned = corpus.withColumn(
+            "cent_id", _assign_col(F.col(vec_col), cents)
+        )
+        stats = (
+            assigned.select(
+                "cent_id", F.posexplode(F.col(vec_col)).alias("dim_idx", "v")
             )
+            .groupBy("cent_id", "dim_idx")
+            .agg(
+                F.round(
+                    F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    4,
+                ).alias("m")
+            )
+            .collect()
         )
-        # materialize the k×dim centroid table between iterations (tiny:
-        # k rows — this is the standard cluster practice too).  Without
-        # it, iteration N+1's logical plan embeds iteration N's ENTIRE
-        # subplan, and the final search query embeds the whole training
-        # lineage — Catalyst re-optimizes an exponentially nested tree
-        # and the corpus is re-scanned once per nesting level.
-        cents = spark.createDataFrame(
-            cents.collect(), schema="cent_id bigint, cvec array<double>"
-        )
-    return cents
+        by_cell: dict = {}
+        for r in stats:
+            by_cell.setdefault(int(r["cent_id"]), {})[int(r["dim_idx"])] = float(
+                r["m"]
+            )
+        cents = [
+            (cid, [dims[i] for i in range(dim)])
+            for cid, dims in sorted(by_cell.items())
+        ]
+    return spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], schema="cent_id bigint, cvec array<double>"
+    )
+
+
+def _l2sq_lit(vec: Column, cvec: list) -> Column:
+    """Σ (vecᵢ−cᵢ)² against a DRIVER-SIDE literal centroid: the same
+    zip_with/aggregate fold as :func:`l2sq_expr` (identical
+    left-to-right addition order → bit-identical sums), with the
+    centroid inlined as a literal array.  Keeping the HOF form keeps the
+    expression tree small — a fully unrolled 64-term sum per centroid
+    overflows whole-stage codegen's method limit and falls back to
+    interpreted mode (measured 2.8× slower)."""
+    carr = F.array(*[F.lit(float(c)) for c in cvec])
+    return l2sq_expr(vec, carr)
 
 
 def ivf_assign(
@@ -195,21 +230,41 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (argmin L2, ties on
-    cent_id).  Centroids are broadcast, so the K-way fan-out is map-side;
-    the single shuffle is the groupBy on vector id.  This is the IVF
-    index-build: at 100 TB the result is written bucketed by cent_id so
-    searches prune to single partitions."""
-    dist = F.round(l2sq_expr(F.col(vec_col), F.col("cvec")), 6)
-    return (
-        corpus.crossJoin(F.broadcast(centroids))
-        .groupBy(id_col)
-        .agg(
-            F.min(F.struct(dist.alias("d"), F.col("cent_id").alias("cent_id")))
-            .getField("cent_id")
-            .alias("cent_id"),
-            F.first(vec_col).alias(vec_col),
-        )
+    cent_id) — as a PURE MAP-SIDE PROJECTION, zero shuffle.
+
+    The centroid table is k×dim — driver-scale at any corpus size — so
+    instead of crossJoin(×k row expansion) + groupBy(full corpus
+    shuffle), we collect it and unroll the argmin into one codegen'd
+    expression per row: array_min over (round₆ L2², cent_id) structs,
+    which orders by distance then cent_id exactly like the old
+    min(struct(...)) aggregate.  This is the IVF index-build: at 100 TB
+    the result is written bucketed by cent_id so searches prune to
+    single partitions, and the assignment itself never exchanges."""
+    rows = _collect_centroids(centroids)
+    return corpus.withColumn("cent_id", _assign_col(F.col(vec_col), rows))
+
+
+def _collect_centroids(centroids: DataFrame) -> list:
+    """Pull the k×dim centroid table to the driver as [(cent_id, [floats])],
+    sorted by cent_id.  Always driver-scale regardless of corpus size."""
+    return sorted(
+        (int(r["cent_id"]), list(r["cvec"]))
+        for r in centroids.select("cent_id", "cvec").collect()
     )
+
+
+def _assign_col(vec: Column, cent_rows: list) -> Column:
+    """The argmin-L2 expression over literal centroids: array_min over
+    (round₆ distance, cent_id) structs — ordered by distance then
+    cent_id, exactly the old min(struct(...)) aggregate's tie-break."""
+    candidates = [
+        F.struct(
+            F.round(_l2sq_lit(vec, cv), 6).alias("d"),
+            F.lit(int(cid)).cast("long").alias("cent_id"),
+        )
+        for cid, cv in cent_rows
+    ]
+    return F.array_min(F.array(*candidates)).getField("cent_id")
 
 
 def cosine_topk_ivf(
@@ -236,19 +291,33 @@ def cosine_topk_ivf(
     else:
         cents = seeded_centroids(corpus, n_centroids, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
-    q = assigned.filter(query_filter).select(
+    # assignment is per-row, so filter-then-assign ≡ assign-then-filter:
+    # the query side only pays the argmin over its own (tiny) slice
+    # instead of re-running the full-corpus assign a second time.
+    q = ivf_assign(corpus.filter(query_filter), cents, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("qnorm"),
         "cent_id",
     )
+    # per-row norms below the join boundary (see cosine_topk_bruteforce)
     scored = (
-        assigned.withColumnRenamed(id_col, "neighbor_id")
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm_expr(F.col(vec_col)).alias("cnorm"),
+            "cent_id",
+        )
         .join(F.broadcast(q), "cent_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col(vec_col)), 4).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qv"), F.col("cv"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                4,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -274,20 +343,27 @@ def cosine_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("cnorm"),
         sign_bucket_expr(F.col(vec_col), bits).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm_expr(F.col(vec_col)).alias("qnorm"),
         sign_bucket_expr(F.col(vec_col), bits).alias("bucket"),
     )
+    # per-row norms below the join boundary (see cosine_topk_bruteforce)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qv"), F.col("cv"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                4,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
