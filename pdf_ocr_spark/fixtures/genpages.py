@@ -451,6 +451,24 @@ def make_ruled_table_pdf(
     return _one_page_pdf(b"".join(parts))
 
 
+def make_vector_pdf(n_strokes: int = 12, seed: int = 3) -> bytes:
+    """One-page PDF with ONLY painted vector strokes — no text shows, no
+    image XObjects (a chart / line-art page).  The reference rasterizes
+    such pages and OCRs the bitmap (pdf_to_images feeds every page to
+    recognition); exercises the S10 vector-only → rasterize → OCR branch."""
+    rng = random.Random(seed)
+    parts = [b"1 w\n"]
+    for _ in range(n_strokes):
+        x = 72 + rng.randint(0, 400)
+        y = 100 + rng.randint(0, 600)
+        if rng.random() < 0.5:
+            parts.append(b"%d %d m %d %d l S\n" % (x, y, x + rng.randint(40, 160), y))
+        else:
+            parts.append(b"%d %d m %d %d l S\n" % (x, y, x, y + rng.randint(40, 120)))
+    parts.append(b"72 100 468 600 re S\n")  # chart frame
+    return _one_page_pdf(b"".join(parts))
+
+
 def make_figure_pdf(paragraph: str, caption: str) -> bytes:
     """One-page PDF with a body paragraph, an image XObject draw, and a
     'Figure N: …' caption line below it — exercises image-typed blocks +
@@ -492,6 +510,25 @@ def _one_page_pdf(content: bytes, image_body: Optional[bytes] = None) -> bytes:
         % page_num,
     )
     return w.build(catalog)
+
+
+def gen_raster_rows(n: int = 60, n_vector: int = 5) -> List[dict]:
+    """Corpus for the raster queries: the standard mix (gen_rows) plus
+    ``n_vector`` vector-only line-art docs — the page class whose OCR
+    routing only exists because of the rasterizer."""
+    rows = gen_rows(n)
+    for s in range(n_vector):
+        rows.append(
+            dict(
+                url=f"https://example.test/docs/vector/{s:06d}",
+                warc_ts=datetime.datetime(2025, 1, 2, 0, 0, s),
+                html=make_vector_pdf(n_strokes=10 + s, seed=s),
+                text="",
+                lang="en",
+                kind="vector",
+            )
+        )
+    return rows
 
 
 def gen_composite_rows(n: int, seed: int = 7) -> List[dict]:

@@ -19,6 +19,7 @@ from typing import List, NamedTuple, Optional, Tuple
 from pdf_ocr_spark.kernels.pdf.content import interpret_page
 from pdf_ocr_spark.kernels.pdf.cos import PDFDocument, PDFError
 from pdf_ocr_spark.kernels.pdf.crypt import PDFEncryptedError
+from pdf_ocr_spark.kernels.pdf.raster import rasterize_page
 from pdf_ocr_spark.kernels.pdf.layout import (
     Block,
     attach_captions,
@@ -117,6 +118,19 @@ def extract_pdf(
             pages.append(
                 PageExtract(i, "", 0, True, res.images[0], res.width, res.height)
             )
+            continue
+        if not has_text and res.rules:
+            # VECTOR-ONLY text-less page (line-art, chart, re-drawn scan):
+            # the reference rasterizes every page before OCR
+            # (pdf_to_images, /root/reference/pdf_ocr_with_boxes_v3.py:144-158)
+            # so these pages still reach recognition; we rasterize the
+            # recorded geometry from scratch (kernels/pdf/raster.py) and
+            # route the bitmap down the same OCR branch.  Truly blank
+            # pages (no ink at all) stay ordinary empty-text pages.
+            payload = rasterize_page(
+                res.glyphs, res.rules, res.image_draws, res.width, res.height
+            )
+            pages.append(PageExtract(i, "", 0, True, payload, res.width, res.height))
             continue
         lines = build_lines(res.glyphs, res.height)
         ordered = xy_cut_order(lines)

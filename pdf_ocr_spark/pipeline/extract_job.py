@@ -510,6 +510,71 @@ def extract_composites(
     )
 
 
+RASTER_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("page_num", IntegerType()),
+        StructField("raster_w", IntegerType()),
+        StructField("raster_h", IntegerType()),
+        StructField("ink_px", LongType()),
+        StructField("raster_md5", StringType()),
+    ]
+)
+
+
+def extract_rasters_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Page rasterizer route (runs on executors): renders every PDF page
+    to the deterministic coverage bitmap (kernels/pdf/raster.py — the
+    from-scratch twin of the reference's pdf_to_images,
+    /root/reference/pdf_ocr_with_boxes_v3.py:144-158) and emits its
+    dimensions, ink-pixel count, and full-bitmap digest.  One row per
+    page; non-PDF and failed docs emit nothing (they carry no geometry)."""
+    import hashlib
+
+    from pdf_ocr_spark.kernels.pdf.content import interpret_page
+    from pdf_ocr_spark.kernels.pdf.cos import PDFDocument
+    from pdf_ocr_spark.kernels.pdf.extract import MAX_PAGES
+    from pdf_ocr_spark.kernels.pdf.raster import parse_pgm, rasterize_page
+
+    _tune_worker_gc()
+    cols = [f.name for f in RASTER_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not looks_like_pdf(data):
+                continue
+            try:
+                doc = PDFDocument(data)
+                for i, pd_ in enumerate(doc.pages()[:MAX_PAGES], 1):
+                    res = interpret_page(doc, pd_)
+                    pgm = rasterize_page(
+                        res.glyphs, res.rules, res.image_draws,
+                        res.width, res.height,
+                    )
+                    w, h, px = parse_pgm(pgm)
+                    rows.append(
+                        (url, i, w, h, len(px) - px.count(255),
+                         hashlib.md5(pgm).hexdigest())
+                    )
+            except Exception:  # noqa: BLE001 — poison-row isolation
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_rasters(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages(url, html, …) → per-page raster table (S10): dimensions,
+    ink coverage, and bitmap digest of the rendered page.  Same plan
+    shape as the other extraction routes — scan pruned to (url, html),
+    one salted repartition, one python stage."""
+    return kernel_route(
+        pages_df, extract_rasters_batch, RASTER_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
 HTML_TABLE_SCHEMA = StructType(
     [
         StructField("url", StringType()),

@@ -2177,6 +2177,32 @@ FROM read_parquet('{_COMPOSITES_GOLDEN}')
 """
 
 
+def q_raster_pages(spark, sf_dir):
+    """S10 rasterizer as a queryable table: every PDF page rendered by
+    the from-scratch coverage rasterizer (kernels/pdf/raster.py — the
+    twin of the reference's pdf_to_images,
+    /root/reference/pdf_ocr_with_boxes_v3.py:144-158) with dimensions,
+    ink-pixel count, and the full-bitmap md5.  Corpus = standard mix +
+    vector-only line-art docs (the class the rasterizer unlocks for
+    OCR).  Oracle = frozen kernel golden (tools/freeze_goldens.py) —
+    value-hash equality pins every pixel of every page."""
+    from pdf_ocr_spark.fixtures.genpages import gen_raster_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_rasters
+
+    rows = gen_raster_rows()
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_rasters(pages)
+
+
+SQL_RASTER_PAGES = f"""
+SELECT url, page_num, raster_w, raster_h, ink_px, raster_md5
+FROM read_parquet('{_golden("rasters")}')
+"""
+
+
 _HTML_TABLES_GOLDEN = _golden("html_tables")
 
 
@@ -3035,6 +3061,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "blocks_histogram": (q_blocks_histogram, SQL_BLOCKS_HISTOGRAM),
     "blocks_composite": (q_blocks_composite, SQL_BLOCKS_COMPOSITE),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
+    "raster_pages": (q_raster_pages, SQL_RASTER_PAGES),
 }
 
 

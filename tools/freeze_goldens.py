@@ -256,6 +256,26 @@ def freeze_sink_overlay() -> pd.DataFrame:
     return golden
 
 
+def freeze_rasters() -> pd.DataFrame:
+    """Golden for the S10 rasterizer route: the raster UDF body run
+    in-process over gen_raster_rows() — the standard mix plus
+    vector-only line-art docs (must match q_raster_pages)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_raster_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_rasters_batch
+
+    rows = gen_raster_rows()
+    batch = pd.DataFrame(
+        {"url": [r["url"] for r in rows],
+         "html": [bytes(r["html"]) if r["html"] is not None else None for r in rows]}
+    )
+    out = pd.concat(list(extract_rasters_batch(iter([batch]))), ignore_index=True)
+    golden = out.sort_values(
+        ["url", "page_num"], kind="mergesort"
+    ).reset_index(drop=True)
+    golden.to_parquet(os.path.join(FIXTURES, "rasters_golden.parquet"), index=False)
+    return golden
+
+
 if __name__ == "__main__":
     for name, fn in [
         ("blocks", freeze_blocks),
@@ -266,6 +286,7 @@ if __name__ == "__main__":
         ("link_edges", freeze_link_edges),
         ("multimodal_frames", freeze_multimodal_frames),
         ("sink_overlay", freeze_sink_overlay),
+        ("rasters", freeze_rasters),
     ]:
         df = fn()
         print(f"{name}: {len(df)} rows frozen")
