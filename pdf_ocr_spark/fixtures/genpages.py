@@ -451,6 +451,30 @@ def make_ruled_table_pdf(
     return _one_page_pdf(b"".join(parts))
 
 
+def make_rotated_pdf(lines: List[str], angle: int) -> bytes:
+    """One-page PDF whose text is drawn rotated by ``angle`` (90/180/270
+    CCW) via text matrices ONLY — no /Rotate attribute (the producer
+    baked the rotation in).  Exercises content-based OSD (K4): after
+    dominant_rotation + normalize_page_rotation the extracted text must
+    byte-match the upright twin's."""
+    pw, ph = 612.0, 792.0
+    leading = 14.0
+    parts = []
+    for i, ln in enumerate(lines):
+        esc = ln.encode("ascii", "replace")
+        esc = esc.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+        if angle == 90:     # flow +y; upright line i at tx = 72 + i*leading
+            tm = b"0 1 -1 0 %.1f 72" % (72.0 + i * leading)
+        elif angle == 180:  # flow -x; upright line i at ty = 100 + i*leading
+            tm = b"-1 0 0 -1 %.1f %.1f" % (pw - 72.0, 100.0 + i * leading)
+        elif angle == 270:  # flow -y; upright line i at tx decreasing
+            tm = b"0 -1 1 0 %.1f %.1f" % (700.0 - i * leading, ph - 72.0)
+        else:               # upright twin for parity tests
+            tm = b"1 0 0 1 72 %.1f" % (700.0 - i * leading)
+        parts.append(b"BT /F1 10 Tf %s Tm (%s) Tj ET\n" % (tm, esc))
+    return _one_page_pdf(b"".join(parts))
+
+
 def make_vector_pdf(n_strokes: int = 12, seed: int = 3) -> bytes:
     """One-page PDF with ONLY painted vector strokes — no text shows, no
     image XObjects (a chart / line-art page).  The reference rasterizes
@@ -526,6 +550,26 @@ def gen_raster_rows(n: int = 60, n_vector: int = 5) -> List[dict]:
                 text="",
                 lang="en",
                 kind="vector",
+            )
+        )
+    return rows
+
+
+def gen_orientation_rows(n: int = 40) -> List[dict]:
+    """Corpus for the K4 orientation query: the standard mix (every page
+    upright → rotation 0) plus one baked-rotation doc per angle and its
+    upright twin."""
+    rows = gen_rows(n)
+    lines = ["alpha bravo charlie", "delta echo foxtrot", "golf hotel india"]
+    for angle in (0, 90, 180, 270):
+        rows.append(
+            dict(
+                url=f"https://example.test/docs/rotated/{angle:03d}",
+                warc_ts=datetime.datetime(2025, 1, 3, 0, 0, angle // 90),
+                html=make_rotated_pdf(lines, angle),
+                text=" ".join(lines),
+                lang="en",
+                kind="rotated",
             )
         )
     return rows

@@ -86,6 +86,12 @@ class PageResult(NamedTuple):
     # unit square under the CTM at Do/BI time) — image-typed layout
     # blocks + v4 image_caption attachment consume these
     image_draws: Sequence[Tuple[float, float, float, float]] = ()
+    # glyph-count votes for the text-flow direction (0°, 90°, 180°, 270°
+    # of the device-space x-advance) — the digital-text analogue of
+    # Tesseract OSD, which the reference runs on every scanned image
+    # before OCR (/root/reference/parse_student_answers.py:40-59).
+    # dominant_rotation() turns these into the page's rotation verdict.
+    rot_votes: Tuple[int, int, int, int] = (0, 0, 0, 0)
 
 
 class _TextState:
@@ -334,6 +340,7 @@ class ContentInterpreter:
         self.n_text_ops = 0
         self._seq = 0
         self._xobj_depth = 0
+        self._rot_votes = [0, 0, 0, 0]  # glyphs flowing 0°/90°/180°/270°
 
     MAX_RULES = 10_000  # poison cap: a path-bomb page must not blow memory
 
@@ -346,7 +353,7 @@ class ContentInterpreter:
         self._execute(content, fonts, resources, self.base_ctm)
         return PageResult(
             self.glyphs, self.page_w, self.page_h, self.images, self.n_text_ops,
-            self.rules, self.image_draws,
+            self.rules, self.image_draws, tuple(self._rot_votes),
         )
 
     # -- execution ---------------------------------------------------------
@@ -524,6 +531,14 @@ class ContentInterpreter:
             e += tx * a
             f += tx * b
             tx_total += tx
+        n_run = seq - self._seq
+        if n_run:
+            # one flow-direction vote per glyph, classified once per run:
+            # quadrant of the device-space x-advance (a, b)
+            if abs(a) >= abs(b):
+                self._rot_votes[0 if a >= 0 else 2] += n_run
+            else:
+                self._rot_votes[1 if b > 0 else 3] += n_run
         self._seq = seq
         return (
             tm[0], tm[1], tm[2], tm[3],
@@ -575,3 +590,61 @@ class ContentInterpreter:
 
 def interpret_page(doc: PDFDocument, page: Dict[str, Any]) -> PageResult:
     return ContentInterpreter(doc, page).run()
+
+
+def dominant_rotation(votes: Tuple[int, int, int, int]) -> int:
+    """K4 orientation verdict from the flow-direction votes: 0/90/180/270
+    degrees the page text is rotated CCW from upright.
+
+    The digital-text analogue of the reference's Tesseract OSD call
+    (image_to_osd, /root/reference/parse_student_answers.py:40-59): a
+    rotated angle wins only with a STRICT majority over upright glyphs
+    (mixed pages — a sideways margin label on a normal page — stay
+    upright), ties between rotated angles break toward the smaller
+    angle.  Deterministic."""
+    v0, v90, v180, v270 = votes
+    best_angle, best = 0, v0
+    for angle, v in ((90, v90), (180, v180), (270, v270)):
+        if v > best:
+            best_angle, best = angle, v
+    return best_angle
+
+
+def normalize_page_rotation(res: PageResult, rotation: int) -> PageResult:
+    """Rotate a page's device geometry so text reads upright — what the
+    reference achieves by physically rotating the scan before OCR
+    (parse_student_answers.py:59-66 rotates by the OSD angle).  Maps
+    every recorded point into the re-oriented frame (page dims swap for
+    90/270); glyph advance/size are frame-independent magnitudes."""
+    if rotation not in (90, 180, 270):
+        return res
+    w, h = res.width, res.height
+
+    if rotation == 90:      # flow +y → turn page CW:  (x, y) → (y, w−x)
+        def pt(x: float, y: float) -> Tuple[float, float]:
+            return y, w - x
+        nw, nh = h, w
+    elif rotation == 180:   # flow −x → half-turn:     (x, y) → (w−x, h−y)
+        def pt(x: float, y: float) -> Tuple[float, float]:
+            return w - x, h - y
+        nw, nh = w, h
+    else:                   # flow −y → turn page CCW: (x, y) → (h−y, x)
+        def pt(x: float, y: float) -> Tuple[float, float]:
+            return h - y, x
+        nw, nh = h, w
+
+    glyphs = []
+    for g in res.glyphs:
+        nx, ny = pt(g.x, g.y)
+        glyphs.append(Glyph(g.text, nx, ny, g.adv, g.size, g.font, g.seq))
+    rules = []
+    for x0, y0, x1, y1 in res.rules:
+        (ax, ay), (bx, by) = pt(x0, y0), pt(x1, y1)
+        rules.append((ax, ay, bx, by))
+    draws = []
+    for x0, y0, x1, y1 in res.image_draws:
+        (ax, ay), (bx, by) = pt(x0, y0), pt(x1, y1)
+        draws.append((min(ax, bx), min(ay, by), max(ax, bx), max(ay, by)))
+    return PageResult(
+        glyphs, nw, nh, res.images, res.n_text_ops, rules, draws, res.rot_votes
+    )

@@ -16,7 +16,11 @@ from __future__ import annotations
 
 from typing import List, NamedTuple, Optional, Tuple
 
-from pdf_ocr_spark.kernels.pdf.content import interpret_page
+from pdf_ocr_spark.kernels.pdf.content import (
+    dominant_rotation,
+    interpret_page,
+    normalize_page_rotation,
+)
 from pdf_ocr_spark.kernels.pdf.cos import PDFDocument, PDFError
 from pdf_ocr_spark.kernels.pdf.crypt import PDFEncryptedError
 from pdf_ocr_spark.kernels.pdf.raster import rasterize_page
@@ -109,6 +113,14 @@ def extract_pdf(
                 links.append(u)
         try:
             res = interpret_page(doc, pd)
+            # K4 OSD (content-based): pages whose glyphs flow sideways
+            # WITHOUT a /Rotate attribute (producer baked the rotation
+            # into text matrices) get their geometry re-oriented before
+            # layout, like the reference rotates scans by the Tesseract
+            # OSD angle before OCR (parse_student_answers.py:40-66)
+            rot = dominant_rotation(res.rot_votes)
+            if rot:
+                res = normalize_page_rotation(res, rot)
         except Exception:  # noqa: BLE001 — a mangled page must not raise
             pages.append(PageExtract(i, "", 0, False, None, 0.0, 0.0))
             continue

@@ -562,6 +562,63 @@ def extract_rasters_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         yield pd.DataFrame(rows, columns=cols)
 
 
+ORIENTATION_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("page_num", IntegerType()),
+        StructField("rotation", IntegerType()),   # 0 | 90 | 180 | 270 CCW
+        StructField("n_upright", LongType()),     # flow-direction votes
+        StructField("n_sideways", LongType()),
+    ]
+)
+
+
+def detect_orientation_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """K4 orientation detection route (runs on executors): per PDF page,
+    the content-based OSD verdict (dominant glyph flow direction — the
+    digital-text analogue of the reference's Tesseract image_to_osd,
+    /root/reference/parse_student_answers.py:40-59) plus the vote
+    split.  extract_pdf applies the same verdict internally to
+    re-orient rotated pages before layout; this route makes the
+    detector itself observable/queryable."""
+    from pdf_ocr_spark.kernels.pdf.content import dominant_rotation, interpret_page
+    from pdf_ocr_spark.kernels.pdf.cos import PDFDocument
+    from pdf_ocr_spark.kernels.pdf.extract import MAX_PAGES
+
+    _tune_worker_gc()
+    cols = [f.name for f in ORIENTATION_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not looks_like_pdf(data):
+                continue
+            try:
+                doc = PDFDocument(data)
+                for i, pd_ in enumerate(doc.pages()[:MAX_PAGES], 1):
+                    res = interpret_page(doc, pd_)
+                    v = res.rot_votes
+                    rows.append(
+                        (url, i, dominant_rotation(v), v[0], v[1] + v[2] + v[3])
+                    )
+            except Exception:  # noqa: BLE001 — poison-row isolation
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def detect_orientation(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages(url, html, …) → per-page orientation verdicts (K4).  Same
+    plan shape as the other kernel routes."""
+    return kernel_route(
+        pages_df, detect_orientation_batch, ORIENTATION_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
 def extract_rasters(
     pages_df: DataFrame, num_partitions: Optional[int] = None
 ) -> DataFrame:

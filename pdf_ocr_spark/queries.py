@@ -2203,6 +2203,32 @@ FROM read_parquet('{_golden("rasters")}')
 """
 
 
+def q_page_orientation(spark, sf_dir):
+    """K4 orientation detection as a queryable table: per-page
+    content-based OSD verdict (dominant glyph flow direction, the
+    digital-text analogue of the reference's Tesseract image_to_osd —
+    /root/reference/parse_student_answers.py:40-59) with the vote split.
+    Corpus = standard mix (all upright) + one baked-rotation doc per
+    angle; extract_pdf applies the same verdict to re-orient those pages
+    (tests prove text byte-parity with the upright twin).  Oracle =
+    frozen kernel golden."""
+    from pdf_ocr_spark.fixtures.genpages import gen_orientation_rows
+    from pdf_ocr_spark.pipeline.extract_job import detect_orientation
+
+    rows = gen_orientation_rows()
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return detect_orientation(pages)
+
+
+SQL_PAGE_ORIENTATION = f"""
+SELECT url, page_num, rotation, n_upright, n_sideways
+FROM read_parquet('{_golden("orientation")}')
+"""
+
+
 _HTML_TABLES_GOLDEN = _golden("html_tables")
 
 
@@ -3062,6 +3088,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "blocks_composite": (q_blocks_composite, SQL_BLOCKS_COMPOSITE),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "raster_pages": (q_raster_pages, SQL_RASTER_PAGES),
+    "page_orientation": (q_page_orientation, SQL_PAGE_ORIENTATION),
 }
 
 

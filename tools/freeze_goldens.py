@@ -276,6 +276,26 @@ def freeze_rasters() -> pd.DataFrame:
     return golden
 
 
+def freeze_orientation() -> pd.DataFrame:
+    """Golden for the K4 orientation route: the OSD UDF body run
+    in-process over gen_orientation_rows() (must match
+    q_page_orientation)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_orientation_rows
+    from pdf_ocr_spark.pipeline.extract_job import detect_orientation_batch
+
+    rows = gen_orientation_rows()
+    batch = pd.DataFrame(
+        {"url": [r["url"] for r in rows],
+         "html": [bytes(r["html"]) if r["html"] is not None else None for r in rows]}
+    )
+    out = pd.concat(list(detect_orientation_batch(iter([batch]))), ignore_index=True)
+    golden = out.sort_values(
+        ["url", "page_num"], kind="mergesort"
+    ).reset_index(drop=True)
+    golden.to_parquet(os.path.join(FIXTURES, "orientation_golden.parquet"), index=False)
+    return golden
+
+
 if __name__ == "__main__":
     for name, fn in [
         ("blocks", freeze_blocks),
@@ -287,6 +307,7 @@ if __name__ == "__main__":
         ("multimodal_frames", freeze_multimodal_frames),
         ("sink_overlay", freeze_sink_overlay),
         ("rasters", freeze_rasters),
+        ("orientation", freeze_orientation),
     ]:
         df = fn()
         print(f"{name}: {len(df)} rows frozen")
