@@ -267,7 +267,7 @@ def extract_tables(data: bytes) -> List[HtmlTable]:
     Poison cap: at most 200 tables per document — a nested-table bomb
     (<table> x N) otherwise costs O(N²) subtree visits."""
     try:
-        text = data.decode("utf-8", "replace")
+        text = decode_html_bytes(data)
         root = _parse(text)
         tables = [n for n in _iter_nodes(root) if n.tag == "table"][:200]
     except Exception:  # noqa: BLE001 — poison input must not raise
@@ -319,7 +319,7 @@ def extract_links_attrs(data: bytes) -> List[Tuple[str, bool, str]]:
     classic target-page relevance label.  Regex tag scan (same grammar
     as the parser's _TAG_RE), deterministic, never raises."""
     try:
-        text = data.decode("utf-8", "replace")
+        text = decode_html_bytes(data)
     except Exception:  # noqa: BLE001 — bytes-ish inputs only
         return []
     out: List[Tuple[str, bool, str]] = []
@@ -365,24 +365,39 @@ def extract_links(data: bytes) -> List[str]:
     return [href for href, _, _ in extract_links_attrs(data)]
 
 
+def decode_html_bytes(data: bytes) -> str:
+    """Crawl-grade charset sniff, the HTML5 encoding-sniffing order
+    (WHATWG §13.2.3.2): a byte-order mark wins outright (UTF-8 /
+    UTF-16LE / UTF-16BE — a BOM'd UTF-16 page otherwise latin-1s into
+    NUL-riddled mojibake), then clean UTF-8, then the meta-charset
+    prescan over the first 2 KB, then latin-1 (which never fails)."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:].decode("utf-8", "replace")
+    if data[:2] == b"\xff\xfe":
+        return data[2:].decode("utf-16-le", "replace")
+    if data[:2] == b"\xfe\xff":
+        return data[2:].decode("utf-16-be", "replace")
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        m = re.search(rb"charset=[\"']?([A-Za-z0-9_-]+)", data[:2048])
+        enc = m.group(1).decode("ascii", "replace") if m else "latin-1"
+        try:
+            return data.decode(enc, "replace")
+        except (LookupError, UnicodeDecodeError):
+            return data.decode("latin-1", "replace")
+
+
 def extract_html(data: bytes) -> Tuple[str, str, Optional[str]]:
     """bytes → (main_text, status, failure_reason).
 
-    Decodes as UTF-8 (meta-charset sniff for latin-1 fallback), parses,
-    scores candidate containers, renders the winner's block-level text
-    joined with '\\n'."""
+    Decodes via :func:`decode_html_bytes` (BOM → UTF-8 → meta-charset →
+    latin-1), parses, scores candidate containers, renders the winner's
+    block-level text joined with '\\n'."""
     if not data:
         return "", "failed", "html_empty"
     try:
-        try:
-            text = data.decode("utf-8")
-        except UnicodeDecodeError:
-            m = re.search(rb"charset=[\"']?([A-Za-z0-9_-]+)", data[:2048])
-            enc = m.group(1).decode("ascii", "replace") if m else "latin-1"
-            try:
-                text = data.decode(enc, "replace")
-            except LookupError:
-                text = data.decode("latin-1", "replace")
+        text = decode_html_bytes(data)
         root = _parse(text)
         _accumulate(root, False)
         if root.text_len == 0:

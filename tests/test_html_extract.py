@@ -193,3 +193,65 @@ class TestLinkRelAttrs:
 
         html = b"<a href='/x' rel='nofollow'>x</a><a href='/y'>y</a>"
         assert extract_links(html) == ["/x", "/y"]
+
+
+class TestCharsetSniff:
+    """decode_html_bytes: the HTML5 encoding-sniffing order (BOM →
+    UTF-8 → meta charset prescan → latin-1)."""
+
+    PAGE = "<html><body><article><p>{}</p></article></body></html>"
+
+    def _main(self, data):
+        from pdf_ocr_spark.kernels.html_extract import extract_html
+
+        text, status, _ = extract_html(data)
+        assert status == "ok"
+        return text
+
+    def test_utf16le_bom(self):
+        para = "Ünïcøde böm ráin " * 5
+        data = b"\xff\xfe" + self.PAGE.format(para).encode("utf-16-le")
+        assert para.strip() in self._main(data)
+
+    def test_utf16be_bom(self):
+        para = "Ünïcøde böm ráin " * 5
+        data = b"\xfe\xff" + self.PAGE.format(para).encode("utf-16-be")
+        assert para.strip() in self._main(data)
+
+    def test_utf8_bom_stripped(self):
+        para = "Plain utf8 with bom " * 5
+        data = b"\xef\xbb\xbf" + self.PAGE.format(para).encode("utf-8")
+        text = self._main(data)
+        assert para.strip() in text and "﻿" not in text
+
+    def test_meta_charset_fallback(self):
+        from pdf_ocr_spark.kernels.html_extract import decode_html_bytes
+
+        para = "café département déjà " * 5
+        page = (
+            '<html><head><meta charset="iso-8859-1"></head><body>'
+            f"<p>{para}</p></body></html>"
+        )
+        assert para in decode_html_bytes(page.encode("iso-8859-1"))
+
+    def test_bogus_charset_label_falls_back_latin1(self):
+        from pdf_ocr_spark.kernels.html_extract import decode_html_bytes
+
+        data = b'<meta charset="no-such-enc"><p>caf\xe9</p>'
+        assert "caf\xe9" in decode_html_bytes(data)
+
+    def test_tables_and_links_share_the_sniff(self):
+        from pdf_ocr_spark.kernels.html_extract import (
+            extract_links_attrs,
+            extract_tables,
+        )
+
+        html = (
+            "<table><caption>tötals</caption><tr><td>1</td></tr></table>"
+            "<a href='/x'>tëxt</a>"
+        )
+        data = b"\xff\xfe" + html.encode("utf-16-le")
+        [tbl] = extract_tables(data)
+        assert tbl.caption == "tötals"
+        [(href, _, anchor)] = extract_links_attrs(data)
+        assert (href, anchor) == ("/x", "tëxt")
