@@ -326,3 +326,87 @@ def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
 
     return docs.withColumn(text_col, _nfc(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + sequence packing (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams_expr(col: Column, n: int = 13) -> Column:
+    """Distinct word ``n``-grams of the whitespace-normalized text, as an
+    array column — all built-ins (split + slice + array_join), so the
+    fan-out stays JVM-side and the DuckDB oracle reproduces it verbatim.
+    Texts shorter than ``n`` words yield an empty array."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    words = F.split(norm, " ")
+    m = F.size(words) - (n - 1)
+    return F.when(
+        m >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: documents sharing any word ``n``-gram
+    with an evaluation set (the GPT-3/Dolma/FineWeb 13-gram overlap
+    rule) → (doc_id, n_hits) for contaminated docs.
+
+    Plan at 100 TB: the benchmark n-gram set is eval-suite-sized (tiny
+    next to the corpus) → distinct then BROADCAST; the corpus side
+    explodes its n-grams map-side into the broadcast hash join, so the
+    only shuffle is the groupBy on the (rare) hit rows.  The corpus is
+    scanned once, never shuffled."""
+    bng = (
+        benchmark.select(F.explode(word_ngrams_expr(F.col(bench_col), n)).alias("ng"))
+        .distinct()
+    )
+    dng = docs.select(
+        F.col(id_col), F.explode(word_ngrams_expr(F.col(text_col), n)).alias("ng")
+    )
+    return (
+        dng.join(F.broadcast(bng), "ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "lang",
+) -> DataFrame:
+    """Greedy sequential sequence packing: per shard, documents are
+    concatenated in id order and chunked into fixed-token training
+    sequences; a document's sequence index is
+    floor(preceding-token-count / seq_len) — the standard GPT-style
+    pack-then-chunk assignment, as one window cumsum.
+
+    Plan at 100 TB: ONE shuffle (the window partition on the shard key);
+    shard keys are the pipeline's output-stream granularity, so skew is
+    bounded by shard sizing, not document sizes."""
+    from pyspark.sql.window import Window
+
+    toks = token_count_expr(F.col(text_col)).cast("long")
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    cum = F.sum(toks).over(w)
+    return docs.select(
+        F.col(shard_col),
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        F.floor((cum - toks) / F.lit(seq_len)).cast("long").alias("seq_index"),
+    )

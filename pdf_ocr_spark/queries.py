@@ -1725,6 +1725,71 @@ FROM documents WHERE doc_id < 150
 """
 
 
+_SQL_WORD_NGRAMS = """
+list_distinct(list_transform(
+    range(1, greatest(len({w}) - {nm1}, 0) + 1),
+    i -> array_to_string(list_slice({w}, CAST(i AS INT), CAST(i + {nm1} AS INT)), ' ')))
+""".strip()
+
+
+def _sql_ngram_rows(src: str, n: int = 13) -> str:
+    """(doc_id, ng) rows: distinct word n-grams of the normalized text —
+    the DuckDB twin of operators.text_analysis.word_ngrams_expr."""
+    norm = _NORM_SQL.format(c="text")
+    ngrams = _SQL_WORD_NGRAMS.format(w="str_split(t, ' ')", nm1=n - 1)
+    return f"""
+  SELECT doc_id, unnest({ngrams}) AS ng
+  FROM (SELECT doc_id, {norm} AS t FROM {src}) s
+"""
+
+
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Dolma/FineWeb 13-gram rule):
+    documents sharing any word 13-gram with the evaluation set are
+    flagged with their hit count.  Benchmark stand-in = every 97th
+    document's text (leaked eval items).  Plan: tiny benchmark n-gram
+    set distinct + BROADCAST, corpus n-grams explode map-side into the
+    broadcast join — the corpus never shuffles; only hit rows reach the
+    per-doc aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return T.contaminated_docs(docs, bench, n=13)
+
+
+SQL_TEXT_DECONTAMINATE = f"""
+WITH bng AS (
+  SELECT DISTINCT ng FROM ({_sql_ngram_rows("(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0)")})
+),
+dng AS ({_sql_ngram_rows("documents")})
+SELECT doc_id, count(*) AS n_hits
+FROM dng JOIN bng USING (ng)
+GROUP BY doc_id
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequential sequence packing (GPT-style pack-then-chunk):
+    per lang shard, documents concatenate in id order and chunk into
+    2048-token training sequences; seq_index = floor(preceding tokens /
+    2048) as ONE window cumsum — a single shuffle on the shard key."""
+    return T.pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=2048
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST({_SQL_CNT.format(p=T.TOKEN_PATTERN)} AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang, doc_id, n_tokens,
+  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+              - n_tokens) / 2048.0) AS BIGINT) AS seq_index
+FROM t
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Duplicate-line / duplicate-paragraph fractions (Gopher repetition
     family) — array built-ins, no explode."""
@@ -3049,6 +3114,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_mojibake": (q_text_mojibake, SQL_TEXT_MOJIBAKE),
     "text_nfc": (q_text_nfc, SQL_TEXT_NFC),
+    "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "url_domain_counts": (q_url_domain_counts, SQL_URL_DOMAIN_COUNTS),

@@ -1,0 +1,70 @@
+"""Training-data ops: benchmark decontamination (13-gram rule) and
+greedy sequence packing — pinned small-input semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pdf_ocr_spark.operators.text_analysis import (
+    contaminated_docs,
+    pack_sequences,
+    word_ngrams_expr,
+)
+
+
+def test_word_ngrams_short_text_empty(spark):
+    df = spark.createDataFrame(
+        [("a b", 1), ("a b c", 2), ("a  B\tc d", 3)], "text string, doc_id int"
+    )
+    rows = {
+        r.doc_id: r.ng
+        for r in df.select("doc_id", word_ngrams_expr(F.col("text"), 3).alias("ng"))
+        .collect()
+    }
+    assert rows[1] == []  # shorter than n words
+    assert rows[2] == ["a b c"]
+    # whitespace runs collapse, case folds
+    assert rows[3] == ["a b c", "b c d"]
+
+
+def test_contaminated_docs_hit_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares 2 distinct 3-grams
+            (2, "totally unrelated words here now"),
+            (3, "quick brown fox"),  # shares 1
+            (4, "xx"),  # too short -> no n-grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox",)], "text string"
+    )
+    out = {
+        r.doc_id: r.n_hits for r in contaminated_docs(docs, bench, n=3).collect()
+    }
+    assert out == {1: 2, 3: 1}
+
+
+def test_pack_sequences_cumsum_assignment(spark):
+    # token counts: 3, 4, 2, 5 in doc_id order within one shard
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en"),
+            (2, "d e f g", "en"),
+            (3, "h i", "en"),
+            (4, "j k l m n", "en"),
+            (10, "x y z", "fr"),  # separate shard restarts at seq 0
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        (r.lang, r.doc_id): (r.n_tokens, r.seq_index)
+        for r in pack_sequences(docs, seq_len=5).collect()
+    }
+    # preceding tokens: 0, 3, 7, 9 -> floor(/5) = 0, 0, 1, 1
+    assert out[("en", 1)] == (3, 0)
+    assert out[("en", 2)] == (4, 0)
+    assert out[("en", 3)] == (2, 1)
+    assert out[("en", 4)] == (5, 1)
+    assert out[("fr", 10)] == (3, 0)
