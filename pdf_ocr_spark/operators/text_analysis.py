@@ -383,6 +383,90 @@ def contaminated_docs(
     )
 
 
+def norm_words_expr(col: Column) -> Column:
+    """Whitespace-normalized lowercase word array (split on single
+    spaces after run-collapse) — the shared tokenization for the LM
+    quality filter; DuckDB twin: str_split of the same normalization."""
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+
+
+def lm_word_counts(
+    docs: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Unigram-LM training: (word, cnt) over the normalized corpus,
+    trimmed to ``cnt >= min_count`` so the vocabulary stays
+    broadcast-sized (CCNet ships a fixed small LM for exactly this
+    reason).  ONE shuffle (the word groupBy, map-side combined)."""
+    w = docs.select(F.explode(norm_words_expr(F.col(text_col))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    return (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def lm_doc_scores(
+    docs: DataFrame,
+    vocab: DataFrame,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality score: per-document mean log-probability
+    under the add-alpha-smoothed unigram model (low = gibberish /
+    boilerplate, high = fluent text).
+
+    Plan at 100 TB: the trimmed vocab and its (N, V) totals BROADCAST;
+    the corpus explodes its words map-side into the broadcast hash
+    join, so the only shuffle is the per-doc aggregate.  Per-word log
+    probs are cast to DECIMAL(18,6) before summing — exact, order-
+    independent addition, so the score is bit-reproducible across
+    engines and partitionings.  When training and scoring in the same
+    job, ``vocab.persist()`` guarantees a single corpus pass (AQE's
+    exchange reuse typically dedupes the word-count shuffle anyway)."""
+    totals = vocab.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+    dw = docs.select(
+        F.col(id_col), F.explode(norm_words_expr(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    j = dw.join(F.broadcast(vocab), "w", "left").crossJoin(F.broadcast(totals))
+    logp = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+        / (F.col("n_total") + F.lit(alpha) * (F.col("v_size") + 1))
+    )
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(
+            F.sum(logp.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_logprob"),
+    )
+
+
+def lm_bucket_counts(scores: DataFrame) -> DataFrame:
+    """CCNet head/middle/tail split: exact tercile cutoffs of
+    ``avg_logprob`` (tree-aggregated percentile — no global sort, no
+    single-partition window), broadcast back, per-bucket doc counts.
+    Higher mean log-prob = more fluent = head."""
+    cuts = scores.agg(
+        F.round(F.percentile("avg_logprob", F.lit(1.0 / 3)), 6).alias("c1"),
+        F.round(F.percentile("avg_logprob", F.lit(2.0 / 3)), 6).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") > F.col("c2"), F.lit("head"))
+        .when(F.col("avg_logprob") > F.col("c1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = 2048,

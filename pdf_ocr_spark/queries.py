@@ -1790,6 +1790,72 @@ FROM t
 """
 
 
+def q_text_lm_score(spark, sf_dir):
+    """CCNet-style LM quality score: add-1-smoothed unigram LM trained
+    on the corpus itself (min_count=2 vocab trim keeps it broadcast-
+    sized), per-doc mean log-prob.  Vocab + totals broadcast; corpus
+    words explode map-side into the hash join; per-word log-probs sum
+    as DECIMAL(18,6) (exact, order-independent) before the final
+    per-doc aggregate — the only shuffles are the vocab groupBy and
+    the doc groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = T.lm_word_counts(docs, min_count=2)
+    return T.lm_doc_scores(docs, vocab, alpha=1.0)
+
+
+_SQL_LM_SCORES = f"""
+WITH dwf AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+vocab AS (
+  SELECT w, count(*) AS cnt FROM dwf GROUP BY w HAVING count(*) >= 2
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+         CAST(count(*) AS DOUBLE) AS v_size
+  FROM vocab
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  round(CAST(sum(CAST(ln((coalesce(cnt, 0) + 1.0)
+                         / (n_total + 1.0 * (v_size + 1))) AS DECIMAL(18,6)))
+             AS DOUBLE) / count(*), 4) AS avg_logprob
+FROM dwf LEFT JOIN vocab USING (w) CROSS JOIN tot
+GROUP BY doc_id
+""".strip()
+
+SQL_TEXT_LM_SCORE = _SQL_LM_SCORES
+
+
+def q_text_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail selection: exact tercile cutoffs of the
+    LM score (tree-aggregated percentile — no global sort anywhere),
+    broadcast back onto the scores, per-bucket doc counts."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = T.lm_doc_scores(docs, T.lm_word_counts(docs, min_count=2), alpha=1.0)
+    return T.lm_bucket_counts(scores)
+
+
+SQL_TEXT_LM_BUCKETS = f"""
+WITH scores AS ({_SQL_LM_SCORES}),
+cuts AS (
+  SELECT round(quantile_cont(avg_logprob, 1.0/3), 6) AS c1,
+         round(quantile_cont(avg_logprob, 2.0/3), 6) AS c2
+  FROM scores
+)
+SELECT CASE WHEN avg_logprob > c2 THEN 'head'
+            WHEN avg_logprob > c1 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM scores CROSS JOIN cuts
+GROUP BY 1
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Duplicate-line / duplicate-paragraph fractions (Gopher repetition
     family) — array built-ins, no explode."""
@@ -3115,6 +3181,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_mojibake": (q_text_mojibake, SQL_TEXT_MOJIBAKE),
     "text_nfc": (q_text_nfc, SQL_TEXT_NFC),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
+    "text_lm_buckets": (q_text_lm_buckets, SQL_TEXT_LM_BUCKETS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),

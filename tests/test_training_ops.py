@@ -68,3 +68,42 @@ def test_pack_sequences_cumsum_assignment(spark):
     assert out[("en", 3)] == (2, 1)
     assert out[("en", 4)] == (5, 1)
     assert out[("fr", 10)] == (3, 0)
+
+
+def test_lm_scores_pinned_math(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "zz qq")], "doc_id long, text string"
+    )
+    from pdf_ocr_spark.operators.text_analysis import lm_doc_scores, lm_word_counts
+
+    vocab = lm_word_counts(docs, min_count=2)
+    assert {(r.w, r.cnt) for r in vocab.collect()} == {("a", 3), ("b", 2)}
+
+    # N=5, V=2 -> denom = 5 + 1*(2+1) = 8; p(a)=4/8, p(b)=3/8, OOV=1/8
+    def lp(x):  # per-word log-prob quantized to DECIMAL(18,6)
+        return round(math.log(x / 8.0), 6)
+
+    exp = {
+        1: (3, round((2 * lp(4) + lp(3)) / 3, 4)),
+        2: (3, round((lp(4) + lp(3) + lp(1)) / 3, 4)),
+        3: (2, round(lp(1), 4)),
+    }
+    got = {
+        r.doc_id: (r.n_words, r.avg_logprob)
+        for r in lm_doc_scores(docs, vocab, alpha=1.0).collect()
+    }
+    assert got == exp
+
+
+def test_lm_bucket_counts_terciles(spark):
+    from pdf_ocr_spark.operators.text_analysis import lm_bucket_counts
+
+    scores = spark.createDataFrame(
+        [(i, 10, float(-i)) for i in range(1, 10)],
+        "doc_id long, n_words long, avg_logprob double",
+    )
+    out = {r.bucket: r.n_docs for r in lm_bucket_counts(scores).collect()}
+    # scores -1..-9; terciles split 3/3/3 (cutoffs interpolate between rows)
+    assert out == {"head": 3, "middle": 3, "tail": 3}
