@@ -268,6 +268,51 @@ def connected_components(
     return labels
 
 
+def dedup_apply(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: Optional[str] = None,
+) -> DataFrame:
+    """The APPLY step of near-dup dedup: turn cluster labels into per-
+    document keep/drop verdicts → (doc_id, canonical_id, keep).
+
+    Default representative = the cluster label itself (connected
+    components labels every member with the MIN reachable id, so the
+    min-id member is canonical for free — no extra aggregate).  With
+    ``text_col``, the representative is instead the LONGEST member
+    (ties → min id) via a row_number window PARTITIONED BY cluster —
+    clusters are shallow (2-3 docs), so no global or skewed sort.
+
+    Plan at 100 TB: ``clusters`` only contains near-dup members (a
+    fraction of the corpus, but far too big to broadcast at crawl
+    scale) → plain equi-join on the id; unclustered docs fall through
+    the left join and keep themselves."""
+    labeled = docs.select(id_col).join(clusters, id_col, "left")
+    if text_col is None:
+        canonical = F.coalesce("cluster_id", F.col(id_col))
+        return labeled.select(
+            id_col,
+            canonical.alias("canonical_id"),
+            (canonical == F.col(id_col)).alias("keep"),
+        )
+    members = clusters.join(
+        docs.select(id_col, F.length(text_col).alias("_n")), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_n"), F.asc(id_col))
+    reps = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col(id_col).alias("_rep"))
+    )
+    canonical = F.coalesce("_rep", F.col(id_col))
+    return labeled.join(reps, "cluster_id", "left").select(
+        id_col,
+        canonical.alias("canonical_id"),
+        (canonical == F.col(id_col)).alias("keep"),
+    )
+
+
 def dedup_paragraphs(
     docs: DataFrame,
     text_col: str = "text",

@@ -899,7 +899,7 @@ def q_dedup_clusters(spark, sf_dir):
     return D.connected_components(pairs)
 
 
-SQL_DEDUP_CLUSTERS = (
+_SQL_CC_PREFIX = (
     _SQL_SIGS_VARIANTS.replace("WITH", "WITH RECURSIVE", 1)
     + """
 , pairs AS (
@@ -914,7 +914,71 @@ cc(node, label) AS (
   UNION
   SELECT bi.b, cc.label FROM cc JOIN bi ON cc.node = bi.a
 )
-SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+"""
+)
+
+SQL_DEDUP_CLUSTERS = (
+    _SQL_CC_PREFIX
+    + "SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node"
+)
+
+
+def q_dedup_apply(spark, sf_dir):
+    """The dedup APPLY step: cluster labels → per-doc keep/drop verdicts
+    (canonical = min-id member, which IS the connected-components label,
+    so no extra aggregate); unclustered docs keep themselves via the
+    left join."""
+    u = _docs_with_variants(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(u, num_perm=8, bands=4, k=5)
+    return D.dedup_apply(u, D.connected_components(pairs))
+
+
+_SQL_CC_CLUSTERS_CTE = (
+    _SQL_CC_PREFIX
+    + ", clusters AS (SELECT node AS doc_id, min(label) AS cluster_id"
+    + " FROM cc GROUP BY node)\n"
+)
+
+SQL_DEDUP_APPLY = (
+    _SQL_CC_CLUSTERS_CTE
+    + """
+SELECT u.doc_id,
+       coalesce(c.cluster_id, u.doc_id) AS canonical_id,
+       coalesce(c.cluster_id, u.doc_id) = u.doc_id AS keep
+FROM u LEFT JOIN clusters c USING (doc_id)
+"""
+)
+
+
+def q_dedup_apply_longest(spark, sf_dir):
+    """Quality-aware dedup apply: the cluster representative is the
+    LONGEST member (ties → min id) via a row_number window partitioned
+    by cluster — near-dup clusters are shallow, so the window never
+    sees a skewed or global partition."""
+    u = _docs_with_variants(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(u, num_perm=8, bands=4, k=5)
+    return D.dedup_apply(u, D.connected_components(pairs), text_col="text")
+
+
+SQL_DEDUP_APPLY_LONGEST = (
+    _SQL_CC_CLUSTERS_CTE
+    + """
+, members AS (
+  SELECT c.doc_id, c.cluster_id, length(u.text) AS n
+  FROM clusters c JOIN u USING (doc_id)
+),
+reps AS (
+  SELECT cluster_id, doc_id AS rep
+  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n DESC, doc_id) AS rn
+        FROM members)
+  WHERE rn = 1
+)
+SELECT u.doc_id,
+       coalesce(r.rep, u.doc_id) AS canonical_id,
+       coalesce(r.rep, u.doc_id) = u.doc_id AS keep
+FROM u LEFT JOIN clusters c USING (doc_id)
+       LEFT JOIN reps r ON c.cluster_id = r.cluster_id
 """
 )
 
@@ -3150,6 +3214,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, SQL_DEDUP_MINHASH_SIGS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_apply": (q_dedup_apply, SQL_DEDUP_APPLY),
+    "dedup_apply_longest": (q_dedup_apply_longest, SQL_DEDUP_APPLY_LONGEST),
     "dedup_salted_count": (q_dedup_salted_count, SQL_DEDUP_SALTED_COUNT),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),

@@ -126,3 +126,25 @@ def test_duplicate_spans_windowed_exactsubstr(spark):
     norm_len = len(("duplicated doc delta " * 8).strip())
     assert spans[4][2] >= norm_len - 2 * 10
     assert spans[4] == spans[5]
+
+
+def test_dedup_apply_verdicts(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, "b"), (9, "solo")],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    # min-id representative: the cluster label itself
+    out = {
+        r.doc_id: (r.canonical_id, r.keep)
+        for r in D.dedup_apply(docs, clusters).collect()
+    }
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
+    # longest representative: doc 2 wins its cluster
+    out = {
+        r.doc_id: (r.canonical_id, r.keep)
+        for r in D.dedup_apply(docs, clusters, text_col="text").collect()
+    }
+    assert out == {1: (2, False), 2: (2, True), 3: (2, False), 9: (9, True)}
