@@ -658,6 +658,63 @@ def gen_html_table_rows(n: int, seed: int = 11) -> List[dict]:
     return rows
 
 
+def gen_html_meta_rows(n: int, seed: int = 13) -> List[dict]:
+    """Deterministic corpus for the html_meta query: head-metadata
+    variety — full OpenGraph heads, single-quoted/unquoted attributes,
+    <time datetime>, JSON-LD-only dates, entity-encoded titles, a
+    UTF-16LE page, and metadata-free pages (title-only shells)."""
+    rows: List[dict] = []
+    for i in range(n):
+        rng = random.Random((seed << 18) ^ i)
+        title = _sentence(rng, "en")[:60]
+        kind = i % 6
+        if kind == 0:  # full head, double quotes
+            html = (
+                f'<!DOCTYPE html><html lang="en"><head>'
+                f"<title>{title} &amp; more</title>"
+                f'<meta name="description" content="summary of {title}">'
+                f'<meta property="og:title" content="OG {title}">'
+                f'<meta property="og:image" content="https://img.test/{i}.jpg">'
+                f'<meta property="article:published_time" content="2025-0{1 + i % 9}-11T08:00:00Z">'
+                f'<link rel="canonical" href="https://example.test/meta/canon/{i}">'
+                f"</head><body><p>{_paragraph(rng, 'en')}</p>"
+                f'<time datetime="1999-01-01">ignored (meta wins)</time>'
+                f"</body></html>"
+            ).encode("utf-8")
+        elif kind == 1:  # single-quoted + unquoted attributes
+            html = (
+                f"<html lang=fr><head><title>{title}</title>"
+                f"<meta name='description' content='résumé {i}'>"
+                f"<link rel=canonical href=https://example.test/m/{i}>"
+                f"</head><body><p>{_paragraph(rng, 'en')}</p></body></html>"
+            ).encode("utf-8")
+        elif kind == 2:  # <time datetime> date, no meta date
+            html = (
+                f"<html><head><title>{title}</title></head><body>"
+                f'<article><time datetime="2024-12-0{1 + i % 9}">posted</time>'
+                f"<p>{_paragraph(rng, 'en')}</p></article></body></html>"
+            ).encode("utf-8")
+        elif kind == 3:  # JSON-LD-only date
+            html = (
+                f"<html><head><title>{title}</title>"
+                f'<script type="application/ld+json">'
+                f'{{"@type": "Article", "datePublished": "2023-07-0{1 + i % 9}"}}'
+                f"</script></head><body><p>{_paragraph(rng, 'en')}</p></body></html>"
+            ).encode("utf-8")
+        elif kind == 4:  # UTF-16LE page with BOM (decode sniff must win)
+            html = ("﻿" + (
+                f'<html lang="ja"><head><title>{title} 第一</title>'
+                f'<meta name="description" content="説明 {i}">'
+                f"</head><body><p>{_paragraph(rng, 'ja')}</p></body></html>"
+            )).encode("utf-16-le")
+        else:  # metadata-free shell (generic page: title only)
+            html, _ = make_html_page(rng, "en")
+        rows.append(
+            dict(url=f"https://example.test/htmlmeta/{i:05d}", html=html, kind=kind)
+        )
+    return rows
+
+
 def gen_link_rows() -> List[dict]:
     """Corpus for the link-graph queries: the standard 100-doc mix plus
     dedicated pages exercising the rel=nofollow/ugc/sponsored link-level

@@ -365,6 +365,111 @@ def extract_links(data: bytes) -> List[str]:
     return [href for href, _, _ in extract_links_attrs(data)]
 
 
+class HtmlMeta(NamedTuple):
+    """Document metadata (trafilatura-style head scan): every field is
+    None when absent; first occurrence wins throughout."""
+
+    title: Optional[str]        # <title> inner text, 300-char cap
+    description: Optional[str]  # <meta name=description content=…>
+    canonical: Optional[str]    # <link rel=canonical href=…>
+    lang: Optional[str]         # <html lang=…>
+    og_title: Optional[str]     # <meta property=og:title content=…>
+    og_image: Optional[str]     # <meta property=og:image content=…>
+    published: Optional[str]    # article:published_time > <time datetime>
+    #                             > JSON-LD datePublished
+
+
+_ATTR_RES: Dict[str, "re.Pattern[str]"] = {}
+
+
+def _attr(attrs: str, name: str) -> Optional[str]:
+    """Value of ``name=…`` inside a tag's attribute string — double,
+    single, or unquoted; entity-decoded and trimmed; None if absent."""
+    pat = _ATTR_RES.get(name)
+    if pat is None:
+        pat = re.compile(
+            rf"""(?:^|\s){name}\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+        )
+        _ATTR_RES[name] = pat
+    m = pat.search(attrs)
+    if not m:
+        return None
+    return _htmllib.unescape(m.group(1) or m.group(2) or m.group(3) or "").strip()
+
+
+_TITLE_CLOSE_RE = re.compile(r"</title\s*>", re.I)
+_LDJSON_DATE_RE = re.compile(r'"datePublished"\s*:\s*"([^"]+)"')
+
+
+def extract_metadata(data: bytes) -> HtmlMeta:
+    """bytes → :class:`HtmlMeta` — the head-metadata pass a crawl
+    pipeline runs alongside main-content extraction (page title,
+    canonical URL for URL-level dedup, declared language, OpenGraph
+    fields, publish date).
+
+    Same tolerant regex tag scan as :func:`extract_links_attrs` (one
+    pass, document order, first occurrence wins).  Publish-date
+    priority: ``<meta property=article:published_time>`` beats
+    ``<time datetime=…>`` beats JSON-LD ``datePublished`` — the order
+    of decreasing structure.  Deterministic, never raises."""
+    empty = HtmlMeta(None, None, None, None, None, None, None)
+    try:
+        text = decode_html_bytes(data)
+    except Exception:  # noqa: BLE001 — bytes-ish inputs only
+        return empty
+    vals: Dict[str, Optional[str]] = dict.fromkeys(
+        ("title", "description", "canonical", "lang",
+         "og_title", "og_image", "meta_date", "time_date")
+    )
+    for m in _TAG_RE.finditer(text):
+        closing, tag, attrs, _ = m.groups()
+        if closing:
+            continue
+        tag = tag.lower()
+        if tag == "title" and vals["title"] is None:
+            cm = _TITLE_CLOSE_RE.search(text, m.end())
+            inner = text[m.end() : cm.start()] if cm else ""
+            vals["title"] = (
+                _WS_RE.sub(" ", _htmllib.unescape(inner)).strip()[:300] or None
+            )
+        elif tag == "meta":
+            name = (_attr(attrs, "name") or "").lower()
+            prop = (_attr(attrs, "property") or "").lower()
+            content = _attr(attrs, "content")
+            if not content:
+                continue
+            if name == "description" and vals["description"] is None:
+                vals["description"] = content
+            elif prop == "og:title" and vals["og_title"] is None:
+                vals["og_title"] = content
+            elif prop == "og:image" and vals["og_image"] is None:
+                vals["og_image"] = content
+            elif prop == "article:published_time" and vals["meta_date"] is None:
+                vals["meta_date"] = content
+        elif tag == "link" and vals["canonical"] is None:
+            rel = (_attr(attrs, "rel") or "").lower()
+            if "canonical" in rel.split():
+                vals["canonical"] = _attr(attrs, "href")
+        elif tag == "html" and vals["lang"] is None:
+            vals["lang"] = _attr(attrs, "lang")
+        elif tag == "time" and vals["time_date"] is None:
+            vals["time_date"] = _attr(attrs, "datetime")
+    ld_date = None
+    if vals["meta_date"] is None and vals["time_date"] is None:
+        lm = _LDJSON_DATE_RE.search(text)
+        if lm:
+            ld_date = _htmllib.unescape(lm.group(1)).strip()
+    return HtmlMeta(
+        title=vals["title"],
+        description=vals["description"],
+        canonical=vals["canonical"],
+        lang=vals["lang"],
+        og_title=vals["og_title"],
+        og_image=vals["og_image"],
+        published=vals["meta_date"] or vals["time_date"] or ld_date,
+    )
+
+
 def decode_html_bytes(data: bytes) -> str:
     """Crawl-grade charset sniff, the HTML5 encoding-sniffing order
     (WHATWG §13.2.3.2): a byte-order mark wins outright (UTF-8 /

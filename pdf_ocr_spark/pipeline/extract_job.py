@@ -688,6 +688,54 @@ def extract_html_tables(
     )
 
 
+HTML_META_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("canonical", StringType()),
+        StructField("lang", StringType()),
+        StructField("og_title", StringType()),
+        StructField("og_image", StringType()),
+        StructField("published", StringType()),
+    ]
+)
+
+
+def extract_html_meta_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Head-metadata extractor (runs on executors): one row per HTML
+    page with title / description / canonical / lang / OpenGraph /
+    publish date (trafilatura-style scan).  Non-HTML and poison rows
+    emit nothing."""
+    from pdf_ocr_spark.kernels.html_extract import extract_metadata
+
+    _tune_worker_gc()
+    cols = [f.name for f in HTML_META_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not data or looks_like_pdf(data):
+                continue
+            rows.append((url, *extract_metadata(data)))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_html_meta(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages(url, html, …) → head metadata (url, title, description,
+    canonical, lang, og_title, og_image, published).  Same plan shape
+    as the other extraction routes: scan pruned to (url, html), one
+    salted repartition, one python stage."""
+    return kernel_route(
+        pages_df, extract_html_meta_batch, HTML_META_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
 LINK_SCHEMA = StructType(
     [
         StructField("url", StringType()),

@@ -2451,6 +2451,35 @@ FROM read_parquet('{_HTML_TABLES_GOLDEN}')
 """
 
 
+_HTML_META_GOLDEN = _golden("html_meta")
+
+
+def q_html_meta(spark, sf_dir):
+    """Head-metadata extraction (trafilatura-style): title, meta
+    description, canonical URL, declared lang, OpenGraph title/image,
+    publish date (meta > <time datetime> > JSON-LD) — one row per HTML
+    page, computed by the distributed pipeline (extract_html_meta; same
+    single-shuffle plan shape as the hot path).  Exercises quoted /
+    unquoted attributes, entity decoding, a UTF-16LE page, and
+    metadata-free shells.  Oracle = frozen kernel golden
+    (tools/freeze_html_meta_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_html_meta_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_html_meta
+
+    rows = gen_html_meta_rows(48)  # must match the freeze tool's N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_html_meta(pages)
+
+
+SQL_HTML_META = f"""
+SELECT url, title, description, canonical, lang, og_title, og_image, published
+FROM read_parquet('{_HTML_META_GOLDEN}')
+"""
+
+
 def q_pages_table(spark, sf_dir):
     """Pages-level table (SURVEY §1.3 documents → PAGES → blocks): the
     page-route output with text pinned by md5; oracle = frozen kernel
@@ -3288,6 +3317,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "blocks_histogram": (q_blocks_histogram, SQL_BLOCKS_HISTOGRAM),
     "blocks_composite": (q_blocks_composite, SQL_BLOCKS_COMPOSITE),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
+    "html_meta": (q_html_meta, SQL_HTML_META),
     "raster_pages": (q_raster_pages, SQL_RASTER_PAGES),
     "page_orientation": (q_page_orientation, SQL_PAGE_ORIENTATION),
 }

@@ -255,3 +255,57 @@ class TestCharsetSniff:
         assert tbl.caption == "tötals"
         [(href, _, anchor)] = extract_links_attrs(data)
         assert (href, anchor) == ("/x", "tëxt")
+
+
+class TestHtmlMeta:
+    def test_full_head_first_wins(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_metadata
+
+        html = (
+            '<html lang="en-US"><head>'
+            "<title>A &amp; B</title><title>second ignored</title>"
+            '<meta name="description" content="first desc">'
+            '<meta name="description" content="second ignored">'
+            '<meta property="og:title" content="OG A">'
+            '<meta property="article:published_time" content="2025-01-02T03:04:05Z">'
+            '<link rel="stylesheet" href="/s.css">'
+            '<link rel="canonical" href="https://x.test/canon">'
+            "</head><body><time datetime='1990-01-01'>old</time></body></html>"
+        ).encode()
+        m = extract_metadata(html)
+        assert m.title == "A & B"
+        assert m.description == "first desc"
+        assert m.og_title == "OG A"
+        assert m.canonical == "https://x.test/canon"
+        assert m.lang == "en-US"
+        assert m.published == "2025-01-02T03:04:05Z"  # meta beats <time>
+
+    def test_date_fallbacks(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_metadata
+
+        t = extract_metadata(
+            b"<html><body><time datetime='2024-05-06'>x</time></body></html>"
+        )
+        assert t.published == "2024-05-06"
+        ld = extract_metadata(
+            b'<html><head><script type="application/ld+json">'
+            b'{"datePublished": "2023-09-10"}</script></head><body></body></html>'
+        )
+        assert ld.published == "2023-09-10"
+
+    def test_unquoted_attrs_and_absent(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_metadata
+
+        m = extract_metadata(
+            b"<html lang=de><head><title>t</title>"
+            b"<link rel=canonical href=https://y.test/c></head><body></body></html>"
+        )
+        assert (m.lang, m.canonical) == ("de", "https://y.test/c")
+        e = extract_metadata(b"<html><body><p>no head</p></body></html>")
+        assert e.title is None and e.published is None and e.canonical is None
+
+    def test_never_raises_on_garbage(self):
+        from pdf_ocr_spark.kernels.html_extract import extract_metadata
+
+        for junk in (b"", b"\xff\xfe\x00", b"<title>unclosed", b"\x00" * 64):
+            extract_metadata(junk)  # must not raise
