@@ -70,23 +70,50 @@ def committed_manifests(table_path: str) -> List[dict]:
     return out
 
 
-def committed_data_dirs(table_path: str) -> List[str]:
+class SnapshotExpiredError(RuntimeError):
+    """A time-travel read named a snapshot whose data files were
+    deleted by :func:`expire_snapshots` — the read cannot be served."""
+
+
+def committed_data_dirs(
+    table_path: str, as_of_seq: Optional[int] = None
+) -> List[str]:
+    """Data dirs visible in the current snapshot, or — with
+    ``as_of_seq`` — as of commit sequence N (time travel: manifests
+    with ``seq > N`` and their replaces are ignored, so a read placed
+    before a compaction sees the original runs).  Raises
+    :class:`SnapshotExpiredError` if a needed dir was expired."""
     manifests = committed_manifests(table_path)
+    if as_of_seq is not None:
+        manifests = [m for m in manifests if m["seq"] <= as_of_seq]
     replaced = set()
     for m in manifests:
         replaced.update(m.get("replaces", []))
-    return [
+    dirs = [
         os.path.join(table_path, "data", m["run_id"])
         for m in manifests
         if m.get("n_docs", 0) > 0 and m["run_id"] not in replaced
     ]
+    missing = [
+        d for d in dirs
+        if not os.path.isdir(d) or os.path.exists(os.path.join(d, "_EXPIRED"))
+    ]
+    if missing:
+        raise SnapshotExpiredError(
+            f"snapshot as_of_seq={as_of_seq} needs expired data dirs: "
+            + ", ".join(os.path.basename(d) for d in missing)
+        )
+    return dirs
 
 
-def read_snapshot_table(spark: SparkSession, table_path: str) -> Optional[DataFrame]:
+def read_snapshot_table(
+    spark: SparkSession, table_path: str, as_of_seq: Optional[int] = None
+) -> Optional[DataFrame]:
     """Snapshot-isolation read: union of committed runs only.  Returns
     None for an empty table.  Orphan (uncommitted) data dirs are never
-    read — they are not in any manifest."""
-    dirs = committed_data_dirs(table_path)
+    read — they are not in any manifest.  ``as_of_seq`` time-travels to
+    an earlier commit (Iceberg's VERSION AS OF)."""
+    dirs = committed_data_dirs(table_path, as_of_seq)
     if not dirs:
         return None
     # per-run reads unioned (not one multi-path read): each run dir may be
@@ -135,6 +162,65 @@ def commit_run(
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, final)
+
+
+def expire_snapshots(table_path: str, keep_from_seq: int) -> List[str]:
+    """Iceberg's expire-snapshots maintenance action: abandon time
+    travel to commits older than ``keep_from_seq`` by deleting the data
+    files of runs whose REPLACEMENT committed before that sequence (a
+    run replaced at ``seq >= keep_from_seq`` must survive — reads as of
+    ``keep_from_seq`` still need it).  Live runs are never touched.
+
+    The lineage ``_sidecar`` inside each expired run dir is PRESERVED —
+    lineage is history, not table state (read_snapshot_sidecar keeps
+    reporting every run ever committed).  Returns the expired run ids.
+
+    Single-writer assumption as for commits: run maintenance from the
+    table's one driver."""
+    import shutil
+
+    replaced_at: dict = {}
+    for m in committed_manifests(table_path):
+        for r in m.get("replaces", []):
+            replaced_at.setdefault(r, m["seq"])
+    expired = []
+    for run_id, seq in sorted(replaced_at.items()):
+        if seq >= keep_from_seq:
+            continue
+        d = os.path.join(table_path, "data", run_id)
+        if not os.path.isdir(d) or os.path.exists(os.path.join(d, "_EXPIRED")):
+            continue  # gone or already expired — idempotent
+        for name in os.listdir(d):
+            if name == "_sidecar":
+                continue
+            p = os.path.join(d, name)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        # marker: the dir still exists (it keeps the lineage sidecar),
+        # so readers detect expiry by this file, not by isdir
+        with open(os.path.join(d, "_EXPIRED"), "w") as f:
+            f.write(run_id)
+        expired.append(run_id)
+    return expired
+
+
+def remove_orphan_runs(table_path: str) -> List[str]:
+    """Delete data dirs named by NO manifest — the leftovers of runs
+    that crashed before their commit rename.  Safe because readers and
+    resume only ever see committed dirs; run it only while no writer is
+    active (single-writer assumption).  Returns the removed run ids."""
+    import shutil
+
+    data_root = os.path.join(table_path, "data")
+    if not os.path.isdir(data_root):
+        return []
+    named = {m["run_id"] for m in committed_manifests(table_path)}
+    removed = []
+    for name in sorted(os.listdir(data_root)):
+        d = os.path.join(data_root, name)
+        if os.path.isdir(d) and name not in named:
+            shutil.rmtree(d)
+            removed.append(name)
+    return removed
 
 
 def compact_table(

@@ -115,3 +115,54 @@ def test_bucketed_snapshot_runs_and_sidecar(spark, corpus_parquet, tmp_path):
     rows = side.collect()
     assert sum(r["n_docs"] for r in rows) == 100
     assert all(r["run_id"] == run_dirs[0] for r in rows)
+
+
+def test_time_travel_expiry_and_orphan_gc(spark, corpus_parquet, tmp_path):
+    """as_of_seq reads reconstruct earlier snapshots; expire_snapshots
+    deletes replaced data (preserving lineage sidecars) and expired
+    time-travel reads fail loudly; remove_orphan_runs drops crashed
+    runs' dirs without touching committed ones."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from pdf_ocr_spark.pipeline.snapshot_log import (
+        SnapshotExpiredError,
+        compact_table,
+        expire_snapshots,
+        remove_orphan_runs,
+    )
+
+    table = str(tmp_path / "ttable")
+    pages = spark.read.parquet(corpus_parquet).orderBy("url").cache()
+    for lo, hi in ((0, 40), (40, 70)):
+        sub = str(tmp_path / f"tt_in_{lo}")
+        pages.limit(hi).subtract(pages.limit(lo)).write.parquet(sub)
+        run_extraction_snapshot(spark, sub, table, num_partitions=4)
+
+    # time travel: as of the first commit (seq 0) only 40 docs exist
+    assert read_snapshot_table(spark, table, as_of_seq=0).count() == 40
+    assert read_snapshot_table(spark, table, as_of_seq=1).count() == 70
+
+    assert compact_table(spark, table, target_partitions=2) == 70  # seq 2
+    # pre-compaction reads still work: source dirs are on disk
+    assert read_snapshot_table(spark, table, as_of_seq=1).count() == 70
+
+    # an orphan dir (crashed run) is invisible and GC-able
+    orphan = _os.path.join(table, "data", "orphan-run")
+    _os.makedirs(orphan)
+    assert remove_orphan_runs(table) == ["orphan-run"]
+    assert not _os.path.isdir(orphan)
+
+    # expiry below the compaction seq: both replaced runs' data go
+    expired = expire_snapshots(table, keep_from_seq=3)
+    assert len(expired) == 2
+    # current read unaffected; lineage history intact
+    assert read_snapshot_table(spark, table).count() == 70
+    assert sum(r["n_docs"] for r in read_snapshot_sidecar(spark, table).collect()) == 70
+    # time travel to the expired snapshots now fails loudly
+    with _pytest.raises(SnapshotExpiredError):
+        read_snapshot_table(spark, table, as_of_seq=1)
+    # expiring again is a no-op; live runs never touched
+    assert expire_snapshots(table, keep_from_seq=99) == []
+    pages.unpersist()
