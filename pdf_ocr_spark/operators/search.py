@@ -1,0 +1,109 @@
+"""Full-text relevance search over the extracted corpus: BM25 scoring
+and an inverted-index (postings) builder — the corpus-exploration ops a
+training-data pipeline runs to find, sample, and audit documents.
+
+Design notes for 100 TB scale:
+  * BM25 reads the corpus ONCE: per-term tfs are conditional sums inside
+    the same groupBy that computes document length (no per-term scans,
+    no words-table self-join); the query's term list is tiny by nature
+  * corpus stats (N, avgdl, per-term df) reduce to ONE broadcast row;
+    scoring is then a map-side expression — the only shuffles are the
+    per-doc aggregate and the final top-k (TakeOrdered, no global sort)
+  * per-term score contributions quantize to DECIMAL(18,6) before the
+    sum, so scores are bit-reproducible across engines and partition
+    orders (ties in the top-k break on doc id)
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.operators.text_analysis import norm_words_expr
+
+
+def _doc_words(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(norm_words_expr(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+
+
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Inverted index: (term, df, postings) with postings = the sorted
+    doc-id array.  One shuffle (the term groupBy, map-side combined);
+    ``min_df`` trims hapax noise.  At crawl scale the postings arrays
+    for stop-words are huge — shard them downstream (this builder keeps
+    one row per term, the relational representation)."""
+    w = _doc_words(docs, text_col, id_col).distinct()
+    return (
+        w.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list(id_col)).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select(F.col("w").alias("term"), "df", "postings")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 (Lucene-style idf = ln(1 + (N-df+0.5)/
+    (df+0.5))) for a bag of query terms → (doc_id, score).
+
+    ONE corpus scan: dl and every per-term tf come out of the same
+    groupBy; (N, avgdl, df_t) reduce to one broadcast row; the final
+    top-k is orderBy+limit (TakeOrdered — per-partition heaps, no
+    global sort).  Zero-score docs are dropped before the top-k."""
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    terms = list(dict.fromkeys(terms))  # dedupe, keep order
+    w = _doc_words(docs, text_col, id_col)
+    per_doc = w.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("w") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    contribs: List[Column] = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        c = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+        contribs.append(c.cast("decimal(18,6)"))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(id_col, F.round(total.cast("double"), 4).alias("score"))
+        .filter(F.col("score") > 0)
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

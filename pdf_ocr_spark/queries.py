@@ -1920,6 +1920,95 @@ GROUP BY 1
 """
 
 
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+def q_search_bm25(spark, sf_dir):
+    """BM25 top-k relevance search (Lucene idf) for a fixed bag of
+    query terms — one corpus scan (dl + per-term tfs in one groupBy),
+    one broadcast stats row, TakeOrdered top-k; per-term contributions
+    quantize to DECIMAL(18,6) so the score hash matches the oracle."""
+    from pdf_ocr_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+def _sql_bm25(terms, k=10):
+    norm = _NORM_SQL.format(c="text")
+    tfs = ",\n    ".join(
+        f"sum(CASE WHEN w = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ",\n    ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms))
+    )
+    # shapes mirror the Spark expression exactly (same association order)
+    contribs = "\n     + ".join(
+        f"CAST(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * CAST(tf_{i} AS DOUBLE) * (1.2 + 1.0)"
+        f" / (CAST(tf_{i} AS DOUBLE)"
+        f" + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_dl / n_docs)))"
+        f" AS DECIMAL(18,6))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(str_split({norm}, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS dl,
+    {tfs}
+  FROM w GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) AS total_dl,
+    {dfs}
+  FROM per_doc
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id,
+    round(CAST(({contribs}) AS DOUBLE), 4) AS score
+  FROM per_doc CROSS JOIN stats
+)
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+SQL_SEARCH_BM25 = _sql_bm25(_BM25_TERMS)
+
+
+def q_search_postings(spark, sf_dir):
+    """Inverted-index build: (term, df, postings) with the postings as
+    a sorted id list (comma-joined for the hash compare) — one map-side
+    combined shuffle; min_df=5 trims hapax noise."""
+    from pdf_ocr_spark.operators.search import build_postings
+
+    p = build_postings(_t(spark, sf_dir, "documents"), min_df=5)
+    return p.select(
+        "term", "df", F.array_join("postings", ",").alias("postings")
+    )
+
+
+SQL_SEARCH_POSTINGS = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+)
+SELECT w AS term, count(*) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM w GROUP BY w HAVING count(*) >= 5
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Duplicate-line / duplicate-paragraph fractions (Gopher repetition
     family) — array built-ins, no explode."""
@@ -3278,6 +3367,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
     "text_lm_buckets": (q_text_lm_buckets, SQL_TEXT_LM_BUCKETS),
+    "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
+    "search_postings": (q_search_postings, SQL_SEARCH_POSTINGS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
