@@ -275,3 +275,44 @@ def sitemap_urls(
         key="url", cols=("url", "body"),
         num_partitions=num_partitions,
     )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    default_delay: float = 1.0,
+    url_col: str = "url",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Politeness scheduler: assign every frontier URL a per-domain
+    fetch slot and offset → (url, domain, slot, fetch_offset), where
+    ``fetch_offset = slot × crawl_delay`` seconds from the domain's
+    first fetch (best-priority URLs go first; ties break on url).
+
+    Plan at 100 TB: the delays table is host-sized → BROADCAST; the
+    slot window partitions by DOMAIN, which is politeness's inherent
+    unit of serialization — a hot domain's schedule is sequential by
+    definition, and per-domain frontier caps upstream bound the
+    partition size (there is no global sort anywhere)."""
+    from pyspark.sql.window import Window
+
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    d = frontier.withColumn("domain", host)
+    w = Window.partitionBy("domain").orderBy(
+        F.desc(priority_col), F.asc(url_col)
+    )
+    return (
+        d.join(F.broadcast(delays), "domain", "left")
+        .withColumn("slot", F.row_number().over(w) - 1)
+        .select(
+            url_col,
+            "domain",
+            F.col("slot").cast("int").alias("slot"),
+            (
+                F.col("slot")
+                * F.coalesce("crawl_delay", F.lit(float(default_delay)))
+            ).alias("fetch_offset"),
+        )
+    )

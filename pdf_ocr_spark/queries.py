@@ -2009,6 +2009,56 @@ FROM w GROUP BY w HAVING count(*) >= 5
 """
 
 
+def q_fetch_schedule(spark, sf_dir):
+    """Politeness fetch scheduler: per-domain slots × crawl-delay →
+    fetch offsets.  Frontier = one synthetic URL per document across 7
+    domains with doc-derived priorities; delays table broadcast; the
+    slot window partitions by domain (politeness's inherent unit of
+    serialization — no global sort)."""
+    from pdf_ocr_spark.operators.frontier import fetch_schedule
+
+    frontier = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://d"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 13).cast("long").alias("priority"),
+    )
+    delays = spark.createDataFrame(
+        [("d0.test", 2.0), ("d3.test", 0.5), ("d5.test", 4.0)],
+        "domain string, crawl_delay double",
+    )
+    return fetch_schedule(frontier, delays, default_delay=1.0)
+
+
+SQL_FETCH_SCHEDULE = """
+WITH frontier AS (
+  SELECT 'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.test/page/'
+         || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id % 13 AS BIGINT) AS priority
+  FROM documents
+),
+delays AS (
+  SELECT * FROM (VALUES ('d0.test', 2.0), ('d3.test', 0.5), ('d5.test', 4.0))
+    AS t(domain, crawl_delay)
+),
+slotted AS (
+  SELECT url,
+    lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS domain,
+    priority,
+    CAST(row_number() OVER (
+      PARTITION BY lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1))
+      ORDER BY priority DESC, url) - 1 AS INT) AS slot
+  FROM frontier
+)
+SELECT url, domain, slot,
+       slot * coalesce(crawl_delay, 1.0) AS fetch_offset
+FROM slotted LEFT JOIN delays USING (domain)
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     """Duplicate-line / duplicate-paragraph fractions (Gopher repetition
     family) — array built-ins, no explode."""
@@ -3396,6 +3446,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "sitemap_urls": (q_sitemap_urls, SQL_SITEMAP_URLS),
     "frontier_discover": (q_frontier_discover, SQL_FRONTIER_DISCOVER),
+    "fetch_schedule": (q_fetch_schedule, SQL_FETCH_SCHEDULE),
     # lineage rows stay rows-only: part_id depends on physical
     # partitioning; the partition-independent TOTALS get a full oracle
     "extract_lineage": (q_extract_lineage, None),

@@ -157,3 +157,26 @@ class TestSitemapXml:
         ]
         assert parse_sitemap_xml(b"not xml") == []
         assert parse_sitemap_xml(b"\x1f\x8bcorrupt") == []
+
+
+def test_fetch_schedule_slots_and_offsets(spark):
+    from pdf_ocr_spark.operators.frontier import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.test/1", 5),
+            ("https://a.test/2", 9),   # best priority -> slot 0
+            ("https://a.test/3", 5),   # priority tie with /1 -> url order
+            ("https://b.test/x", 1),
+        ],
+        "url string, priority long",
+    )
+    delays = spark.createDataFrame([("a.test", 2.0)], "domain string, crawl_delay double")
+    out = {
+        r.url: (r.domain, r.slot, r.fetch_offset)
+        for r in fetch_schedule(frontier, delays, default_delay=1.0).collect()
+    }
+    assert out["https://a.test/2"] == ("a.test", 0, 0.0)
+    assert out["https://a.test/1"] == ("a.test", 1, 2.0)
+    assert out["https://a.test/3"] == ("a.test", 2, 4.0)
+    assert out["https://b.test/x"] == ("b.test", 0, 0.0)  # default delay
