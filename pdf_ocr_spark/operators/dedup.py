@@ -313,6 +313,30 @@ def dedup_apply(
     )
 
 
+def canonical_url_collapse(
+    pages_meta: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+) -> DataFrame:
+    """Canonical-URL dedup (the crawl-level pass BEFORE content dedup):
+    pages declaring the same ``<link rel=canonical>`` target collapse
+    into one group — (canonical_url, n_pages, kept_url) with the
+    lexicographically-first member kept.  Pages without a canonical
+    stand alone (their own url is the group key).
+
+    ONE map-side-combined shuffle on the group key; mirrors what every
+    production crawler does with the html_meta canonical field before
+    spending MinHash on near-dup detection."""
+    key = F.coalesce(F.col(canonical_col), F.col(url_col))
+    return (
+        pages_meta.groupBy(key.alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min(url_col).alias("kept_url"),
+        )
+    )
+
+
 def dedup_paragraphs(
     docs: DataFrame,
     text_col: str = "text",

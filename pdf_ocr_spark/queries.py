@@ -2619,6 +2619,40 @@ FROM read_parquet('{_HTML_META_GOLDEN}')
 """
 
 
+def q_canonical_collapse(spark, sf_dir):
+    """Canonical-URL dedup composed over the metadata extraction: the
+    meta corpus plus a mirror copy of every page (same html, '?m=1'
+    url) runs through extract_html_meta; pages declaring the same
+    <link rel=canonical> collapse to one group, canonical-less pages
+    stand alone.  One map-side-combined shuffle on the group key.
+    Oracle = the frozen html_meta golden mirrored in SQL."""
+    from pdf_ocr_spark.fixtures.genpages import gen_html_meta_rows
+    from pdf_ocr_spark.operators.dedup import canonical_url_collapse
+    from pdf_ocr_spark.pipeline.extract_job import extract_html_meta
+
+    rows = gen_html_meta_rows(48)  # must match the freeze tool's N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows]
+        + [(r["url"] + "?m=1", bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return canonical_url_collapse(extract_html_meta(pages))
+
+
+SQL_CANONICAL_COLLAPSE = f"""
+WITH meta AS (
+  SELECT url, canonical FROM read_parquet('{_HTML_META_GOLDEN}')
+  UNION ALL
+  SELECT url || '?m=1' AS url, canonical
+  FROM read_parquet('{_HTML_META_GOLDEN}')
+)
+SELECT coalesce(canonical, url) AS canonical_url,
+       count(*) AS n_pages,
+       min(url) AS kept_url
+FROM meta GROUP BY 1
+"""
+
+
 def q_pages_table(spark, sf_dir):
     """Pages-level table (SURVEY §1.3 documents → PAGES → blocks): the
     page-route output with text pinned by md5; oracle = frozen kernel
@@ -3460,6 +3494,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "blocks_composite": (q_blocks_composite, SQL_BLOCKS_COMPOSITE),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "html_meta": (q_html_meta, SQL_HTML_META),
+    "canonical_collapse": (q_canonical_collapse, SQL_CANONICAL_COLLAPSE),
     "raster_pages": (q_raster_pages, SQL_RASTER_PAGES),
     "page_orientation": (q_page_orientation, SQL_PAGE_ORIENTATION),
 }

@@ -148,3 +148,23 @@ def test_dedup_apply_verdicts(spark):
         for r in D.dedup_apply(docs, clusters, text_col="text").collect()
     }
     assert out == {1: (2, False), 2: (2, True), 3: (2, False), 9: (9, True)}
+
+
+def test_canonical_url_collapse(spark):
+    meta = spark.createDataFrame(
+        [
+            ("https://a.test/page?utm=1", "https://a.test/page"),
+            ("https://a.test/page?utm=2", "https://a.test/page"),
+            ("https://a.test/page", "https://a.test/page"),
+            ("https://b.test/solo", None),  # canonical-less: stands alone
+        ],
+        "url string, canonical string",
+    )
+    out = {
+        r.canonical_url: (r.n_pages, r.kept_url)
+        for r in D.canonical_url_collapse(meta).collect()
+    }
+    assert out == {
+        "https://a.test/page": (3, "https://a.test/page"),
+        "https://b.test/solo": (1, "https://b.test/solo"),
+    }
