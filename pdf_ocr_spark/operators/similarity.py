@@ -211,18 +211,6 @@ def kmeans_centroids(
     )
 
 
-def _l2sq_lit(vec: Column, cvec: list) -> Column:
-    """Σ (vecᵢ−cᵢ)² against a DRIVER-SIDE literal centroid: the same
-    zip_with/aggregate fold as :func:`l2sq_expr` (identical
-    left-to-right addition order → bit-identical sums), with the
-    centroid inlined as a literal array.  Keeping the HOF form keeps the
-    expression tree small — a fully unrolled 64-term sum per centroid
-    overflows whole-stage codegen's method limit and falls back to
-    interpreted mode (measured 2.8× slower)."""
-    carr = F.array(*[F.lit(float(c)) for c in cvec])
-    return l2sq_expr(vec, carr)
-
-
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -256,15 +244,34 @@ def _collect_centroids(centroids: DataFrame) -> list:
 def _assign_col(vec: Column, cent_rows: list) -> Column:
     """The argmin-L2 expression over literal centroids: array_min over
     (round₆ distance, cent_id) structs — ordered by distance then
-    cent_id, exactly the old min(struct(...)) aggregate's tie-break."""
-    candidates = [
-        F.struct(
-            F.round(_l2sq_lit(vec, cv), 6).alias("d"),
-            F.lit(int(cid)).cast("long").alias("cent_id"),
+    cent_id, exactly the old min(struct(...)) aggregate's tie-break.
+
+    The k×dim centroid table enters the plan as ONE parsed SQL literal
+    (``expr("array(array(...),...)")``) iterated by a single zip_with
+    lambda — not k per-centroid expression trees: building the tree
+    through py4j column-by-column cost seconds of driver time per
+    assign at k=8, dim=64 (measured; the data work itself is
+    milliseconds).  repr() literals round-trip doubles exactly, so the
+    distances are bit-identical to the per-centroid form."""
+    cents = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) for x in cv) + ")"
+            for _, cv in cent_rows
         )
-        for cid, cv in cent_rows
-    ]
-    return F.array_min(F.array(*candidates)).getField("cent_id")
+        + ")"
+    )
+    ids = F.expr(
+        "array(" + ",".join(f"{int(cid)}L" for cid, _ in cent_rows) + ")"
+    )
+    structs = F.zip_with(
+        cents,
+        ids,
+        lambda cv, cid: F.struct(
+            F.round(l2sq_expr(vec, cv), 6).alias("d"), cid.alias("cent_id")
+        ),
+    )
+    return F.array_min(structs).getField("cent_id")
 
 
 def cosine_topk_ivf(
