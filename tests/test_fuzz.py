@@ -149,3 +149,31 @@ def test_short_mediabox_never_raises():
         # short/garbage boxes fall back to a default page, text survives
         assert res.status == "ok"
         assert "hello mediabox" in res.pages[0].text
+
+
+@settings(max_examples=60, deadline=2000, derandomize=True)
+@given(st.binary(min_size=0, max_size=4096))
+def test_extract_metadata_never_raises_on_random_bytes(data):
+    from pdf_ocr_spark.kernels.html_extract import HtmlMeta, extract_metadata
+
+    m = extract_metadata(data)
+    assert isinstance(m, HtmlMeta)
+    for v in m:
+        assert v is None or isinstance(v, str)
+
+
+@settings(max_examples=40, deadline=2000, derandomize=True)
+@given(st.text(max_size=200), st.text(max_size=200))
+def test_extract_metadata_mutated_markup(title, content):
+    """Arbitrary text spliced into real markup must parse without raising
+    and never leak markup into the title."""
+    from pdf_ocr_spark.kernels.html_extract import extract_metadata
+
+    html = (
+        f"<html><head><title>{title}</title>"
+        f'<meta name="description" content="{content}">'
+        f"</head><body></body></html>"
+    ).encode("utf-8", "replace")
+    m = extract_metadata(html)
+    if m.title is not None:
+        assert "<" not in m.title or ">" not in m.title or len(m.title) <= 300
