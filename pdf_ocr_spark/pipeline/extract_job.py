@@ -1079,6 +1079,41 @@ def dedup_extracted(docs: DataFrame, mark_only: bool = False) -> DataFrame:
     return marked.filter(F.col("is_canonical")).drop("is_canonical")
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    history: Optional[DataFrame] = None,
+    mark_only: bool = False,
+) -> DataFrame:
+    """Cross-RUN content dedup — the streaming-crawl pattern where each
+    appended batch must not duplicate anything already committed: drop
+    new docs whose normalized-text fingerprint exists in ``history``
+    (the snapshot table), then exact-dedup within the batch
+    (:func:`dedup_extracted`).  Failed rows (null fingerprint) always
+    pass through — a null key never matches the anti-join.
+
+    Scale: at 10^12 docs the history fingerprints are corpus-sized, so
+    the anti-join is a sort-merge shuffle on the fingerprint; writing
+    the table ``bucketBy(fp)`` (see tests/test_bucketed_join.py) makes
+    the history side exchange-free on every subsequent append."""
+    from pdf_ocr_spark.operators.dedup import normalized
+
+    if history is not None:
+        hist_fp = (
+            history.filter(F.col("status") == "ok")
+            .select(F.md5(normalized(F.col("extracted_text"))).alias("fp"))
+            .distinct()
+        )
+        fp = F.when(
+            F.col("status") == "ok", F.md5(normalized(F.col("extracted_text")))
+        )
+        new_docs = (
+            new_docs.withColumn("_fp", fp)
+            .join(hist_fp, F.col("_fp") == F.col("fp"), "left_anti")
+            .drop("_fp")
+        )
+    return dedup_extracted(new_docs, mark_only=mark_only)
+
+
 def doc_lineage_metrics(doc_rows: DataFrame) -> DataFrame:
     """Per-partition lineage sidecar over FUSED doc rows (the hot path's
     sidecar): same contract as :func:`lineage_metrics` but sourced from

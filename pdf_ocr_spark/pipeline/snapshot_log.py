@@ -271,15 +271,23 @@ def run_extraction_snapshot(
     split_giants: bool = False,
     giant_bytes: int = 4 << 20,
     input_format: str = "parquet",
+    content_dedup: bool = False,
 ) -> int:
     """Checkpointable batch run against a snapshot-log table: resume →
     extract → write data+sidecar to a fresh run dir → ATOMIC manifest
     commit.  Returns the number of documents appended by this run.
 
+    ``content_dedup=True`` additionally drops documents whose extracted
+    text already exists in the committed table (cross-run incremental
+    dedup, :func:`~pdf_ocr_spark.pipeline.extract_job.dedup_incremental`)
+    and exact-dedups within the batch — crawl mirrors never enter the
+    corpus twice even under different urls.
+
     Kill-and-restart safe at any point: a crash before the manifest
     rename leaves only an invisible orphan run dir; rerunning resumes
     from the last committed snapshot and re-extracts the lost work."""
     from pdf_ocr_spark.pipeline.extract_job import (
+        dedup_incremental,
         doc_lineage_metrics,
         extract_documents,
         extract_documents_split,
@@ -295,6 +303,8 @@ def run_extraction_snapshot(
         docs = extract_documents_split(pages, num_partitions, giant_bytes=giant_bytes)
     else:
         docs = extract_documents(pages, num_partitions)
+    if content_dedup:
+        docs = dedup_incremental(docs, history=done)
     if partition_buckets:
         docs = docs.withColumn(
             "url_bucket",

@@ -166,3 +166,41 @@ def test_time_travel_expiry_and_orphan_gc(spark, corpus_parquet, tmp_path):
     # expiring again is a no-op; live runs never touched
     assert expire_snapshots(table, keep_from_seq=99) == []
     pages.unpersist()
+
+
+def test_content_dedup_across_runs(spark, tmp_path):
+    """content_dedup=True: a mirror page (same bytes, different url) in a
+    later run never enters the table; within-batch dups keep min url."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+
+    rows = gen_rows(12)
+    html_rows = [r for r in rows if r["html"] is not None][:6]
+
+    def write_pages(path, pairs):
+        spark.createDataFrame(
+            [(u, bytearray(h)) for u, h in pairs], "url string, html binary"
+        ).write.parquet(path)
+
+    table = str(tmp_path / "dtable")
+    in1 = str(tmp_path / "d_in1")
+    # run 1: four pages, one of them duplicated within the batch
+    write_pages(in1, [(r["url"], r["html"]) for r in html_rows[:3]]
+                + [("https://mirror.test/z-copy", html_rows[0]["html"])])
+    n1 = run_extraction_snapshot(spark, in1, table, num_partitions=2,
+                                 content_dedup=True)
+    t1 = read_snapshot_table(spark, table)
+    assert n1 == t1.count() == 3  # within-batch dup collapsed
+    urls1 = {r["url"] for r in t1.collect()}
+    assert "https://mirror.test/z-copy" not in urls1  # min-url canonical wins
+
+    # run 2: one genuinely new page + two cross-run mirrors
+    in2 = str(tmp_path / "d_in2")
+    write_pages(in2, [(html_rows[3]["url"], html_rows[3]["html"]),
+                      ("https://mirror.test/m1", html_rows[1]["html"]),
+                      ("https://mirror.test/m2", html_rows[2]["html"])])
+    n2 = run_extraction_snapshot(spark, in2, table, num_partitions=2,
+                                 content_dedup=True)
+    assert n2 == 1  # only the new content appended
+    t2 = read_snapshot_table(spark, table)
+    assert t2.count() == 4
+    assert {r["url"] for r in t2.collect()} == urls1 | {html_rows[3]["url"]}
