@@ -598,6 +598,67 @@ GROUP BY o_orderpriority
 """
 
 
+def q_tpch_q16ish(spark, sf_dir):
+    """TPC-H Q16-style supplier-count: distinct suppliers per
+    (brand, type) via part⋈lineitem, EXCLUDING suppliers matching a
+    predicate (the NOT IN subquery → broadcast anti-join).  Exercises
+    distinct-agg + anti-join + broadcast dimension in one plan."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16ISH = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+"""
+
+
+def q_events_running_share(spark, sf_dir):
+    """Per-user running share of total event value: cumulative sum over
+    (ts, event_id) divided by the user's total — two frames of ONE
+    window partition (per user), no global sort; values sum as
+    DECIMAL(18,4) so the cumsum is exact at any partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    v = F.col("value").cast("decimal(18,4)")
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id")
+    cum = F.sum(v).over(wc)
+    tot = F.sum(v).over(wt)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(cum.cast("double"), 4).alias("cum_value"),
+        F.round((cum.cast("double") / tot.cast("double")), 4).alias("running_share"),
+    )
+
+
+SQL_EVENTS_RUNNING_SHARE = """
+SELECT user_id, event_id,
+  round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE), 4)
+    AS cum_value,
+  round(CAST(sum(CAST(value AS DECIMAL(18,4)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+        / CAST(sum(CAST(value AS DECIMAL(18,4)))
+               OVER (PARTITION BY user_id) AS DOUBLE), 4)
+    AS running_share
+FROM events WHERE user_id < 50
+"""
+
+
 def q_tpch_q18ish(spark, sf_dir):
     """TPC-H Q18-style large-volume orders: HAVING-filtered per-order
     quantity totals joined back to orders (the IN-subquery shape)."""
@@ -3390,6 +3451,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tpch_rollup": (q_tpch_rollup, SQL_TPCH_ROLLUP),
     "events_cube": (q_events_cube, SQL_EVENTS_CUBE),
     "tpch_q2ish": (q_tpch_q2ish, SQL_TPCH_Q2ISH),
+    "tpch_q16ish": (q_tpch_q16ish, SQL_TPCH_Q16ISH),
+    "events_running_share": (q_events_running_share, SQL_EVENTS_RUNNING_SHARE),
     "tpch_q4ish": (q_tpch_q4ish, SQL_TPCH_Q4ISH),
     "tpch_q18ish": (q_tpch_q18ish, SQL_TPCH_Q18ISH),
     # streaming (same operator runs under Structured Streaming, see
