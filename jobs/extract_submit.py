@@ -30,7 +30,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None,
                     help="pages parquet (required unless --compact)")
-    ap.add_argument("--input-format", choices=("parquet", "warc"),
+    ap.add_argument("--input-format", choices=("parquet", "warc", "jsonl"),
                     default="parquet",
                     help="'warc' ingests raw *.warc/*.warc.gz/*.wet.gz "
                          "segments straight into the pipeline")

@@ -1168,11 +1168,18 @@ def read_pages(
     spark: SparkSession, input_path: str, input_format: str = "parquet"
 ) -> DataFrame:
     """Input-side dispatch: the pages table from parquet/Iceberg-style
-    storage, or straight from raw WARC/WET crawl segments."""
+    storage, straight from raw WARC/WET crawl segments, or from JSONL
+    crawl dumps (``{"url": ..., "html_b64": ...}`` per line — the
+    sidecar format crawl tooling commonly emits; html is base64 because
+    JSON can't carry raw bytes).  An explicit schema keeps the JSONL
+    scan single-pass (no sampling inference job) and prunable."""
     if input_format == "warc":
         from pdf_ocr_spark.sources.warc import warc_to_pages
 
         return warc_to_pages(spark, input_path)
+    if input_format == "jsonl":
+        raw = spark.read.schema("url string, html_b64 string").json(input_path)
+        return raw.select("url", F.unbase64("html_b64").alias("html"))
     return spark.read.parquet(input_path)
 
 

@@ -132,3 +132,37 @@ def test_warc_to_pages_feeds_extraction(spark, tmp_path):
     docs = {r["url"]: r for r in extract_documents(pages, num_partitions=4).collect()}
     assert docs["http://a.test/"]["status"] == "ok"
     assert "warc record one main content" in docs["http://a.test/"]["extracted_text"]
+
+
+def test_run_extraction_from_jsonl(spark, tmp_path):
+    """JSONL crawl-dump ingestion: base64 html per line → pages table →
+    identical extraction output to the parquet route."""
+    import base64
+    import json as _json
+
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents, read_pages
+
+    rows = [r for r in gen_rows(12) if r["html"] is not None][:8]
+    path = tmp_path / "dump.jsonl"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(_json.dumps({
+                "url": r["url"],
+                "html_b64": base64.b64encode(bytes(r["html"])).decode(),
+            }) + "\n")
+    via_jsonl = {
+        (r["url"], r["extracted_text"])
+        for r in extract_documents(
+            read_pages(spark, str(path), "jsonl"), num_partitions=2
+        ).collect()
+    }
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        "url string, html binary",
+    )
+    via_parquet_route = {
+        (r["url"], r["extracted_text"])
+        for r in extract_documents(pages, num_partitions=2).collect()
+    }
+    assert via_jsonl == via_parquet_route and len(via_jsonl) == 8
