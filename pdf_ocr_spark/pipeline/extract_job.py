@@ -1114,6 +1114,31 @@ def dedup_incremental(
     return dedup_extracted(new_docs, mark_only=mark_only)
 
 
+def input_split_lineage(pages_df: DataFrame) -> DataFrame:
+    """Input-split lineage: which INPUT FILE contributed which urls —
+    (input_file, n_rows, n_bytes, min_url, max_url), joinable by url
+    range to per-partition failure metrics for forensics ('which crawl
+    segment broke').  Computed on the scan side (``input_file_name()``
+    is empty after an exchange, so this runs as its own pass, not
+    through the fused kernel — the hot path's schema stays untouched);
+    file-scan sources only (empty for in-memory pages)."""
+    return (
+        pages_df.select(
+            F.input_file_name().alias("input_file"),
+            "url",
+            F.coalesce(F.length("html"), F.lit(0)).alias("_n"),
+        )
+        .filter(F.col("input_file") != "")
+        .groupBy("input_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_n").alias("n_bytes"),
+            F.min("url").alias("min_url"),
+            F.max("url").alias("max_url"),
+        )
+    )
+
+
 def doc_lineage_metrics(doc_rows: DataFrame) -> DataFrame:
     """Per-partition lineage sidecar over FUSED doc rows (the hot path's
     sidecar): same contract as :func:`lineage_metrics` but sourced from

@@ -139,6 +139,21 @@ def read_snapshot_sidecar(spark: SparkSession, table_path: str) -> Optional[Data
     return spark.read.parquet(*dirs)
 
 
+def read_snapshot_splits(spark: SparkSession, table_path: str) -> Optional[DataFrame]:
+    """Input-split lineage of every committed run: which input file
+    presented which url range TO the run (recorded from the raw scan,
+    before the resume filter — ``input_file_name()`` only resolves on a
+    single-source plan).  Absent for in-memory inputs."""
+    dirs = [
+        os.path.join(table_path, "data", m["run_id"], "_sidecar_splits")
+        for m in committed_manifests(table_path)
+    ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
 def commit_run(
     table_path: str,
     run_id: str,
@@ -291,11 +306,14 @@ def run_extraction_snapshot(
         doc_lineage_metrics,
         extract_documents,
         extract_documents_split,
+        input_split_lineage,
         read_pages,
         resume_filter,
     )
 
     pages = read_pages(spark, input_path, input_format)
+    pages_scan = pages  # single-source plan: input_file_name() is only
+    #                     resolvable before the resume anti-join
     done = read_snapshot_table(spark, table_path)
     if done is not None:
         pages = resume_filter(pages, done)
@@ -324,6 +342,13 @@ def run_extraction_snapshot(
             doc_lineage_metrics(docs).withColumn(
                 "run_id", F.lit(run_id)
             ).write.mode("overwrite").parquet(os.path.join(run_dir, "_sidecar"))
+            splits = input_split_lineage(pages_scan).withColumn(
+                "run_id", F.lit(run_id)
+            )
+            if splits.limit(1).count():  # file-scan inputs only
+                splits.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, "_sidecar_splits")
+                )
         # the commit point — everything above is invisible until here
         commit_run(table_path, run_id, n)
     finally:

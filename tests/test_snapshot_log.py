@@ -204,3 +204,20 @@ def test_content_dedup_across_runs(spark, tmp_path):
     t2 = read_snapshot_table(spark, table)
     assert t2.count() == 4
     assert {r["url"] for r in t2.collect()} == urls1 | {html_rows[3]["url"]}
+
+
+def test_input_split_lineage_sidecar(spark, corpus_parquet, tmp_path):
+    """Each committed run records which input file contributed which url
+    range (the north-rule 'input split' lineage facet)."""
+    from pdf_ocr_spark.pipeline.snapshot_log import read_snapshot_splits
+
+    table = str(tmp_path / "stable")
+    run_extraction_snapshot(spark, corpus_parquet, table, num_partitions=4)
+    splits = read_snapshot_splits(spark, table)
+    assert splits is not None
+    rows = splits.collect()
+    assert sum(r["n_rows"] for r in rows) == 100
+    for r in rows:
+        assert r["input_file"].endswith(".parquet")
+        assert r["min_url"] <= r["max_url"] and r["n_bytes"] > 0
+        assert r["run_id"]
