@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "text_mojibake",
     "sample_stratified",
     "robots_frontier",
+    "text_lm_score",
+    "search_bm25",
+    "dedup_apply",
+    "fetch_schedule",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number
@@ -102,6 +106,24 @@ def bench_extraction(spark, n_docs: int) -> tuple[float, int]:
         return best, n_docs
 
 
+def cpu_calibration() -> float:
+    """Fixed single-thread workload (hash 48 MB) — a host-weather
+    denominator for cross-round comparisons on this steal-prone VM:
+    divide suite walls by their calibrations before calling a per-query
+    change a regression (see memory: timings fluctuate up to 4x with
+    hypervisor weather while the code is identical)."""
+    import hashlib
+
+    blob = (b"\x5a" * (1 << 20)) * 8
+    t0 = time.monotonic()
+    for _ in range(24):
+        hashlib.md5(blob).digest()
+    acc = 0
+    for i in range(6_000_000):  # interpreter-bound: tracks steal directly
+        acc += i * i
+    return round(time.monotonic() - t0, 3)
+
+
 def warmup_session(spark) -> None:
     """Pay one-time JVM/codegen/python-worker costs before any timing:
     a tiny JVM-side aggregation plus a tiny run of the fused extractor
@@ -133,6 +155,7 @@ def main() -> None:
     if not os.path.isdir(sf_dir):
         raise SystemExit(f"bench: data dir not found: {sf_dir}")
 
+    cal = cpu_calibration()
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     warmup_session(spark)
@@ -170,6 +193,7 @@ def main() -> None:
                 "docs_per_sec": round(n_docs / ext_sec, 2),
                 "extraction_docs": n_docs,
                 "cpus": cpus,
+                "calibration_sec": cal,
             }
         )
     )
