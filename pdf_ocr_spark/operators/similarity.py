@@ -274,6 +274,33 @@ def _assign_col(vec: Column, cent_rows: list) -> Column:
     return F.array_min(structs).getField("cent_id")
 
 
+def _probe_cells_col(vec: Column, cent_rows: list, nprobe: int) -> Column:
+    """The ``nprobe`` nearest cell ids, nearest first — the multi-probe
+    generalization of :func:`_assign_col` (identical distance and
+    tie-break: array_sort on the same (round₆ d, cent_id) structs)."""
+    cents = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) for x in cv) + ")"
+            for _, cv in cent_rows
+        )
+        + ")"
+    )
+    ids = F.expr(
+        "array(" + ",".join(f"{int(cid)}L" for cid, _ in cent_rows) + ")"
+    )
+    structs = F.zip_with(
+        cents,
+        ids,
+        lambda cv, cid: F.struct(
+            F.round(l2sq_expr(vec, cv), 6).alias("d"), cid.alias("cent_id")
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(structs), 1, nprobe), lambda s: s.getField("cent_id")
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     query_filter: Column,
@@ -284,13 +311,16 @@ def cosine_topk_ivf(
     quantizer: str = "seeded",
     kmeans_iters: int = 2,
     dim: int = 64,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus, then search only the
-    query's own centroid cell (nprobe=1; multi-probe = union of the
-    next-nearest cells).  Queries are corpus rows selected by
-    ``query_filter``.  ``quantizer='kmeans'`` trains the real Lloyd
-    quantizer (:func:`kmeans_centroids`); 'seeded' keeps the
-    deterministic first-k baseline."""
+    """IVF-style ANN: coarse-quantize the corpus, then search the
+    query's ``nprobe`` nearest centroid cells (nprobe=1 is the fastest/
+    lowest-recall point; each extra probe widens the candidate set —
+    the standard IVF recall lever, visible in ``sim_recall``).  Queries
+    are corpus rows selected by ``query_filter``.  ``quantizer=
+    'kmeans'`` trains the real Lloyd quantizer
+    (:func:`kmeans_centroids`); 'seeded' keeps the deterministic
+    first-k baseline."""
     if quantizer == "kmeans":
         cents = kmeans_centroids(
             corpus, n_centroids, kmeans_iters, id_col, vec_col, dim
@@ -300,12 +330,17 @@ def cosine_topk_ivf(
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     # assignment is per-row, so filter-then-assign ≡ assign-then-filter:
     # the query side only pays the argmin over its own (tiny) slice
-    # instead of re-running the full-corpus assign a second time.
-    q = ivf_assign(corpus.filter(query_filter), cents, id_col, vec_col).select(
+    # instead of re-running the full-corpus assign a second time.  A
+    # query probes nprobe DISTINCT cells and each corpus vector lives in
+    # exactly one, so the probe explode never duplicates a pair.
+    probes = _probe_cells_col(
+        F.col(vec_col), _collect_centroids(cents), nprobe
+    )
+    q = corpus.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         norm_expr(F.col(vec_col)).alias("qnorm"),
-        "cent_id",
+        F.explode(probes).alias("cent_id"),
     )
     # per-row norms below the join boundary (see cosine_topk_bruteforce)
     scored = (

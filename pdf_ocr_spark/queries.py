@@ -1554,6 +1554,47 @@ WHERE rank <= 3
 """
 
 
+def q_sim_topk_ivf_probe2(spark, sf_dir):
+    """Multi-probe IVF (nprobe=2): the query searches its TWO nearest
+    cells — the standard IVF recall lever; candidates double, the
+    corpus-side assignment and plan shape stay identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(
+        emb, F.col("vec_id") % 100 == 0, k=3, n_centroids=8, nprobe=2
+    )
+
+
+SQL_SIM_TOPK_IVF_PROBE2 = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cent_id, embedding AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+ranked AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY round({_SQL_L2SQ.format(a='e.embedding', b='c.cvec')}, 6), c.cent_id
+    ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, embedding, cent_id FROM ranked WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, cent_id
+  FROM ranked WHERE vec_id % 100 = 0 AND rn <= 2
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+    round({_SQL_COSINE.format(a='q.qv', b='a.embedding')}, 4) AS cosine
+  FROM assigned a JOIN q ON a.cent_id = q.cent_id
+  WHERE q.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1575,6 +1616,9 @@ def q_sim_recall(spark, sf_dir):
         "lsh8": S.cosine_topk_lsh(emb, queries_df, k=3, bits=8),
         "lsh4": S.cosine_topk_lsh(emb, queries_df, k=3, bits=4),
         "ivf": S.cosine_topk_ivf(emb, F.col("vec_id") % 100 == 0, k=3),
+        "ivf_probe2": S.cosine_topk_ivf(
+            emb, F.col("vec_id") % 100 == 0, k=3, nprobe=2
+        ),
         "ivf_kmeans": S.cosine_topk_ivf(
             emb, F.col("vec_id") % 100 == 0, k=3, quantizer="kmeans"
         ),
@@ -1618,6 +1662,8 @@ UNION ALL
 {_sql_recall_arm('lsh4', _sql_topk_lsh(4))}
 UNION ALL
 {_sql_recall_arm('ivf', SQL_SIM_TOPK_IVF)}
+UNION ALL
+{_sql_recall_arm('ivf_probe2', SQL_SIM_TOPK_IVF_PROBE2)}
 UNION ALL
 {_sql_recall_arm('ivf_kmeans', SQL_SIM_TOPK_IVF_KMEANS)}
 """
@@ -3500,6 +3546,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_topk_ivf": (q_sim_topk_ivf, SQL_SIM_TOPK_IVF),
     "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS_CENTROIDS),
     "sim_topk_ivf_kmeans": (q_sim_topk_ivf_kmeans, SQL_SIM_TOPK_IVF_KMEANS),
+    "sim_topk_ivf_probe2": (q_sim_topk_ivf_probe2, SQL_SIM_TOPK_IVF_PROBE2),
     "sim_recall": (q_sim_recall, SQL_SIM_RECALL),
     # text analysis
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
