@@ -1794,6 +1794,126 @@ FROM f
 """
 
 
+def q_training_mix(spark, sf_dir):
+    """The PRETRAINING-MIX pipeline as ONE plan: Gopher quality gate →
+    corpus-trained LM tercile filter (drop the worst third) → exact
+    first-occurrence dedup → greedy 2048-token sequence packing →
+    per-lang shard accounting (docs, sequences, tokens).  Every stage
+    is an already-oracle-verified operator; this query verifies their
+    COMPOSITION end-to-end against one SQL mirror.
+
+    Scale: gates are codegen'd scans; the LM vocab broadcasts; the only
+    shuffles are the vocab/score groupBys, the dedup window on the
+    fingerprint, and the per-shard pack window — nothing global."""
+    from pyspark.sql.window import Window
+
+    from pdf_ocr_spark.operators.dedup import normalized
+
+    docs = _t(spark, sf_dir, "documents")
+    gq = T.gopher_quality(docs)
+    kept1 = docs.join(
+        gq.filter(F.col("passes_gopher")).select("doc_id"), "doc_id"
+    )
+    vocab = T.lm_word_counts(docs, min_count=2)  # corpus-general LM
+    scores = T.lm_doc_scores(kept1, vocab, alpha=1.0)
+    cuts = scores.agg(
+        F.round(F.percentile("avg_logprob", F.lit(1.0 / 3)), 6).alias("c1")
+    )
+    kept2 = (
+        kept1.join(scores.select("doc_id", "avg_logprob"), "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .filter(F.col("avg_logprob") > F.col("c1"))
+    )
+    wd = Window.partitionBy(F.md5(normalized(F.col("text")))).orderBy("doc_id")
+    kept3 = (
+        kept2.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text", "lang")
+    )
+    packed = T.pack_sequences(kept3, seq_len=2048)
+    return packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("seq_index") + 1).cast("long").alias("n_sequences"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+SQL_TRAINING_MIX = f"""
+WITH f AS (
+  SELECT doc_id,
+    {_C_WORDS} AS words,
+    {_C_WCHARS} AS word_chars,
+    {_C_BULLET} AS bullet_lines,
+    {_C_ELLIP} AS ellipsis_lines,
+    {_C_SYM} AS symbols,
+    {_C_ALPHAW} AS alpha_words,
+    {_C_NL} + 1 AS n_lines
+  FROM documents
+),
+kept1 AS (
+  SELECT doc_id FROM f
+  WHERE words >= 50 AND words <= 100000
+    AND word_chars / greatest(words, 1) >= 3.0
+    AND word_chars / greatest(words, 1) <= 10.0
+    AND symbols / greatest(words, 1) <= 0.1
+    AND bullet_lines / n_lines <= 0.9
+    AND ellipsis_lines / n_lines <= 0.3
+    AND alpha_words / greatest(words, 1) >= 0.8
+),
+dwf AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+vocab AS (
+  SELECT w, count(*) AS cnt FROM dwf GROUP BY w HAVING count(*) >= 2
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+         CAST(count(*) AS DOUBLE) AS v_size
+  FROM vocab
+),
+scores AS (
+  SELECT doc_id,
+    round(CAST(sum(CAST(ln((coalesce(cnt, 0) + 1.0)
+                           / (n_total + 1.0 * (v_size + 1))) AS DECIMAL(18,6)))
+               AS DOUBLE) / count(*), 4) AS avg_logprob
+  FROM (SELECT d.* FROM dwf d JOIN kept1 USING (doc_id)) dk
+  LEFT JOIN vocab USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+),
+cuts AS (SELECT round(quantile_cont(avg_logprob, 1.0/3), 6) AS c1 FROM scores),
+kept2 AS (
+  SELECT doc_id FROM scores CROSS JOIN cuts WHERE avg_logprob > c1
+),
+kept3 AS (
+  SELECT doc_id FROM (
+    SELECT d.doc_id,
+      row_number() OVER (PARTITION BY md5({_NORM_SQL.format(c='d.text')})
+                         ORDER BY d.doc_id) AS rn
+    FROM documents d JOIN kept2 USING (doc_id))
+  WHERE rn = 1
+),
+t AS (
+  SELECT lang, doc_id,
+         CAST({_SQL_CNT.format(p=T.TOKEN_PATTERN)} AS BIGINT) AS n_tokens
+  FROM documents JOIN kept3 USING (doc_id)
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens,
+    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                - n_tokens) / 2048.0) AS BIGINT) AS seq_index
+  FROM t
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(seq_index) + 1 AS BIGINT) AS n_sequences,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM packed GROUP BY lang
+"""
+
+
 def q_text_c4(spark, sf_dir):
     """C4-style cleanup signals + keep decision."""
     return T.c4_filters(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
@@ -3580,6 +3700,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sink_overlay_svg": (q_sink_overlay_svg, SQL_SINK_OVERLAY_SVG),
     "extract_corpus": (q_extract_corpus, SQL_EXTRACT_CORPUS),
     "pages_table": (q_pages_table, SQL_PAGES_TABLE),
+    "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
     "link_edges": (q_link_edges, SQL_LINK_EDGES),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
