@@ -339,6 +339,91 @@ def make_simple_pdf(
     return w.build(catalog)
 
 
+def _escape_literal_bytes(raw: bytes) -> bytes:
+    out = bytearray()
+    for b in raw:
+        if b in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out += b"\\" + bytes((b,))
+        else:
+            out += bytes((b,))
+    return bytes(out)
+
+
+def make_form_pdf(rng: random.Random) -> bytes:
+    """One-page PDF with an AcroForm exercising the field-tree corners:
+    literal + UTF-16BE text values, a /Btn name value, a /Ch choice, a
+    hierarchical parent.child group with INHERITED /FT, and a terminal
+    field whose /Kids are widget-only annotations (must collapse)."""
+    who = " ".join(rng.sample(_EN_WORDS, 2))
+    city = rng.choice(["東京都", "大阪市", "Quebec", "Zürich"])
+    line1 = f"{rng.randint(1, 9)}-{rng.randint(1, 9)}-{rng.randint(1, 9)}"
+    color = rng.choice(["blue", "green", "red"])
+    w = _PdfWriter()
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    content = w.add_stream(b"", b"BT ET\n")
+    page = w.add(
+        b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R >>"
+        % (pages_num, content)
+    )
+    f1 = w.add(b"<< /FT /Tx /T (applicant) /V (%s) >>" % _escape_literal(who))
+    v16 = ("﻿" + city).encode("utf-16-be")
+    f2 = w.add(b"<< /FT /Tx /T (city) /V (%s) >>" % _escape_literal_bytes(v16))
+    cb = w.add(b"<< /FT /Btn /T (agree) /V /Yes >>")
+    ch = w.add(b"<< /FT /Ch /T (color) /V (%s) >>" % color.encode())
+    parent = w.reserve()
+    c1 = w.add(
+        b"<< /T (line1) /V (%s) /Parent %d 0 R >>"
+        % (_escape_literal(line1), parent)
+    )
+    c2 = w.add(b"<< /T (line2) /V (Chiyoda \\(ward\\)) /Parent %d 0 R >>" % parent)
+    w.fill(
+        parent,
+        b"<< /T (address) /FT /Tx /Kids [%d 0 R %d 0 R] >>" % (c1, c2),
+    )
+    widget = w.add(b"<< /Type /Annot /Subtype /Widget /Rect [0 0 1 1] >>")
+    note = w.add(
+        b"<< /FT /Tx /T (note) /V (hello) /Kids [%d 0 R] >>" % widget
+    )
+    acro = w.add(
+        b"<< /Fields [%d 0 R %d 0 R %d 0 R %d 0 R %d 0 R %d 0 R] >>"
+        % (f1, f2, cb, ch, parent, note)
+    )
+    w.fill(
+        catalog,
+        b"<< /Type /Catalog /Pages %d 0 R /AcroForm %d 0 R >>"
+        % (pages_num, acro),
+    )
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%d 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        % page,
+    )
+    return w.build(catalog)
+
+
+def gen_form_rows(n: int, seed: int = 17) -> List[dict]:
+    """Corpus for the pdf_forms query: AcroForm PDFs plus formless PDFs
+    and HTML pages (which must emit nothing)."""
+    rows: List[dict] = []
+    for i in range(n):
+        rng = random.Random((seed << 18) ^ i)
+        if i % 3 == 2:
+            if i % 6 == 5:
+                payload, _ = make_html_page(rng, "en")
+            else:
+                payload = make_simple_pdf([["formless page"]])
+            kind = "plain"
+        else:
+            payload = make_form_pdf(rng)
+            kind = "form"
+        rows.append(
+            dict(url=f"https://example.test/forms/{kind}/{i:05d}",
+                 html=payload, kind=kind)
+        )
+    return rows
+
+
 # -- scanned (image-only) PDFs ---------------------------------------------------
 
 

@@ -736,6 +736,50 @@ def extract_html_meta(
     )
 
 
+FORM_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("field_index", IntegerType()),
+        StructField("name", StringType()),       # fully-qualified (a.b)
+        StructField("field_type", StringType()),  # Tx | Btn | Ch | Sig | ''
+        StructField("value", StringType()),
+    ]
+)
+
+
+def extract_forms_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """AcroForm field extractor (runs on executors): one row per
+    terminal form field — data that never reaches the text layer when
+    fields lack appearance streams.  Non-PDF and poison rows emit
+    nothing."""
+    from pdf_ocr_spark.kernels.pdf.forms import extract_form_fields
+
+    _tune_worker_gc()
+    cols = [f.name for f in FORM_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not data or not looks_like_pdf(data):
+                continue
+            for i, fld in enumerate(extract_form_fields(data)):
+                rows.append((url, i, fld.name, fld.field_type, fld.value))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_forms(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages(url, html, …) → AcroForm fields (url, field_index, name,
+    field_type, value).  Same plan shape as every extraction route."""
+    return kernel_route(
+        pages_df, extract_forms_batch, FORM_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
 LINK_SCHEMA = StructType(
     [
         StructField("url", StringType()),

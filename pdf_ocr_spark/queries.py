@@ -2846,6 +2846,35 @@ FROM read_parquet('{_HTML_META_GOLDEN}')
 """
 
 
+_PDF_FORMS_GOLDEN = _golden("pdf_forms")
+
+
+def q_pdf_forms(spark, sf_dir):
+    """AcroForm field extraction through the distributed pipeline: one
+    row per terminal form field (fully-qualified name, type, decoded
+    value) — the COS object-graph walk (/Root → /AcroForm → /Fields
+    with /Kids recursion, /FT//V inheritance, widget-kid collapse, and
+    UTF-16BE/PDFDoc text-string decoding).  Form data never reaches the
+    text layer when fields lack appearance streams; skipping it loses
+    real content at crawl scale.  Formless PDFs and HTML emit nothing.
+    Oracle = frozen kernel golden (tools/freeze_forms_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_form_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_forms
+
+    rows = gen_form_rows(36)  # must match the freeze tool's N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_forms(pages)
+
+
+SQL_PDF_FORMS = f"""
+SELECT url, field_index, name, field_type, value
+FROM read_parquet('{_PDF_FORMS_GOLDEN}')
+"""
+
+
 def q_canonical_collapse(spark, sf_dir):
     """Canonical-URL dedup composed over the metadata extraction: the
     meta corpus plus a mirror copy of every page (same html, '?m=1'
@@ -3725,6 +3754,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "blocks_composite": (q_blocks_composite, SQL_BLOCKS_COMPOSITE),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "html_meta": (q_html_meta, SQL_HTML_META),
+    "pdf_forms": (q_pdf_forms, SQL_PDF_FORMS),
     "canonical_collapse": (q_canonical_collapse, SQL_CANONICAL_COLLAPSE),
     "raster_pages": (q_raster_pages, SQL_RASTER_PAGES),
     "page_orientation": (q_page_orientation, SQL_PAGE_ORIENTATION),

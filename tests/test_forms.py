@@ -1,0 +1,59 @@
+"""AcroForm field extraction: field-tree semantics, text-string
+decoding, and the distributed route."""
+
+from __future__ import annotations
+
+import random
+
+from pdf_ocr_spark.fixtures.genpages import gen_form_rows, make_form_pdf
+from pdf_ocr_spark.kernels.pdf.forms import decode_text_string, extract_form_fields
+
+
+def test_form_field_tree_semantics():
+    fields = {f.name: f for f in extract_form_fields(make_form_pdf(random.Random(7)))}
+    # UTF-16BE value decoded
+    assert fields["city"].value in ("東京都", "大阪市", "Quebec", "Zürich")
+    # name-valued /V (checkbox)
+    assert fields["agree"] == ("agree", "Btn", "Yes")
+    # hierarchy composes names; /FT inherits from the parent
+    assert fields["address.line1"].field_type == "Tx"
+    assert fields["address.line2"].value == "Chiyoda (ward)"
+    # the parent node itself is NOT terminal
+    assert "address" not in fields
+    # widget-only kids collapse into the terminal field
+    assert fields["note"].value == "hello"
+
+
+def test_decode_text_string_variants():
+    assert decode_text_string(b"plain") == "plain"
+    assert decode_text_string("﻿東".encode("utf-16-be")) == "東"
+    assert decode_text_string(b"a\x85b") == "a–b"  # PDFDoc en-dash
+    assert decode_text_string(None) == ""
+
+
+def test_formless_inputs_emit_nothing():
+    from pdf_ocr_spark.fixtures.genpages import make_html_page, make_simple_pdf
+
+    assert extract_form_fields(make_simple_pdf([["no form"]])) == []
+    html, _ = make_html_page(random.Random(1), "en")
+    assert extract_form_fields(html) == []
+    assert extract_form_fields(b"%PDF-garbage") == []
+
+
+def test_forms_route_matches_kernel(spark):
+    from pdf_ocr_spark.pipeline.extract_job import extract_forms
+
+    rows = gen_form_rows(12)
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        "url string, html binary",
+    )
+    via_spark = {
+        (r.url, r.field_index, r.name, r.field_type, r.value)
+        for r in extract_forms(pages, num_partitions=2).collect()
+    }
+    expected = set()
+    for r in rows:
+        for i, f in enumerate(extract_form_fields(bytes(r["html"]))):
+            expected.add((r["url"], i, f.name, f.field_type, f.value))
+    assert via_spark == expected and expected
