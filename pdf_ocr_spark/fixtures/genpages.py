@@ -424,6 +424,100 @@ def gen_form_rows(n: int, seed: int = 17) -> List[dict]:
     return rows
 
 
+def make_outline_pdf(rng: random.Random) -> bytes:
+    """Three-page PDF with an /Info dict and a two-level outline:
+    chapter items with /Dest arrays, a section child using an /A GoTo
+    action, and a UTF-16BE title."""
+    w = _PdfWriter()
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    page_nums = []
+    for i in range(3):
+        content = w.add_stream(b"", _simple_content([f"page {i + 1}"], (612.0, 792.0), 0))
+        page_nums.append(
+            w.add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R"
+                b" /Resources << /Font << /F1 %d 0 R >> >> >>"
+                % (pages_num, content, w.add(
+                    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                    b" /Encoding /WinAnsiEncoding >>"))
+            )
+        )
+    title = " ".join(rng.sample(_EN_WORDS, 3)).title()
+    author = rng.choice(["A. Writer", "B. Scholar", "C. Compiler"])
+    mod = (
+        b" /ModDate (D:2025020%d120000Z)" % rng.randint(1, 9)
+        if rng.random() < 0.5 else b""
+    )
+    info = w.add(
+        b"<< /Title (%s) /Author (%s) /Subject (synthetic corpus)"
+        b" /Producer (genpages) /CreationDate (D:20250102030405Z)%s >>"
+        % (_escape_literal(title), _escape_literal(author), mod)
+    )
+    outlines = w.reserve()
+    ch1 = w.reserve()
+    ch2 = w.reserve()
+    sec = w.reserve()
+    w.fill(
+        ch1,
+        b"<< /Title (Chapter 1) /Parent %d 0 R /Next %d 0 R"
+        b" /First %d 0 R /Last %d 0 R /Dest [%d 0 R /Fit] >>"
+        % (outlines, ch2, sec, sec, page_nums[0]),
+    )
+    v16 = ("﻿第二章").encode("utf-16-be")
+    w.fill(
+        ch2,
+        b"<< /Title (%s) /Parent %d 0 R /Prev %d 0 R /Dest [%d 0 R /XYZ 0 792 0] >>"
+        % (_escape_literal_bytes(v16), outlines, ch1, page_nums[2]),
+    )
+    w.fill(
+        sec,
+        b"<< /Title (Section 1.1) /Parent %d 0 R"
+        b" /A << /S /GoTo /D [%d 0 R /Fit] >> >>" % (ch1, page_nums[1]),
+    )
+    w.fill(
+        outlines,
+        b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count 3 >>"
+        % (ch1, ch2),
+    )
+    w.fill(
+        catalog,
+        b"<< /Type /Catalog /Pages %d 0 R /Outlines %d 0 R >>"
+        % (pages_num, outlines),
+    )
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 612 792] >>"
+        % (kids, len(page_nums)),
+    )
+    pdf = w.build(catalog)
+    # splice /Info into the trailer (the writer has no Info hook)
+    return pdf.replace(b"trailer\n<<", b"trailer\n<< /Info %d 0 R" % info, 1)
+
+
+def gen_docmeta_rows(n: int, seed: int = 19) -> List[dict]:
+    """Corpus for pdf_doc_info / pdf_outline: outline PDFs plus plain
+    (info-less, outline-less) PDFs and HTML decoys."""
+    rows: List[dict] = []
+    for i in range(n):
+        rng = random.Random((seed << 18) ^ i)
+        if i % 3 == 2:
+            if i % 6 == 5:
+                payload, _ = make_html_page(rng, "en")
+            else:
+                payload = make_simple_pdf([["plain page"]])
+            kind = "plain"
+        else:
+            payload = make_outline_pdf(rng)
+            kind = "outline"
+        rows.append(
+            dict(url=f"https://example.test/docmeta/{kind}/{i:05d}",
+                 html=payload, kind=kind)
+        )
+    return rows
+
+
 # -- scanned (image-only) PDFs ---------------------------------------------------
 
 

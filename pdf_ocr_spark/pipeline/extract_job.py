@@ -780,6 +780,88 @@ def extract_forms(
     )
 
 
+DOC_INFO_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
+        StructField("subject", StringType()),
+        StructField("producer", StringType()),
+        StructField("created", StringType()),
+        StructField("modified", StringType()),
+        StructField("n_pages", IntegerType()),
+    ]
+)
+
+OUTLINE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("order", IntegerType()),
+        StructField("level", IntegerType()),
+        StructField("title", StringType()),
+        StructField("page_num", IntegerType()),  # 1-based, -1 unresolvable
+    ]
+)
+
+
+def extract_doc_info_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Trailer /Info metadata per PDF (title/author/dates + page count)
+    — quality/dedup signals the content stream doesn't carry."""
+    from pdf_ocr_spark.kernels.pdf.docinfo import extract_doc_info
+
+    _tune_worker_gc()
+    cols = [f.name for f in DOC_INFO_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not data or not looks_like_pdf(data):
+                continue
+            rows.append((url, *extract_doc_info(data)))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_outline_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Outline (bookmark) items per PDF — the document's own table of
+    contents, the section-boundary signal for structure-aware chunking
+    of long documents.  Outline-less PDFs emit nothing."""
+    from pdf_ocr_spark.kernels.pdf.docinfo import extract_outline
+
+    _tune_worker_gc()
+    cols = [f.name for f in OUTLINE_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not data or not looks_like_pdf(data):
+                continue
+            for it in extract_outline(data):
+                rows.append((url, it.order, it.level, it.title, it.page_num))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_doc_info(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    return kernel_route(
+        pages_df, extract_doc_info_batch, DOC_INFO_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
+def extract_outline(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    return kernel_route(
+        pages_df, extract_outline_batch, OUTLINE_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
 LINK_SCHEMA = StructType(
     [
         StructField("url", StringType()),

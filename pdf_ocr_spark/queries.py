@@ -2875,6 +2875,56 @@ FROM read_parquet('{_PDF_FORMS_GOLDEN}')
 """
 
 
+_PDF_DOC_INFO_GOLDEN = _golden("pdf_doc_info")
+_PDF_OUTLINE_GOLDEN = _golden("pdf_outline")
+
+
+def q_pdf_doc_info(spark, sf_dir):
+    """Trailer /Info metadata per PDF (title/author/subject/producer/
+    dates + page count) through the distributed pipeline — the
+    quality/dedup signals the content stream doesn't carry; info-less
+    PDFs emit all-null fields, non-PDFs emit nothing.  Oracle = frozen
+    kernel golden (tools/freeze_docmeta_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_docmeta_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_doc_info
+
+    rows = gen_docmeta_rows(36)  # must match the freeze tool's N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_doc_info(pages)
+
+
+SQL_PDF_DOC_INFO = f"""
+SELECT url, title, author, subject, producer, created, modified, n_pages
+FROM read_parquet('{_PDF_DOC_INFO_GOLDEN}')
+"""
+
+
+def q_pdf_outline(spark, sf_dir):
+    """Outline (bookmark) extraction: the document's own table of
+    contents flattened in document order with 1-based target pages —
+    /First→/Next sibling walks, /Dest arrays AND /A GoTo actions,
+    UTF-16BE titles; the section-boundary signal for structure-aware
+    chunking.  Oracle = frozen kernel golden."""
+    from pdf_ocr_spark.fixtures.genpages import gen_docmeta_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_outline
+
+    rows = gen_docmeta_rows(36)
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_outline(pages)
+
+
+SQL_PDF_OUTLINE = f"""
+SELECT url, "order", level, title, page_num
+FROM read_parquet('{_PDF_OUTLINE_GOLDEN}')
+"""
+
+
 def q_canonical_collapse(spark, sf_dir):
     """Canonical-URL dedup composed over the metadata extraction: the
     meta corpus plus a mirror copy of every page (same html, '?m=1'
@@ -3755,6 +3805,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "html_meta": (q_html_meta, SQL_HTML_META),
     "pdf_forms": (q_pdf_forms, SQL_PDF_FORMS),
+    "pdf_doc_info": (q_pdf_doc_info, SQL_PDF_DOC_INFO),
+    "pdf_outline": (q_pdf_outline, SQL_PDF_OUTLINE),
     "canonical_collapse": (q_canonical_collapse, SQL_CANONICAL_COLLAPSE),
     "raster_pages": (q_raster_pages, SQL_RASTER_PAGES),
     "page_orientation": (q_page_orientation, SQL_PAGE_ORIENTATION),

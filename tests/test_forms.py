@@ -57,3 +57,32 @@ def test_forms_route_matches_kernel(spark):
         for i, f in enumerate(extract_form_fields(bytes(r["html"]))):
             expected.add((r["url"], i, f.name, f.field_type, f.value))
     assert via_spark == expected and expected
+
+
+def test_doc_info_and_outline_kernel():
+    from pdf_ocr_spark.fixtures.genpages import make_outline_pdf, make_simple_pdf
+    from pdf_ocr_spark.kernels.pdf.docinfo import extract_doc_info, extract_outline
+
+    pdf = make_outline_pdf(random.Random(3))
+    info = extract_doc_info(pdf)
+    assert info.n_pages == 3 and info.producer == "genpages"
+    assert info.created == "D:20250102030405Z"
+    items = extract_outline(pdf)
+    assert [(i.level, i.title, i.page_num) for i in items] == [
+        (1, "Chapter 1", 1),       # /Dest array
+        (2, "Section 1.1", 2),     # nested via /First; /A GoTo action
+        (1, "第二章", 3),           # UTF-16BE title
+    ]
+    assert [i.order for i in items] == [0, 1, 2]
+    plain = make_simple_pdf([["x"]])
+    assert extract_outline(plain) == []
+    assert extract_doc_info(plain).title is None
+    assert extract_doc_info(plain).n_pages == 1
+
+
+def test_docinfo_never_raises_on_garbage():
+    from pdf_ocr_spark.kernels.pdf.docinfo import extract_doc_info, extract_outline
+
+    for junk in (b"", b"%PDF-", b"%PDF-1.7 garbage", b"\x00" * 128):
+        extract_doc_info(junk)
+        extract_outline(junk)
