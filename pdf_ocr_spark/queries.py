@@ -2925,6 +2925,48 @@ FROM read_parquet('{_PDF_OUTLINE_GOLDEN}')
 """
 
 
+def q_outline_sections(spark, sf_dir):
+    """Structure-aware chunk boundaries: top-level outline items become
+    (section_title, start_page, end_page) ranges — lead() over document
+    order closes each section at the next chapter, the last one at
+    n_pages.  The boundary table a section-aware splitter consumes
+    instead of blind byte windows.  Windows partition per url."""
+    from pyspark.sql.window import Window
+
+    from pdf_ocr_spark.fixtures.genpages import gen_docmeta_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_doc_info, extract_outline
+
+    rows = gen_docmeta_rows(36)
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    ol = extract_outline(pages).filter(F.col("level") == 1)
+    info = extract_doc_info(pages).select("url", "n_pages")
+    w = Window.partitionBy("url").orderBy("order")
+    return (
+        ol.join(info, "url")
+        .select(
+            "url",
+            F.col("title").alias("section_title"),
+            F.col("page_num").alias("start_page"),
+            F.coalesce(
+                F.lead("page_num").over(w) - 1, F.col("n_pages")
+            ).alias("end_page"),
+        )
+    )
+
+
+SQL_OUTLINE_SECTIONS = f"""
+SELECT o.url, o.title AS section_title, o.page_num AS start_page,
+  coalesce(lead(o.page_num) OVER (PARTITION BY o.url ORDER BY o."order") - 1,
+           i.n_pages) AS end_page
+FROM read_parquet('{_PDF_OUTLINE_GOLDEN}') o
+JOIN read_parquet('{_PDF_DOC_INFO_GOLDEN}') i USING (url)
+WHERE o.level = 1
+"""
+
+
 def q_canonical_collapse(spark, sf_dir):
     """Canonical-URL dedup composed over the metadata extraction: the
     meta corpus plus a mirror copy of every page (same html, '?m=1'
@@ -3807,6 +3849,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pdf_forms": (q_pdf_forms, SQL_PDF_FORMS),
     "pdf_doc_info": (q_pdf_doc_info, SQL_PDF_DOC_INFO),
     "pdf_outline": (q_pdf_outline, SQL_PDF_OUTLINE),
+    "outline_sections": (q_outline_sections, SQL_OUTLINE_SECTIONS),
     "canonical_collapse": (q_canonical_collapse, SQL_CANONICAL_COLLAPSE),
     "raster_pages": (q_raster_pages, SQL_RASTER_PAGES),
     "page_orientation": (q_page_orientation, SQL_PAGE_ORIENTATION),
