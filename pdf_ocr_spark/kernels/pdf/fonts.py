@@ -17,7 +17,14 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, List, Optional, Tuple
 
-from pdf_ocr_spark.kernels.pdf.cos import Lexer, Name, PDFDocument, PDFError, Stream
+from pdf_ocr_spark.kernels.pdf.cos import (
+    Lexer,
+    Name,
+    PDFDocument,
+    PDFError,
+    Ref,
+    Stream,
+)
 
 # WinAnsiEncoding codes that differ from Latin-1 (PDF 32000-1 Annex D.2).
 _WINANSI_DIFFS = {
@@ -318,7 +325,13 @@ def _load_cid_widths(doc: PDFDocument, w_obj: Any, f: Font) -> None:
 
 
 def load_page_fonts(doc: PDFDocument, resources: Any) -> Dict[str, Font]:
-    """All fonts declared in a page's /Resources."""
+    """All fonts declared in a page's /Resources.
+
+    Memoized per document on (font object number, resource name):
+    pages of one PDF overwhelmingly share font objects, and a font's
+    widths/CMap/ToUnicode parse is ~1 ms — per-PAGE loading re-paid it
+    on every page.  The per-code decode cache inside Font is shared
+    across pages too (same font, same codes), which is pure upside."""
     out: Dict[str, Font] = {}
     res = doc.resolve(resources)
     if not isinstance(res, dict):
@@ -326,9 +339,19 @@ def load_page_fonts(doc: PDFDocument, resources: Any) -> Dict[str, Font]:
     fonts = doc.resolve(res.get("Font"))
     if not isinstance(fonts, dict):
         return out
+    memo = getattr(doc, "_font_memo", None)
+    if memo is None:
+        memo = {}
+        doc._font_memo = memo  # type: ignore[attr-defined]
     for name, obj in fonts.items():
-        try:
-            out[str(name)] = load_font(doc, obj, str(name))
-        except PDFError:
-            out[str(name)] = Font()
+        rname = str(name)
+        key = (obj.num if isinstance(obj, Ref) else id(doc.resolve(obj)), rname)
+        f = memo.get(key)
+        if f is None:
+            try:
+                f = load_font(doc, obj, rname)
+            except PDFError:
+                f = Font()
+            memo[key] = f
+        out[rname] = f
     return out
