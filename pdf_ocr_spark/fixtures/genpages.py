@@ -518,6 +518,82 @@ def gen_docmeta_rows(n: int, seed: int = 19) -> List[dict]:
     return rows
 
 
+def make_annot_pdf(rng: random.Random) -> bytes:
+    """Two-page PDF with comment-layer annotations: a sticky note
+    (/Text) with author, a /Highlight with a UTF-16BE comment, a
+    /FreeText, a geometry-only /Square (no text → must be skipped), and
+    a /Link (handled by the frontier extractor → skipped here)."""
+    note = " ".join(rng.sample(_EN_WORDS, 3))
+    w = _PdfWriter()
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    font = w.add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>"
+    )
+    a1 = w.add(
+        b"<< /Type /Annot /Subtype /Text /Rect [10 700 30 720]"
+        b" /Contents (%s) /T (reviewer-a) >>" % _escape_literal(note)
+    )
+    v16 = ("﻿要確認").encode("utf-16-be")
+    a2 = w.add(
+        b"<< /Type /Annot /Subtype /Highlight /Rect [10 650 200 670]"
+        b" /Contents (%s) >>" % _escape_literal_bytes(v16)
+    )
+    a3 = w.add(
+        b"<< /Type /Annot /Subtype /Square /Rect [0 0 50 50] >>"  # no text
+    )
+    a4 = w.add(
+        b"<< /Type /Annot /Subtype /Link /Rect [0 0 10 10]"
+        b" /A << /S /URI /URI (https://skip.test/) >> >>"
+    )
+    a5 = w.add(
+        b"<< /Type /Annot /Subtype /FreeText /Rect [10 600 300 630]"
+        b" /Contents (margin remark %d) >>" % rng.randint(0, 99)
+    )
+    page_nums = []
+    for annots in (b"[%d 0 R %d 0 R %d 0 R %d 0 R]" % (a1, a2, a3, a4),
+                   b"[%d 0 R]" % a5):
+        content = w.add_stream(b"", _simple_content(["body text"], (612.0, 792.0), 0))
+        page_nums.append(
+            w.add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R"
+                b" /Resources << /Font << /F1 %d 0 R >> >> /Annots %s >>"
+                % (pages_num, content, font, annots)
+            )
+        )
+    w.fill(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 612 792] >>"
+        % (kids, len(page_nums)),
+    )
+    return w.build(catalog)
+
+
+def gen_annot_rows(n: int, seed: int = 23) -> List[dict]:
+    """Corpus for the pdf_annotations query: annotated PDFs plus
+    annotation-free PDFs and HTML decoys (emit nothing)."""
+    rows: List[dict] = []
+    for i in range(n):
+        rng = random.Random((seed << 18) ^ i)
+        if i % 3 == 2:
+            if i % 6 == 5:
+                payload, _ = make_html_page(rng, "en")
+            else:
+                payload = make_simple_pdf([["clean page"]])
+            kind = "plain"
+        else:
+            payload = make_annot_pdf(rng)
+            kind = "annot"
+        rows.append(
+            dict(url=f"https://example.test/annots/{kind}/{i:05d}",
+                 html=payload, kind=kind)
+        )
+    return rows
+
+
 # -- scanned (image-only) PDFs ---------------------------------------------------
 
 

@@ -172,3 +172,63 @@ def extract_outline(data: bytes) -> List[OutlineItem]:
 
     walk(outlines.get("First"), 1)
     return out
+
+
+class Annotation(NamedTuple):
+    page_num: int   # 1-based
+    order: int      # per-document order, 0-based
+    subtype: str    # Text | FreeText | Highlight | …
+    contents: str   # decoded /Contents ('' when absent)
+    author: str     # decoded /T ('' when absent)
+
+
+_CONTENT_ANNOTS = {
+    "Text", "FreeText", "Highlight", "Underline", "Squiggly",
+    "StrikeOut", "Caret", "Ink", "Square", "Circle", "Polygon",
+    "PolyLine", "Stamp", "Popup",
+}
+
+
+def extract_annotations(data: bytes) -> List[Annotation]:
+    """bytes → markup/comment annotations with textual /Contents — the
+    reviewer layer (sticky notes, highlights with comments) that never
+    appears in the content stream.  Link and Widget annots are handled
+    by their own extractors (frontier links, form fields) and skipped
+    here.  Deterministic, never raises."""
+    out: List[Annotation] = []
+    try:
+        doc = PDFDocument(data)
+        pages = doc.pages()
+    except PDFError:
+        return []
+    except Exception:  # noqa: BLE001
+        return []
+    for pno, page in enumerate(pages, 1):
+        try:
+            annots = doc.resolve(page.get("Annots"))
+        except Exception:  # noqa: BLE001
+            continue
+        if not isinstance(annots, list):
+            continue
+        for a in annots[:256]:  # poison cap
+            if len(out) >= 4096:
+                return out
+            try:
+                ad = doc.resolve(a)
+                if not isinstance(ad, dict):
+                    continue
+                subtype = str(ad.get("Subtype", ""))
+                if subtype not in _CONTENT_ANNOTS:
+                    continue
+                contents = ""
+                if ad.get("Contents") is not None:
+                    contents = decode_text_string(doc.resolve(ad["Contents"]))
+                author = ""
+                if ad.get("T") is not None:
+                    author = decode_text_string(doc.resolve(ad["T"]))
+                if not contents and not author:
+                    continue  # geometry-only markup carries no text
+                out.append(Annotation(pno, len(out), subtype, contents, author))
+            except Exception:  # noqa: BLE001
+                continue
+    return out

@@ -862,6 +862,51 @@ def extract_outline(
     )
 
 
+ANNOT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("page_num", IntegerType()),
+        StructField("order", IntegerType()),
+        StructField("subtype", StringType()),
+        StructField("contents", StringType()),
+        StructField("author", StringType()),
+    ]
+)
+
+
+def extract_annots_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Comment-layer annotations per PDF (sticky notes, highlights with
+    text, free-text remarks) — reviewer content the text layer never
+    carries.  Link/Widget annots belong to the frontier/forms
+    extractors; geometry-only markup is skipped."""
+    from pdf_ocr_spark.kernels.pdf.docinfo import extract_annotations
+
+    _tune_worker_gc()
+    cols = [f.name for f in ANNOT_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not data or not looks_like_pdf(data):
+                continue
+            for a in extract_annotations(data):
+                rows.append(
+                    (url, a.page_num, a.order, a.subtype, a.contents, a.author)
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_annotations_route(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    return kernel_route(
+        pages_df, extract_annots_batch, ANNOT_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
 LINK_SCHEMA = StructType(
     [
         StructField("url", StringType()),

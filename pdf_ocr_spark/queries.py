@@ -2967,6 +2967,33 @@ WHERE o.level = 1
 """
 
 
+_PDF_ANNOTS_GOLDEN = _golden("pdf_annotations")
+
+
+def q_pdf_annotations(spark, sf_dir):
+    """Comment-layer annotation extraction: sticky notes, highlights
+    with comments, free-text remarks — with page number, document
+    order, decoded /Contents (UTF-16BE supported) and author.  Link and
+    Widget annots route to the frontier/forms extractors; geometry-only
+    markup emits nothing.  Oracle = frozen kernel golden
+    (tools/freeze_annots_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_annot_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_annotations_route
+
+    rows = gen_annot_rows(36)  # must match the freeze tool's N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_annotations_route(pages)
+
+
+SQL_PDF_ANNOTATIONS = f"""
+SELECT url, page_num, "order", subtype, contents, author
+FROM read_parquet('{_PDF_ANNOTS_GOLDEN}')
+"""
+
+
 def q_canonical_collapse(spark, sf_dir):
     """Canonical-URL dedup composed over the metadata extraction: the
     meta corpus plus a mirror copy of every page (same html, '?m=1'
@@ -3850,6 +3877,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pdf_doc_info": (q_pdf_doc_info, SQL_PDF_DOC_INFO),
     "pdf_outline": (q_pdf_outline, SQL_PDF_OUTLINE),
     "outline_sections": (q_outline_sections, SQL_OUTLINE_SECTIONS),
+    "pdf_annotations": (q_pdf_annotations, SQL_PDF_ANNOTATIONS),
     "canonical_collapse": (q_canonical_collapse, SQL_CANONICAL_COLLAPSE),
     "raster_pages": (q_raster_pages, SQL_RASTER_PAGES),
     "page_orientation": (q_page_orientation, SQL_PAGE_ORIENTATION),

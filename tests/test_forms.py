@@ -86,3 +86,20 @@ def test_docinfo_never_raises_on_garbage():
     for junk in (b"", b"%PDF-", b"%PDF-1.7 garbage", b"\x00" * 128):
         extract_doc_info(junk)
         extract_outline(junk)
+
+
+def test_annotations_kernel():
+    from pdf_ocr_spark.fixtures.genpages import make_annot_pdf, make_simple_pdf
+    from pdf_ocr_spark.kernels.pdf.docinfo import extract_annotations
+
+    anns = extract_annotations(make_annot_pdf(random.Random(2)))
+    by_type = {a.subtype: a for a in anns}
+    assert by_type["Text"].author == "reviewer-a"
+    assert by_type["Highlight"].contents == "要確認"       # UTF-16BE
+    assert by_type["FreeText"].page_num == 2
+    # geometry-only Square and Link annots skipped
+    assert set(by_type) == {"Text", "Highlight", "FreeText"}
+    assert [a.order for a in anns] == [0, 1, 2]
+    assert extract_annotations(make_simple_pdf([["x"]])) == []
+    for junk in (b"", b"%PDF-junk"):
+        extract_annotations(junk)  # never raises
