@@ -1097,6 +1097,61 @@ def gen_sitemap_rows(n: int, seed: int = 31) -> List[dict]:
     return rows
 
 
+def gen_feed_rows(n: int, seed: int = 37) -> List[dict]:
+    """Deterministic RSS/Atom corpus: RSS channels (entities, CDATA
+    titles, pubDates), Atom feeds (rel=self decoys before alternates,
+    gzipped variants), and broken docs (must emit nothing)."""
+    import gzip as _gzip
+
+    rows: List[dict] = []
+    for i in range(n):
+        rng = random.Random((seed << 14) ^ i)
+        domain = f"feedsite{i:03d}.example.test"
+        url = f"https://{domain}/feed.xml"
+        variant = i % 4
+        if variant == 3:
+            body = b"<html>not a feed at all</html>"
+        elif variant == 2:
+            entries = []
+            for k in range(rng.randint(2, 4)):
+                entries.append(
+                    f'<entry><title>Entry {k}</title>'
+                    f'<link rel="self" href="https://{domain}/self"/>'
+                    f'<link rel="alternate" href="https://{domain}/e/{k}"/>'
+                    f"<updated>2024-0{rng.randint(1, 9)}-02T03:04:05Z</updated></entry>"
+                )
+            body = (
+                '<feed xmlns="http://www.w3.org/2005/Atom">'
+                + "".join(entries) + "</feed>"
+            ).encode()
+            if rng.random() < 0.5:
+                body = _gzip.compress(body, mtime=0)
+                url = f"https://{domain}/feed.xml.gz"
+        else:
+            items = []
+            for k in range(rng.randint(2, 5)):
+                title = (
+                    f"<![CDATA[Post {k} & friends]]>"
+                    if rng.random() < 0.4
+                    else f"Post {k} &amp; co"
+                )
+                date = (
+                    f"<pubDate>Mon, 0{rng.randint(1, 9)} Jan 2024 00:00:00 GMT</pubDate>"
+                    if rng.random() < 0.6
+                    else ""
+                )
+                items.append(
+                    f"<item><title>{title}</title>"
+                    f"<link>https://{domain}/post/{k}?x=1&amp;y={k}</link>{date}</item>"
+                )
+            body = (
+                '<?xml version="1.0"?><rss version="2.0"><channel>'
+                + "".join(items) + "</channel></rss>"
+            ).encode()
+        rows.append(dict(url=url, body=body))
+    return rows
+
+
 # -- broken payloads ---------------------------------------------------------------
 
 

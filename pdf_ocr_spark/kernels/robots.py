@@ -208,3 +208,72 @@ def parse_sitemap_xml(data: bytes) -> List[tuple]:
         lastmod = dm.group(1).decode("ascii", "replace").strip() if dm else None
         out.append((loc, lastmod, kind))
     return out
+
+
+_FEED_ITEM_RE = re.compile(rb"<(item|entry)\b[^>]*>(.*?)</\1>", re.I | re.S)
+_FEED_LINK_TAG_RE = re.compile(rb"<link\b([^>]*?)/?>(?:([^<]*)</link>)?", re.I | re.S)
+_FEED_HREF_RE = re.compile(rb"""href\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.I)
+_FEED_REL_RE = re.compile(rb"""rel\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.I)
+_FEED_DATE_RE = re.compile(
+    rb"<(pubDate|published|updated)\b[^>]*>([^<]*)</\1>", re.I
+)
+_FEED_TITLE_RE = re.compile(rb"<title\b[^>]*>(.*?)</title>", re.I | re.S)
+_CDATA_RE = re.compile(rb"<!\[CDATA\[(.*?)\]\]>", re.S)
+
+
+def parse_feed(data: bytes) -> List[tuple]:
+    """RSS 2.0 / Atom feed → [(link, title|None, date|None)] per item —
+    the third frontier-discovery channel next to sitemaps and page
+    links (feeds surface NEW urls fastest).  RSS ``<item><link>text``
+    and Atom ``<entry><link href=…>`` both parse; Atom alternate links
+    win over self/enclosure rels; CDATA and entities unwrap; gzip
+    transparent.  Regex pass like the sitemap parser — tolerant,
+    deterministic, first occurrence kept."""
+    import html as _h
+    import zlib as _z
+
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = _z.decompress(data, 16 + _z.MAX_WBITS)
+        except _z.error:
+            return []
+    out: List[tuple] = []
+    seen = set()
+
+    def _text(raw: bytes) -> str:
+        cm = _CDATA_RE.search(raw)
+        if cm:
+            raw = cm.group(1)
+        return _h.unescape(raw.decode("utf-8", "replace")).strip()
+
+    for m in _FEED_ITEM_RE.finditer(data):
+        body = m.group(2)
+        link = None
+        fallback = None
+        for lm in _FEED_LINK_TAG_RE.finditer(body):
+            attrs, inner = lm.group(1), lm.group(2)
+            hm = _FEED_HREF_RE.search(attrs)
+            if hm:  # Atom form
+                href = _h.unescape(
+                    (hm.group(1) or hm.group(2) or b"").decode("utf-8", "replace")
+                ).strip()
+                rm = _FEED_REL_RE.search(attrs)
+                rel = ((rm.group(1) or rm.group(2) or b"") if rm else b"")
+                rel = rel.decode("ascii", "replace").lower()
+                if rel in ("", "alternate"):
+                    link = href
+                    break
+                fallback = fallback or href
+            elif inner:  # RSS form: <link>url</link>
+                link = _text(inner)
+                break
+        link = link or fallback
+        if not link or link in seen:
+            continue
+        seen.add(link)
+        tm = _FEED_TITLE_RE.search(body)
+        title = _text(tm.group(1)) if tm else None
+        dm = _FEED_DATE_RE.search(body)
+        date = _text(dm.group(2)) if dm else None
+        out.append((link, title or None, date or None))
+    return out

@@ -316,3 +316,46 @@ def fetch_schedule(
             ).alias("fetch_offset"),
         )
     )
+
+
+FEED_ITEM_SCHEMA = StructType(
+    [
+        StructField("feed", StringType()),    # the feed document's url
+        StructField("link", StringType()),    # discovered item url
+        StructField("title", StringType()),   # item title, NULL if absent
+        StructField("date", StringType()),    # raw pubDate/updated, NULL
+    ]
+)
+
+
+def _feed_items_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pdf_ocr_spark.kernels.robots import parse_feed
+
+    cols = [f.name for f in FEED_ITEM_SCHEMA.fields]
+    for batch in batches:
+        rows = []
+        for url, body in zip(batch["url"], batch["body"]):
+            try:
+                for link, title, date in parse_feed(
+                    bytes(body) if body is not None else b""
+                ):
+                    rows.append((url, link, title, date))
+            except Exception:  # noqa: BLE001 — poison feeds must not raise
+                continue
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def feed_items(
+    feeds_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """feeds(url, body) → discovered item URLs with title/date — the
+    third frontier channel next to sitemaps and page links; feeds
+    surface NEW content fastest, so their items seed the high-priority
+    queue.  RSS and Atom both parse; gzip transparent."""
+    from pdf_ocr_spark.pipeline.extract_job import kernel_route
+
+    return kernel_route(
+        feeds_df, _feed_items_batch, FEED_ITEM_SCHEMA,
+        key="url", cols=("url", "body"),
+        num_partitions=num_partitions,
+    )

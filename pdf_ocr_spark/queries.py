@@ -3305,6 +3305,30 @@ SELECT node, pr FROM pr{iters}
 SQL_LINK_PAGERANK = _sql_pagerank()
 
 
+def q_feed_items(spark, sf_dir):
+    """RSS/Atom feed parsing through the distributed route: item links
+    with titles (entities + CDATA decoded) and raw dates; Atom
+    alternate links beat rel=self decoys; gzipped feeds decompress
+    in-kernel; broken docs emit nothing.  Feeds are the freshest
+    frontier-discovery channel next to sitemaps and page links.
+    Oracle = frozen kernel golden (tools/freeze_feeds_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_feed_rows
+    from pdf_ocr_spark.operators.frontier import feed_items
+
+    rows = gen_feed_rows(24)  # must match the freeze tool's N_DOCS
+    df = spark.createDataFrame(
+        [(r["url"], bytearray(r["body"])) for r in rows],
+        schema="url string, body binary",
+    )
+    return feed_items(df)
+
+
+SQL_FEED_ITEMS = f"""
+SELECT feed, link, title, date
+FROM read_parquet('{_golden("feed_items")}')
+"""
+
+
 def q_frontier_discover(spark, sf_dir):
     """Crawl-frontier discovery as ONE composed plan: extracted link
     edges → absolute-URL resolution (root-relative links against the
@@ -3858,6 +3882,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "robots_delays": (q_robots_delays, SQL_ROBOTS_DELAYS),
     "robots_sitemaps": (q_robots_sitemaps, SQL_ROBOTS_SITEMAPS),
     "sitemap_urls": (q_sitemap_urls, SQL_SITEMAP_URLS),
+    "feed_items": (q_feed_items, SQL_FEED_ITEMS),
     "frontier_discover": (q_frontier_discover, SQL_FRONTIER_DISCOVER),
     "fetch_schedule": (q_fetch_schedule, SQL_FETCH_SCHEDULE),
     # lineage rows stay rows-only: part_id depends on physical

@@ -180,3 +180,36 @@ def test_fetch_schedule_slots_and_offsets(spark):
     assert out["https://a.test/1"] == ("a.test", 1, 2.0)
     assert out["https://a.test/3"] == ("a.test", 2, 4.0)
     assert out["https://b.test/x"] == ("b.test", 0, 0.0)  # default delay
+
+
+def test_parse_feed_rss_atom():
+    from pdf_ocr_spark.kernels.robots import parse_feed
+
+    rss = (
+        b'<?xml version="1.0"?><rss version="2.0"><channel>'
+        b"<item><title>Post &amp; One</title><link>https://a.test/p1</link>"
+        b"<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+        b"<item><title><![CDATA[Two]]></title><link>https://a.test/p2</link></item>"
+        b"</channel></rss>"
+    )
+    assert parse_feed(rss) == [
+        ("https://a.test/p1", "Post & One", "Mon, 01 Jan 2024 00:00:00 GMT"),
+        ("https://a.test/p2", "Two", None),
+    ]
+    atom = (
+        b'<feed xmlns="http://www.w3.org/2005/Atom">'
+        b'<entry><title>E1</title><link rel="self" href="https://b.test/self"/>'
+        b'<link rel="alternate" href="https://b.test/e1"/>'
+        b"<updated>2024-02-03T04:05:06Z</updated></entry>"
+        b'<entry><link href="https://b.test/e2"/></entry></feed>'
+    )
+    assert parse_feed(atom) == [
+        ("https://b.test/e1", "E1", "2024-02-03T04:05:06Z"),
+        ("https://b.test/e2", None, None),
+    ]
+    # gzip transparent; garbage yields nothing
+    import gzip
+
+    assert parse_feed(gzip.compress(rss))[0][0] == "https://a.test/p1"
+    assert parse_feed(b"not xml") == []
+    assert parse_feed(b"\x1f\x8bbroken") == []
