@@ -177,3 +177,31 @@ def test_extract_metadata_mutated_markup(title, content):
     m = extract_metadata(html)
     if m.title is not None:
         assert "<" not in m.title or ">" not in m.title or len(m.title) <= 300
+
+
+@settings(max_examples=40, deadline=2000, derandomize=True)
+@given(st.binary(min_size=0, max_size=4096))
+def test_cos_walk_kernels_never_raise(data):
+    """Forms / doc-info / outline / annotations are pure COS walks —
+    whatever bytes arrive, they return, never raise."""
+    from pdf_ocr_spark.kernels.pdf.docinfo import (
+        extract_annotations,
+        extract_doc_info,
+        extract_outline,
+    )
+    from pdf_ocr_spark.kernels.pdf.forms import extract_form_fields
+
+    blob = b"%PDF-" + data
+    assert isinstance(extract_form_fields(blob), list)
+    assert extract_doc_info(blob).n_pages >= 0
+    assert isinstance(extract_outline(blob), list)
+    assert isinstance(extract_annotations(blob), list)
+
+
+@settings(max_examples=40, deadline=2000, derandomize=True)
+@given(st.binary(min_size=0, max_size=2048))
+def test_feed_and_sitemap_parsers_never_raise(data):
+    from pdf_ocr_spark.kernels.robots import parse_feed, parse_sitemap_xml
+
+    assert isinstance(parse_feed(data), list)
+    assert isinstance(parse_sitemap_xml(data), list)
