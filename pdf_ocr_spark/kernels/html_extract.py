@@ -449,7 +449,7 @@ def extract_metadata(data: bytes) -> HtmlMeta:
         elif tag == "link" and vals["canonical"] is None:
             rel = (_attr(attrs, "rel") or "").lower()
             if "canonical" in rel.split():
-                vals["canonical"] = _attr(attrs, "href")
+                vals["canonical"] = _attr(attrs, "href") or None  # '' = absent
         elif tag == "html" and vals["lang"] is None:
             vals["lang"] = _attr(attrs, "lang")
         elif tag == "time" and vals["time_date"] is None:

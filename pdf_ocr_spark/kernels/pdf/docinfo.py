@@ -77,6 +77,8 @@ def _page_ref_index(doc: PDFDocument) -> Dict[int, int]:
     if not isinstance(root, dict):
         return out
     order = [0]
+    seen: set = set()  # same cycle guard as cos.pages() — a cyclic
+    #                    /Kids graph must not fan out exponentially
 
     def visit(ref: Any, depth: int) -> None:
         if depth > 64 or len(out) >= 50_000:
@@ -88,6 +90,10 @@ def _page_ref_index(doc: PDFDocument) -> Dict[int, int]:
             return
         if not isinstance(node, dict):
             return
+        nid = id(node)
+        if nid in seen:
+            return
+        seen.add(nid)
         if node.get("Type") == "Page" or (
             "Contents" in node and "Kids" not in node
         ):

@@ -326,8 +326,26 @@ def canonical_url_collapse(
 
     ONE map-side-combined shuffle on the group key; mirrors what every
     production crawler does with the html_meta canonical field before
-    spending MinHash on near-dup detection."""
-    key = F.coalesce(F.col(canonical_col), F.col(url_col))
+    spending MinHash on near-dup detection.
+
+    Canonical hygiene (crawled pages declare garbage): an absolute
+    http(s) canonical is used as-is; a root-relative one ('/path')
+    resolves against the page's own scheme+host; anything else —
+    empty, missing, scheme-relative, or junk — falls back to the
+    page's url, so unrelated pages can never collapse through a
+    shared '' or '/index.html' key."""
+    canonical = F.col(canonical_col)
+    origin = F.regexp_extract(
+        F.col(url_col), r"(?i)^([a-z][a-z0-9+.-]*://[^/?#]+)", 1
+    )
+    key = (
+        F.when(canonical.rlike(r"(?i)^https?://"), canonical)
+        .when(
+            canonical.startswith("/") & ~canonical.startswith("//"),
+            F.concat(origin, canonical),
+        )
+        .otherwise(F.col(url_col))
+    )
     return (
         pages_meta.groupBy(key.alias("canonical_url"))
         .agg(

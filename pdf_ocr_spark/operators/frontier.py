@@ -296,9 +296,7 @@ def fetch_schedule(
     partition size (there is no global sort anywhere)."""
     from pyspark.sql.window import Window
 
-    host = F.lower(
-        F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
-    )
+    host = F.lower(F.regexp_extract(F.col(url_col), _URL_PARTS, 1))
     d = frontier.withColumn("domain", host)
     w = Window.partitionBy("domain").orderBy(
         F.desc(priority_col), F.asc(url_col)

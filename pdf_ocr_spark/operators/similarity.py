@@ -241,10 +241,10 @@ def _collect_centroids(centroids: DataFrame) -> list:
     )
 
 
-def _assign_col(vec: Column, cent_rows: list) -> Column:
-    """The argmin-L2 expression over literal centroids: array_min over
-    (round₆ distance, cent_id) structs — ordered by distance then
-    cent_id, exactly the old min(struct(...)) aggregate's tie-break.
+def _dist_structs(vec: Column, cent_rows: list) -> Column:
+    """(round₆ L2 distance, cent_id) structs against literal centroids
+    — ONE definition of nearness shared by the argmin assign and the
+    multi-probe slice, so the tie-break contract cannot desynchronize.
 
     The k×dim centroid table enters the plan as ONE parsed SQL literal
     (``expr("array(array(...),...)")``) iterated by a single zip_with
@@ -264,40 +264,28 @@ def _assign_col(vec: Column, cent_rows: list) -> Column:
     ids = F.expr(
         "array(" + ",".join(f"{int(cid)}L" for cid, _ in cent_rows) + ")"
     )
-    structs = F.zip_with(
+    return F.zip_with(
         cents,
         ids,
         lambda cv, cid: F.struct(
             F.round(l2sq_expr(vec, cv), 6).alias("d"), cid.alias("cent_id")
         ),
     )
-    return F.array_min(structs).getField("cent_id")
+
+
+def _assign_col(vec: Column, cent_rows: list) -> Column:
+    """The argmin-L2 cell id: array_min over the shared distance
+    structs — ordered by distance then cent_id, exactly the old
+    min(struct(...)) aggregate's tie-break."""
+    return F.array_min(_dist_structs(vec, cent_rows)).getField("cent_id")
 
 
 def _probe_cells_col(vec: Column, cent_rows: list, nprobe: int) -> Column:
     """The ``nprobe`` nearest cell ids, nearest first — the multi-probe
-    generalization of :func:`_assign_col` (identical distance and
-    tie-break: array_sort on the same (round₆ d, cent_id) structs)."""
-    cents = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(x)) for x in cv) + ")"
-            for _, cv in cent_rows
-        )
-        + ")"
-    )
-    ids = F.expr(
-        "array(" + ",".join(f"{int(cid)}L" for cid, _ in cent_rows) + ")"
-    )
-    structs = F.zip_with(
-        cents,
-        ids,
-        lambda cv, cid: F.struct(
-            F.round(l2sq_expr(vec, cv), 6).alias("d"), cid.alias("cent_id")
-        ),
-    )
+    generalization of :func:`_assign_col` over the same structs."""
     return F.transform(
-        F.slice(F.array_sort(structs), 1, nprobe), lambda s: s.getField("cent_id")
+        F.slice(F.array_sort(_dist_structs(vec, cent_rows)), 1, nprobe),
+        lambda s: s.getField("cent_id"),
     )
 
 
@@ -327,15 +315,19 @@ def cosine_topk_ivf(
         )
     else:
         cents = seeded_centroids(corpus, n_centroids, id_col, vec_col)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    # centroids collected ONCE and shared by both sides: a second
+    # collect would re-execute the (kmeans-trained) centroid plan —
+    # i.e. re-run Lloyd training — per collect.
+    cent_rows = _collect_centroids(cents)
+    assigned = corpus.withColumn(
+        "cent_id", _assign_col(F.col(vec_col), cent_rows)
+    )
     # assignment is per-row, so filter-then-assign ≡ assign-then-filter:
     # the query side only pays the argmin over its own (tiny) slice
     # instead of re-running the full-corpus assign a second time.  A
     # query probes nprobe DISTINCT cells and each corpus vector lives in
     # exactly one, so the probe explode never duplicates a pair.
-    probes = _probe_cells_col(
-        F.col(vec_col), _collect_centroids(cents), nprobe
-    )
+    probes = _probe_cells_col(F.col(vec_col), cent_rows, nprobe)
     q = corpus.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

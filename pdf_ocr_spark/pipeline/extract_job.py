@@ -707,8 +707,9 @@ def extract_html_meta_batch(
 ) -> Iterator[pd.DataFrame]:
     """Head-metadata extractor (runs on executors): one row per HTML
     page with title / description / canonical / lang / OpenGraph /
-    publish date (trafilatura-style scan).  Non-HTML and poison rows
-    emit nothing."""
+    publish date (trafilatura-style scan).  Non-HTML rows, poison rows,
+    and payloads yielding NO metadata at all (e.g. a JPEG or zip that
+    isn't HTML to begin with) emit nothing."""
     from pdf_ocr_spark.kernels.html_extract import extract_metadata
 
     _tune_worker_gc()
@@ -719,7 +720,9 @@ def extract_html_meta_batch(
             data = bytes(payload) if payload is not None else b""
             if not data or looks_like_pdf(data):
                 continue
-            rows.append((url, *extract_metadata(data)))
+            m = extract_metadata(data)
+            if any(v is not None for v in m):
+                rows.append((url, *m))
         yield pd.DataFrame(rows, columns=cols)
 
 

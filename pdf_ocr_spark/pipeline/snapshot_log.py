@@ -206,8 +206,8 @@ def expire_snapshots(table_path: str, keep_from_seq: int) -> List[str]:
         if not os.path.isdir(d) or os.path.exists(os.path.join(d, "_EXPIRED")):
             continue  # gone or already expired — idempotent
         for name in os.listdir(d):
-            if name == "_sidecar":
-                continue
+            if name in ("_sidecar", "_sidecar_splits"):
+                continue  # BOTH lineage sidecars are history, not state
             p = os.path.join(d, name)
             shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
         # marker: the dir still exists (it keeps the lineage sidecar),
@@ -342,11 +342,19 @@ def run_extraction_snapshot(
             doc_lineage_metrics(docs).withColumn(
                 "run_id", F.lit(run_id)
             ).write.mode("overwrite").parquet(os.path.join(run_dir, "_sidecar"))
-            splits = input_split_lineage(pages_scan).withColumn(
-                "run_id", F.lit(run_id)
+            # cheap column-pruned probe: is this a file-scan source?
+            # (running the full split aggregation just to test emptiness
+            # would scan url+length(html) twice — once here, once below)
+            has_files = (
+                pages_scan.select(F.input_file_name().alias("f"))
+                .filter(F.col("f") != "")
+                .limit(1)
+                .count()
             )
-            if splits.limit(1).count():  # file-scan inputs only
-                splits.write.mode("overwrite").parquet(
+            if has_files:
+                input_split_lineage(pages_scan).withColumn(
+                    "run_id", F.lit(run_id)
+                ).write.mode("overwrite").parquet(
                     os.path.join(run_dir, "_sidecar_splits")
                 )
         # the commit point — everything above is invisible until here

@@ -2273,10 +2273,10 @@ delays AS (
 ),
 slotted AS (
   SELECT url,
-    lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS domain,
+    lower(regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS domain,
     priority,
     CAST(row_number() OVER (
-      PARTITION BY lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1))
+      PARTITION BY lower(regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1))
       ORDER BY priority DESC, url) - 1 AS INT) AS slot
   FROM frontier
 )
@@ -3021,7 +3021,13 @@ WITH meta AS (
   SELECT url || '?m=1' AS url, canonical
   FROM read_parquet('{_HTML_META_GOLDEN}')
 )
-SELECT coalesce(canonical, url) AS canonical_url,
+SELECT CASE
+         WHEN regexp_matches(canonical, '(?i)^https?://') THEN canonical
+         WHEN canonical LIKE '/%' AND canonical NOT LIKE '//%'
+           THEN regexp_extract(url, '(?i)^([a-z][a-z0-9+.-]*://[^/?#]+)', 1)
+                || canonical
+         ELSE url
+       END AS canonical_url,
        count(*) AS n_pages,
        min(url) AS kept_url
 FROM meta GROUP BY 1

@@ -168,3 +168,30 @@ def test_canonical_url_collapse(spark):
         "https://a.test/page": (3, "https://a.test/page"),
         "https://b.test/solo": (1, "https://b.test/solo"),
     }
+
+
+def test_canonical_collapse_hygiene(spark):
+    """Empty, relative, and junk canonicals must not merge unrelated
+    pages: root-relative resolves against the page's own origin;
+    everything else falls back to the page url."""
+    meta = spark.createDataFrame(
+        [
+            ("https://a.test/p?x=1", "/index.html"),   # root-relative
+            ("https://a.test/index.html", "/index.html"),
+            ("https://b.test/p", "/index.html"),       # other origin!
+            ("https://c.test/p1", ""),                 # empty
+            ("https://c.test/p2", ""),                 # empty
+            ("https://d.test/p", "//cdn.test/x"),      # scheme-relative junk
+            ("https://e.test/p", "HTTPS://E.test/c"),  # absolute, any case
+        ],
+        "url string, canonical string",
+    )
+    out = {
+        r.canonical_url: r.n_pages
+        for r in D.canonical_url_collapse(meta).collect()
+    }
+    assert out["https://a.test/index.html"] == 2       # same-origin collapse
+    assert out["https://b.test/index.html"] == 1       # NOT merged with a.test
+    assert out["https://c.test/p1"] == 1 and out["https://c.test/p2"] == 1
+    assert out["https://d.test/p"] == 1                # junk -> own url
+    assert out["HTTPS://E.test/c"] == 1

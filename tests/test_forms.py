@@ -103,3 +103,24 @@ def test_annotations_kernel():
     assert extract_annotations(make_simple_pdf([["x"]])) == []
     for junk in (b"", b"%PDF-junk"):
         extract_annotations(junk)  # never raises
+
+
+def test_outline_cyclic_page_tree_terminates():
+    """A /Pages node whose /Kids reference itself must not hang the
+    page-ref index walk (cycle guard, same as cos.pages())."""
+    from pdf_ocr_spark.fixtures.genpages import _PdfWriter
+    from pdf_ocr_spark.kernels.pdf.docinfo import extract_outline
+
+    w = _PdfWriter()
+    catalog = w.reserve()
+    pages = w.reserve()
+    item = w.reserve()
+    outlines = w.add(b"<< /Type /Outlines /First %d 0 R >>" % item)
+    w.fill(item, b"<< /Title (loop) /Parent %d 0 R >>" % outlines)
+    # Kids contains the node itself, twice
+    w.fill(pages, b"<< /Type /Pages /Kids [%d 0 R %d 0 R] /Count 0 >>"
+           % (pages, pages))
+    w.fill(catalog, b"<< /Type /Catalog /Pages %d 0 R /Outlines %d 0 R >>"
+           % (pages, outlines))
+    items = extract_outline(w.build(catalog))  # must return, not hang
+    assert [i.title for i in items] == ["loop"]

@@ -309,3 +309,17 @@ class TestHtmlMeta:
 
         for junk in (b"", b"\xff\xfe\x00", b"<title>unclosed", b"\x00" * 64):
             extract_metadata(junk)  # must not raise
+
+
+def test_html_meta_route_skips_metadata_free_binaries(spark):
+    from pdf_ocr_spark.pipeline.extract_job import extract_html_meta
+
+    pages = spark.createDataFrame(
+        [
+            ("https://x.test/jpg", bytearray(b"\xff\xd8\xff\xe0JFIF" + b"\x00" * 64)),
+            ("https://x.test/page", bytearray(b"<html><head><title>t</title></head></html>")),
+        ],
+        "url string, html binary",
+    )
+    rows = extract_html_meta(pages, num_partitions=2).collect()
+    assert [r.url for r in rows] == ["https://x.test/page"]

@@ -168,6 +168,7 @@ def test_fetch_schedule_slots_and_offsets(spark):
             ("https://a.test/2", 9),   # best priority -> slot 0
             ("https://a.test/3", 5),   # priority tie with /1 -> url order
             ("https://b.test/x", 1),
+            ("HTTPS://B.test/UP", 9),  # scheme/host case-insensitive
         ],
         "url string, priority long",
     )
@@ -179,7 +180,8 @@ def test_fetch_schedule_slots_and_offsets(spark):
     assert out["https://a.test/2"] == ("a.test", 0, 0.0)
     assert out["https://a.test/1"] == ("a.test", 1, 2.0)
     assert out["https://a.test/3"] == ("a.test", 2, 4.0)
-    assert out["https://b.test/x"] == ("b.test", 0, 0.0)  # default delay
+    assert out["https://b.test/x"] == ("b.test", 1, 1.0)  # default delay
+    assert out["HTTPS://B.test/UP"] == ("b.test", 0, 0.0)  # case-folded host
 
 
 def test_parse_feed_rss_atom():

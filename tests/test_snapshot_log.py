@@ -157,9 +157,13 @@ def test_time_travel_expiry_and_orphan_gc(spark, corpus_parquet, tmp_path):
     # expiry below the compaction seq: both replaced runs' data go
     expired = expire_snapshots(table, keep_from_seq=3)
     assert len(expired) == 2
-    # current read unaffected; lineage history intact
+    # current read unaffected; BOTH lineage sidecars survive expiry
     assert read_snapshot_table(spark, table).count() == 70
     assert sum(r["n_docs"] for r in read_snapshot_sidecar(spark, table).collect()) == 70
+    from pdf_ocr_spark.pipeline.snapshot_log import read_snapshot_splits
+
+    splits = read_snapshot_splits(spark, table)
+    assert splits is not None and splits.count() > 0
     # time travel to the expired snapshots now fails loudly
     with _pytest.raises(SnapshotExpiredError):
         read_snapshot_table(spark, table, as_of_seq=1)
