@@ -107,3 +107,25 @@ def test_lm_bucket_counts_terciles(spark):
     out = {r.bucket: r.n_docs for r in lm_bucket_counts(scores).collect()}
     # scores -1..-9; terciles split 3/3/3 (cutoffs interpolate between rows)
     assert out == {"head": 3, "middle": 3, "tail": 3}
+
+
+def test_lm_plan_broadcasts_vocab_no_global_sort(spark):
+    from pdf_ocr_spark.operators.text_analysis import (
+        lm_bucket_counts,
+        lm_doc_scores,
+        lm_word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "spark rows " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    scores = lm_doc_scores(docs, lm_word_counts(docs))
+    plan = scores._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan       # vocab broadcast, corpus map-side
+    assert "SortMergeJoin" not in plan
+    bplan = (
+        lm_bucket_counts(scores)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # tercile cutoffs via aggregate + broadcast: no Window operator at all
+    assert "Window" not in bplan
