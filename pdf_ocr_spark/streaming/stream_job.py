@@ -186,3 +186,96 @@ def running_totals_stateful(pages: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_feed_frontier(
+    spark: SparkSession,
+    feeds_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    num_partitions: Optional[int] = None,
+    available_now: bool = True,
+):
+    """Streaming frontier discovery from feeds — the operational loop a
+    crawler runs continuously: new feed documents (parquet files of
+    (url, body)) land under ``feeds_path``, their RSS/Atom items parse
+    through the SAME kernel as the batch route, and
+    ``dropDuplicatesWithinWatermark`` on the discovered link keeps each
+    url's FIRST sighting only, so the downstream fetch queue never
+    double-enqueues.  The checkpoint is the resume protocol, exactly as
+    in :func:`stream_extract`.  Returns the started StreamingQuery.
+
+    State stays bounded: the watermark ages out link-dedup state after
+    a day — re-discoveries beyond that are acceptable (the fetch loop's
+    snapshot-table anti-join is the durable guard)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from pdf_ocr_spark.operators.frontier import _feed_items_batch, FEED_ITEM_SCHEMA
+
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("body", BinaryType()),
+            StructField("fetched_at", TimestampType()),
+        ]
+    )
+    feeds = (
+        spark.readStream.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(feeds_path)
+    )
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+    items = (
+        feeds.select("url", "body", "fetched_at")
+        .repartition(num_partitions, F.xxhash64("url"))
+        .mapInPandas(
+            _stream_feed_batch,
+            # a LOCAL schema: StructType.add mutates the receiver, and
+            # FEED_ITEM_SCHEMA is the shared batch-route schema
+            schema=StructType(
+                list(FEED_ITEM_SCHEMA.fields)
+                + [StructField("fetched_at", TimestampType())]
+            ),
+        )
+        .withWatermark("fetched_at", "1 day")
+        .dropDuplicatesWithinWatermark(["link"])
+    )
+    writer = (
+        items.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _stream_feed_batch(batches):
+    """Feed-parse kernel for the streaming route: same parser as the
+    batch ``_feed_items_batch``, carrying the fetch timestamp through
+    for the watermark."""
+    import pandas as pd
+
+    from pdf_ocr_spark.kernels.robots import parse_feed
+
+    for batch in batches:
+        rows = []
+        for url, body, ts in zip(batch["url"], batch["body"], batch["fetched_at"]):
+            try:
+                for link, title, date in parse_feed(
+                    bytes(body) if body is not None else b""
+                ):
+                    rows.append((url, link, title, date, ts))
+            except Exception:  # noqa: BLE001
+                continue
+        yield pd.DataFrame(
+            rows, columns=["feed", "link", "title", "date", "fetched_at"]
+        )

@@ -210,3 +210,46 @@ def test_running_totals_stateful(spark, tmp_path):
     assert len(ens) == 2
     assert ens[0] in ((3, 300), (5, 500))
     assert ens[-1] == (8, 800)
+
+
+def test_stream_feed_frontier_dedup_and_resume(spark, tmp_path):
+    """New feed files stream through the RSS/Atom kernel; each link's
+    FIRST sighting survives dropDuplicatesWithinWatermark; the second
+    micro-run only processes new files (checkpoint resume)."""
+    import datetime
+
+    from pdf_ocr_spark.fixtures.genpages import gen_feed_rows
+    from pdf_ocr_spark.streaming.stream_job import stream_feed_frontier
+
+    feeds_dir = tmp_path / "feeds_in"
+    out = str(tmp_path / "frontier_out")
+    ckpt = str(tmp_path / "frontier_ckpt")
+    feeds_dir.mkdir()
+    rows = [r for r in gen_feed_rows(8) if r["url"].endswith((".xml", ".gz"))]
+    ts = datetime.datetime(2025, 1, 1, 12, 0, 0)
+
+    def write_batch(name, sub):
+        spark.createDataFrame(
+            [(r["url"], bytearray(r["body"]), ts) for r in sub],
+            "url string, body binary, fetched_at timestamp",
+        ).coalesce(1).write.parquet(str(feeds_dir / name))
+
+    write_batch("b1", rows[:3])
+    # duplicate feed doc under a new path: its links must NOT re-emit
+    write_batch("b2", rows[:1])
+    q = stream_feed_frontier(spark, str(feeds_dir) + "/*", out, ckpt,
+                             num_partitions=2)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    links1 = [r["link"] for r in first.collect()]
+    assert len(links1) == len(set(links1)) > 0  # deduped across files
+
+    # incremental: add a new batch, restart from checkpoint
+    write_batch("b3", rows[3:5])
+    q = stream_feed_frontier(spark, str(feeds_dir) + "/*", out, ckpt,
+                             num_partitions=2)
+    q.awaitTermination(120)
+    second = spark.read.parquet(out)
+    links2 = [r["link"] for r in second.collect()]
+    assert set(links1) < set(links2)            # grew, old links intact
+    assert len(links2) == len(set(links2))      # still no duplicates
