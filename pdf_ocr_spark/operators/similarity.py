@@ -138,6 +138,8 @@ def seeded_centroids(
     by id.  In production this is replaced by k-means trained on a sample
     (same downstream plan); the seeded pick keeps the whole index
     SQL-expressible for the oracle gate."""
+    # the only no-partition window in the engine — it runs AFTER
+    # .limit(k): k rows total (TakeOrdered feeds it), never the corpus
     w = Window.orderBy(id_col)
     return (
         corpus.orderBy(id_col)
