@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "search_bm25",
     "dedup_apply",
     "fetch_schedule",
+    "training_mix",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number
