@@ -183,21 +183,32 @@ def main() -> None:
     timings["extraction_pipeline"] = round(ext_sec, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench suite wall clock (headline queries + extraction pipeline)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "docs_per_sec": round(n_docs / ext_sec, 2),
-                "extraction_docs": n_docs,
-                "cpus": cpus,
-                "calibration_sec": cal,
-            }
-        )
-    )
+    # weather normalization (see BENCH/BASELINE.md "Weather protocol"):
+    # nominal calibration = r2 idle-box measurement; dividing by the
+    # run's calibration corrects cross-round comparisons for CPU steal.
+    nominal_cal = 0.961
+    payload = {
+        "metric": "bench suite wall clock (headline queries + extraction pipeline)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": round(n_docs / ext_sec, 2),
+        "extraction_docs": n_docs,
+        "cpus": cpus,
+        "calibration_sec": cal,
+        "calibration_nominal_sec": nominal_cal,
+        "value_weather_normalized": round(total * (nominal_cal / cal), 3) if cal else None,
+        "docs_per_sec_weather_normalized": round((n_docs / ext_sec) * (cal / nominal_cal), 2) if cal else None,
+    }
+    print(json.dumps(payload))
+    try:
+        hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(hist_dir, exist_ok=True)
+        with open(os.path.join(hist_dir, "history.jsonl"), "a") as fh:
+            fh.write(json.dumps(payload) + "\n")
+    except OSError:
+        pass  # history is best-effort; never fail the bench over it
     spark.stop()
 
 

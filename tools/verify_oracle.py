@@ -3,15 +3,25 @@ query on Spark AND its DuckDB oracle on the same parquet tables, compare
 row count, column names, and order-insensitive values.
 
 Usage: python tools/verify_oracle.py [sf_dir] [query_name ...]
+
+Also enforces a per-query wall budget (PER_QUERY_BUDGET_SEC): the driver
+samples ~50 registry queries per round, so every query must stay cheap at
+sf0.01 or a future sampled set goes red on host weather alone.  A query
+over budget is reported as a failure even when its values match.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
+
+# generous vs the ~5s worst case observed on an idle box; catches a query
+# that grows into a multi-minute outlier without flapping on CPU steal
+PER_QUERY_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_QUERY_BUDGET", "20"))
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -74,14 +84,21 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            t0 = time.monotonic()
             sdf = fn(spark, sf_dir).toPandas()
+            elapsed = time.monotonic() - t0
         except Exception as e:  # noqa: BLE001
             failures[name] = [f"spark error: {type(e).__name__}: {str(e)[:200]}"]
             print(f"FAIL {name}: {failures[name][0]}")
             continue
+        if elapsed > PER_QUERY_BUDGET_SEC:
+            failures[name] = [
+                f"budget: {elapsed:.1f}s > {PER_QUERY_BUDGET_SEC:.0f}s at {sf_dir}"
+            ]
+            print(f"FAIL {name}: {failures[name][0]}")
+            continue
         if sql is None:
             status = "rows-only"
-            ok = len(sdf) >= 0
             print(f"ok   {name}: {len(sdf)} rows ({status})")
             continue
         try:
