@@ -28,6 +28,23 @@ class BoundedUniverseError(ValueError):
     that plan is quadratic; use the LSH-composed variant instead."""
 
 
+# candidate-pair DataFrames persisted by jaccard_on_candidates; bounded to
+# the most recent entry (each call releases its predecessor) so loops over
+# corpora cannot accumulate cached candidate sets
+_live_candidate_caches: List[DataFrame] = []
+
+
+def release_candidate_cache() -> None:
+    """Unpersist every candidate-pair cache owned by this module (at most
+    one: the latest ``jaccard_on_candidates`` call's)."""
+    while _live_candidate_caches:
+        df = _live_candidate_caches.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+
+
 def _guard_bounded(df: DataFrame, max_rows: Optional[int], composed_hint: str) -> None:
     """Cheap input-size guard for bounded-universe (all-pairs) helpers:
     counts at most ``max_rows + 1`` rows (limit-bounded, not a full scan)
@@ -131,19 +148,16 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def _banded_signatures(
     docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 8,
-    bands: int = 4,
-    k: int = 5,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    k: int,
 ) -> DataFrame:
-    """LSH candidate pairs: band the signature, hash each band, bucket-join.
-
-    Returns distinct (doc_a < doc_b) candidate pairs.  At scale the
-    bucket-join is a self-equi-join on (band, band_hash) — shuffled once,
-    never O(n²)."""
+    """(doc_id, band, bh) rows: the signature split into ``bands`` bands,
+    each band md5-hashed — the LSH bucket key space."""
     sigs = minhash_signatures(docs, text_col, id_col, num_perm, k)
     rows = num_perm // bands
     band_cols = []
@@ -155,9 +169,53 @@ def minhash_lsh_pairs(
                 F.md5(F.concat_ws("_", *parts)).alias("bh"),
             )
         )
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    return (
+        sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    )
+
+
+def _cap_buckets(banded: DataFrame, keys: List[str], id_col: str, max_bucket: Optional[int]) -> DataFrame:
+    """Deterministically cap bucket membership at ``max_bucket`` rows
+    (first members by id) — the standard FineWeb/Dolma guard against a
+    degenerate hot bucket (e.g. millions of empty docs sharing one
+    signature) going quadratic inside the bucket self-join.  The window
+    sort is O(B log B) per bucket vs the O(B²) join it prevents; use
+    :func:`minhash_lsh_overflow` to see what was truncated."""
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    return (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    max_bucket: Optional[int] = 500,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, hash each band, bucket-join.
+
+    Returns distinct (doc_a < doc_b) candidate pairs.  At scale the
+    bucket-join is a self-equi-join on (band, band_hash) — shuffled once,
+    never O(n²).  ``max_bucket`` bounds each bucket's membership (first
+    ``max_bucket`` doc ids) so a degenerate bucket cannot go quadratic:
+    pair count per bucket is ≤ C(max_bucket, 2) instead of C(B, 2).
+    Truncation is observable via :func:`minhash_lsh_overflow`; members of
+    an over-cap bucket usually still pair through their OTHER bands."""
+    banded = _cap_buckets(
+        _banded_signatures(docs, text_col, id_col, num_perm, bands, k),
+        ["band", "bh"],
+        "doc_id",
+        max_bucket,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -171,6 +229,34 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def minhash_lsh_overflow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Overflow accounting for the LSH bucket cap: one row per bucket
+    whose membership exceeds ``max_bucket`` —
+    (band, bh, n_members, n_dropped).  Run alongside
+    :func:`minhash_lsh_pairs` so truncation is a visible metric, never
+    silent.  One map-side-combined groupBy; empty when nothing is capped."""
+    banded = _banded_signatures(docs, text_col, id_col, num_perm, bands, k)
+    return (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
+        .select(
+            "band",
+            "bh",
+            "n_members",
+            (F.col("n_members") - max_bucket).alias("n_dropped"),
+        )
     )
 
 
@@ -486,10 +572,15 @@ def jaccard_on_candidates(
     joins).  ``pairs`` is persisted: the id semi-join and the final join
     both reference it, and an expensive candidate generator (the full
     MinHash-LSH subplan) must compute once, not per reference.  Cache
-    ownership: the entry stays persisted after the action (evicted LRU);
-    a long-lived session calling this in a loop should unpersist between
-    rounds via ``spark.catalog.clearCache()`` or its own handle."""
+    ownership: this module OWNS the persisted candidates — each call
+    unpersists the previous call's entry, so a long-lived session
+    looping over corpora holds at most ONE cached candidate set (call
+    :func:`release_candidate_cache` to drop that too).  Consume each
+    returned plan before the next call, or the later call's eviction
+    makes the earlier plan recompute its candidates (correct, slower)."""
+    release_candidate_cache()
     pairs = pairs.persist()
+    _live_candidate_caches.append(pairs)
     involved = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
@@ -610,21 +701,61 @@ def embedding_near_pairs_bucketed(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     bits: int = 8,
+    max_bucket: Optional[int] = 500,
 ) -> DataFrame:
     """Scale path for embedding near-dup: sign-LSH bucket the vectors
     (operators.similarity.sign_bucket_expr), self-equi-join WITHIN
     buckets only, exact cosine on the candidates.  The pair space shrinks
     from O(n²) to Σ O(bucket²) with ~2^bits buckets; AQE's skew-join
-    splitting handles a degenerate hot bucket.  Near-identical vectors
-    agree on every coordinate sign, so recall at high thresholds is ~1
+    splitting spreads a hot bucket across reducers, and ``max_bucket``
+    caps its membership (first ids) so a degenerate bucket — e.g.
+    millions of zero-ish vectors sharing a sign pattern — cannot go
+    quadratic even within one bucket.  Truncation is observable via
+    :func:`embedding_bucket_overflow`.  Near-identical vectors agree on
+    every coordinate sign, so recall at high thresholds is ~1
     (multi-probe: union of Hamming-1 buckets, same plan)."""
-    from pdf_ocr_spark.operators.similarity import cosine_expr, sign_bucket_expr
+    from pdf_ocr_spark.operators.similarity import sign_bucket_expr
 
-    bucketed = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        sign_bucket_expr(F.col(vec_col), bits).alias("bucket"),
+    bucketed = _cap_buckets(
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            sign_bucket_expr(F.col(vec_col), bits).alias("bucket"),
+        ),
+        ["bucket"],
+        "vid",
+        max_bucket,
     )
+    return _bucketed_cosine_pairs(bucketed, threshold)
+
+
+def embedding_bucket_overflow(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Overflow accounting for the sign-LSH bucket cap: one row per
+    bucket over ``max_bucket`` members — (bucket, n_members, n_dropped).
+    Keeps truncation by :func:`embedding_near_pairs_bucketed` visible."""
+    from pdf_ocr_spark.operators.similarity import sign_bucket_expr
+
+    return (
+        emb.groupBy(sign_bucket_expr(F.col(vec_col), bits).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
+        .select(
+            "bucket",
+            "n_members",
+            (F.col("n_members") - max_bucket).alias("n_dropped"),
+        )
+    )
+
+
+def _bucketed_cosine_pairs(bucketed: DataFrame, threshold: float) -> DataFrame:
+    from pdf_ocr_spark.operators.similarity import cosine_expr
+
     a = bucketed.select(
         F.col("vid").alias("id_a"), F.col("vec").alias("va"), "bucket"
     )

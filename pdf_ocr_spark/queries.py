@@ -931,12 +931,19 @@ sigs AS (
     {_sql_minhash_mins(8)}
   FROM sh GROUP BY doc_id
 ),
-bands AS (
+banded AS (
   {" UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "
     f"md5(CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)) AS bh FROM sigs"
     for b in range(4)
   )}
+),
+bands AS (
+  -- mirror of minhash_lsh_pairs' max_bucket=500 hot-bucket cap
+  SELECT doc_id, band, bh FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+    FROM banded)
+  WHERE rn <= 500
 )
 """
 
@@ -946,6 +953,25 @@ SQL_DEDUP_MINHASH_LSH = (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+)
+
+
+def q_dedup_lsh_overflow(spark, sf_dir):
+    """LSH hot-bucket overflow accounting: buckets whose membership
+    exceeds the cap (here 2, so the dup-variant fixture actually
+    overflows) with how many members the capped pair join drops —
+    the visible-truncation metric for minhash_lsh_pairs' max_bucket."""
+    return D.minhash_lsh_overflow(
+        _docs_with_variants(spark, sf_dir), num_perm=8, bands=4, k=5, max_bucket=2
+    )
+
+
+SQL_DEDUP_LSH_OVERFLOW = (
+    _SQL_SIGS_VARIANTS
+    + """
+SELECT band, bh, count(*) AS n_members, count(*) - 2 AS n_dropped
+FROM banded GROUP BY band, bh HAVING count(*) > 2
 """
 )
 
@@ -1292,8 +1318,15 @@ def q_dedup_embedding_bucketed(spark, sf_dir):
 
 
 SQL_DEDUP_EMBEDDING_BUCKETED = f"""
-WITH b AS (
+WITH b0 AS (
   SELECT vec_id, embedding, CAST({{bucket}} AS BIGINT) AS bucket FROM embeddings
+),
+b AS (
+  -- mirror of embedding_near_pairs_bucketed's max_bucket=500 cap
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+    FROM b0)
+  WHERE rn <= 500
 )
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
   round({_SQL_COSINE.format(a='a.embedding', b='c.embedding')}, 4) AS cosine
@@ -1411,6 +1444,22 @@ FROM embeddings GROUP BY 1
 SQL_DEDUP_EMBEDDING_BUCKETED = SQL_DEDUP_EMBEDDING_BUCKETED.format(
     bucket=_SQL_BUCKET
 )
+
+
+def q_dedup_embedding_overflow(spark, sf_dir):
+    """Sign-LSH hot-bucket overflow accounting for embedding near-dup:
+    buckets over the cap (2 here, so the 500-vector fixture overflows)
+    and the membership the capped within-bucket join drops."""
+    return D.embedding_bucket_overflow(
+        _t(spark, sf_dir, "embeddings"), bits=8, max_bucket=2
+    )
+
+
+SQL_DEDUP_EMBEDDING_OVERFLOW = f"""
+SELECT CAST({_SQL_BUCKET} AS BIGINT) AS bucket,
+       count(*) AS n_members, count(*) - 2 AS n_dropped
+FROM embeddings GROUP BY 1 HAVING count(*) > 2
+"""
 
 
 def q_sim_topk_lsh(spark, sf_dir):
@@ -3835,6 +3884,11 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_embedding_bucketed": (
         q_dedup_embedding_bucketed,
         SQL_DEDUP_EMBEDDING_BUCKETED,
+    ),
+    "dedup_lsh_overflow": (q_dedup_lsh_overflow, SQL_DEDUP_LSH_OVERFLOW),
+    "dedup_embedding_overflow": (
+        q_dedup_embedding_overflow,
+        SQL_DEDUP_EMBEDDING_OVERFLOW,
     ),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     # similarity search

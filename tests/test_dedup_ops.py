@@ -195,3 +195,73 @@ def test_canonical_collapse_hygiene(spark):
     assert out["https://c.test/p1"] == 1 and out["https://c.test/p2"] == 1
     assert out["https://d.test/p"] == 1                # junk -> own url
     assert out["HTTPS://E.test/c"] == 1
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """2000 identical docs share every band bucket: uncapped that is
+    ~2M pairs per band; the max_bucket cap bounds the join to
+    C(cap, 2) pairs and the overflow query reports the truncation."""
+    n = 2000
+    docs = spark.createDataFrame(
+        [(i, "the exact same boilerplate page body") for i in range(n)],
+        "doc_id long, text string",
+    )
+    cap = 50
+    pairs = D.minhash_lsh_pairs(docs, num_perm=8, bands=4, k=5, max_bucket=cap)
+    n_pairs = pairs.count()
+    assert n_pairs == cap * (cap - 1) // 2  # same first-50 ids in every band
+    over = D.minhash_lsh_overflow(
+        docs, num_perm=8, bands=4, k=5, max_bucket=cap
+    ).collect()
+    assert len(over) == 4  # one degenerate bucket per band
+    for r in over:
+        assert r["n_members"] == n and r["n_dropped"] == n - cap
+    # uncapped (max_bucket=None) is the old quadratic behavior
+    assert (
+        D.minhash_lsh_pairs(
+            docs.filter(F.col("doc_id") < 60), num_perm=8, bands=4, k=5,
+            max_bucket=None,
+        ).count()
+        == 60 * 59 // 2
+    )
+
+
+def test_embedding_bucket_cap_and_overflow(spark):
+    """Degenerate sign bucket (all-positive vectors): capped join yields
+    C(cap,2) candidate pairs; overflow reports n - cap dropped."""
+    n, cap = 300, 20
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = D.embedding_near_pairs_bucketed(
+        emb, threshold=0.5, bits=4, max_bucket=cap
+    )
+    assert pairs.count() == cap * (cap - 1) // 2
+    over = D.embedding_bucket_overflow(emb, bits=4, max_bucket=cap).collect()
+    assert len(over) == 1
+    assert over[0]["n_members"] == n and over[0]["n_dropped"] == n - cap
+
+
+def test_candidate_cache_ownership_loop(spark, docs):
+    """jaccard_on_candidates in a loop must not accumulate persisted
+    candidate sets: at most one module-owned cache entry is live, and
+    release_candidate_cache() drops it."""
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    D.release_candidate_cache()
+    base = n_persistent()
+    seen = []
+    for _ in range(3):
+        cand = D.minhash_lsh_pairs(docs, num_perm=8, bands=4, k=5)
+        out = D.jaccard_on_candidates(docs, cand, k=5, threshold=0.2)
+        out.count()
+        seen.append(n_persistent())
+    assert max(seen) <= base + 1  # never more than the one live entry
+    assert len(D._live_candidate_caches) == 1
+    D.release_candidate_cache()
+    assert not D._live_candidate_caches
+    assert n_persistent() <= base
