@@ -446,15 +446,48 @@ def lm_doc_scores(
     )
 
 
-def lm_bucket_counts(scores: DataFrame) -> DataFrame:
-    """CCNet head/middle/tail split: exact tercile cutoffs of
-    ``avg_logprob`` (tree-aggregated percentile — no global sort, no
-    single-partition window), broadcast back, per-bucket doc counts.
-    Higher mean log-prob = more fluent = head."""
-    cuts = scores.agg(
+def lm_tercile_cuts(
+    scores: DataFrame, approximate: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """One-row (c1, c2) tercile cutoffs of ``avg_logprob``.
+
+    Exact path (default): Spark's ``percentile`` tree-aggregates a
+    value→count map per buffer.  That map is BOUNDED here because
+    :func:`lm_doc_scores` rounds ``avg_logprob`` to 4 decimals over a
+    narrow range (mean log-prob of a unigram LM, roughly [-20, 0]), so
+    the buffer holds at most ~200k distinct keys regardless of corpus
+    size — fine at 10^12 docs, but only BECAUSE of that quantization.
+
+    Approximate path (``approximate=True``): ``approx_percentile`` with
+    a Greenwald-Khanna sketch whose buffer is O(accuracy·log n) by
+    construction — the belt-and-braces choice when scores are NOT
+    pre-quantized.  Returns the exact ceil(p·n)-th order statistic
+    whenever n fits inside the sketch (DuckDB twin: ``quantile_disc``,
+    verified same rank convention)."""
+    if approximate:
+        return scores.agg(
+            F.round(
+                F.percentile_approx("avg_logprob", F.lit(1.0 / 3), F.lit(accuracy)), 6
+            ).alias("c1"),
+            F.round(
+                F.percentile_approx("avg_logprob", F.lit(2.0 / 3), F.lit(accuracy)), 6
+            ).alias("c2"),
+        )
+    return scores.agg(
         F.round(F.percentile("avg_logprob", F.lit(1.0 / 3)), 6).alias("c1"),
         F.round(F.percentile("avg_logprob", F.lit(2.0 / 3)), 6).alias("c2"),
     )
+
+
+def lm_bucket_counts(
+    scores: DataFrame, approximate: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """CCNet head/middle/tail split: tercile cutoffs of ``avg_logprob``
+    (tree-aggregated percentile — no global sort, no single-partition
+    window; see :func:`lm_tercile_cuts` for the exact-vs-approximate
+    buffer-size tradeoff), broadcast back, per-bucket doc counts.
+    Higher mean log-prob = more fluent = head."""
+    cuts = lm_tercile_cuts(scores, approximate=approximate, accuracy=accuracy)
     bucket = (
         F.when(F.col("avg_logprob") > F.col("c2"), F.lit("head"))
         .when(F.col("avg_logprob") > F.col("c1"), F.lit("middle"))

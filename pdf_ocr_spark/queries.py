@@ -2196,6 +2196,35 @@ GROUP BY 1
 """
 
 
+def q_text_lm_buckets_approx(spark, sf_dir):
+    """CCNet tercile split with APPROXIMATE cutoffs: approx_percentile's
+    Greenwald-Khanna sketch (buffer O(accuracy·log n) by construction —
+    the safe choice when scores are not pre-quantized; the exact twin in
+    text_lm_buckets relies on avg_logprob's 4-decimal rounding to bound
+    its value→count buffer).  At this n the sketch is exact and returns
+    the ceil(p·n)-th order statistic — DuckDB quantile_disc, verified
+    same rank convention (see lm_tercile_cuts)."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = T.lm_doc_scores(docs, T.lm_word_counts(docs, min_count=2), alpha=1.0)
+    return T.lm_bucket_counts(scores, approximate=True)
+
+
+SQL_TEXT_LM_BUCKETS_APPROX = f"""
+WITH scores AS ({_SQL_LM_SCORES}),
+cuts AS (
+  SELECT round(quantile_disc(avg_logprob, 1.0/3), 6) AS c1,
+         round(quantile_disc(avg_logprob, 2.0/3), 6) AS c2
+  FROM scores
+)
+SELECT CASE WHEN avg_logprob > c2 THEN 'head'
+            WHEN avg_logprob > c1 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM scores CROSS JOIN cuts
+GROUP BY 1
+"""
+
+
 _BM25_TERMS = ("spark", "window", "merge")
 
 
@@ -3913,6 +3942,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
     "text_lm_buckets": (q_text_lm_buckets, SQL_TEXT_LM_BUCKETS),
+    "text_lm_buckets_approx": (
+        q_text_lm_buckets_approx,
+        SQL_TEXT_LM_BUCKETS_APPROX,
+    ),
     "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
     "search_postings": (q_search_postings, SQL_SEARCH_POSTINGS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

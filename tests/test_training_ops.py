@@ -109,6 +109,30 @@ def test_lm_bucket_counts_terciles(spark):
     assert out == {"head": 3, "middle": 3, "tail": 3}
 
 
+def test_lm_bucket_counts_approximate_matches_order_statistic(spark):
+    """approximate=True uses approx_percentile (GK sketch, bounded
+    buffer); at n inside the sketch it returns the exact ceil(p*n)-th
+    order statistic — cutoffs land ON data values, buckets still 3/3/3
+    on a symmetric 9-doc corpus."""
+    from pdf_ocr_spark.operators.text_analysis import (
+        lm_bucket_counts,
+        lm_tercile_cuts,
+    )
+
+    scores = spark.createDataFrame(
+        [(i, 10, float(-i)) for i in range(1, 10)],
+        "doc_id long, n_words long, avg_logprob double",
+    )
+    cuts = lm_tercile_cuts(scores, approximate=True).first()
+    # ceil(9/3)=3rd and ceil(18/3)=6th smallest of -9..-1
+    assert (cuts.c1, cuts.c2) == (-7.0, -4.0)
+    out = {
+        r.bucket: r.n_docs
+        for r in lm_bucket_counts(scores, approximate=True).collect()
+    }
+    assert out == {"head": 3, "middle": 3, "tail": 3}
+
+
 def test_lm_plan_broadcasts_vocab_no_global_sort(spark):
     from pdf_ocr_spark.operators.text_analysis import (
         lm_bucket_counts,
