@@ -291,3 +291,73 @@ def test_pipeline_env_swap(vlm_server, monkeypatch):
         assert row["n_ocr_pages"] == 1
     finally:
         monkeypatch.setattr(stub, "_ENGINE", None)
+
+
+# ---------------------------------------------------------------------------
+# Live-endpoint smoke test (env-gated; skipped in the sandbox)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_png(size: int = 24) -> bytes:
+    """A real, decodable grayscale PNG (stdlib zlib/struct only): white
+    field with a black plus sign — enough for a VLM to accept the image
+    payload.  The fixture exists so the live smoke test sends an actual
+    image, not the byte-layout stand-ins the fake server echoes."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    mid, arm = size // 2, size // 4
+    raw = b""
+    for y in range(size):
+        row = bytearray([255] * size)
+        for x in range(size):
+            on_bar = abs(x - mid) <= 1 and arm <= y < size - arm
+            on_cross = abs(y - mid) <= 1 and arm <= x < size - arm
+            if on_bar or on_cross:
+                row[x] = 0
+        raw += b"\x00" + bytes(row)  # filter type 0 per scanline
+    ihdr = struct.pack(">IIBBBBB", size, size, 8, 0, 0, 0, 0)  # 8-bit gray
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_OCR_LIVE_URL"),
+    reason="SPARK_GRAFT_OCR_LIVE_URL not set — live OCR smoke test is opt-in",
+)
+def test_live_endpoint_smoke():
+    """One real page through RemoteVlmEngine against a live OpenAI-
+    compatible endpoint (vLLM/SiliconFlow).  Opt-in: export
+    SPARK_GRAFT_OCR_LIVE_URL (plus SPARK_GRAFT_OCR_KEY / _MODEL as the
+    endpoint requires) and run this test directly.  Asserts only the
+    round-trip contract — a non-None result (the request protocol,
+    auth, and response parsing all worked) and usage accounting — not
+    any particular recognized text: a 24px plus sign may legitimately
+    OCR to nothing."""
+    import os
+
+    from pdf_ocr_spark.kernels.ocr_remote import RemoteVlmEngine
+
+    eng = RemoteVlmEngine(
+        os.environ["SPARK_GRAFT_OCR_LIVE_URL"],
+        api_key=os.environ.get("SPARK_GRAFT_OCR_KEY", ""),
+        model=os.environ.get(
+            "SPARK_GRAFT_OCR_MODEL", "Qwen/Qwen3-VL-32B-Instruct"
+        ),
+    )
+    (result,) = eng.recognize_batch([_tiny_png()])
+    assert result is not None, "live OCR round-trip failed after retries"
+    assert all(isinstance(t, str) and c == 1.0 for t, c in result)
+    assert eng.prompt_tokens > 0  # A7 accounting engaged on the live reply
