@@ -635,6 +635,58 @@ def make_scan_pdf(page_texts: List[str]) -> bytes:
     return w.build(catalog)
 
 
+def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0) -> bytes:
+    """Image-only pages whose XObject is a REAL baseline JPEG
+    (``/Filter /DCTDecode``) produced by the from-scratch encoder
+    (kernels/pdf/jpeg.py): the ground truth is carried in the DECODED
+    PIXELS as the pixel-grid marker (kernels/pixelcode.py), so the OCR
+    branch exercises decode → pixels → recognize, the reference's real
+    pixmap flow (/root/reference/pdf_ocr_with_boxes_v2.py:200-209) —
+    not a byte-layout stand-in.
+
+    ``corrupt_page`` (1-based, 0 = none) truncates that page's JPEG
+    stream mid-entropy-data: the decoder must raise cleanly and the
+    stub must emit its fingerprint fallback, never crash the task."""
+    from pdf_ocr_spark.kernels.pdf.jpeg import encode_gray
+    from pdf_ocr_spark.kernels.pixelcode import text_to_pixels
+
+    media = (612.0, 792.0)
+    w = _PdfWriter()
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    page_nums = []
+    for pno, text in enumerate(page_texts, 1):
+        iw, ih, px = text_to_pixels(text)
+        payload = encode_gray(px, iw, ih, quality=90)
+        if pno == corrupt_page:
+            payload = payload[: max(16, len(payload) * 2 // 3)]
+        img_num = w.add_stream(
+            b"/Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Filter /DCTDecode" % (iw, ih),
+            payload,
+            compress=False,
+        )
+        content_num = w.add_stream(
+            b"", b"q\n612 0 0 792 0 0 cm\n/Im1 Do\nQ\n"
+        )
+        page_nums.append(
+            w.add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R"
+                b" /Resources << /XObject << /Im1 %d 0 R >> >> >>"
+                % (pages_num, content_num, img_num)
+            )
+        )
+    w.fill(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 %.2f %.2f] >>"
+        % (kids, len(page_nums), media[0], media[1]),
+    )
+    return w.build(catalog)
+
+
 # -- HTML pages ------------------------------------------------------------------
 
 
@@ -805,6 +857,35 @@ def gen_raster_rows(n: int = 60, n_vector: int = 5) -> List[dict]:
                 text="",
                 lang="en",
                 kind="vector",
+            )
+        )
+    return rows
+
+
+def gen_jpeg_scan_rows(n_docs: int = 12) -> List[dict]:
+    """Corpus for the real-pixel scan branch: multi-page PDFs whose pages
+    are baseline-JPEG images (DCTDecode) carrying pixel-marker ground
+    truth, plus one doc with a truncated JPEG page (decode must fail
+    loudly, extract must not).  Deterministic — same rows every call."""
+    rng = random.Random(0xDC7)
+    rows = []
+    for d in range(n_docs):
+        n_pages = 1 + d % 3
+        texts = []
+        for p in range(n_pages):
+            lang = ("en", "zh")[(d + p) % 2]
+            texts.append(
+                f"scan doc {d} page {p + 1}\n" + _sentence(rng, lang)
+            )
+        corrupt = 1 if d == n_docs - 1 else 0  # last doc: page 1 truncated
+        rows.append(
+            dict(
+                url=f"https://example.test/docs/jpegscan/{d:06d}",
+                warc_ts=datetime.datetime(2025, 1, 3, 0, 0, d),
+                html=make_scan_pdf_jpeg(texts, corrupt_page=corrupt),
+                text="",
+                lang="en",
+                kind="pdf_jpeg_scan",
             )
         )
     return rows

@@ -48,16 +48,40 @@ class OcrEngine:
 
 
 class StubOcrEngine(OcrEngine):
-    """Deterministic sandbox engine.  NOT a real OCR implementation."""
+    """Deterministic sandbox engine.  NOT a real OCR implementation.
+
+    Recognition order per image:
+      1. baseline JPEG (DCTDecode payloads) → decode REAL pixels with the
+         from-scratch codec (kernels/pdf/jpeg.py) and read the pixel-grid
+         marker (kernels/pixelcode.py) — the honest sandbox analogue of
+         the reference OCRing rendered pixmaps
+         (/root/reference/pdf_ocr_with_boxes_v2.py:200-209,235-247);
+      2. legacy byte-stream STUB_MARKER (uncompressed fixture scans);
+      3. stable fingerprint line (unknown image — still deterministic).
+    """
 
     def recognize_batch(
         self, images: Sequence[Optional[bytes]]
     ) -> List[List[Tuple[str, float]]]:
+        from pdf_ocr_spark.kernels.pdf.jpeg import JpegError, decode_gray, is_jpeg
+        from pdf_ocr_spark.kernels.pixelcode import pixels_to_text
+
         out: List[List[Tuple[str, float]]] = []
         for img in images:
             if not img:
                 out.append([])
                 continue
+            if is_jpeg(img):
+                try:
+                    w, h, px = decode_gray(img)
+                    text = pixels_to_text(w, h, px)
+                except JpegError:
+                    text = None  # corrupt JPEG → fingerprint fallback below
+                if text is not None:
+                    out.append(
+                        [(ln, 0.99) for ln in text.split("\n") if ln.strip()]
+                    )
+                    continue
             idx = img.find(STUB_MARKER)
             if idx >= 0:
                 payload = img[idx + len(STUB_MARKER) :]

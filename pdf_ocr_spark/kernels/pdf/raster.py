@@ -26,7 +26,7 @@ on degenerate geometry — the kernel no-raise promise extends here.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 DEFAULT_DPI = 200          # the reference v3/v4 default (v2 uses 150)
 MAX_SIDE = 2048            # poison cap: a 20m-wide /MediaBox must not OOM
@@ -43,13 +43,23 @@ def rasterize_page(
     height: float,
     dpi: int = DEFAULT_DPI,
     max_side: int = MAX_SIDE,
+    image_payloads: Optional[Sequence[Optional[bytes]]] = None,
 ) -> bytes:
     """Render one page to a binary PGM (P5) byte string.
 
     Inputs are the device-space products of ``interpret_page``: glyph
     pen positions/advances (y-up), painted axis-aligned rules, and image
     draw bboxes.  Paint order is images → rules → glyphs, so text ink
-    wins over fills where they overlap (deterministic)."""
+    wins over fills where they overlap (deterministic).
+
+    ``image_payloads`` (parallel to ``image_draws``, from
+    ``PageResult.images``) supplies the drawn XObjects' encoded bytes:
+    baseline-JPEG payloads are decoded with the from-scratch codec
+    (kernels/pdf/jpeg.py) and their ACTUAL luma is resampled into the
+    draw rect — the reference's real-pixmap rendering
+    (/root/reference/pdf_ocr_with_boxes_v2.py:200-209).  Non-JPEG /
+    corrupt payloads keep the legacy flat mid-gray coverage fill, so
+    rasters of non-JPEG corpora are byte-identical to before."""
     zoom = float(dpi) / 72.0
     pw = max(1.0, float(width)) * zoom
     ph = max(1.0, float(height)) * zoom
@@ -60,7 +70,16 @@ def rasterize_page(
     h = max(1, min(int(max(1.0, float(height)) * zoom + 0.5), max_side))
     buf = bytearray(b"\xff") * (w * h)
 
-    for x0, y0, x1, y1 in image_draws:
+    for k, (x0, y0, x1, y1) in enumerate(image_draws):
+        payload = (
+            image_payloads[k]
+            if image_payloads is not None and k < len(image_payloads)
+            else None
+        )
+        if payload is not None and _blit_image(
+            buf, w, h, zoom, x0, y0, x1, y1, payload
+        ):
+            continue
         _fill_rect(buf, w, h, zoom, x0, y0, x1, y1, _IMAGE_INK)
     thick = max(1, int(zoom + 0.5))  # ~1pt stroke weight in pixels
     for x0, y0, x1, y1 in rules:
@@ -126,6 +145,51 @@ def _fill_rect(
         buf[base + px0 : base + px1 + 1] = row
 
 
+def _blit_image(
+    buf: bytearray,
+    w: int,
+    h: int,
+    zoom: float,
+    x0: float,
+    y0: float,
+    x1: float,
+    y1: float,
+    payload: bytes,
+) -> bool:
+    """Decode a baseline-JPEG payload and nearest-resample its luma into
+    the device-space rect.  Returns False (caller falls back to the flat
+    coverage fill) when the payload is not a decodable JPEG."""
+    from pdf_ocr_spark.kernels.pdf.jpeg import JpegError, decode_gray, is_jpeg
+
+    if not is_jpeg(payload):
+        return False
+    try:
+        iw, ih, px = decode_gray(payload)
+    except JpegError:
+        return False
+    if x1 < x0:
+        x0, x1 = x1, x0
+    if y1 < y0:
+        y0, y1 = y1, y0
+    px0, py1 = _dev_to_px(zoom, h, x0, y0)
+    px1, py0 = _dev_to_px(zoom, h, x1, y1)
+    px0c, px1c = max(0, px0), min(w - 1, px1)
+    py0c, py1c = max(0, py0), min(h - 1, py1)
+    rw, rh = px1 - px0 + 1, py1 - py0 + 1   # unclipped rect = sample space
+    if px0c > px1c or py0c > py1c or rw <= 0 or rh <= 0:
+        return True                          # fully off-bitmap: nothing to paint
+    for py in range(py0c, py1c + 1):
+        sy = (py - py0) * ih // rh           # top pixel row = image row 0
+        base_img = sy * iw
+        base = py * w
+        row = bytearray(px1c - px0c + 1)
+        for i, pxx in enumerate(range(px0c, px1c + 1)):
+            sx = (pxx - px0) * iw // rw
+            row[i] = px[base_img + sx]
+        buf[base + px0c : base + px1c + 1] = row
+    return True
+
+
 def _stroke_segment(
     buf: bytearray,
     w: int,
@@ -179,7 +243,8 @@ def raster_rows(
     out = []
     for page_num, res in doc_pages:
         pgm = rasterize_page(
-            res.glyphs, res.rules, res.image_draws, res.width, res.height, dpi
+            res.glyphs, res.rules, res.image_draws, res.width, res.height, dpi,
+            image_payloads=res.images,
         )
         ww, hh, px = parse_pgm(pgm)
         out.append((page_num, ww, hh, len(px) - px.count(255)))

@@ -551,6 +551,7 @@ def extract_rasters_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                     pgm = rasterize_page(
                         res.glyphs, res.rules, res.image_draws,
                         res.width, res.height,
+                        image_payloads=res.images,  # JPEG draws → real luma
                     )
                     w, h, px = parse_pgm(pgm)
                     rows.append(

@@ -2842,6 +2842,63 @@ FROM read_parquet('{_golden("rasters")}')
 """
 
 
+def q_jpeg_scan_ocr(spark, sf_dir):
+    """Real-pixel scan branch (K2 over S3 with the from-scratch DCTDecode
+    codec): multi-page PDFs whose pages are baseline-JPEG image XObjects
+    flow through the distributed extract→OCR route — the stub decodes the
+    ACTUAL JPEG pixels (kernels/pdf/jpeg.py) and reads the pixel-grid
+    ground truth (kernels/pixelcode.py), the reference's real-pixmap OCR
+    flow (/root/reference/pdf_ocr_with_boxes_v2.py:200-247).  One doc
+    carries a truncated JPEG: its page must emit the deterministic
+    fingerprint fallback, not a task failure.  Oracle = frozen kernel
+    golden — value-hash pins every page's recognized text."""
+    from pdf_ocr_spark.fixtures.genpages import gen_jpeg_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_pages
+
+    rows = gen_jpeg_scan_rows()
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    p = extract_pages(pages, num_partitions=8)
+    return p.select(
+        "url",
+        F.col("page").cast("int").alias("page"),
+        F.md5(F.coalesce(F.col("page_text"), F.lit(""))).alias("ocr_md5"),
+        "needs_ocr",
+        "status",
+    )
+
+
+SQL_JPEG_SCAN_OCR = f"""
+SELECT url, CAST(page AS INT) AS page, ocr_md5, needs_ocr, status
+FROM read_parquet('{_golden("jpeg_scan_ocr")}')
+"""
+
+
+def q_jpeg_scan_raster(spark, sf_dir):
+    """S10 rasterizer over REAL decoded image content: the same JPEG
+    scan corpus rendered by the coverage rasterizer with the codec's
+    luma resampled into each image draw rect (raster.py _blit_image) —
+    full-bitmap md5 pins every pixel, so the DCT/Huffman/IDCT output is
+    value-hash verified through the distributed route."""
+    from pdf_ocr_spark.fixtures.genpages import gen_jpeg_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_rasters
+
+    rows = gen_jpeg_scan_rows()
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_rasters(pages)
+
+
+SQL_JPEG_SCAN_RASTER = f"""
+SELECT url, page_num, raster_w, raster_h, ink_px, raster_md5
+FROM read_parquet('{_golden("jpeg_rasters")}')
+"""
+
+
 def q_page_orientation(spark, sf_dir):
     """K4 orientation detection as a queryable table: per-page
     content-based OSD verdict (dominant glyph flow direction, the
@@ -3999,6 +4056,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "canonical_collapse": (q_canonical_collapse, SQL_CANONICAL_COLLAPSE),
     "raster_pages": (q_raster_pages, SQL_RASTER_PAGES),
     "page_orientation": (q_page_orientation, SQL_PAGE_ORIENTATION),
+    "jpeg_scan_ocr": (q_jpeg_scan_ocr, SQL_JPEG_SCAN_OCR),
+    "jpeg_scan_raster": (q_jpeg_scan_raster, SQL_JPEG_SCAN_RASTER),
 }
 
 
