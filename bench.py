@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "sim_topk_lsh",
     "sim_topk_ivf_kmeans",
     "text_lang_id",
+    "text_lang_id2",
+    "jpeg_scan_ocr",
     "text_quality",
     "text_gopher",
     "text_repetition",

@@ -1,0 +1,228 @@
+"""fastText-style language ID: hashed character-trigram naive-Bayes
+linear scorer with deterministic frozen weights.
+
+The script-ratio heuristic (text_analysis.lang_guess_expr) collapses
+every Latin-script language to 'en' — a 100-TB crawl is mostly Latin
+script spread over dozens of languages, so that operator can't build
+per-language training mixes.  This one can: it scores hashed character
+trigrams against per-language log-probability weights, the same model
+family as fastText's lid.176 (Joulin et al. 2016, "Bag of Tricks for
+Efficient Text Classification" — hashed n-grams → linear classifier),
+trained in-repo on deterministic public seed text (tools/train_langid.py
+→ fixtures/langid_weights.parquet, committed).
+
+Engine-identical by construction, so the DuckDB oracle replays it
+value-for-value:
+
+  * trigram hash  h = (cp1*961 + cp2*31 + cp3) mod 4096  computed with
+    ``ascii``/``unicode`` + arithmetic (verified identical Spark↔DuckDB,
+    max codepoint 0x10FFFF keeps the polynomial < 2^31);
+  * NO case folding (Java and utf8proc disagree on rare mappings like
+    U+0130) — the seeds carry mixed-case trigrams instead;
+  * integer weights (log-prob × 1e6, rounded) so score sums are exact
+    in both engines — no float drift in the value hash.
+
+Scale shape: weights are a 4096×n_langs table (~40k rows) broadcast to
+every executor; scoring is transform/explode + one broadcast join + one
+groupBy(doc_id) — the single shuffle any per-document aggregation needs.
+The trigram scan is capped at PREFIX_CHARS so cost per document is
+bounded no matter how long the document is (fastText's own truncation
+trick).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 4096
+PREFIX_CHARS = 200          # score the first N chars — bounds per-doc cost
+WEIGHT_SCALE = 1_000_000    # log-prob → int64 (exact cross-engine sums)
+
+# Deterministic public seed text: high-frequency function/common words of
+# each language (public linguistic knowledge), written as running text so
+# trigram statistics resemble real prose.  Mixed case on purpose (no
+# case folding in the pipeline).
+SEED_TEXT: Dict[str, str] = {
+    "en": (
+        "the of and to in that it is was he for on are as with his they be "
+        "at one have this from or had by word but what some we can out other "
+        "were all there when up use your how said an each she which do their "
+        "time if will way about many then them write would like so these her "
+        "long make thing see him two has look more day could go come did number "
+        "The They This What When Would People Because government through should "
+        "world school never between really something years work life only still "
+    ),
+    "de": (
+        "der die und in den von zu das mit sich des auf für ist im dem nicht "
+        "ein eine als auch es an werden aus er hat dass sie nach wird bei einer "
+        "um am sind noch wie einem über einen so zum war haben nur oder aber vor "
+        "zur bis mehr durch man sein wurde sei Die Der Das Und Nicht Aber damit "
+        "können Jahre gegen schon wenn ohne sehr zwischen immer während deutsche "
+        "Regierung Menschen möchte natürlich eigentlich vielleicht grundsätzlich "
+    ),
+    "fr": (
+        "de la le et les des en un du une que est pour qui dans a par plus pas "
+        "au sur ne se ce il sont la mais comme ou si leur y dont été ont cette "
+        "aux était ses tout nous sa faire elle peut ces deux même où son lui "
+        "temps très état sans autre après notre deux bien où Les Le La Des Une "
+        "gouvernement toujours quelques personnes beaucoup aujourd'hui français "
+        "également peut-être c'est d'une l'état n'est qu'il lorsque plusieurs "
+    ),
+    "es": (
+        "de la que el en y a los se del las un por con no una su para es al lo "
+        "como más pero sus le ya o fue este ha sí porque esta son entre cuando "
+        "muy sin sobre también me hasta hay donde han quien están estado desde "
+        "todo nos durante estados todos uno les ni contra otros fueron ese eso "
+        "Los Las El En España gobierno años mientras después siempre nosotros "
+        "país según ciudad ejemplo además embargo través nuevo aunque mucho "
+    ),
+    "it": (
+        "di e il la che in a per è un sono non con si da come le dei io questo "
+        "ha più al ma lo se gli ci della nel anche ne su dal alla essere sua "
+        "degli tra nella loro tutti così era fare quando molto c'è stato dove "
+        "nei quella solo ancora dopo senza prima due anni può governo perché "
+        "Il La Gli Una Negli Anche sempre italiano nazionale durante attraverso "
+        "qualche mentre infatti proprio quindi questa quello essere abbiamo "
+    ),
+    "pt": (
+        "de a o que e do da em um para é com não uma os no se na por mais as "
+        "dos como mas foi ao ele das tem à seu sua ou ser quando muito há nos "
+        "já está eu também só pelo pela até isso ela entre era depois sem mesmo "
+        "aos ter seus quem nas me esse eles estão você tinha foram essa num "
+        "Os As Uma Governo Brasil português anos sobre ainda porque através "
+        "durante sempre país grande exemplo além segundo cidade então onde "
+    ),
+    "nl": (
+        "de het een van en in is dat op te zijn met die voor aan er niet ook "
+        "als bij maar om uit dan nog naar wordt door over zo worden heeft hij "
+        "wel meer al tot deze kan geen toch onder tussen tegen na want dit hun "
+        "wat werd moet mensen jaar twee andere alle veel De Het Een Nederland "
+        "regering altijd tijdens misschien natuurlijk eigenlijk verschillende "
+        "omdat terwijl zonder binnen volgens bijvoorbeeld ongeveer daarnaast "
+    ),
+    "ru": (
+        "и в не на я быть он с что а по это она этот к но они мы как из у "
+        "который то за свой весь год от так о для ты же все тот мочь вы "
+        "человек такой его сказать только или еще бы себя один как уже до "
+        "время если сам когда другой вот говорить наш мой знать стать при чтобы "
+        "Россия государство правительство например также через между "
+        "потому однако сейчас здесь очень "
+    ),
+    # ja/zh run WITHOUT spaces — those scripts are unspaced in real text,
+    # and trigrams that straddle artificial spaces never occur in a crawl
+    "ja": (
+        "政府は昨日新しい決定をしました。これは重要なことです。私たちはこの"
+        "問題について考える必要があります。日本の経済は年々変化しており、"
+        "多くの人々がその影響を受けています。たとえば、学校や会社では新しい"
+        "技術が使われるようになりました。しかし、すべての人がそれに賛成して"
+        "いるわけではありません。これからの時代には、それぞれの場合において"
+        "何ができるかを考えることが大切だと言われています。そのため、政府に"
+        "よる支援も必要になるでしょう。ですが、まだ分からないこともあります。"
+    ),
+    "zh": (
+        "政府昨天做出了一个新的决定。这是一个重要的问题。我们认为这个国家的"
+        "人民可以通过工作和学习得到更多的发展。因为经济的变化，很多人的生活"
+        "也发生了变化。但是，不是所有的人都同意这样的看法。比如，在学校和"
+        "公司里，新的技术已经开始使用了。所以我们需要知道自己在什么时候应该"
+        "做什么事情。中国的历史很长，文化也很丰富。如果没有时间，就不能完成"
+        "这些工作。他们说，这个方法可能会有用，但是还要看实际的情况怎么样。"
+    ),
+    "ko": (
+        "이 그 저 것 수 등 들 및 에서 으로 하는 있는 없는 대한 위해 통해 "
+        "그리고 그러나 하지만 또한 따라서 때문에 우리 당신 한국 정부 사람 "
+        "경우 문제 사회 국가 세계 시간 생각 사실 정도 이상 이후 관련 대해 "
+        "있다 없다 한다 했다 된다 되는 있으며 있어서 합니다 습니다 입니다 "
+        "것이다 것으로 수 있는 수 없는 그것은 이것은 무엇을 어떻게 왜냐하면 "
+    ),
+}
+
+LANGS: Tuple[str, ...] = tuple(sorted(SEED_TEXT))
+
+
+def trigram_buckets(text: str) -> List[int]:
+    """Python twin of the engine expression: hash every char trigram of
+    the first PREFIX_CHARS chars into HASH_BUCKETS.  Must stay in exact
+    lockstep with lang_trigram_expr / the oracle SQL."""
+    t = text[:PREFIX_CHARS]
+    return [
+        (ord(t[i]) * 961 + ord(t[i + 1]) * 31 + ord(t[i + 2])) % HASH_BUCKETS
+        for i in range(len(t) - 2)
+    ]
+
+
+def train_weights() -> List[Tuple[int, str, int]]:
+    """Naive-Bayes weights from the seeds: for every (bucket, lang),
+    weight = round(1e6 * log P(bucket | lang)) with add-one smoothing
+    over all HASH_BUCKETS.  Full table (every bucket × every language,
+    smoothing included) so scoring is a plain join+sum with no
+    missing-bucket special case.  Deterministic — no RNG anywhere."""
+    rows: List[Tuple[int, str, int]] = []
+    for lang in LANGS:
+        counts = [0] * HASH_BUCKETS
+        # repeat the seed so short seed lists still dominate smoothing
+        for b in trigram_buckets((SEED_TEXT[lang] + " ") * 8):
+            counts[b] += 1
+        total = sum(counts) + HASH_BUCKETS
+        for b in range(HASH_BUCKETS):
+            w = math.log((counts[b] + 1) / total)
+            rows.append((b, lang, round(w * WEIGHT_SCALE)))
+    return rows
+
+
+def score_text(text: str, weights: Dict[Tuple[int, str], int]) -> str:
+    """Python twin of the distributed scorer (kernel parity tests)."""
+    buckets = trigram_buckets(text)
+    if not buckets:
+        return "unknown"
+    totals = {
+        lang: sum(weights[(b, lang)] for b in buckets) for lang in LANGS
+    }
+    # deterministic argmax: score desc, then lang DESC (max-struct order)
+    return max(totals.items(), key=lambda kv: (kv[1], kv[0]))[0]
+
+
+def lang_trigram_expr(text_col: str) -> Column:
+    """Array of hashed-trigram buckets for the first PREFIX_CHARS chars —
+    all JVM-side (transform over sequence + ascii arithmetic)."""
+    t = f"substring({text_col}, 1, {PREFIX_CHARS})"
+    return F.expr(
+        f"transform(sequence(1, greatest(char_length({t}) - 2, 0)), i -> "
+        f"pmod(ascii(substring({t}, i, 1)) * 961 "
+        f"+ ascii(substring({t}, i + 1, 1)) * 31 "
+        f"+ ascii(substring({t}, i + 2, 1)), {HASH_BUCKETS}))"
+    )
+
+
+def lang_id2(
+    docs: DataFrame,
+    weights: DataFrame,          # (bucket int, lang string, weight long)
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed scorer: explode trigram buckets → broadcast-join the
+    weight table → per-(doc, lang) integer sum → argmax-by-struct.
+    Documents with fewer than 3 chars score 'unknown'.
+
+    Plan shape at scale: the weight table is k*|langs| rows (driver
+    scale, broadcast); the only shuffle is the groupBy(doc_id, lang)
+    partial-aggregated sum — identical to any per-document feature agg.
+    No Python touches the hot path."""
+    tri = docs.select(
+        F.col(id_col), lang_trigram_expr(text_col).alias("_buckets")
+    )
+    exploded = tri.select(id_col, F.explode("_buckets").alias("bucket"))
+    scored = (
+        exploded.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("weight").alias("score"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct("score", "lang")).alias("best"))
+        .select(id_col, F.col("best.lang").alias("lang_pred"))
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col, F.coalesce("lang_pred", F.lit("unknown")).alias("lang_pred")
+    )

@@ -38,7 +38,14 @@ externally (one driver per table), as with any Hive-style table.
 
 On a cluster with the Iceberg runtime, `run_extraction_snapshot` maps
 1:1 onto `df.writeTo(table).append()` + `MERGE INTO` for retried
-transient failures.
+transient failures — and that path is now EXECUTABLE, not just
+documented: :func:`run_extraction_iceberg` drives the same resume →
+extract → append pipeline against a real catalog table when the
+iceberg-spark-runtime jar is on the classpath
+(:func:`iceberg_available`), with this module as the always-available
+fallback.  The sandbox ships no jar, so the Iceberg branch is covered
+by seam tests (writer-call contract + loud unavailable error) plus a
+jar-gated end-to-end test that skips here and runs on a real cluster.
 """
 
 from __future__ import annotations
@@ -359,6 +366,102 @@ def run_extraction_snapshot(
                 )
         # the commit point — everything above is invisible until here
         commit_run(table_path, run_id, n)
+    finally:
+        docs.unpersist()
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Real Iceberg runtime path (engaged when iceberg-spark-runtime is present)
+# ---------------------------------------------------------------------------
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the iceberg-spark-runtime jar is on the JVM classpath
+    (``org.apache.iceberg.spark.SparkCatalog`` loads).  The sandbox has
+    no jar → False; a cluster launched with
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-*`` → True."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — classpath probe
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001 — Py4J wraps ClassNotFound opaquely
+        return False
+
+
+def _table_exists(spark: SparkSession, table_ident: str) -> bool:
+    try:
+        return bool(spark.catalog.tableExists(table_ident))
+    except Exception:  # noqa: BLE001 — malformed identifier → treat as absent
+        return False
+
+
+def _append_to_table(docs: DataFrame, table_ident: str, create: bool) -> None:
+    """The one Iceberg write seam: V2 writer ``writeTo(ident).create()``
+    on first run, ``.append()`` after — each is ONE atomic Iceberg
+    commit (metadata-pointer swap), the engine-side twin of
+    :func:`commit_run`'s manifest rename.  Kept tiny and argument-pure
+    so the sandbox (no jar) can pin the call contract with a recording
+    stub while the jar-gated e2e test exercises the real thing."""
+    writer = docs.writeTo(table_ident)
+    if create:
+        writer.create()
+    else:
+        writer.append()
+
+
+def run_extraction_iceberg(
+    spark: SparkSession,
+    input_path: str,
+    table_ident: str,
+    num_partitions: Optional[int] = None,
+    input_format: str = "parquet",
+    lineage_table: Optional[str] = None,
+) -> int:
+    """The checkpointable extraction run against a REAL Iceberg catalog
+    table — the north rule's deployment shape, engaged when the runtime
+    jar is present (:func:`iceberg_available`); otherwise raises
+    RuntimeError pointing at :func:`run_extraction_snapshot` (the
+    parquet snapshot-log fallback with identical semantics).
+
+    Same plan as the fallback: read → resume anti-join on committed
+    urls (Iceberg read = current snapshot, so a crashed append — which
+    never committed — is invisible, exactly like an orphan run dir) →
+    single-shuffle extraction → ``writeTo(...).append()`` (one atomic
+    Iceberg commit).  Lineage goes to ``<table>_lineage`` (or
+    ``lineage_table``) as a second append; it trails the data commit,
+    so a crash between the two loses only observability rows, never
+    data consistency."""
+    from pdf_ocr_spark.pipeline.extract_job import (
+        doc_lineage_metrics,
+        extract_documents,
+        read_pages,
+        resume_filter,
+    )
+
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "iceberg-spark-runtime not on the classpath; use "
+            "run_extraction_snapshot (parquet snapshot log, identical "
+            "resume/atomicity semantics) or launch with the Iceberg jar"
+        )
+    pages = read_pages(spark, input_path, input_format)
+    exists = _table_exists(spark, table_ident)
+    if exists:
+        done = spark.table(table_ident)
+        pages = resume_filter(pages, done)
+    docs = extract_documents(pages, num_partitions)
+    run_id = uuid.uuid4().hex[:16]
+    docs = docs.persist()
+    try:
+        n = docs.count()
+        if n > 0 or not exists:
+            _append_to_table(docs, table_ident, create=not exists)
+        if n > 0:
+            lin = doc_lineage_metrics(docs).withColumn("run_id", F.lit(run_id))
+            lt = lineage_table or f"{table_ident}_lineage"
+            _append_to_table(lin, lt, create=not _table_exists(spark, lt))
     finally:
         docs.unpersist()
     return n
