@@ -124,7 +124,11 @@ _OPERATOR_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 # indirect refs, so numbers need no "<n> <g> R" lookahead — this regex
 # replaces the char-at-a-time Lexer on the hot path (~45% of kernel time)
 _CONTENT_TOK = re.compile(
-    rb"""(?P<num>[+-]?(?:\d+(?:\.\d*)?|\.\d+))
+    rb"""(?P<showtj><[0-9A-Fa-f]*>[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9*'"]))
+       | (?P<tdxy>(?P<tdx>[+-]?(?:\d+(?:\.\d*)?|\.\d+))[\x00\t\n\x0c\r ]+
+                  (?P<tdy>[+-]?(?:\d+(?:\.\d*)?|\.\d+))[\x00\t\n\x0c\r ]+
+                  (?P<tdop>T[Dd])(?![A-Za-z0-9*'"]))
+       | (?P<num>[+-]?(?:\d+(?:\.\d*)?|\.\d+))
        | (?P<name>/[^\x00\t\n\x0c\r /<>()\[\]{}%]*)
        | (?P<ddict><<)
        | (?P<hex><[^>]*>?)
@@ -136,6 +140,27 @@ _CONTENT_TOK = re.compile(
     """,
     re.X,
 )
+# the two fused fast paths above collapse the dominant per-glyph token
+# sequences — "<CID> Tj" and "tx ty Td/TD" (WPS-style streams emit both
+# once PER GLYPH) — into ONE match + dispatch each instead of 2-3; they
+# only fire on byte-clean shapes (pure hex, strict numbers, token
+# boundary after the operator), everything else falls through to the
+# general alternatives with identical semantics
+_TOK_SHOWTJ = _CONTENT_TOK.groupindex["showtj"]  # lastindex when showtj fires
+# lastindex reports the group that CLOSED last — for nested groups that
+# is the OUTER one (verified: b"12.5 0 TD" → lastindex == tdxy, not tdop)
+_TOK_TDXY = _CONTENT_TOK.groupindex["tdxy"]      # lastindex when tdxy fires
+_TOK_TDX = _CONTENT_TOK.groupindex["tdx"]
+_TOK_TDY = _CONTENT_TOK.groupindex["tdy"]
+_TOK_NUM = _CONTENT_TOK.groupindex["num"]
+_TOK_NAME = _CONTENT_TOK.groupindex["name"]
+_TOK_DDICT = _CONTENT_TOK.groupindex["ddict"]
+_TOK_HEX = _CONTENT_TOK.groupindex["hex"]
+_TOK_OPEN = _CONTENT_TOK.groupindex["open"]
+_TOK_CLOSE = _CONTENT_TOK.groupindex["close"]
+_TOK_LIT = _CONTENT_TOK.groupindex["lit"]
+_TOK_OP = _CONTENT_TOK.groupindex["op"]
+_TOK_COMMENT = _CONTENT_TOK.groupindex["comment"]
 _NONHEX = re.compile(rb"[^0-9A-Fa-f]")
 
 
@@ -171,9 +196,15 @@ def _tokenize_content(data: bytes):
     The yielded operand LIST IS REUSED between operators (cleared after
     each resume) — the consumer must finish with it inside its loop body,
     which `_execute` does; this removes one list allocation per operator
-    (~400 per page) from the hottest loop."""
+    (~400 per page) from the hottest loop.
+
+    Token dispatch is on ``m.lastindex`` (ints, see _CONTENT_TOK group
+    order) and numeric tokens are memoized per stream: glyph advances /
+    positions draw from a small repeating set (font widths × a size), so
+    the common number is one dict hit — no parse, no new float."""
     lex = Lexer(data, 0)  # reused only for strings/dicts (escape handling)
     hex_cache: Dict[bytes, bytes] = {}  # per-glyph CID strings repeat constantly
+    num_cache: Dict[bytes, Any] = {}
     n = len(data)
     pos = 0
     operands: List[Any] = []
@@ -184,15 +215,54 @@ def _tokenize_content(data: bytes):
         m = search(data, pos)  # C-level skip of whitespace (and junk)
         if m is None:
             break
-        g = m.lastgroup
-        if g == "comment":
+        g = m.lastindex  # _TOK_* constants (highest matched group index)
+        if g == _TOK_SHOWTJ:  # fused "<hex> Tj" — one dispatch per glyph
+            body = m.group()
+            hb = hex_cache.get(body)
+            if hb is None:
+                hx = body[1 : body.index(b">")]
+                if len(hx) % 2:
+                    hx += b"0"
+                hb = hex_cache[body] = bytes.fromhex(hx.decode("ascii"))
+            cur.append(hb)
+            if stack:  # operator inside an unterminated array: recover
+                stack = []
+                cur = operands
+            yield operands, b"Tj"
+            operands.clear()
+            cur = operands
+            pos = m.end()
+        elif g == _TOK_TDXY:  # fused "tx ty Td/TD"
+            tok = m.group(_TOK_TDX)
+            v = num_cache.get(tok)
+            if v is None:
+                v = num_cache[tok] = float(tok) if b"." in tok else int(tok)
+            cur.append(v)
+            tok = m.group(_TOK_TDY)
+            v = num_cache.get(tok)
+            if v is None:
+                v = num_cache[tok] = float(tok) if b"." in tok else int(tok)
+            cur.append(v)
+            if stack:
+                stack = []
+                cur = operands
+            pos = m.end()
+            # constant op bytes (no per-op allocation): last matched byte
+            # distinguishes TD (0x44 'D') from Td
+            yield operands, (b"TD" if data[pos - 1] == 0x44 else b"Td")
+            operands.clear()
+            cur = operands
+        elif g == _TOK_COMMENT:
             pos = m.end()
             continue
-        if g == "num":
+        elif g == _TOK_NUM:
             tok = m.group()
-            cur.append(float(tok) if b"." in tok else int(tok))
+            v = num_cache.get(tok)
+            if v is None:
+                v = num_cache[tok] = float(tok) if b"." in tok else int(tok)
+            cur.append(v)
             pos = m.end()
-        elif g == "op":
+        elif g == _TOK_OP:  # operator
             op = m.group()
             pos = m.end()
             if op == b"BI":
@@ -222,7 +292,7 @@ def _tokenize_content(data: bytes):
             yield operands, op
             operands.clear()  # reuse — consumer is done with it (see doc)
             cur = operands
-        elif g == "name":
+        elif g == _TOK_NAME:
             tok = m.group()[1:]
             if b"#" in tok:  # rare '#xx' escapes → slow path
                 lex.pos = m.start()
@@ -234,7 +304,7 @@ def _tokenize_content(data: bytes):
             else:
                 cur.append(Name(tok.decode("utf-8", "replace")))
                 pos = m.end()
-        elif g == "hex":
+        elif g == _TOK_HEX:
             body = m.group()
             hb = hex_cache.get(body)
             if hb is None:
@@ -245,16 +315,16 @@ def _tokenize_content(data: bytes):
                 hb = hex_cache[body] = bytes.fromhex(hx.decode("ascii"))
             cur.append(hb)
             pos = m.end()
-        elif g == "open":
+        elif g == _TOK_OPEN:  # [
             new: List[Any] = []
             cur.append(new)
             stack.append(cur)
             cur = new
             pos = m.end()
-        elif g == "close":
+        elif g == _TOK_CLOSE:  # ]
             cur = stack.pop() if stack else operands
             pos = m.end()
-        elif g == "lit":
+        elif g == _TOK_LIT:  # ( literal string
             lex.pos = m.start()
             try:
                 cur.append(lex._parse_literal_string())
@@ -388,13 +458,23 @@ class ContentInterpreter:
                 if op == b"Tj" and operands:
                     tm = self._show(operands[-1], ts, tm, ctm)
                 elif op == b"Td" and len(operands) >= 2:
-                    tx, ty = num(operands[-2]), num(operands[-1])
+                    # num() inlined: Td/TD run once per glyph in WPS-style
+                    # streams — two calls per op add up to millions
+                    tx, ty = operands[-2], operands[-1]
+                    if not isinstance(tx, (int, float)):
+                        tx = 0.0
+                    if not isinstance(ty, (int, float)):
+                        ty = 0.0
                     tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
                            tx * tlm[0] + ty * tlm[2] + tlm[4],
                            tx * tlm[1] + ty * tlm[3] + tlm[5])
                     tm = tlm
                 elif op == b"TD" and len(operands) >= 2:
-                    tx, ty = num(operands[-2]), num(operands[-1])
+                    tx, ty = operands[-2], operands[-1]
+                    if not isinstance(tx, (int, float)):
+                        tx = 0.0
+                    if not isinstance(ty, (int, float)):
+                        ty = 0.0
                     ts.leading = -ty
                     tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
                            tx * tlm[0] + ty * tlm[2] + tlm[4],
@@ -505,10 +585,18 @@ class ContentInterpreter:
             return tm
         self.n_text_ops += 1
         font = ts.font
-        # trm = tm · ctm computed ONCE; per-glyph advances are pure
-        # translations along text-space x, so T(tx)·trm only shifts (e, f)
-        # — no per-glyph matrix multiplies
-        a, b, c, d, e, f = mat_mul(tm, ctm)
+        # trm = tm · ctm computed ONCE (inlined: this is the single
+        # hottest line of the interpreter — one call+tuple per show op);
+        # per-glyph advances are pure translations along text-space x, so
+        # T(tx)·trm only shifts (e, f) — no per-glyph matrix multiplies
+        t0, t1, t2, t3, t4, t5 = tm
+        c0, c1, c2, c3, c4, c5 = ctm
+        a = t0 * c0 + t1 * c2
+        b = t0 * c1 + t1 * c3
+        c = t2 * c0 + t3 * c2
+        d = t2 * c1 + t3 * c3
+        e = t4 * c0 + t5 * c2 + c4
+        f = t4 * c1 + t5 * c3 + c5
         sy = (c * c + d * d) ** 0.5 * ts.size
         ab = (a * a + b * b) ** 0.5  # device length of a unit x advance
         rise = ts.rise

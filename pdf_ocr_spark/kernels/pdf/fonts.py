@@ -145,6 +145,7 @@ class Font:
         "default_width",
         "space_code",
         "_cache",
+        "_run_cache",
     )
 
     def __init__(self) -> None:
@@ -158,6 +159,7 @@ class Font:
         self.default_width = 500.0
         self.space_code: Optional[int] = 32
         self._cache: Dict[int, Tuple[int, str, float]] = {}
+        self._run_cache: Dict[bytes, List[Tuple[int, str, float]]] = {}
 
     # -- decoding ----------------------------------------------------------
 
@@ -166,7 +168,16 @@ class Font:
 
         Per-code triples are memoized: a typical page shows the same few
         dozen codes thousands of times (per-glyph Tj), so after warmup a
-        decode is one dict hit per glyph."""
+        decode is one dict hit per glyph.  Whole runs are memoized too —
+        the tokenizer's hex cache interns repeated show-strings (per-glyph
+        CID Tj streams reuse a handful of byte strings), so the common
+        decode is ONE dict hit with no list build.  The returned list is
+        shared: callers iterate, never mutate (the only hot caller is
+        ``ContentInterpreter._show``)."""
+        run_cache = self._run_cache
+        out = run_cache.get(raw)
+        if out is not None:
+            return out
         cache = self._cache
         out: List[Tuple[int, str, float]] = []
         append = out.append
@@ -196,6 +207,8 @@ class Font:
                         code, self._unicode_for(code), self._width_for(code)
                     )
                 append(t)
+        if len(run_cache) < 8192:  # bound memory on adversarial streams
+            run_cache[raw] = out
         return out
 
     def _unicode_for(self, code: int) -> str:

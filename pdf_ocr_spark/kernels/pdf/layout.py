@@ -98,7 +98,7 @@ def build_lines(glyphs: Sequence[Glyph], page_h: float) -> List[Line]:
     # (x_r, seq, g) triple is carried into the per-line sort so each
     # glyph is decorated (and rounded) exactly once.
     items = sorted(
-        (round(page_h - g.y, 2), round(g.x, 2), g.seq, page_h - g.y, g)
+        (round((yt := page_h - g.y), 2), round(g.x, 2), g.seq, yt, g)
         for g in vis
     )
     lines: List[List[Tuple[float, int, Glyph]]] = []
