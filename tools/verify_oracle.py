@@ -7,7 +7,10 @@ Usage: python tools/verify_oracle.py [sf_dir] [query_name ...]
 Also enforces a per-query wall budget (PER_QUERY_BUDGET_SEC): the driver
 samples ~50 registry queries per round, so every query must stay cheap at
 sf0.01 or a future sampled set goes red on host weather alone.  A query
-over budget is reported as a failure even when its values match.
+over budget is reported as a failure even when its values match.  The
+budget is weather-scaled by the single-thread calibration (same protocol
+as bench.py): this VM's CPU steal swings walls up to 4×, and a fixed
+20 s flapped on a different heavy-but-healthy query each full run.
 """
 
 from __future__ import annotations
@@ -79,6 +82,12 @@ def main() -> int:
 
     spark = get_spark(app_name="verify-oracle", cores=8, shuffle_partitions=8)
     con = duckdb_con(sf_dir)
+    from bench import cpu_calibration
+
+    cal = cpu_calibration()
+    budget = PER_QUERY_BUDGET_SEC * max(1.0, cal / 0.961)  # nominal = idle box
+    if budget > PER_QUERY_BUDGET_SEC:
+        print(f"(weather: calibration {cal:.3f}s → budget {budget:.1f}s)")
     failures = {}
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
@@ -91,12 +100,20 @@ def main() -> int:
             failures[name] = [f"spark error: {type(e).__name__}: {str(e)[:200]}"]
             print(f"FAIL {name}: {failures[name][0]}")
             continue
-        if elapsed > PER_QUERY_BUDGET_SEC:
-            failures[name] = [
-                f"budget: {elapsed:.1f}s > {PER_QUERY_BUDGET_SEC:.0f}s at {sf_dir}"
-            ]
-            print(f"FAIL {name}: {failures[name][0]}")
-            continue
+        if elapsed > budget:
+            # confirm before failing: a steal spike mid-suite inflates one
+            # query; a real regression reproduces on the immediate retry
+            t0 = time.monotonic()
+            sdf = fn(spark, sf_dir).toPandas()
+            retry = time.monotonic() - t0
+            if retry > budget:
+                failures[name] = [
+                    f"budget: {elapsed:.1f}s then {retry:.1f}s > {budget:.1f}s "
+                    f"at {sf_dir}"
+                ]
+                print(f"FAIL {name}: {failures[name][0]}")
+                continue
+            print(f"(budget retry: {name} {elapsed:.1f}s → {retry:.1f}s, ok)")
         if sql is None:
             status = "rows-only"
             print(f"ok   {name}: {len(sdf)} rows ({status})")
