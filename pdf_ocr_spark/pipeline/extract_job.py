@@ -1352,8 +1352,9 @@ def resume_filter(
     count as completed, so the next run reprocesses them; permanent
     failures (parse errors) stay committed.  A retried url that later
     succeeds appends an ok row alongside the old failed row — at-least-once
-    semantics; downstream readers canonicalize by status priority (on real
-    Iceberg, MERGE INTO replaces the failed row atomically instead)."""
+    semantics; downstream readers canonicalize via :func:`canonical_docs`
+    (status priority, total deterministic tie-break; on real Iceberg,
+    MERGE INTO replaces the failed row atomically instead)."""
     done = completed_urls
     if retry_transient and "failure_reason" in done.columns:
         done = done.filter(
@@ -1362,6 +1363,39 @@ def resume_filter(
             )
         )
     return input_df.join(done.select("url"), "url", "left_anti")
+
+
+def canonical_docs(docs: DataFrame) -> DataFrame:
+    """Reader-side canonicalization for the at-least-once append model
+    (:func:`resume_filter`): a retried transient failure appends an ok
+    row ALONGSIDE the old ``ocr_failed`` row, so readers pick ONE row
+    per url — ok beats failed, then the larger (n_chars, n_ocr_pages,
+    n_bytes, failure_reason, extracted_text) wins, every key coalesced
+    non-null so the order is total and deterministic.
+
+    Plan: one groupBy(url) with ``max_by`` — single shuffle, map-side
+    partial aggregation, no window over the whole table; scales to the
+    10^12-doc table (url is the natural high-cardinality key).  On real
+    Iceberg a ``MERGE INTO`` at retry-commit time replaces the failed
+    row instead and this becomes a no-op."""
+    cols = [c for c in docs.columns if c != "url"]
+    key = F.struct(
+        F.when(F.col("status") == "ok", 1).otherwise(0).alias("pri"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("k1"),
+        F.coalesce(F.col("n_ocr_pages"), F.lit(0)).alias("k2"),
+        F.coalesce(F.col("n_bytes"), F.lit(0)).alias("k3"),
+        F.coalesce(F.col("failure_reason"), F.lit("")).alias("k4"),
+        F.coalesce(F.col("extracted_text"), F.lit("")).alias("k5"),
+        # remaining fields so the order is TOTAL (max_by with tied keys
+        # would otherwise be partition-order-dependent)
+        F.coalesce(F.col("content_kind"), F.lit("")).alias("k6"),
+        F.coalesce(F.col("n_pages"), F.lit(0)).alias("k7"),
+        F.coalesce(F.col("n_blocks"), F.lit(0)).alias("k8"),
+    )
+    best = docs.groupBy("url").agg(
+        F.max_by(F.struct(*[F.col(c) for c in cols]), key).alias("_best")
+    )
+    return best.select("url", *[F.col(f"_best.{c}").alias(c) for c in cols])
 
 
 def read_pages(

@@ -2771,6 +2771,83 @@ FROM read_parquet('{_golden("extract_corpus")}')
 """
 
 
+def q_resume_canonical(spark, sf_dir):
+    """Reader-side canonicalization of at-least-once extraction appends
+    (pipeline/extract_job.py:canonical_docs): a resume run retries
+    transient ``ocr_failed`` rows and APPENDS the new outcome next to
+    the old one, so readers pick one row per url — ok beats failed,
+    ties broken by a total coalesced key.  Simulated two-run table:
+    run 1 fails every url transiently, run 2 retries and succeeds on
+    every third; canonical view must show ok for those, failed rest."""
+    from pdf_ocr_spark.pipeline.extract_job import canonical_docs
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("u://"), F.col("doc_id").cast("string")).alias("url")
+    run1 = d.select(
+        url,
+        F.lit("pdf").alias("content_kind"),
+        F.lit(None).cast("string").alias("extracted_text"),
+        F.lit(0).alias("n_pages"),
+        F.lit(0).alias("n_blocks"),
+        F.lit(0).alias("n_chars"),
+        F.lit("failed").alias("status"),
+        F.lit("ocr_failed: remote timeout").alias("failure_reason"),
+        F.length("text").cast("long").alias("n_bytes"),
+        F.lit(0).alias("n_ocr_pages"),
+    )
+    run2 = d.filter(F.col("doc_id") % 3 == 0).select(
+        url,
+        F.lit("pdf").alias("content_kind"),
+        F.col("text").alias("extracted_text"),
+        F.lit(1).alias("n_pages"),
+        F.lit(1).alias("n_blocks"),
+        F.length("text").alias("n_chars"),
+        F.lit("ok").alias("status"),
+        F.lit(None).cast("string").alias("failure_reason"),
+        F.length("text").cast("long").alias("n_bytes"),
+        F.lit(1).alias("n_ocr_pages"),
+    )
+    return canonical_docs(run1.unionByName(run2)).select(
+        "url",
+        "status",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "failure_reason",
+        F.md5(F.coalesce(F.col("extracted_text"), F.lit(""))).alias("text_md5"),
+    )
+
+
+SQL_RESUME_CANONICAL = """
+WITH run1 AS (
+  SELECT 'u://' || CAST(doc_id AS VARCHAR) AS url, 'pdf' AS content_kind,
+         CAST(NULL AS VARCHAR) AS extracted_text, 0 AS n_pages,
+         0 AS n_blocks, 0 AS n_chars, 'failed' AS status,
+         'ocr_failed: remote timeout' AS failure_reason,
+         length(text) AS n_bytes, 0 AS n_ocr_pages
+  FROM documents
+), run2 AS (
+  SELECT 'u://' || CAST(doc_id AS VARCHAR) AS url, 'pdf' AS content_kind,
+         text AS extracted_text, 1 AS n_pages, 1 AS n_blocks,
+         length(text) AS n_chars, 'ok' AS status,
+         CAST(NULL AS VARCHAR) AS failure_reason,
+         length(text) AS n_bytes, 1 AS n_ocr_pages
+  FROM documents WHERE doc_id % 3 = 0
+), u AS (SELECT * FROM run1 UNION ALL SELECT * FROM run2),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY url ORDER BY
+      CASE WHEN status = 'ok' THEN 1 ELSE 0 END DESC,
+      COALESCE(n_chars, 0) DESC, COALESCE(n_ocr_pages, 0) DESC,
+      COALESCE(n_bytes, 0) DESC, COALESCE(failure_reason, '') DESC,
+      COALESCE(extracted_text, '') DESC, COALESCE(content_kind, '') DESC,
+      COALESCE(n_pages, 0) DESC, COALESCE(n_blocks, 0) DESC
+  ) AS rn FROM u
+)
+SELECT url, status, CAST(n_chars AS INT) AS n_chars, failure_reason,
+       md5(COALESCE(extracted_text, '')) AS text_md5
+FROM r WHERE rn = 1
+"""
+
+
 _BLOCKS_GOLDEN = _golden("blocks")
 
 
@@ -4067,6 +4144,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     ),
     "sink_overlay_svg": (q_sink_overlay_svg, SQL_SINK_OVERLAY_SVG),
     "extract_corpus": (q_extract_corpus, SQL_EXTRACT_CORPUS),
+    "resume_canonical": (q_resume_canonical, SQL_RESUME_CANONICAL),
     "pages_table": (q_pages_table, SQL_PAGES_TABLE),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),

@@ -376,3 +376,47 @@ def test_dedup_extracted(spark, corpus_parquet):
     assert canon.filter(F.col("url").startswith("zz-dup://") & (F.col("status") == "ok")).count() == 0
     # filtering variant equals marked-and-filtered
     assert dedup_extracted(docs).count() == canon.count()
+
+
+def test_canonical_docs_retry_supersede(spark):
+    """At-least-once append model: a retried transient failure appends an
+    ok row next to the old ocr_failed row; canonical_docs picks exactly
+    one row per url — ok beats failed, permanent failures survive, exact
+    duplicate rows collapse, and the choice is deterministic under
+    repartitioning (total coalesced tie-break key)."""
+    from pdf_ocr_spark.pipeline.extract_job import DOC_SCHEMA, canonical_docs
+
+    def row(url, status, reason, text, n_ocr=0):
+        n = len(text) if text is not None else 0
+        return (url, "pdf", text, 1 if text else 0, 1 if text else 0,
+                n, status, reason, 100, n_ocr)
+
+    rows = [
+        # u1: transient failure then successful retry → ok wins
+        row("u1", "failed", "ocr_failed: remote timeout", None),
+        row("u1", "ok", None, "# page text", n_ocr=1),
+        # u2: permanent parse failure, never retried → failed survives
+        row("u2", "failed", "bad_xref", None),
+        # u3: duplicate identical commits (replayed append) → one row
+        row("u3", "ok", None, "same"),
+        row("u3", "ok", None, "same"),
+        # u4: two failed attempts with different reasons → deterministic
+        row("u4", "failed", "ocr_failed: a", None),
+        row("u4", "failed", "ocr_failed: b", None),
+    ]
+    docs = spark.createDataFrame(rows, schema=DOC_SCHEMA)
+    got = {r["url"]: r for r in canonical_docs(docs).collect()}
+    assert len(got) == 4
+    assert got["u1"]["status"] == "ok"
+    assert got["u1"]["extracted_text"] == "# page text"
+    assert got["u2"]["status"] == "failed"
+    assert got["u2"]["failure_reason"] == "bad_xref"
+    assert got["u3"]["extracted_text"] == "same"
+    assert got["u4"]["failure_reason"] == "ocr_failed: b"  # max key, stable
+
+    # deterministic under physical layout changes
+    again = {r["url"]: r for r in
+             canonical_docs(docs.repartition(7, "status")).collect()}
+    assert {u: tuple(r) for u, r in got.items()} == {
+        u: tuple(r) for u, r in again.items()
+    }
