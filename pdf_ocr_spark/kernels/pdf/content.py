@@ -607,13 +607,15 @@ class ContentInterpreter:
         glyphs_append = self.glyphs.append
         seq = self._seq
         tx_total = 0.0
-        for code, uni, w1000 in font.decode(raw):
+        new_glyph = tuple.__new__  # bypass namedtuple.__new__: one glyph
+        for code, uni, w1000 in font.decode(raw):  # per Tj in CID streams
             extra = char_sp
             if word_sp and code == 32:
                 extra += word_sp
             tx = (w1000 * 0.001 * size + extra) * hscale
             glyphs_append(
-                Glyph(uni, e + rx, f + ry, abs(tx) * ab, sy, fname, seq)
+                new_glyph(Glyph, (uni, e + rx, f + ry, abs(tx) * ab, sy,
+                                  fname, seq))
             )
             seq += 1
             e += tx * a

@@ -98,8 +98,8 @@ def build_lines(glyphs: Sequence[Glyph], page_h: float) -> List[Line]:
     # (x_r, seq, g) triple is carried into the per-line sort so each
     # glyph is decorated (and rounded) exactly once.
     items = sorted(
-        (round((yt := page_h - g.y), 2), round(g.x, 2), g.seq, yt, g)
-        for g in vis
+        [(round((yt := page_h - g.y), 2), round(g.x, 2), g.seq, yt, g)
+         for g in vis]  # listcomp: sorted() materializes anyway, ~10% faster
     )
     lines: List[List[Tuple[float, int, Glyph]]] = []
     anchors: List[float] = []
