@@ -862,6 +862,107 @@ def gen_raster_rows(n: int = 60, n_vector: int = 5) -> List[dict]:
     return rows
 
 
+def make_scan_pdf_ccitt(
+    page_texts: List[str],
+    corrupt_page: int = 0,
+    flate_wrap: bool = False,
+) -> bytes:
+    """Image-only pages whose XObject is a REAL Group-4 fax stream
+    (``/Filter /CCITTFaxDecode /K -1``) produced by the from-scratch T.6
+    encoder (kernels/pdf/ccitt.py) — the codec real-world scanned PDFs
+    (fax archives, book scans) carry almost universally.  Ground truth
+    rides in the DECODED PIXELS as the pixel-grid marker
+    (kernels/pixelcode.py), so the OCR branch exercises
+    decode → pixels → recognize end-to-end.
+
+    ``flate_wrap`` additionally zlib-wraps the fax stream
+    (``/Filter [/FlateDecode /CCITTFaxDecode]``) to exercise the
+    pre-filter chain; ``corrupt_page`` (1-based, 0 = none) truncates
+    that page's stream mid-data: the decoder must raise cleanly and the
+    payload fall back to opaque bytes (fingerprint OCR), never crash."""
+    import zlib as _zlib
+
+    from pdf_ocr_spark.kernels.pdf.ccitt import encode_g4
+    from pdf_ocr_spark.kernels.pixelcode import text_to_pixels
+
+    media = (612.0, 792.0)
+    w = _PdfWriter()
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    page_nums = []
+    for pno, text in enumerate(page_texts, 1):
+        iw, ih, px = text_to_pixels(text)
+        payload = encode_g4(px, iw, ih)
+        if pno == corrupt_page:
+            payload = payload[: max(4, len(payload) // 3)]
+        parms = b"<< /K -1 /Columns %d /Rows %d /BlackIs1 false >>" % (iw, ih)
+        if flate_wrap:
+            filt = b"/Filter [/FlateDecode /CCITTFaxDecode]"
+            parms = b"/DecodeParms [null %s]" % parms
+            payload = _zlib.compress(payload)
+        else:
+            filt = b"/Filter /CCITTFaxDecode"
+            parms = b"/DecodeParms %s" % parms
+        img_num = w.add_stream(
+            b"/Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 1 %s %s"
+            % (iw, ih, filt, parms),
+            payload,
+            compress=False,
+        )
+        content_num = w.add_stream(
+            b"", b"q\n612 0 0 792 0 0 cm\n/Im1 Do\nQ\n"
+        )
+        page_nums.append(
+            w.add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R"
+                b" /Resources << /XObject << /Im1 %d 0 R >> >> >>"
+                % (pages_num, content_num, img_num)
+            )
+        )
+    w.fill(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 %.2f %.2f] >>"
+        % (kids, len(page_nums), media[0], media[1]),
+    )
+    return w.build(catalog)
+
+
+def gen_ccitt_scan_rows(n_docs: int = 10) -> List[dict]:
+    """Corpus for the G4 fax scan branch: multi-page PDFs whose pages are
+    CCITT Group-4 image XObjects carrying pixel-marker ground truth; one
+    doc zlib-wraps its fax streams (filter chain), one carries a
+    truncated stream (decode must fail loudly, extract must not).
+    Deterministic — same rows every call."""
+    rng = random.Random(0xCC17)
+    rows = []
+    for d in range(n_docs):
+        n_pages = 1 + d % 3
+        texts = []
+        for p in range(n_pages):
+            lang = ("en", "zh")[(d + p) % 2]
+            texts.append(
+                f"fax doc {d} page {p + 1}\n" + _sentence(rng, lang)
+            )
+        corrupt = 1 if d == n_docs - 1 else 0  # last doc: page 1 truncated
+        flate = d == n_docs - 2                # second-to-last: filter chain
+        rows.append(
+            dict(
+                url=f"https://example.test/docs/ccittscan/{d:06d}",
+                warc_ts=datetime.datetime(2025, 1, 4, 0, 0, d),
+                html=make_scan_pdf_ccitt(
+                    texts, corrupt_page=corrupt, flate_wrap=flate
+                ),
+                text="",
+                lang="en",
+                kind="pdf_ccitt_scan",
+            )
+        )
+    return rows
+
+
 def gen_jpeg_scan_rows(n_docs: int = 12) -> List[dict]:
     """Corpus for the real-pixel scan branch: multi-page PDFs whose pages
     are baseline-JPEG images (DCTDecode) carrying pixel-marker ground

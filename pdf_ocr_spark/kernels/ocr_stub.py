@@ -82,6 +82,22 @@ class StubOcrEngine(OcrEngine):
                         [(ln, 0.99) for ln in text.split("\n") if ln.strip()]
                     )
                     continue
+            elif img.startswith(b"P5\n"):
+                # P5 payloads carry ALREADY-DECODED pixels: CCITT scans
+                # (kernels/pdf/ccitt.py via content.image_ocr_payload)
+                # and rasterized vector pages (kernels/pdf/raster.py)
+                from pdf_ocr_spark.kernels.pdf.raster import parse_pgm
+
+                try:
+                    w, h, px = parse_pgm(img)
+                    text = pixels_to_text(w, h, px)
+                except ValueError:
+                    text = None  # malformed P5 → fingerprint fallback
+                if text is not None:
+                    out.append(
+                        [(ln, 0.99) for ln in text.split("\n") if ln.strip()]
+                    )
+                    continue
             idx = img.find(STUB_MARKER)
             if idx >= 0:
                 payload = img[idx + len(STUB_MARKER) :]

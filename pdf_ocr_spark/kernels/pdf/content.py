@@ -29,6 +29,48 @@ Matrix = Tuple[float, float, float, float, float, float]
 IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
+def image_ocr_payload(doc: PDFDocument, xo: Stream) -> bytes:
+    """OCR-branch payload for an image XObject.
+
+    ``CCITTFaxDecode`` streams (the dominant codec of real-world scans)
+    are decoded to REAL pixels by the from-scratch T.4/T.6 codec
+    (kernels/pdf/ccitt.py) and re-emitted as P5 — the format the OCR
+    stub and the rasterizer consume natively — after applying any
+    preceding filters (e.g. an outer FlateDecode).  Every other codec's
+    bytes pass through raw: DCTDecode payloads are decoded downstream
+    (kernels/pdf/jpeg.py), JPX/JBIG2 stay opaque.  ``/BlackIs1`` is
+    irrelevant here (it flips the PACKED-bit convention of the filter's
+    output; we emit luma directly).  Never raises: any decode failure
+    falls back to the raw bytes (the pre-existing opaque path)."""
+    try:
+        filters = doc.resolve(xo.dict.get("Filter"))
+        if filters is None:
+            return xo.raw
+        flist = filters if isinstance(filters, list) else [filters]
+        names = [str(doc.resolve(f)) for f in flist]
+        if not names or names[-1] not in ("CCITTFaxDecode", "CCF"):
+            return xo.raw
+        from pdf_ocr_spark.kernels.pdf import ccitt
+
+        data = xo.decode(doc)             # pre-filters applied; CCITT raw
+        parms = doc.resolve(xo.dict.get("DecodeParms"))
+        if isinstance(parms, list):
+            parms = doc.resolve(parms[-1]) if parms else None
+        if not isinstance(parms, dict):
+            parms = {}
+        columns = int(doc.resolve(parms.get("Columns", 1728)) or 1728)
+        height = doc.resolve(xo.dict.get("Height", 0)) or 0
+        rows = int(doc.resolve(parms.get("Rows", height)) or 0)
+        k = int(doc.resolve(parms.get("K", 0)) or 0)
+        align = bool(doc.resolve(parms.get("EncodedByteAlign", False)))
+        w, h, luma = ccitt.decode(
+            data, columns=columns, rows=rows, k=k, encoded_byte_align=align
+        )
+        return b"P5\n%d %d\n255\n" % (w, h) + luma
+    except Exception:  # noqa: BLE001 — capture must never fail the page
+        return xo.raw
+
+
 def mat_mul(a: Matrix, b: Matrix) -> Matrix:
     """a × b (PDF row-vector convention: point' = point · a · b)."""
     return (
@@ -654,7 +696,7 @@ class ContentInterpreter:
             return
         subtype = str(self.doc.resolve(xo.dict.get("Subtype", "")))
         if subtype == "Image":
-            self.images.append(xo.raw)
+            self.images.append(image_ocr_payload(self.doc, xo))
             self.image_draws.append(unit_square_bbox(ctm))
             return
         if subtype == "Form":

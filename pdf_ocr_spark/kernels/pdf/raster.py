@@ -156,16 +156,25 @@ def _blit_image(
     y1: float,
     payload: bytes,
 ) -> bool:
-    """Decode a baseline-JPEG payload and nearest-resample its luma into
-    the device-space rect.  Returns False (caller falls back to the flat
-    coverage fill) when the payload is not a decodable JPEG."""
+    """Decode an image payload (baseline JPEG, or P5 luma from the CCITT
+    path) and nearest-resample it into the device-space rect.  Returns
+    False (caller falls back to the flat coverage fill) when the payload
+    is not decodable."""
     from pdf_ocr_spark.kernels.pdf.jpeg import JpegError, decode_gray, is_jpeg
 
-    if not is_jpeg(payload):
-        return False
-    try:
-        iw, ih, px = decode_gray(payload)
-    except JpegError:
+    if is_jpeg(payload):
+        try:
+            iw, ih, px = decode_gray(payload)
+        except JpegError:
+            return False
+    elif payload.startswith(b"P5\n"):
+        # already-decoded pixels: CCITT images arrive as P5 luma
+        # (content.image_ocr_payload → kernels/pdf/ccitt.py)
+        try:
+            iw, ih, px = parse_pgm(payload)
+        except ValueError:
+            return False
+    else:
         return False
     if x1 < x0:
         x0, x1 = x1, x0

@@ -3021,6 +3021,66 @@ FROM read_parquet('{_golden("jpeg_rasters")}')
 """
 
 
+def q_ccitt_scan_ocr(spark, sf_dir):
+    """Group-4 fax scan branch (K2 over S3 with the from-scratch T.4/T.6
+    codec): multi-page PDFs whose pages are CCITTFaxDecode image
+    XObjects — the codec real-world scanned PDFs carry almost
+    universally — flow through the distributed extract→OCR route: the
+    capture site decodes the fax stream to REAL pixels
+    (kernels/pdf/ccitt.py via content.image_ocr_payload) and the stub
+    reads the pixel-grid ground truth from them, the reference's
+    real-pixmap OCR flow (/root/reference/pdf_ocr_with_boxes_v2.py:
+    200-247).  One doc zlib-wraps its streams (/Filter [/FlateDecode
+    /CCITTFaxDecode] chain), one carries a truncated stream (must fall
+    back to the deterministic fingerprint, not a task failure).
+    Oracle = frozen kernel golden — value-hash pins every page's
+    recognized text."""
+    from pdf_ocr_spark.fixtures.genpages import gen_ccitt_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_pages
+
+    rows = gen_ccitt_scan_rows()
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    p = extract_pages(pages, num_partitions=8)
+    return p.select(
+        "url",
+        F.col("page").cast("int").alias("page"),
+        F.md5(F.coalesce(F.col("page_text"), F.lit(""))).alias("ocr_md5"),
+        "needs_ocr",
+        "status",
+    )
+
+
+SQL_CCITT_SCAN_OCR = f"""
+SELECT url, CAST(page AS INT) AS page, ocr_md5, needs_ocr, status
+FROM read_parquet('{_golden("ccitt_scan_ocr")}')
+"""
+
+
+def q_ccitt_scan_raster(spark, sf_dir):
+    """S10 rasterizer over decoded Group-4 fax content: the CCITT scan
+    corpus rendered by the coverage rasterizer with the T.6 decoder's
+    luma resampled into each image draw rect — full-bitmap md5 pins the
+    MMR mode/run decode pixel-for-pixel through the distributed route."""
+    from pdf_ocr_spark.fixtures.genpages import gen_ccitt_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_rasters
+
+    rows = gen_ccitt_scan_rows()
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_rasters(pages)
+
+
+SQL_CCITT_SCAN_RASTER = f"""
+SELECT url, page_num, raster_w, raster_h, ink_px, raster_md5
+FROM read_parquet('{_golden("ccitt_rasters")}')
+"""
+
+
 def q_page_orientation(spark, sf_dir):
     """K4 orientation detection as a queryable table: per-page
     content-based OSD verdict (dominant glyph flow direction, the
@@ -4182,6 +4242,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "page_orientation": (q_page_orientation, SQL_PAGE_ORIENTATION),
     "jpeg_scan_ocr": (q_jpeg_scan_ocr, SQL_JPEG_SCAN_OCR),
     "jpeg_scan_raster": (q_jpeg_scan_raster, SQL_JPEG_SCAN_RASTER),
+    "ccitt_scan_ocr": (q_ccitt_scan_ocr, SQL_CCITT_SCAN_OCR),
+    "ccitt_scan_raster": (q_ccitt_scan_raster, SQL_CCITT_SCAN_RASTER),
 }
 
 

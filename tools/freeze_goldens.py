@@ -343,6 +343,56 @@ def freeze_jpeg_rasters() -> pd.DataFrame:
     return golden
 
 
+def freeze_ccitt_scan_ocr() -> pd.DataFrame:
+    """Golden for the G4 fax scan branch: extract+OCR UDF bodies run
+    in-process over gen_ccitt_scan_rows() — the stub recognizes the
+    pixel-grid marker from pixels decoded by the from-scratch T.4/T.6
+    codec (must match q_ccitt_scan_ocr)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_ccitt_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_batch, ocr_batch
+
+    rows = gen_ccitt_scan_rows()
+    batch = pd.DataFrame(
+        {"url": [r["url"] for r in rows],
+         "html": [bytes(r["html"]) for r in rows]}
+    )
+    pages = pd.concat(list(extract_batch(iter([batch]))), ignore_index=True)
+    pages = pd.concat(list(ocr_batch(iter([pages]))), ignore_index=True)
+    pages["ocr_md5"] = [
+        hashlib.md5((t if isinstance(t, str) else "").encode("utf-8")).hexdigest()
+        for t in pages["page_text"]
+    ]
+    golden = pages[
+        ["url", "page", "ocr_md5", "needs_ocr", "status"]
+    ].sort_values(["url", "page"], kind="mergesort").reset_index(drop=True)
+    golden.to_parquet(
+        os.path.join(FIXTURES, "ccitt_scan_ocr_golden.parquet"), index=False
+    )
+    return golden
+
+
+def freeze_ccitt_rasters() -> pd.DataFrame:
+    """Golden for the rasterizer over CCITT content: the raster UDF body
+    over the fax scan corpus — full-bitmap md5 pins the T.6 decoder's
+    output pixel-for-pixel (must match q_ccitt_scan_raster)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_ccitt_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_rasters_batch
+
+    rows = gen_ccitt_scan_rows()
+    batch = pd.DataFrame(
+        {"url": [r["url"] for r in rows],
+         "html": [bytes(r["html"]) for r in rows]}
+    )
+    out = pd.concat(list(extract_rasters_batch(iter([batch]))), ignore_index=True)
+    golden = out.sort_values(
+        ["url", "page_num"], kind="mergesort"
+    ).reset_index(drop=True)
+    golden.to_parquet(
+        os.path.join(FIXTURES, "ccitt_rasters_golden.parquet"), index=False
+    )
+    return golden
+
+
 if __name__ == "__main__":
     for name, fn in [
         ("blocks", freeze_blocks),
@@ -357,6 +407,8 @@ if __name__ == "__main__":
         ("orientation", freeze_orientation),
         ("jpeg_scan_ocr", freeze_jpeg_scan_ocr),
         ("jpeg_rasters", freeze_jpeg_rasters),
+        ("ccitt_scan_ocr", freeze_ccitt_scan_ocr),
+        ("ccitt_rasters", freeze_ccitt_rasters),
     ]:
         df = fn()
         print(f"{name}: {len(df)} rows frozen")
