@@ -1473,3 +1473,111 @@ def write_corpus(path: str, n: int, seed: int = 42, n_files: int = 1) -> None:
             _table(rows[i : i + chunk]),
             os.path.join(path, f"part-{i // chunk:05d}.parquet"),
         )
+
+
+def make_scan_pdf_jpx(
+    page_texts: List[str],
+    corrupt_page: int = 0,
+    flate_wrap: bool = False,
+    raw_codestream: bool = False,
+) -> bytes:
+    """Image-only pages whose XObject is a REAL JPEG 2000 stream
+    (``/Filter /JPXDecode``) produced by the from-scratch lossless
+    encoder (kernels/pdf/jp2.py: MQ coder, EBCOT tier-1, tag-tree
+    packets, reversible 5/3 DWT) — the codec of archival/library scans
+    (e.g. archive.org books) and of PDF/A-2+ workflows.  Ground truth
+    rides in the DECODED PIXELS as the pixel-grid marker
+    (kernels/pixelcode.py), so the OCR branch exercises
+    decode → pixels → recognize end-to-end.
+
+    ``raw_codestream`` embeds the bare SOC..EOC codestream instead of
+    the JP2 container (PDF readers accept both); ``flate_wrap``
+    zlib-wraps the stream (``/Filter [/FlateDecode /JPXDecode]``);
+    ``corrupt_page`` (1-based, 0 = none) truncates that page's stream
+    mid-data: the decoder must raise cleanly and the payload fall back
+    to opaque bytes (fingerprint OCR), never crash."""
+    import zlib as _zlib
+
+    from pdf_ocr_spark.kernels.pdf.jp2 import encode_gray as _jp2_encode
+    from pdf_ocr_spark.kernels.pixelcode import text_to_pixels
+
+    media = (612.0, 792.0)
+    w = _PdfWriter()
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    page_nums = []
+    for pno, text in enumerate(page_texts, 1):
+        # cols=32 keeps the EBCOT bitplane loops cheap per fixture page
+        iw, ih, px = text_to_pixels(text, cols=32)
+        payload = _jp2_encode(
+            iw, ih, px, levels=2, jp2_wrap=not raw_codestream
+        )
+        if pno == corrupt_page:
+            payload = payload[: max(4, len(payload) // 3)]
+        if flate_wrap:
+            filt = b"/Filter [/FlateDecode /JPXDecode]"
+            payload = _zlib.compress(payload)
+        else:
+            filt = b"/Filter /JPXDecode"
+        img_num = w.add_stream(
+            b"/Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8 %s"
+            % (iw, ih, filt),
+            payload,
+            compress=False,
+        )
+        content_num = w.add_stream(
+            b"", b"q\n612 0 0 792 0 0 cm\n/Im1 Do\nQ\n"
+        )
+        page_nums.append(
+            w.add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R"
+                b" /Resources << /XObject << /Im1 %d 0 R >> >> >>"
+                % (pages_num, content_num, img_num)
+            )
+        )
+    w.fill(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 %.2f %.2f] >>"
+        % (kids, len(page_nums), media[0], media[1]),
+    )
+    return w.build(catalog)
+
+
+def gen_jpx_scan_rows(n_docs: int = 6) -> List[dict]:
+    """Corpus for the JPEG 2000 scan branch: multi-page PDFs whose pages
+    are JPXDecode image XObjects carrying pixel-marker ground truth.
+    Doc 0 embeds the raw SOC..EOC codestream (no JP2 container), the
+    second-to-last doc zlib-wraps its streams (filter chain), the last
+    doc carries a truncated stream on page 1 (decode must fail loudly,
+    extract must not).  Texts are kept short — EBCOT bitplane coding is
+    the costliest pure-python kernel in the repo and these fixtures run
+    inside the per-query oracle budget.  Deterministic."""
+    rng = random.Random(0x3F2000)
+    rows = []
+    for d in range(n_docs):
+        n_pages = 1 + d % 2
+        texts = []
+        for p in range(n_pages):
+            word = _EN_WORDS[(d * 3 + p) % len(_EN_WORDS)]
+            texts.append(f"jpx doc {d} page {p + 1}\n{word} {d}-{p}")
+        corrupt = 1 if d == n_docs - 1 else 0
+        flate = d == n_docs - 2
+        rows.append(
+            dict(
+                url=f"https://example.test/docs/jpxscan/{d:06d}",
+                warc_ts=datetime.datetime(2025, 1, 5, 0, 0, d),
+                html=make_scan_pdf_jpx(
+                    texts,
+                    corrupt_page=corrupt,
+                    flate_wrap=flate,
+                    raw_codestream=d == 0,
+                ),
+                text="",
+                lang="en",
+                kind="pdf_jpx_scan",
+            )
+        )
+    return rows

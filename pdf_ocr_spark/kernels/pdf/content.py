@@ -36,9 +36,11 @@ def image_ocr_payload(doc: PDFDocument, xo: Stream) -> bytes:
     are decoded to REAL pixels by the from-scratch T.4/T.6 codec
     (kernels/pdf/ccitt.py) and re-emitted as P5 — the format the OCR
     stub and the rasterizer consume natively — after applying any
-    preceding filters (e.g. an outer FlateDecode).  Every other codec's
-    bytes pass through raw: DCTDecode payloads are decoded downstream
-    (kernels/pdf/jpeg.py), JPX/JBIG2 stay opaque.  ``/BlackIs1`` is
+    preceding filters (e.g. an outer FlateDecode); ``JPXDecode``
+    streams (JPEG 2000 — archival/library scans) likewise via the
+    from-scratch EBCOT/5-3-DWT codec (kernels/pdf/jp2.py).  Every other
+    codec's bytes pass through raw: DCTDecode payloads are decoded
+    downstream (kernels/pdf/jpeg.py), JBIG2 stays opaque.  ``/BlackIs1`` is
     irrelevant here (it flips the PACKED-bit convention of the filter's
     output; we emit luma directly).  Never raises: any decode failure
     falls back to the raw bytes (the pre-existing opaque path)."""
@@ -48,7 +50,17 @@ def image_ocr_payload(doc: PDFDocument, xo: Stream) -> bytes:
             return xo.raw
         flist = filters if isinstance(filters, list) else [filters]
         names = [str(doc.resolve(f)) for f in flist]
-        if not names or names[-1] not in ("CCITTFaxDecode", "CCF"):
+        if not names:
+            return xo.raw
+        if names[-1] == "JPXDecode":
+            # JPEG 2000: decode to real pixels with the from-scratch
+            # codec (kernels/pdf/jp2.py) after applying any preceding
+            # filters (e.g. an outer FlateDecode)
+            from pdf_ocr_spark.kernels.pdf import jp2
+
+            w, h, luma = jp2.decode_gray(xo.decode(doc))
+            return b"P5\n%d %d\n255\n" % (w, h) + luma
+        if names[-1] not in ("CCITTFaxDecode", "CCF"):
             return xo.raw
         from pdf_ocr_spark.kernels.pdf import ccitt
 

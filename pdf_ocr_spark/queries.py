@@ -3081,6 +3081,69 @@ FROM read_parquet('{_golden("ccitt_rasters")}')
 """
 
 
+def q_jpx_scan_ocr(spark, sf_dir):
+    """JPEG 2000 scan branch (K2 over S3 with the from-scratch EBCOT
+    codec): multi-page PDFs whose pages are JPXDecode image XObjects —
+    the codec of archival/library scans and PDF/A-2+ workflows — flow
+    through the distributed extract→OCR route: the capture site decodes
+    the codestream to REAL pixels (kernels/pdf/jp2.py: MQ coder, EBCOT
+    tier-1, tag-tree packets, reversible 5/3 DWT — via
+    content.image_ocr_payload) and the stub reads the pixel-grid ground
+    truth from them, the reference's real-pixmap OCR flow
+    (/root/reference/pdf_ocr_with_boxes_v2.py:200-247).  Doc 0 embeds
+    the raw SOC..EOC codestream (no JP2 container), one doc zlib-wraps
+    its streams (/Filter [/FlateDecode /JPXDecode] chain), one carries
+    a truncated stream (must fall back to the deterministic
+    fingerprint, not a task failure).  Oracle = frozen kernel golden —
+    value-hash pins every page's recognized text."""
+    from pdf_ocr_spark.fixtures.genpages import gen_jpx_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_pages
+
+    rows = gen_jpx_scan_rows()
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    p = extract_pages(pages, num_partitions=8)
+    return p.select(
+        "url",
+        F.col("page").cast("int").alias("page"),
+        F.md5(F.coalesce(F.col("page_text"), F.lit(""))).alias("ocr_md5"),
+        "needs_ocr",
+        "status",
+    )
+
+
+SQL_JPX_SCAN_OCR = f"""
+SELECT url, CAST(page AS INT) AS page, ocr_md5, needs_ocr, status
+FROM read_parquet('{_golden("jpx_scan_ocr")}')
+"""
+
+
+def q_jpx_scan_raster(spark, sf_dir):
+    """S10 rasterizer over decoded JPEG 2000 content: the JPX scan
+    corpus rendered by the coverage rasterizer with the EBCOT decoder's
+    luma resampled into each image draw rect — full-bitmap md5 pins the
+    MQ decode, tier-1 passes and inverse 5/3 DWT pixel-for-pixel
+    through the distributed route."""
+    from pdf_ocr_spark.fixtures.genpages import gen_jpx_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_rasters
+
+    rows = gen_jpx_scan_rows()
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_rasters(pages)
+
+
+SQL_JPX_SCAN_RASTER = f"""
+SELECT url, page_num, raster_w, raster_h, ink_px, raster_md5
+FROM read_parquet('{_golden("jpx_rasters")}')
+"""
+
+
+
 def q_page_orientation(spark, sf_dir):
     """K4 orientation detection as a queryable table: per-page
     content-based OSD verdict (dominant glyph flow direction, the
@@ -4244,6 +4307,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "jpeg_scan_raster": (q_jpeg_scan_raster, SQL_JPEG_SCAN_RASTER),
     "ccitt_scan_ocr": (q_ccitt_scan_ocr, SQL_CCITT_SCAN_OCR),
     "ccitt_scan_raster": (q_ccitt_scan_raster, SQL_CCITT_SCAN_RASTER),
+    "jpx_scan_ocr": (q_jpx_scan_ocr, SQL_JPX_SCAN_OCR),
+    "jpx_scan_raster": (q_jpx_scan_raster, SQL_JPX_SCAN_RASTER),
 }
 
 
