@@ -1581,3 +1581,101 @@ def gen_jpx_scan_rows(n_docs: int = 6) -> List[dict]:
             )
         )
     return rows
+
+
+def make_scan_pdf_jbig2(
+    page_texts: List[str],
+    corrupt_page: int = 0,
+    flate_wrap: bool = False,
+) -> bytes:
+    """Image-only pages whose XObject is a REAL JBIG2 stream
+    (``/Filter /JBIG2Decode``, embedded-PDF segment organization)
+    produced by the from-scratch generic-region encoder
+    (kernels/pdf/jbig2.py: template-0 arithmetic coding + TPGDON
+    typical rows) — the codec of high-compression bi-level scanner
+    output.  Ground truth rides in the DECODED PIXELS as the pixel-grid
+    marker (kernels/pixelcode.py).
+
+    ``flate_wrap`` zlib-wraps the stream
+    (``/Filter [/FlateDecode /JBIG2Decode]``); ``corrupt_page``
+    (1-based, 0 = none) truncates that page's stream mid-data: the
+    decoder must raise cleanly and the payload fall back to opaque
+    bytes (fingerprint OCR), never crash."""
+    import zlib as _zlib
+
+    from pdf_ocr_spark.kernels.pdf.jbig2 import encode_bilevel
+    from pdf_ocr_spark.kernels.pixelcode import text_to_pixels
+
+    media = (612.0, 792.0)
+    w = _PdfWriter()
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    page_nums = []
+    for pno, text in enumerate(page_texts, 1):
+        iw, ih, px = text_to_pixels(text)
+        payload = encode_bilevel(iw, ih, px)
+        if pno == corrupt_page:
+            payload = payload[: max(4, len(payload) // 3)]
+        if flate_wrap:
+            filt = b"/Filter [/FlateDecode /JBIG2Decode]"
+            payload = _zlib.compress(payload)
+        else:
+            filt = b"/Filter /JBIG2Decode"
+        img_num = w.add_stream(
+            b"/Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 1 %s"
+            % (iw, ih, filt),
+            payload,
+            compress=False,
+        )
+        content_num = w.add_stream(
+            b"", b"q\n612 0 0 792 0 0 cm\n/Im1 Do\nQ\n"
+        )
+        page_nums.append(
+            w.add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R"
+                b" /Resources << /XObject << /Im1 %d 0 R >> >> >>"
+                % (pages_num, content_num, img_num)
+            )
+        )
+    w.fill(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 %.2f %.2f] >>"
+        % (kids, len(page_nums), media[0], media[1]),
+    )
+    return w.build(catalog)
+
+
+def gen_jbig2_scan_rows(n_docs: int = 8) -> List[dict]:
+    """Corpus for the JBIG2 scan branch: multi-page PDFs whose pages are
+    JBIG2Decode image XObjects carrying pixel-marker ground truth; one
+    doc zlib-wraps its streams (filter chain), the last doc carries a
+    truncated stream on page 1 (decode must fail loudly, extract must
+    not).  Deterministic — same rows every call."""
+    rng = random.Random(0x1B162)
+    rows = []
+    for d in range(n_docs):
+        n_pages = 1 + d % 3
+        texts = []
+        for p in range(n_pages):
+            lang = ("en", "zh")[(d + p) % 2]
+            texts.append(
+                f"jbig2 doc {d} page {p + 1}\n" + _sentence(rng, lang)
+            )
+        corrupt = 1 if d == n_docs - 1 else 0
+        flate = d == n_docs - 2
+        rows.append(
+            dict(
+                url=f"https://example.test/docs/jbig2scan/{d:06d}",
+                warc_ts=datetime.datetime(2025, 1, 6, 0, 0, d),
+                html=make_scan_pdf_jbig2(
+                    texts, corrupt_page=corrupt, flate_wrap=flate
+                ),
+                text="",
+                lang="en",
+                kind="pdf_jbig2_scan",
+            )
+        )
+    return rows

@@ -38,9 +38,10 @@ def image_ocr_payload(doc: PDFDocument, xo: Stream) -> bytes:
     stub and the rasterizer consume natively — after applying any
     preceding filters (e.g. an outer FlateDecode); ``JPXDecode``
     streams (JPEG 2000 — archival/library scans) likewise via the
-    from-scratch EBCOT/5-3-DWT codec (kernels/pdf/jp2.py).  Every other
-    codec's bytes pass through raw: DCTDecode payloads are decoded
-    downstream (kernels/pdf/jpeg.py), JBIG2 stays opaque.  ``/BlackIs1`` is
+    from-scratch EBCOT/5-3-DWT codec (kernels/pdf/jp2.py); ``JBIG2Decode``
+    generic regions via kernels/pdf/jbig2.py.  DCTDecode payloads pass
+    through raw and are decoded downstream (kernels/pdf/jpeg.py) — all
+    four real-world scan codecs reach OCR as pixels.  ``/BlackIs1`` is
     irrelevant here (it flips the PACKED-bit convention of the filter's
     output; we emit luma directly).  Never raises: any decode failure
     falls back to the raw bytes (the pre-existing opaque path)."""
@@ -59,6 +60,13 @@ def image_ocr_payload(doc: PDFDocument, xo: Stream) -> bytes:
             from pdf_ocr_spark.kernels.pdf import jp2
 
             w, h, luma = jp2.decode_gray(xo.decode(doc))
+            return b"P5\n%d %d\n255\n" % (w, h) + luma
+        if names[-1] == "JBIG2Decode":
+            # JBIG2 (high-compression bi-level scans): generic-region
+            # decode via the from-scratch codec (kernels/pdf/jbig2.py)
+            from pdf_ocr_spark.kernels.pdf import jbig2
+
+            w, h, luma = jbig2.decode_bilevel(xo.decode(doc))
             return b"P5\n%d %d\n255\n" % (w, h) + luma
         if names[-1] not in ("CCITTFaxDecode", "CCF"):
             return xo.raw

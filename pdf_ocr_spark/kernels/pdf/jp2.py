@@ -80,10 +80,16 @@ def _initial_ctx_states() -> List[List[int]]:
 
 
 class MQEncoder:
-    """T.88 MQ encoder (software-convention flowcharts C.2)."""
+    """T.88 MQ encoder (software-convention flowcharts C.2).
 
-    def __init__(self) -> None:
-        self.ctx = _initial_ctx_states()
+    ``states`` swaps in a different context table (any mapping of
+    context id → [state_index, mps]); the default is the EBCOT table.
+    The JBIG2 kernel (kernels/pdf/jbig2.py) reuses this coder with a
+    lazily-allocated 2^16-context table, per that spec's shared Annex.
+    """
+
+    def __init__(self, states=None) -> None:
+        self.ctx = _initial_ctx_states() if states is None else states
         self.a = 0x8000
         self.c = 0
         self.ct = 12
@@ -177,10 +183,13 @@ class MQEncoder:
 
 
 class MQDecoder:
-    """T.88 MQ decoder (software-convention flowcharts C.3)."""
+    """T.88 MQ decoder (software-convention flowcharts C.3).
 
-    def __init__(self, data: bytes) -> None:
-        self.ctx = _initial_ctx_states()
+    ``states`` as in :class:`MQEncoder`.
+    """
+
+    def __init__(self, data: bytes, states=None) -> None:
+        self.ctx = _initial_ctx_states() if states is None else states
         self.data = data
         self.bp = 0
         b0 = data[0] if data else 0xFF

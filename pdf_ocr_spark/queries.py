@@ -3144,6 +3144,70 @@ FROM read_parquet('{_golden("jpx_rasters")}')
 
 
 
+def q_jbig2_scan_ocr(spark, sf_dir):
+    """JBIG2 scan branch (K2 over S3 with the from-scratch
+    generic-region codec): multi-page PDFs whose pages are JBIG2Decode
+    image XObjects — the high-compression bi-level codec of
+    scanner/archive output — flow through the distributed extract→OCR
+    route: the capture site decodes the embedded segment stream to REAL
+    pixels (kernels/pdf/jbig2.py: template-0 arithmetic coding +
+    TPGDON, MQ coder shared with jp2.py — via
+    content.image_ocr_payload) and the stub reads the pixel-grid ground
+    truth from them, the reference's real-pixmap OCR flow
+    (/root/reference/pdf_ocr_with_boxes_v2.py:200-247).  One doc
+    zlib-wraps its streams (/Filter [/FlateDecode /JBIG2Decode]), one
+    carries a truncated stream (must fall back to the deterministic
+    fingerprint, not a task failure).  With this branch all FOUR
+    real-world scan codecs (DCT, CCITT, JPX, JBIG2) decode to pixels.
+    Oracle = frozen kernel golden — value-hash pins every page's text."""
+    from pdf_ocr_spark.fixtures.genpages import gen_jbig2_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_pages
+
+    rows = gen_jbig2_scan_rows()
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    p = extract_pages(pages, num_partitions=8)
+    return p.select(
+        "url",
+        F.col("page").cast("int").alias("page"),
+        F.md5(F.coalesce(F.col("page_text"), F.lit(""))).alias("ocr_md5"),
+        "needs_ocr",
+        "status",
+    )
+
+
+SQL_JBIG2_SCAN_OCR = f"""
+SELECT url, CAST(page AS INT) AS page, ocr_md5, needs_ocr, status
+FROM read_parquet('{_golden("jbig2_scan_ocr")}')
+"""
+
+
+def q_jbig2_scan_raster(spark, sf_dir):
+    """S10 rasterizer over decoded JBIG2 content: the JBIG2 scan corpus
+    rendered by the coverage rasterizer with the generic-region
+    decoder's luma resampled into each image draw rect — full-bitmap
+    md5 pins the arithmetic template decode pixel-for-pixel through the
+    distributed route."""
+    from pdf_ocr_spark.fixtures.genpages import gen_jbig2_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_rasters
+
+    rows = gen_jbig2_scan_rows()
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_rasters(pages)
+
+
+SQL_JBIG2_SCAN_RASTER = f"""
+SELECT url, page_num, raster_w, raster_h, ink_px, raster_md5
+FROM read_parquet('{_golden("jbig2_rasters")}')
+"""
+
+
+
 def q_page_orientation(spark, sf_dir):
     """K4 orientation detection as a queryable table: per-page
     content-based OSD verdict (dominant glyph flow direction, the
@@ -4309,6 +4373,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "ccitt_scan_raster": (q_ccitt_scan_raster, SQL_CCITT_SCAN_RASTER),
     "jpx_scan_ocr": (q_jpx_scan_ocr, SQL_JPX_SCAN_OCR),
     "jpx_scan_raster": (q_jpx_scan_raster, SQL_JPX_SCAN_RASTER),
+    "jbig2_scan_ocr": (q_jbig2_scan_ocr, SQL_JBIG2_SCAN_OCR),
+    "jbig2_scan_raster": (q_jbig2_scan_raster, SQL_JBIG2_SCAN_RASTER),
 }
 
 

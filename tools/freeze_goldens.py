@@ -445,6 +445,58 @@ def freeze_jpx_rasters() -> pd.DataFrame:
 
 
 
+def freeze_jbig2_scan_ocr() -> pd.DataFrame:
+    """Golden for the JBIG2 scan branch: extract+OCR UDF bodies run
+    in-process over gen_jbig2_scan_rows() — the stub recognizes the
+    pixel-grid marker from pixels decoded by the from-scratch
+    generic-region codec (must match q_jbig2_scan_ocr)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_jbig2_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_batch, ocr_batch
+
+    rows = gen_jbig2_scan_rows()
+    batch = pd.DataFrame(
+        {"url": [r["url"] for r in rows],
+         "html": [bytes(r["html"]) for r in rows]}
+    )
+    pages = pd.concat(list(extract_batch(iter([batch]))), ignore_index=True)
+    pages = pd.concat(list(ocr_batch(iter([pages]))), ignore_index=True)
+    pages["ocr_md5"] = [
+        hashlib.md5((t if isinstance(t, str) else "").encode("utf-8")).hexdigest()
+        for t in pages["page_text"]
+    ]
+    golden = pages[
+        ["url", "page", "ocr_md5", "needs_ocr", "status"]
+    ].sort_values(["url", "page"], kind="mergesort").reset_index(drop=True)
+    golden.to_parquet(
+        os.path.join(FIXTURES, "jbig2_scan_ocr_golden.parquet"), index=False
+    )
+    return golden
+
+
+def freeze_jbig2_rasters() -> pd.DataFrame:
+    """Golden for the rasterizer over JBIG2Decode content: the raster
+    UDF body over the JBIG2 scan corpus — full-bitmap md5 pins the
+    template-0/TPGDON decode pixel-for-pixel (must match
+    q_jbig2_scan_raster)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_jbig2_scan_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_rasters_batch
+
+    rows = gen_jbig2_scan_rows()
+    batch = pd.DataFrame(
+        {"url": [r["url"] for r in rows],
+         "html": [bytes(r["html"]) for r in rows]}
+    )
+    out = pd.concat(list(extract_rasters_batch(iter([batch]))), ignore_index=True)
+    golden = out.sort_values(
+        ["url", "page_num"], kind="mergesort"
+    ).reset_index(drop=True)
+    golden.to_parquet(
+        os.path.join(FIXTURES, "jbig2_rasters_golden.parquet"), index=False
+    )
+    return golden
+
+
+
 if __name__ == "__main__":
     for name, fn in [
         ("blocks", freeze_blocks),
@@ -463,6 +515,8 @@ if __name__ == "__main__":
         ("ccitt_rasters", freeze_ccitt_rasters),
         ("jpx_scan_ocr", freeze_jpx_scan_ocr),
         ("jpx_rasters", freeze_jpx_rasters),
+        ("jbig2_scan_ocr", freeze_jbig2_scan_ocr),
+        ("jbig2_rasters", freeze_jbig2_rasters),
     ]:
         df = fn()
         print(f"{name}: {len(df)} rows frozen")
