@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "text_lang_id",
     "text_lang_id2",
     "jpeg_scan_ocr",
+    "ccitt_scan_ocr",
+    "jbig2_scan_ocr",
+    "jpx_scan_ocr",
     "text_quality",
     "text_gopher",
     "text_repetition",
