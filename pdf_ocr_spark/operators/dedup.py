@@ -441,6 +441,53 @@ def canonical_url_collapse(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot incremental dedup: classify each document of a NEW
+    crawl snapshot against a historical fingerprint store (the union of
+    every prior snapshot's normalized-text md5 fingerprints) AND within
+    the snapshot itself — the pass every recurring crawl (CommonCrawl
+    dumps, refetch cycles) runs before spending MinHash on survivors.
+
+    ``seen_fingerprints`` needs a ``fingerprint`` column (md5 of
+    ``normalized(text)``, i.e. what :func:`exact_duplicates` groups on);
+    anything else is ignored.  Output: (doc_id, fingerprint, verdict)
+    with verdict one of
+      * ``dup_of_history``  — fingerprint already in the seen store
+      * ``dup_in_snapshot`` — new fingerprint, but not the snapshot's
+        min-id holder of it
+      * ``kept``            — the snapshot's canonical copy of a
+        never-seen fingerprint
+
+    Plan at 100 TB: the history store is billions of rows — far beyond
+    broadcast — so the left join shuffles BOTH sides on ``fingerprint``
+    (sort-merge).  Persist the store as a table bucketed/partitioned by
+    fingerprint and only the (much smaller) new snapshot moves.  The
+    within-snapshot min-id window partitions by the SAME key, so it
+    rides the join's output partitioning — no third exchange.  Appending
+    ``kept`` rows' fingerprints back to the store closes the loop for
+    the next snapshot."""
+    fingerprint = F.md5(normalized(F.col(text_col))).alias("fingerprint")
+    new_fp = new_docs.select(F.col(id_col), fingerprint)
+    seen = (
+        seen_fingerprints.select("fingerprint")
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    joined = new_fp.join(seen, "fingerprint", "left")
+    w = Window.partitionBy("fingerprint")
+    verdict = (
+        F.when(F.col("_seen").isNotNull(), F.lit("dup_of_history"))
+        .when(F.col(id_col) != F.min(id_col).over(w), F.lit("dup_in_snapshot"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(id_col, "fingerprint", verdict.alias("verdict"))
+
+
 def dedup_paragraphs(
     docs: DataFrame,
     text_col: str = "text",

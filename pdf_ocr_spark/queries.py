@@ -873,6 +873,36 @@ FROM u GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Cross-snapshot incremental dedup: the history store holds the
+    fingerprints of every doc_id%4==0 document ("previous snapshots");
+    the new snapshot is the dup universe (docs + whitespace variants).
+    Verdicts: dup_of_history / dup_in_snapshot / kept."""
+    hist = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.col("doc_id") % 4 == 0)
+    )
+    seen = hist.select(F.md5(D.normalized(F.col("text"))).alias("fingerprint"))
+    return D.incremental_dedup(_docs_with_variants(spark, sf_dir), seen)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH u AS ({_SQL_VARIANTS}),
+hist AS (
+  SELECT DISTINCT md5({_NORM_SQL.format(c='text')}) AS fingerprint
+  FROM documents WHERE doc_id < 100 AND doc_id % 4 = 0
+),
+nf AS (
+  SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fingerprint FROM u
+)
+SELECT nf.doc_id, nf.fingerprint,
+  CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_of_history'
+       WHEN nf.doc_id <> min(nf.doc_id) OVER (PARTITION BY nf.fingerprint)
+       THEN 'dup_in_snapshot'
+       ELSE 'kept' END AS verdict
+FROM nf LEFT JOIN hist h ON nf.fingerprint = h.fingerprint
+"""
+
+
 def _sql_shingles(src: str, k: int = 5) -> str:
     norm = _NORM_SQL.format(c="text")
     return f"""
@@ -4264,6 +4294,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "f14_lang_prompt_map": (q_f14_lang_prompt_map, SQL_F14),
     # dedup
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, SQL_DEDUP_MINHASH_SIGS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

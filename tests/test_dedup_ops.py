@@ -265,3 +265,42 @@ def test_candidate_cache_ownership_loop(spark, docs):
     D.release_candidate_cache()
     assert not D._live_candidate_caches
     assert n_persistent() <= base
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Cross-snapshot dedup: history hits beat within-snapshot dedup;
+    a never-seen fingerprint keeps exactly its min-id holder; the plan
+    reuses the join's fingerprint partitioning for the window (no third
+    exchange)."""
+    new = spark.createDataFrame(
+        [
+            (1, "seen before"),          # fingerprint in history
+            (2, "  SEEN   before "),     # same normalized fp → also history
+            (3, "brand new text"),       # kept (min id of its fp)
+            (4, "brand  NEW   text"),    # same fp as 3 → dup_in_snapshot
+            (5, "unique survivor"),      # kept
+        ],
+        "doc_id long, text string",
+    )
+    hist_docs = spark.createDataFrame(
+        [(100, "Seen  before")], "doc_id long, text string"
+    )
+    seen = hist_docs.select(
+        F.md5(D.normalized(F.col("text"))).alias("fingerprint")
+    )
+    out = D.incremental_dedup(new, seen)
+    got = {r["doc_id"]: r["verdict"] for r in out.collect()}
+    assert got == {
+        1: "dup_of_history",
+        2: "dup_of_history",
+        3: "kept",
+        4: "dup_in_snapshot",
+        5: "kept",
+    }
+    # the window must ride the join output's partitioning on fingerprint:
+    # NO Exchange between the Window operator and the join below it
+    lines = out._jdf.queryExecution().executedPlan().toString().splitlines()
+    w_at = next(i for i, l in enumerate(lines) if "Window [min" in l)
+    j_at = next(i for i, l in enumerate(lines) if "Join" in l and i > w_at)
+    between = "\n".join(lines[w_at:j_at])
+    assert "Exchange" not in between, between
