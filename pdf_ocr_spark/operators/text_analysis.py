@@ -89,6 +89,30 @@ SYMBOL_PATTERN = r"#|\.\.\.|…"
 SENTENCE_PATTERN = r"[.!?]"
 
 
+def gopher_pass_expr(t: Column) -> Column:
+    """The Gopher gate as ONE boolean column expression — the single
+    source of truth shared by :func:`gopher_quality` (per-document) and
+    :func:`domain_reputation` (site-level rollup).  Catalyst's common-
+    subexpression elimination dedups the repeated regexp scans when the
+    caller also projects the individual signals."""
+    words = F.regexp_count(t, F.lit(WORD_PATTERN_SPLIT))
+    word_chars = F.regexp_count(t, F.lit(WORD_CHAR_PATTERN))
+    n_lines = F.regexp_count(t, F.lit(r"\n")) + 1
+    symbols = F.regexp_count(t, F.lit(SYMBOL_PATTERN))
+    bullet_lines = F.regexp_count(t, F.lit(BULLET_LINE_PATTERN))
+    ellipsis_lines = F.regexp_count(t, F.lit(ELLIPSIS_LINE_PATTERN))
+    alpha_words = F.regexp_count(t, F.lit(ALPHA_WORD_PATTERN))
+    mwl = word_chars / F.greatest(words, F.lit(1))
+    return (
+        (words >= 50) & (words <= 100_000)
+        & (mwl >= 3.0) & (mwl <= 10.0)
+        & (symbols / F.greatest(words, F.lit(1)) <= 0.1)
+        & (bullet_lines / n_lines <= 0.9)
+        & (ellipsis_lines / n_lines <= 0.3)
+        & (alpha_words / F.greatest(words, F.lit(1)) >= 0.8)
+    )
+
+
 def gopher_quality(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -116,14 +140,7 @@ def gopher_quality(
     bullet_frac = bullet_lines / n_lines
     ellipsis_frac = ellipsis_lines / n_lines
     alpha_frac = alpha_words / F.greatest(words, F.lit(1))
-    passes = (
-        (words >= 50) & (words <= 100_000)
-        & (mwl >= 3.0) & (mwl <= 10.0)
-        & (sym_ratio <= 0.1)
-        & (bullet_frac <= 0.9)
-        & (ellipsis_frac <= 0.3)
-        & (alpha_frac >= 0.8)
-    )
+    passes = gopher_pass_expr(t)
     return docs.select(
         F.col(id_col),
         words.alias("n_words"),
@@ -260,6 +277,69 @@ def fingerprint_expr(col: Column) -> Column:
     """Content fingerprint: md5 of lowercased, whitespace-collapsed text
     (kernels.textstats.fingerprint_md5 parity)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def domain_reputation(
+    docs: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    min_docs: int = 3,
+    max_gate_fail_frac: float = 0.5,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """Site-level reputation rollup — the filtering pass ABOVE
+    per-document gates that RefinedWeb / C4 / Dolma all run: spam farms,
+    template mirrors, and SEO link farms fail as SITES even when
+    individual pages slip through per-doc heuristics.
+
+    Per-domain output: ``n_docs``, ``n_gate_fail`` (Gopher-gate
+    failures), ``gate_fail_frac``, ``dup_frac`` (1 − distinct content
+    fingerprints / docs: within-site exact-dup rate — the template-farm
+    signal), ``mean_words``, and a ``verdict``:
+
+      * ``low_evidence`` — fewer than ``min_docs`` pages: judge nothing
+      * ``drop``         — gate-failure or dup fraction over threshold
+      * ``keep``         — otherwise
+
+    Plan at 100 TB: per-doc signals are codegen'd scans; then ONE
+    groupBy(domain) with map-side partial aggregation.  count_distinct
+    is exact two-phase; per-domain group sizes are crawl-quota bounded
+    (and AQE skew-splits a mega-domain), so the distinct state stays
+    small.  The verdict table is tiny (one row per domain) — broadcast
+    it back against the corpus to apply."""
+    per_doc = docs.select(
+        F.col(domain_col).alias("domain"),
+        gopher_pass_expr(F.col(text_col)).cast("int").alias("_pass"),
+        fingerprint_expr(F.col(text_col)).alias("_fp"),
+        F.regexp_count(F.col(text_col), F.lit(WORD_PATTERN_SPLIT)).alias("_words"),
+    )
+    agg = per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.sum("_pass")).alias("n_gate_fail"),
+        F.countDistinct("_fp").alias("_n_distinct"),
+        F.sum("_words").alias("_sum_words"),
+    )
+    gate_fail_frac = F.round(F.col("n_gate_fail") / F.col("n_docs"), 6)
+    dup_frac = F.round(
+        (F.col("n_docs") - F.col("_n_distinct")) / F.col("n_docs"), 6
+    )
+    verdict = (
+        F.when(F.col("n_docs") < min_docs, F.lit("low_evidence"))
+        .when(
+            (gate_fail_frac > max_gate_fail_frac) | (dup_frac > max_dup_frac),
+            F.lit("drop"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "n_gate_fail",
+        gate_fail_frac.alias("gate_fail_frac"),
+        dup_frac.alias("dup_frac"),
+        F.round(F.col("_sum_words") / F.col("n_docs"), 4).alias("mean_words"),
+        verdict.alias("verdict"),
+    )
 
 
 # -- encoding hygiene: mojibake repair + unicode normalization ---------------

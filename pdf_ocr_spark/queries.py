@@ -1918,6 +1918,74 @@ FROM f
 """
 
 
+def q_domain_reputation(spark, sf_dir):
+    """Site-level reputation rollup (the pass ABOVE per-doc gates):
+    per-domain Gopher-failure and exact-dup fractions → keep / drop /
+    low_evidence verdicts.  Universe: real docs spread over 7 sites, a
+    20-page template farm (identical spam text → dup_frac 0.95, gate
+    fail 1.0 → drop), and a 2-page site (low_evidence)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 300).select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        "text",
+    )
+    farm = d.filter(F.col("doc_id") < 20).select(
+        F.lit("farm.example.com").alias("domain"),
+        F.lit("buy cheap pills now").alias("text"),
+    )
+    tiny = d.filter(F.col("doc_id") < 2).select(
+        F.lit("tiny.example.com").alias("domain"), "text"
+    )
+    return T.domain_reputation(base.unionByName(farm).unionByName(tiny))
+
+
+SQL_DOMAIN_REPUTATION = f"""
+WITH u AS (
+  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain,
+         text
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT 'farm.example.com', 'buy cheap pills now'
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 'tiny.example.com', text FROM documents WHERE doc_id < 2
+),
+f AS (
+  SELECT domain,
+    CASE WHEN ({_C_WORDS} >= 50 AND {_C_WORDS} <= 100000
+      AND {_C_WCHARS} / greatest({_C_WORDS}, 1) >= 3.0
+      AND {_C_WCHARS} / greatest({_C_WORDS}, 1) <= 10.0
+      AND {_C_SYM} / greatest({_C_WORDS}, 1) <= 0.1
+      AND {_C_BULLET} / ({_C_NL} + 1) <= 0.9
+      AND {_C_ELLIP} / ({_C_NL} + 1) <= 0.3
+      AND {_C_ALPHAW} / greatest({_C_WORDS}, 1) >= 0.8)
+    THEN 1 ELSE 0 END AS pass,
+    md5({_NORM_SQL.format(c='text')}) AS fp,
+    {_C_WORDS} AS words
+  FROM u
+),
+a AS (
+  SELECT domain, count(*) AS n_docs,
+         count(*) - sum(pass) AS n_gate_fail,
+         count(DISTINCT fp) AS n_distinct,
+         sum(words) AS sum_words
+  FROM f GROUP BY 1
+)
+SELECT domain, n_docs, n_gate_fail,
+  round(n_gate_fail / n_docs, 6) AS gate_fail_frac,
+  round((n_docs - n_distinct) / n_docs, 6) AS dup_frac,
+  round(sum_words / n_docs, 4) AS mean_words,
+  CASE WHEN n_docs < 3 THEN 'low_evidence'
+       WHEN round(n_gate_fail / n_docs, 6) > 0.5
+            OR round((n_docs - n_distinct) / n_docs, 6) > 0.5 THEN 'drop'
+       ELSE 'keep' END AS verdict
+FROM a
+"""
+
+
 def q_training_mix(spark, sf_dir):
     """The PRETRAINING-MIX pipeline as ONE plan: Gopher quality gate →
     corpus-trained LM tercile filter (drop the worst third) → exact
@@ -4333,6 +4401,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_gopher": (q_text_gopher, SQL_TEXT_GOPHER),
+    "domain_reputation": (q_domain_reputation, SQL_DOMAIN_REPUTATION),
     "text_c4": (q_text_c4, SQL_TEXT_C4),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_mojibake": (q_text_mojibake, SQL_TEXT_MOJIBAKE),

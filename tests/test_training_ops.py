@@ -153,3 +153,30 @@ def test_lm_plan_broadcasts_vocab_no_global_sort(spark):
     )
     # tercile cutoffs via aggregate + broadcast: no Window operator at all
     assert "Window" not in bplan
+
+
+def test_domain_reputation_verdicts(spark):
+    """Site-level rollup: a template farm drops on dup_frac, a spam site
+    drops on gate failures, a 2-page site is low_evidence, a healthy
+    site keeps; the plan is one map-side-combinable groupBy."""
+    good = " ".join(f"word{i} text body sentence" for i in range(20))
+    rows = (
+        [("good.com", good + f" tail{i}") for i in range(4)]
+        + [("farm.com", "identical spam page")] * 10
+        + [("short.com", "tiny")] * 5          # gate fails (too few words)
+        + [("new.com", good), ("new.com", good + " x")]
+    )
+    docs = spark.createDataFrame(rows, "domain string, text string")
+    from pdf_ocr_spark.operators.text_analysis import domain_reputation
+
+    out = domain_reputation(docs)
+    got = {r["domain"]: r for r in out.collect()}
+    assert got["good.com"]["verdict"] == "keep"
+    assert got["farm.com"]["verdict"] == "drop"
+    assert got["farm.com"]["dup_frac"] == 0.9
+    assert got["short.com"]["verdict"] == "drop"
+    assert got["short.com"]["gate_fail_frac"] == 1.0
+    assert got["new.com"]["verdict"] == "low_evidence"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Window" not in plan
