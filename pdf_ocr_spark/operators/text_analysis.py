@@ -279,6 +279,52 @@ def fingerprint_expr(col: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
 
 
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    broadcast_blocklist: bool = True,
+) -> DataFrame:
+    """UT1-style domain-blocklist filter (the CCNet / RefinedWeb crawl
+    hygiene pass): a document is blocked when its domain OR ANY parent
+    suffix is listed — ``ads.tracker.example.com`` matches a blocklist
+    entry ``example.com``.  ``blocklist`` needs a ``suffix`` column.
+
+    Output: (doc_id, domain, blocked_by, blocked) with ``blocked_by``
+    the lexicographically-first matching entry (deterministic) or null.
+
+    Plan at 100 TB: each domain explodes into its label-suffix chain —
+    bounded by label count (~3–5), not data volume — then an equi-join
+    against the blocklist.  UT1 is ~3M rows (~60 MB): broadcast it
+    (default); for bigger lists pass ``broadcast_blocklist=False`` and
+    the join shuffles on the suffix key instead.  The per-doc groupBy
+    collapses multiple matching suffixes map-side before the rejoin."""
+    labels = F.split(F.col(domain_col), r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(labels, i, n - i + 1)),
+    )
+    exploded = docs.select(
+        F.col(id_col), F.explode(suffixes).alias("suffix")
+    )
+    bl = blocklist.select("suffix")
+    if broadcast_blocklist:
+        bl = F.broadcast(bl)
+    hits = (
+        exploded.join(bl, "suffix")
+        .groupBy(id_col)
+        .agg(F.min("suffix").alias("blocked_by"))
+    )
+    return docs.select(id_col, domain_col).join(hits, id_col, "left").select(
+        id_col,
+        domain_col,
+        "blocked_by",
+        F.col("blocked_by").isNotNull().alias("blocked"),
+    )
+
+
 def domain_reputation(
     docs: DataFrame,
     domain_col: str = "domain",

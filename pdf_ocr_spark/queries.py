@@ -1986,6 +1986,63 @@ FROM a
 """
 
 
+def q_blocklist_filter(spark, sf_dir):
+    """UT1-style domain blocklist with parent-suffix matching: even-id
+    docs live under *.news.example.org (blocked via the parent entry
+    'example.org'), odd-id docs under siteN.example.com (blocked only
+    on the exact entry 'site3.example.com')."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    domain = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("sub"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".news.example.org"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        )
+    )
+    docs = d.select("doc_id", domain.alias("domain"))
+    bl = spark.createDataFrame(
+        [("example.org",), ("site3.example.com",), ("badtld",)],
+        "suffix string",
+    )
+    return T.blocklist_filter(docs, bl)
+
+
+SQL_BLOCKLIST_FILTER = """
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+      THEN 'sub' || CAST(doc_id % 5 AS VARCHAR) || '.news.example.org'
+      ELSE 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+    END AS domain
+  FROM documents WHERE doc_id < 300
+),
+bl AS (SELECT * FROM (VALUES ('example.org'), ('site3.example.com'),
+                             ('badtld')) t(suffix)),
+s AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      range(1, len(str_split(domain, '.')) + 1),
+      i -> array_to_string(
+        list_slice(str_split(domain, '.'), CAST(i AS BIGINT),
+                   len(str_split(domain, '.'))), '.')
+    )) AS suffix
+  FROM u
+),
+h AS (
+  SELECT doc_id, min(s.suffix) AS blocked_by
+  FROM s JOIN bl ON s.suffix = bl.suffix GROUP BY 1
+)
+SELECT u.doc_id, u.domain, h.blocked_by,
+       h.blocked_by IS NOT NULL AS blocked
+FROM u LEFT JOIN h ON u.doc_id = h.doc_id
+"""
+
+
 def q_training_mix(spark, sf_dir):
     """The PRETRAINING-MIX pipeline as ONE plan: Gopher quality gate →
     corpus-trained LM tercile filter (drop the worst third) → exact
@@ -4402,6 +4459,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_gopher": (q_text_gopher, SQL_TEXT_GOPHER),
     "domain_reputation": (q_domain_reputation, SQL_DOMAIN_REPUTATION),
+    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "text_c4": (q_text_c4, SQL_TEXT_C4),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_mojibake": (q_text_mojibake, SQL_TEXT_MOJIBAKE),

@@ -180,3 +180,35 @@ def test_domain_reputation_verdicts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    """Parent-suffix matching: a subdomain is blocked by a parent entry;
+    an unrelated lookalike ('notexample.com') is NOT; the blocklist side
+    is broadcast."""
+    docs = spark.createDataFrame(
+        [
+            (1, "ads.tracker.example.com"),   # parent entry example.com
+            (2, "example.com"),               # exact
+            (3, "notexample.com"),            # lookalike — must survive
+            (4, "good.org"),
+            (5, "x.bad.net"),                 # parent entry bad.net
+        ],
+        "doc_id long, domain string",
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("bad.net",)], "suffix string"
+    )
+    from pdf_ocr_spark.operators.text_analysis import blocklist_filter
+
+    out = blocklist_filter(docs, bl)
+    got = {r["doc_id"]: (r["blocked"], r["blocked_by"]) for r in out.collect()}
+    assert got == {
+        1: (True, "example.com"),
+        2: (True, "example.com"),
+        3: (False, None),
+        4: (False, None),
+        5: (True, "bad.net"),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
