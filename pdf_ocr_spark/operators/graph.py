@@ -62,3 +62,57 @@ def pagerank(
             ).alias("pr"),
         )
     return pr
+
+
+def anchor_text_profile(
+    edges: DataFrame,
+    src_col: str = "url",
+    dst_col: str = "link",
+    anchor_col: str = "anchor_text",
+    nofollow_col: str = "nofollow",
+    max_anchors: int = 8,
+) -> DataFrame:
+    """Per-target incoming-anchor profile — the link-graph description
+    of a page that is independent of the page's own content (search
+    ranking and crawl prioritization both use aggregated in-link anchor
+    text; nofollow/ugc/sponsored links are excluded from the summary
+    per their robots link-level semantics).
+
+    Output per destination: ``n_inlinks`` (all), ``n_follow``
+    (followed only), ``n_src_pages`` (distinct linking pages), and
+    ``anchor_summary`` — the first ``max_anchors`` DISTINCT non-empty
+    followed anchor texts in lexicographic order, '|'-joined
+    (deterministic, bounded).
+
+    Scale: the count aggregates are ONE map-side-combinable
+    groupBy(dst).  The summary is state-bounded explicitly: distinct
+    (dst, anchor) pairs first (a mega-indegree homepage dedups its
+    millions of repeated 'Home' anchors map-side), then a per-dst
+    row_number window keeps ``max_anchors`` rows BEFORE the final
+    collect — no unbounded collect_set buffer anywhere."""
+    from pyspark.sql.window import Window
+
+    dst = F.col(dst_col)
+    followed = ~F.col(nofollow_col)
+    counts = edges.groupBy(dst.alias("dst")).agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.sum(followed.cast("long")).alias("n_follow"),
+        F.countDistinct(src_col).alias("n_src_pages"),
+    )
+    per_anchor = (
+        edges.filter(followed & (F.col(anchor_col) != ""))
+        .select(dst.alias("dst"), F.col(anchor_col).alias("anchor"))
+        .distinct()
+    )
+    w = Window.partitionBy("dst").orderBy("anchor")
+    summary = (
+        per_anchor.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_anchors)
+        .groupBy("dst")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("anchor")), "|").alias(
+                "anchor_summary"
+            )
+        )
+    )
+    return counts.join(summary, "dst", "left")

@@ -3910,6 +3910,42 @@ SELECT node, pr FROM pr{iters}
 SQL_LINK_PAGERANK = _sql_pagerank()
 
 
+def q_anchor_text_profile(spark, sf_dir):
+    """Per-target incoming-anchor profile over the extracted link graph:
+    inlink/follow/distinct-source counts + the bounded lexicographic
+    anchor summary (nofollow links excluded per robots semantics)."""
+    from pdf_ocr_spark.operators.graph import anchor_text_profile
+
+    edges = spark.read.parquet(_golden("link_edges"))
+    return anchor_text_profile(edges)
+
+
+SQL_ANCHOR_TEXT_PROFILE = f"""
+WITH e AS (SELECT * FROM read_parquet('{_golden("link_edges")}')),
+c AS (
+  SELECT link AS dst, count(*) AS n_inlinks,
+         sum(CASE WHEN NOT nofollow THEN 1 ELSE 0 END) AS n_follow,
+         count(DISTINCT url) AS n_src_pages
+  FROM e GROUP BY 1
+),
+pa AS (
+  SELECT DISTINCT link AS dst, anchor_text AS anchor
+  FROM e WHERE NOT nofollow AND anchor_text <> ''
+),
+top AS (
+  SELECT dst, anchor,
+         row_number() OVER (PARTITION BY dst ORDER BY anchor) AS rn
+  FROM pa
+),
+s AS (
+  SELECT dst, string_agg(anchor, '|' ORDER BY anchor) AS anchor_summary
+  FROM top WHERE rn <= 8 GROUP BY 1
+)
+SELECT c.dst, c.n_inlinks, c.n_follow, c.n_src_pages, s.anchor_summary
+FROM c LEFT JOIN s ON c.dst = s.dst
+"""
+
+
 def q_feed_items(spark, sf_dir):
     """RSS/Atom feed parsing through the distributed route: item links
     with titles (entities + CDATA decoded) and raw dates; Atom
@@ -4495,6 +4531,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
     "link_edges": (q_link_edges, SQL_LINK_EDGES),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
+    "anchor_text_profile": (q_anchor_text_profile, SQL_ANCHOR_TEXT_PROFILE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "robots_rules": (q_robots_rules, SQL_ROBOTS_RULES),
     "robots_frontier": (q_robots_frontier, SQL_ROBOTS_FRONTIER),

@@ -24,3 +24,26 @@ def test_pagerank_deterministic_across_partitionings(spark):
     a = {r["node"]: r["pr"] for r in pagerank(edges.repartition(2), iters=3).collect()}
     b = {r["node"]: r["pr"] for r in pagerank(edges.repartition(17), iters=3).collect()}
     assert a == b  # decimal-summed mass: partition-order independent
+
+
+def test_anchor_text_profile_bounded_summary(spark):
+    """Anchor profile: nofollow excluded, duplicates collapsed, summary
+    capped at max_anchors in lexicographic order, counts exact."""
+    from pdf_ocr_spark.operators.graph import anchor_text_profile
+
+    rows = (
+        [("p1", "t", f"anchor{i:02d}", False) for i in range(12)]  # cap test
+        + [("p2", "t", "anchor00", False)]          # dup anchor, 2nd src
+        + [("p3", "t", "spammy", True)]             # nofollow: counted, not summarized
+        + [("p1", "u", "", False)]                  # empty anchor: counted only
+    )
+    edges = spark.createDataFrame(
+        rows, "url string, link string, anchor_text string, nofollow boolean"
+    )
+    out = anchor_text_profile(edges, max_anchors=3)
+    got = {r["dst"]: r for r in out.collect()}
+    t = got["t"]
+    assert (t["n_inlinks"], t["n_follow"], t["n_src_pages"]) == (14, 13, 3)
+    assert t["anchor_summary"] == "anchor00|anchor01|anchor02"
+    u = got["u"]
+    assert (u["n_inlinks"], u["n_follow"], u["anchor_summary"]) == (1, 1, None)
