@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "j1_broadcast_join",
     "j3_anti_join",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_minhash_lsh",
     "dedup_verified_lsh",
     "dedup_simhash",
@@ -53,6 +54,8 @@ BENCH_QUERIES = [
     "jpx_scan_ocr",
     "text_quality",
     "text_gopher",
+    "domain_reputation",
+    "blocklist_filter",
     "text_repetition",
     "text_fingerprint",
     "a5_span_fold",
@@ -68,6 +71,7 @@ BENCH_QUERIES = [
     "robots_frontier",
     "text_lm_score",
     "search_bm25",
+    "anchor_text_profile",
     "dedup_apply",
     "fetch_schedule",
     "training_mix",
