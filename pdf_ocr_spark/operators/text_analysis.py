@@ -208,6 +208,120 @@ def repetition_stats(
     )
 
 
+# Gopher §A1.1 n-gram repetition thresholds (Rae et al. 2021 Table A1):
+# top-n-gram char fraction for n=2..4, duplicated-n-gram fraction for
+# n=5..10.  The dup fraction here is occurrence-weighted (1 − distinct /
+# total n-grams) — a documented variant of the paper's char-span measure
+# that needs no span merging and is identical in both engines.
+TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams; empty array when the doc is shorter
+    than n words (sequence(1, W-n+1) would count BACKWARD for W < n)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_run(grams: Column) -> Column:
+    """struct(cnt, gram) of the most frequent element — linear per row:
+    ONE fold over the sorted array tracking (prev, current run, best).
+    Sorted order + strictly-greater replacement make the winner the
+    lexicographically-smallest among count ties.  The fold references
+    only its lambda variables, so the sort expression is evaluated ONCE
+    per row (an outer expression indexed inside a lambda — e.g.
+    element_at(sorted, i) — would re-evaluate the sort per element:
+    O(W² log W), the trap this shape exists to avoid).  No explode, no
+    shuffle — the 100-TB-safe shape for a per-document statistic (the
+    oracle replays it RELATIONALLY via unnest+groupBy: two independent
+    implementations must agree)."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("cnt"),
+        F.lit("").alias("gram"),
+    )
+
+    def step(acc, x):
+        newrun = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = newrun > acc["cnt"]
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.when(better, newrun).otherwise(acc["cnt"]).alias("cnt"),
+            F.when(better, x).otherwise(acc["gram"]).alias("gram"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        init,
+        step,
+        lambda acc: F.struct(acc["cnt"].alias("cnt"), acc["gram"].alias("gram")),
+    )
+
+
+def ngram_repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher §A1.1 n-gram repetition signals: ``top{n}_frac`` (n=2..4)
+    — characters of the most frequent word n-gram as a fraction of the
+    normalized text — and ``dup{n}_frac`` (n=5..10) — the occurrence-
+    weighted duplicated-n-gram fraction — plus the combined
+    ``passes_repetition`` gate at the paper's thresholds.
+
+    Everything is computed WITHIN each row (array HOFs over the word
+    list: sort + run-length fold, O(W log W) per doc) — no explode and
+    no shuffle, so at 100 TB this is a pure codegen'd scan like the
+    other quality gates, not a 9×-corpus n-gram exchange.
+
+    The normalized text and word array are bound as NAMED intermediate
+    columns (separate projections): a raw expression referenced inside
+    a lambda (e.g. slice(split(text), i, n)) is re-evaluated per array
+    element — O(W²) per doc, a hang on long documents.  Attribute
+    references keep every lambda step O(n)."""
+    norm_expr = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    prep = docs.select(F.col(id_col), norm_expr.alias("_norm")).select(
+        F.col(id_col),
+        F.length("_norm").alias("_nchars"),
+        F.split(F.col("_norm"), " ").alias("_words"),
+    )
+    words = F.col("_words")
+    nchars = F.col("_nchars")
+    cols = [F.col(id_col)]
+    gates = []
+    for n, thr in TOP_NGRAM_THRESHOLDS.items():
+        top = _top_run(_word_ngrams(words, n))
+        frac = F.when(
+            nchars > 0,
+            F.round(top["cnt"] * F.length(top["gram"]) / nchars, 6),
+        ).otherwise(F.lit(0.0))
+        cols.append(frac.alias(f"top{n}_frac"))
+        gates.append(frac <= thr)
+    for n, thr in DUP_NGRAM_THRESHOLDS.items():
+        grams = _word_ngrams(words, n)
+        frac = F.when(
+            F.size(grams) > 0,
+            F.round(
+                (F.size(grams) - F.size(F.array_distinct(grams)))
+                / F.size(grams),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+        cols.append(frac.alias(f"dup{n}_frac"))
+        gates.append(frac <= thr)
+    passes = gates[0]
+    for g in gates[1:]:
+        passes = passes & g
+    cols.append(passes.alias("passes_repetition"))
+    return prep.select(*cols)
+
+
 # PII patterns (RE2-safe, shared verbatim with the oracle): the Dolma-
 # style scrub for web-text pretraining corpora
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -1918,6 +1918,78 @@ FROM f
 """
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher §A1.1 n-gram repetition gate: top-2/3/4-gram char fraction
+    + duplicated-5..10-gram fraction, per-row array HOFs (sorted run-
+    length fold — no explode/shuffle).  Every third doc is self-
+    concatenated so the duplicated-n-gram signals actually fire.  The
+    oracle replays the SAME statistics RELATIONALLY (unnest → groupBy →
+    window) — two independent implementations must agree."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    text = F.when(
+        F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" "), "text")
+    ).otherwise(F.col("text"))
+    return T.ngram_repetition_stats(d.select("doc_id", text.alias("text")))
+
+
+_NGRAM_REP_NORM = _NORM_SQL.format(c="text")
+
+SQL_NGRAM_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text ELSE text END AS text
+  FROM documents WHERE doc_id < 200
+),
+w AS (
+  SELECT doc_id, str_split({_NGRAM_REP_NORM}, ' ') AS words,
+         length({_NGRAM_REP_NORM}) AS nchars
+  FROM base
+),
+g AS (
+  SELECT doc_id, nchars, n,
+         unnest(list_transform(range(1, len(words) - n + 2),
+                i -> array_to_string(list_slice(words, i, i + n - 1), ' ')))
+           AS gram
+  FROM w, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+),
+c AS (
+  SELECT doc_id, nchars, n, gram, count(*) AS cnt FROM g GROUP BY ALL
+),
+top AS (
+  SELECT doc_id, n, round(cnt * length(gram) / nchars, 6) AS frac,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c WHERE n <= 4 AND nchars > 0
+),
+dup AS (
+  SELECT doc_id, n, round((sum(cnt) - count(*)) / sum(cnt), 6) AS frac
+  FROM c WHERE n >= 5 GROUP BY doc_id, n
+),
+p AS (
+  SELECT b.doc_id,
+    coalesce(max(CASE WHEN t.n = 2 THEN t.frac END), 0.0) AS top2_frac,
+    coalesce(max(CASE WHEN t.n = 3 THEN t.frac END), 0.0) AS top3_frac,
+    coalesce(max(CASE WHEN t.n = 4 THEN t.frac END), 0.0) AS top4_frac,
+    coalesce(max(CASE WHEN d.n = 5 THEN d.frac END), 0.0) AS dup5_frac,
+    coalesce(max(CASE WHEN d.n = 6 THEN d.frac END), 0.0) AS dup6_frac,
+    coalesce(max(CASE WHEN d.n = 7 THEN d.frac END), 0.0) AS dup7_frac,
+    coalesce(max(CASE WHEN d.n = 8 THEN d.frac END), 0.0) AS dup8_frac,
+    coalesce(max(CASE WHEN d.n = 9 THEN d.frac END), 0.0) AS dup9_frac,
+    coalesce(max(CASE WHEN d.n = 10 THEN d.frac END), 0.0) AS dup10_frac
+  FROM base b
+  LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON b.doc_id = t.doc_id
+  LEFT JOIN dup d ON b.doc_id = d.doc_id
+  GROUP BY b.doc_id
+)
+SELECT *,
+  (top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+   AND dup5_frac <= 0.15 AND dup6_frac <= 0.14 AND dup7_frac <= 0.13
+   AND dup8_frac <= 0.12 AND dup9_frac <= 0.11 AND dup10_frac <= 0.10)
+  AS passes_repetition
+FROM p
+"""
+
+
 def q_domain_reputation(spark, sf_dir):
     """Site-level reputation rollup (the pass ABOVE per-doc gates):
     per-domain Gopher-failure and exact-dup fractions → keep / drop /
@@ -4494,6 +4566,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_gopher": (q_text_gopher, SQL_TEXT_GOPHER),
+    "text_ngram_repetition": (q_ngram_repetition, SQL_NGRAM_REPETITION),
     "domain_reputation": (q_domain_reputation, SQL_DOMAIN_REPUTATION),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "text_c4": (q_text_c4, SQL_TEXT_C4),

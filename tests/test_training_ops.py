@@ -212,3 +212,41 @@ def test_blocklist_filter_suffix_semantics(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_repetition_stats_pinned(spark):
+    """Hand-computed Gopher repetition signals + the linear-fold
+    performance property (a 20k-word doc must evaluate in seconds —
+    the naive indexed-lambda shape is O(W^2 log W) and would hang)."""
+    from pdf_ocr_spark.operators.text_analysis import ngram_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # norm = 'a b a b a b' (11 chars); 2-grams: [a b]x3,[b a]x2
+            # top2 = 3*len('a b')/11 = 9/11; 5-grams: 2 total, 2 distinct
+            (1, "a b a b a b"),
+            (2, ""),  # degenerate: all zero, passes
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_repetition_stats(docs).collect()}
+    assert got[1]["top2_frac"] == round(9 / 11, 6)
+    assert got[1]["dup5_frac"] == 0.0  # 'a b a b a' != 'b a b a b'
+    assert got[1]["passes_repetition"] is False
+    assert got[2]["top2_frac"] == 0.0 and got[2]["passes_repetition"] is True
+
+    # tie-break: 'x y' and 'y x' both occur twice -> lexicographic min wins
+    tie = spark.createDataFrame([(3, "x y x y x")], "doc_id long, text string")
+    r3 = ngram_repetition_stats(tie).collect()[0]
+    # 2-grams: [x y, y x, x y, y x] -> both cnt 2; norm len 9; 'x y' wins
+    assert r3["top2_frac"] == round(2 * 3 / 9, 6)
+
+    import time
+
+    long_doc = spark.createDataFrame(
+        [(9, " ".join(f"w{i % 997}" for i in range(20000)))],
+        "doc_id long, text string",
+    )
+    t0 = time.time()
+    ngram_repetition_stats(long_doc).collect()
+    assert time.time() - t0 < 30, "fold must stay linear per row"
