@@ -51,3 +51,70 @@ def stratified_sample(
         )
     keep = (_hbase40(F.col(key_col).cast("string")) % _M) < rate
     return df.filter(keep)
+
+
+def temperature_mix_rates(
+    docs: DataFrame,
+    target_docs: int,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """mT5/XLM-R-style temperature resampling (Xue et al. 2021 §3.2,
+    alpha = 0.5): per-language sampling rates computed FROM corpus
+    counts rather than hand-picked — low-resource languages are
+    up-weighted relative to their raw share (share ∝ √n), and the
+    rates scale the corpus toward ``target_docs`` total.
+
+    alpha is fixed at 0.5 because sqrt is IEEE-correctly-rounded in
+    every engine, unlike an arbitrary pow() — so the rates are
+    value-hash reproducible between Spark and the oracle.  The sqrt
+    weights are floored to 1e-6 resolution and summed as exact
+    integers (a float sum would be partition-order dependent).
+
+    Output per stratum: n_docs, share (√-weighted, rounded 1e-6),
+    sample_rate in [0,1], expected_docs.  One groupBy + one broadcast
+    single-row total — no global sort, scales to any corpus."""
+    counts = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = counts.withColumn(
+        "_wgt", F.floor(F.sqrt("n_docs") * 1_000_000).cast("long")
+    )
+    total = w.agg(F.sum("_wgt").alias("_wsum"))
+    j = w.crossJoin(F.broadcast(total))
+    j = j.withColumn("share", F.round(F.col("_wgt") / F.col("_wsum"), 6))
+    rate = F.least(
+        F.lit(1.0),
+        F.round(F.lit(float(target_docs)) * F.col("share") / F.col("n_docs"), 6),
+    )
+    j = j.withColumn("sample_rate", rate)
+    return j.select(
+        "stratum",
+        "n_docs",
+        "share",
+        "sample_rate",
+        F.round(F.col("sample_rate") * F.col("n_docs"), 2).alias("expected_docs"),
+    )
+
+
+def temperature_mix_apply(
+    docs: DataFrame,
+    rates: DataFrame,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`temperature_mix_rates` verdicts to the corpus:
+    deterministic hash-threshold keep at 1e-6 resolution (same hash
+    family as :func:`hash_keep_expr`; resume-stable, engine-exact).
+    The rates table is one row per language — broadcast join, then a
+    codegen'd filter; no shuffle of the corpus."""
+    thr = F.round(F.col("sample_rate") * 1_000_000, 0).cast("long")
+    r = F.broadcast(
+        rates.select(
+            F.col("stratum").alias(stratum_col), thr.alias("_thr")
+        )
+    )
+    joined = docs.join(r, stratum_col, "left")
+    keep = (
+        _hbase40(F.col(key_col).cast("string")) % 1_000_000
+    ) < F.coalesce(F.col("_thr"), F.lit(0))
+    return joined.filter(keep).select(key_col, stratum_col)

@@ -3790,6 +3790,59 @@ WHERE {_SQL_H40_KEY} % 10000 <
 """
 
 
+def q_lang_mix_rates(spark, sf_dir):
+    """Temperature resampling rates (mT5/XLM alpha=0.5): per-language
+    √-weighted shares and sampling rates toward a 300-doc target."""
+    from pdf_ocr_spark.operators.sampling import temperature_mix_rates
+
+    return temperature_mix_rates(_t(spark, sf_dir, "documents"), 300)
+
+
+_SQL_LANG_MIX_BASE = """
+c AS (SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY 1),
+w AS (SELECT stratum, n_docs,
+             CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS wgt FROM c),
+t AS (SELECT sum(wgt) AS wsum FROM w),
+s AS (SELECT stratum, n_docs,
+             round(wgt / (SELECT wsum FROM t), 6) AS share
+      FROM w),
+r AS (SELECT stratum, n_docs, share,
+             least(1.0, round(300.0 * share / n_docs, 6)) AS sample_rate
+      FROM s)
+"""
+
+SQL_LANG_MIX_RATES = f"""
+WITH {_SQL_LANG_MIX_BASE}
+SELECT stratum, n_docs, share, sample_rate,
+       round(sample_rate * n_docs, 2) AS expected_docs
+FROM r
+"""
+
+
+def q_lang_mix_sample(spark, sf_dir):
+    """Apply the temperature-mix rates: deterministic hash-threshold
+    keep per language (broadcast rates, codegen'd filter — the corpus
+    never shuffles)."""
+    from pdf_ocr_spark.operators.sampling import (
+        temperature_mix_apply,
+        temperature_mix_rates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix_apply(docs, temperature_mix_rates(docs, 300))
+
+
+SQL_LANG_MIX_SAMPLE = f"""
+WITH {_SQL_LANG_MIX_BASE},
+thr AS (SELECT stratum,
+               CAST(round(sample_rate * 1000000, 0) AS BIGINT) AS t
+        FROM r)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.stratum
+WHERE {_SQL_H40_KEY} % 1000000 < thr.t
+"""
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt rule tables through the distributed route (RFC 9309
     parse: agent groups, Allow/Disallow, wildcard/end-anchor patterns,
@@ -4606,6 +4659,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     "anchor_text_profile": (q_anchor_text_profile, SQL_ANCHOR_TEXT_PROFILE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "lang_mix_rates": (q_lang_mix_rates, SQL_LANG_MIX_RATES),
+    "lang_mix_sample": (q_lang_mix_sample, SQL_LANG_MIX_SAMPLE),
     "robots_rules": (q_robots_rules, SQL_ROBOTS_RULES),
     "robots_frontier": (q_robots_frontier, SQL_ROBOTS_FRONTIER),
     "robots_delays": (q_robots_delays, SQL_ROBOTS_DELAYS),

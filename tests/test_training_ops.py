@@ -250,3 +250,33 @@ def test_ngram_repetition_stats_pinned(spark):
     t0 = time.time()
     ngram_repetition_stats(long_doc).collect()
     assert time.time() - t0 < 30, "fold must stay linear per row"
+
+
+def test_temperature_mix_upweights_low_resource(spark):
+    """alpha=0.5 temperature mix: the low-resource language's sampling
+    rate exceeds the high-resource one's relative to raw share; apply
+    is deterministic (same verdicts on rerun) and broadcasts the rates."""
+    from pdf_ocr_spark.operators.sampling import (
+        temperature_mix_apply,
+        temperature_mix_rates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 900 else "sw") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    rates = temperature_mix_rates(docs, target_docs=500)
+    got = {r["stratum"]: r for r in rates.collect()}
+    # raw shares: en 0.9 / sw 0.1; sqrt shares: 30:10 -> 0.75 / 0.25
+    assert got["en"]["share"] == 0.75 and got["sw"]["share"] == 0.25
+    # sw keeps ALL 100 docs (rate capped at 1.0); en samples ~375/900
+    assert got["sw"]["sample_rate"] == 1.0
+    assert abs(got["en"]["sample_rate"] - 500 * 0.75 / 900) < 1e-6
+
+    kept = temperature_mix_apply(docs, rates)
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.collect())
+    assert a == b and len(a) > 0
+    assert sum(1 for i in a if i >= 900) == 100  # every sw doc kept
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
