@@ -531,6 +531,67 @@ def dedup_paragraphs(
     )
 
 
+def strip_domain_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    frac_threshold: float = 0.5,
+    min_pages: int = 2,
+) -> DataFrame:
+    """Site-scoped boilerplate removal (the CCNet-style frequency pass,
+    distinct from :func:`dedup_paragraphs`' global first-occurrence
+    rule): a paragraph is boilerplate when it appears on MORE than
+    ``frac_threshold`` of its domain's pages (and at least
+    ``min_pages``) — navigation, footers, cookie banners.  Unlike
+    first-occurrence dedup, boilerplate is dropped from EVERY page
+    including the first, and a paragraph shared across two unrelated
+    sites is NOT dropped (each domain judges its own).
+
+    Returns (doc_id, clean_text, n_paras, n_paras_kept).
+
+    Shuffles at 100 TB: one groupBy(domain, fingerprint) for paragraph
+    page-counts, one groupBy(domain) for page totals (both map-side
+    combined), the verdict join back on (domain, fingerprint) — the
+    boilerplate side only holds fingerprints OVER the threshold, a tiny
+    fraction, so AQE turns it into a broadcast — and the per-doc
+    reassembly groupBy.  Nothing global, nothing quadratic."""
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("idx", "para"),
+    ).filter(F.trim("para") != "")
+    paras = paras.withColumn("fp", F.md5(normalized(F.col("para"))))
+    dom_pages = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.countDistinct(id_col).alias("n_dom_pages")
+    )
+    fp_pages = paras.groupBy("domain", "fp").agg(
+        F.countDistinct("doc_id").alias("n_fp_pages")
+    )
+    boilerplate = (
+        fp_pages.join(dom_pages, "domain")
+        .filter(
+            (F.col("n_fp_pages") >= min_pages)
+            & (F.col("n_fp_pages") / F.col("n_dom_pages") > frac_threshold)
+        )
+        .select("domain", "fp", F.lit(True).alias("_bp"))
+    )
+    marked = paras.join(boilerplate, ["domain", "fp"], "left")
+    kept = F.col("_bp").isNull()
+    return marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.when(kept, F.struct(F.col("idx"), F.col("para")))
+                )
+            ).getField("para"),
+            "\n\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(kept.cast("int")).alias("n_paras_kept"),
+    )
+
+
 def simhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

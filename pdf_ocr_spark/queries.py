@@ -1243,6 +1243,80 @@ FROM m GROUP BY doc_id
 """
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Site-scoped boilerplate stripping: every page of a domain carries
+    that domain's nav + copyright paragraphs (frequency 100% > 50%
+    threshold → dropped from EVERY page, unlike first-occurrence dedup)
+    plus a unique body paragraph that must survive."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    domain = F.concat(
+        F.lit("site"), (F.col("doc_id") % 5).cast("string"), F.lit(".example.com")
+    )
+    synth = F.concat(
+        F.lit("Navigation menu for "), domain,
+        F.lit("\n\n"), F.substring("text", 1, 120),
+        F.lit("\n\nCopyright "), domain,
+    )
+    out = D.strip_domain_boilerplate(
+        d.select("doc_id", domain.alias("domain"), synth.alias("text"))
+    )
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").alias("clean_len"),
+        "n_paras",
+        F.col("n_paras_kept").cast("long").alias("n_paras_kept"),
+    )
+
+
+SQL_STRIP_BOILERPLATE = f"""
+WITH u AS (
+  SELECT doc_id,
+    'site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS domain,
+    'Navigation menu for site' || CAST(doc_id % 5 AS VARCHAR)
+      || '.example.com' || chr(10) || chr(10)
+      || substr(text, 1, 120) || chr(10) || chr(10)
+      || 'Copyright site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+      AS text
+  FROM documents WHERE doc_id < 200
+),
+p AS (
+  SELECT doc_id, domain, CAST(i AS INT) - 1 AS idx,
+         parts[CAST(i AS INT)] AS para
+  FROM (SELECT doc_id, domain,
+               string_split(text, chr(10) || chr(10)) AS parts FROM u),
+       range(1, 100) t(i)
+  WHERE i <= len(parts) AND trim(parts[CAST(i AS INT)]) <> ''
+),
+pf AS (
+  SELECT doc_id, domain, idx, para,
+         md5({_NORM_SQL.format(c='para')}) AS fp
+  FROM p
+),
+dom AS (SELECT domain, count(DISTINCT doc_id) AS n_dom_pages FROM u GROUP BY 1),
+fpp AS (SELECT domain, fp, count(DISTINCT doc_id) AS n_fp_pages
+        FROM pf GROUP BY 1, 2),
+bp AS (
+  SELECT fpp.domain, fpp.fp
+  FROM fpp JOIN dom ON fpp.domain = dom.domain
+  WHERE n_fp_pages >= 2 AND n_fp_pages / n_dom_pages > 0.5
+),
+m AS (
+  SELECT pf.doc_id, pf.idx, pf.para,
+         (bp.fp IS NULL) AS kept
+  FROM pf LEFT JOIN bp ON pf.domain = bp.domain AND pf.fp = bp.fp
+)
+SELECT doc_id,
+  md5(string_agg(CASE WHEN kept THEN para END, chr(10) || chr(10)
+                 ORDER BY idx)) AS clean_md5,
+  CAST(length(string_agg(CASE WHEN kept THEN para END, chr(10) || chr(10)
+                          ORDER BY idx)) AS INT) AS clean_len,
+  count(*) AS n_paras,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_paras_kept
+FROM m GROUP BY doc_id
+"""
+
+
 def q_dedup_dup_spans(spark, sf_dir):
     """Cross-document exact duplicate spans (windowed ExactSubstr, Lee et
     al. 2022) over the dup-variant universe: every original/variant pair
@@ -4593,6 +4667,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_verified_lsh": (q_dedup_verified_lsh, SQL_DEDUP_VERIFIED_LSH),
     "dedup_dup_spans": (q_dedup_dup_spans, SQL_DEDUP_DUP_SPANS),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
+    "strip_boilerplate": (q_strip_boilerplate, SQL_STRIP_BOILERPLATE),
     "dedup_embedding_bucketed": (
         q_dedup_embedding_bucketed,
         SQL_DEDUP_EMBEDDING_BUCKETED,

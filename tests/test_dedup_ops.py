@@ -304,3 +304,31 @@ def test_incremental_dedup_verdicts(spark):
     j_at = next(i for i, l in enumerate(lines) if "Join" in l and i > w_at)
     between = "\n".join(lines[w_at:j_at])
     assert "Exchange" not in between, between
+
+
+def test_strip_domain_boilerplate_vs_first_occurrence(spark):
+    """Frequency-threshold boilerplate: dropped from EVERY page (incl.
+    the first), judged per-domain (a paragraph shared by two pages of
+    different sites survives), below-threshold paragraphs survive."""
+    nav = "Nav menu"
+    docs = spark.createDataFrame(
+        [
+            (1, "a.com", f"{nav}\n\nbody one"),
+            (2, "a.com", f"{nav}\n\nbody two"),
+            (3, "a.com", f"{nav}\n\nbody three"),
+            (4, "a.com", "body four\n\nrare shared"),   # rare: 2/5 < 0.5
+            (5, "a.com", "body five\n\nrare shared"),
+            (6, "b.com", f"{nav}\n\nother site"),        # 1/1 page but min_pages=2
+        ],
+        "doc_id long, domain string, text string",
+    )
+    out = D.strip_domain_boilerplate(docs, frac_threshold=0.5, min_pages=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # nav stripped from ALL of a.com's carriers, including doc 1
+    assert got[1]["clean_text"] == "body one"
+    assert got[3]["clean_text"] == "body three"
+    # 'rare shared' is on 2/5 a.com pages (0.4 <= 0.5): survives
+    assert got[4]["clean_text"] == "body four\n\nrare shared"
+    # b.com has 1 page: min_pages=2 protects its nav copy
+    assert got[6]["clean_text"] == f"{nav}\n\nother site"
+    assert got[1]["n_paras"] == 2 and got[1]["n_paras_kept"] == 1
