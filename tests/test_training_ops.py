@@ -280,3 +280,44 @@ def test_temperature_mix_upweights_low_resource(spark):
     assert sum(1 for i in a if i >= 900) == 100  # every sw doc kept
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_repetition_matches_python_reference(spark):
+    """Third implementation: a pure-Python reference computes the same
+    statistics for a batch of seeded random word documents — the Spark
+    fold, the DuckDB oracle (verify_oracle), and this must all agree."""
+    import random
+    from collections import Counter
+
+    from pdf_ocr_spark.operators.text_analysis import ngram_repetition_stats
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(30):
+        n_words = rng.randint(0, 120)
+        words = [rng.choice(vocab) for _ in range(n_words)]
+        if i % 4 == 0 and n_words >= 6:  # inject hard repetition
+            words = words[:6] * (n_words // 6)
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_repetition_stats(docs).collect()}
+
+    for i, text in rows:
+        norm = " ".join(text.lower().split())
+        words = norm.split(" ")
+        nchars = len(norm)
+        for n in (2, 3, 4):
+            grams = [" ".join(words[j:j + n]) for j in range(len(words) - n + 1)] if len(words) >= n else []
+            if grams and nchars > 0:
+                cnt = Counter(grams)
+                # tie-break: highest count, lexicographically smallest gram
+                top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                expect = round(top[1] * len(top[0]) / nchars, 6)
+            else:
+                expect = 0.0
+            assert got[i][f"top{n}_frac"] == expect, (i, n)
+        for n in range(5, 11):
+            grams = [" ".join(words[j:j + n]) for j in range(len(words) - n + 1)] if len(words) >= n else []
+            expect = round((len(grams) - len(set(grams))) / len(grams), 6) if grams else 0.0
+            assert got[i][f"dup{n}_frac"] == expect, (i, n)
