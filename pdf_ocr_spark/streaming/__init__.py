@@ -3,5 +3,6 @@ from pdf_ocr_spark.streaming.stream_job import (  # noqa: F401
     running_totals_stateful,
     stream_dedup_exact,
     stream_extract,
+    stream_incremental_dedup,
     windowed_event_counts,
 )

@@ -146,6 +146,39 @@ def stream_dedup_exact(
     )
 
 
+def stream_incremental_dedup(
+    docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming cross-snapshot dedup: continuous crawl ingestion
+    filtered against the STATIC historical fingerprint store (the
+    streaming twin of ``operators.dedup.incremental_dedup``), then
+    first-sighting dedup within the stream's watermark horizon.
+
+    The history check is a stream-static LEFT ANTI join — Spark
+    re-plans the static side per micro-batch, so appending the batch
+    pass's new fingerprints to the store takes effect on the next
+    trigger without restarting the query.  At crawl scale the store is
+    a parquet/Iceberg table partitioned by fingerprint prefix: each
+    micro-batch's join prunes to the buckets its fingerprints touch.
+    Within-stream duplicates are handled by
+    ``dropDuplicatesWithinWatermark`` — state stays watermark-bounded
+    on an unbounded stream."""
+    from pdf_ocr_spark.operators.dedup import normalized
+
+    seen = seen_fingerprints.select("fingerprint")
+    return (
+        docs.withColumn("fingerprint", F.md5(normalized(F.col(text_col))))
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .join(seen, "fingerprint", "left_anti")
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 _STATE_SCHEMA = StructType(
     [StructField("n_docs", LongType()), StructField("n_bytes", LongType())]
 )

@@ -253,3 +253,63 @@ def test_stream_feed_frontier_dedup_and_resume(spark, tmp_path):
     links2 = [r["link"] for r in second.collect()]
     assert set(links1) < set(links2)            # grew, old links intact
     assert len(links2) == len(set(links2))      # still no duplicates
+
+
+def test_stream_incremental_dedup(spark, tmp_path):
+    """Stream-static anti-join against the historical fingerprint store:
+    history hits never reach the sink, within-stream duplicates collapse
+    to first sighting, genuinely-new docs survive."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.operators.dedup import normalized
+    from pdf_ocr_spark.streaming import stream_incremental_dedup
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    base = datetime.datetime(2025, 1, 1, 10, 0, 0)
+
+    def chunk(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                    "warc_ts": pa.array(
+                        [base + datetime.timedelta(minutes=r[0]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            os.path.join(src, name),
+        )
+
+    # history holds 'seen before'; batch 1 re-crawls it (+ a new doc),
+    # batch 2 repeats the new doc (stream dup) and adds another new one
+    chunk("f0.parquet", [(1, "Seen   BEFORE"), (2, "fresh text one")])
+    chunk("f1.parquet", [(3, "fresh  text   one"), (4, "fresh text two")])
+    hist = spark.createDataFrame([(100, "seen before")], "doc_id long, text string")
+    seen = hist.select(F.md5(normalized(F.col("text"))).alias("fingerprint"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_incremental_dedup(stream, seen, watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("incr_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    survivors = {
+        r["doc_id"] for r in spark.sql("select * from incr_dedup_stream").collect()
+    }
+    assert 1 not in survivors          # history hit dropped
+    assert 4 in survivors              # new doc survives
+    assert len(survivors & {2, 3}) == 1  # stream dup: one sighting only
