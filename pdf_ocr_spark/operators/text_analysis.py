@@ -393,6 +393,48 @@ def fingerprint_expr(col: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
 
 
+def corpus_datacard(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple = ("source", "lang"),
+) -> DataFrame:
+    """Datasheet rollup — the per-(source, language) statistics every
+    published pretraining corpus ships (datasheets/data cards): document
+    and token and character volumes, Gopher-gate pass rate, and the
+    exact-duplicate fraction, all from ONE pass over the corpus.
+
+    One map-side-combined groupBy; tokens/gate/fingerprint are the same
+    codegen'd expressions the per-doc queries use, so the card is
+    consistent with the row-level gates by construction."""
+    keys = [F.col(c) for c in group_cols]
+    per_doc = docs.select(
+        *keys,
+        token_count_expr(F.col(text_col)).alias("_tok"),
+        F.length(text_col).alias("_chars"),
+        gopher_pass_expr(F.col(text_col)).cast("int").alias("_pass"),
+        fingerprint_expr(F.col(text_col)).alias("_fp"),
+    )
+    agg = per_doc.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+        F.sum("_chars").alias("n_chars"),
+        F.sum("_pass").alias("_n_pass"),
+        F.countDistinct("_fp").alias("_n_distinct"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("_n_pass") / F.col("n_docs"), 6).alias("gate_pass_rate"),
+        F.round(
+            (F.col("n_docs") - F.col("_n_distinct")) / F.col("n_docs"), 6
+        ).alias("dup_frac"),
+        F.round(F.col("n_chars") / F.col("n_docs"), 2).alias("mean_chars"),
+    )
+
+
 def blocklist_filter(
     docs: DataFrame,
     blocklist: DataFrame,

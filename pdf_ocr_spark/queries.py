@@ -1992,6 +1992,38 @@ FROM f
 """
 
 
+def q_corpus_datacard(spark, sf_dir):
+    """Per-(source, lang) datasheet rollup: volumes, Gopher pass rate,
+    exact-dup fraction — one pass, one groupBy."""
+    return T.corpus_datacard(_t(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_DATACARD = f"""
+WITH f AS (
+  SELECT source, lang,
+    {_SQL_CNT.format(p=T.TOKEN_PATTERN)} AS tok,
+    length(text) AS chars,
+    CASE WHEN ({_C_WORDS} >= 50 AND {_C_WORDS} <= 100000
+      AND {_C_WCHARS} / greatest({_C_WORDS}, 1) >= 3.0
+      AND {_C_WCHARS} / greatest({_C_WORDS}, 1) <= 10.0
+      AND {_C_SYM} / greatest({_C_WORDS}, 1) <= 0.1
+      AND {_C_BULLET} / ({_C_NL} + 1) <= 0.9
+      AND {_C_ELLIP} / ({_C_NL} + 1) <= 0.3
+      AND {_C_ALPHAW} / greatest({_C_WORDS}, 1) >= 0.8)
+    THEN 1 ELSE 0 END AS pass,
+    md5({_NORM_SQL.format(c='text')}) AS fp
+  FROM documents
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(sum(chars) AS BIGINT) AS n_chars,
+       round(sum(pass) / count(*), 6) AS gate_pass_rate,
+       round((count(*) - count(DISTINCT fp)) / count(*), 6) AS dup_frac,
+       round(CAST(sum(chars) AS BIGINT) / count(*), 2) AS mean_chars
+FROM f GROUP BY 1, 2
+"""
+
+
 def q_ngram_repetition(spark, sf_dir):
     """Gopher §A1.1 n-gram repetition gate: top-2/3/4-gram char fraction
     + duplicated-5..10-gram fraction, per-row array HOFs (sorted run-
@@ -4695,6 +4727,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_gopher": (q_text_gopher, SQL_TEXT_GOPHER),
     "text_ngram_repetition": (q_ngram_repetition, SQL_NGRAM_REPETITION),
+    "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
     "domain_reputation": (q_domain_reputation, SQL_DOMAIN_REPUTATION),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "text_c4": (q_text_c4, SQL_TEXT_C4),

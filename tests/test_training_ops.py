@@ -321,3 +321,32 @@ def test_ngram_repetition_matches_python_reference(spark):
             grams = [" ".join(words[j:j + n]) for j in range(len(words) - n + 1)] if len(words) >= n else []
             expect = round((len(grams) - len(set(grams))) / len(grams), 6) if grams else 0.0
             assert got[i][f"dup{n}_frac"] == expect, (i, n)
+
+
+def test_corpus_datacard_single_pass(spark):
+    """Datacard: exact volumes and fractions; the plan is ONE groupBy
+    over one corpus scan (no joins, no windows)."""
+    from pdf_ocr_spark.operators.text_analysis import corpus_datacard
+
+    good = " ".join(f"word{i} body text here" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, "cc", "en", good),
+            (2, "cc", "en", good),          # exact dup of 1
+            (3, "cc", "en", "tiny"),        # gate fail
+            (4, "web", "fr", good + " fin"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    out = corpus_datacard(docs)
+    got = {(r["source"], r["lang"]): r for r in out.collect()}
+    cc = got[("cc", "en")]
+    assert cc["n_docs"] == 3
+    assert cc["dup_frac"] == round(1 / 3, 6)   # 3 docs, 2 distinct
+    assert cc["gate_pass_rate"] == round(2 / 3, 6)
+    assert got[("web", "fr")]["n_docs"] == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final and "Window" not in final
+    # count_distinct = two-phase aggregate: (keys, fp) then keys — no more
+    assert final.count("Exchange hashpartitioning") <= 2
