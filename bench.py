@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dedup_apply",
     "fetch_schedule",
     "training_mix",
+    "dsir_resample",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

@@ -809,3 +809,135 @@ def pack_sequences(
         toks.alias("n_tokens"),
         F.floor((cum - toks) / F.lit(seq_len)).cast("long").alias("seq_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al., NeurIPS 2023).
+# Hashed bag-of-words features; per-document importance weight = sum over
+# words of log p_target(bucket) - log p_raw(bucket) under add-alpha-smoothed
+# hashed unigram models; deterministic Gumbel-top-k resampling.  Reference
+# scope: the reference repo has no data-selection stage — this is part of the
+# training-data-pipeline surface the engine adds on top of extraction
+# (pdf_ocr_with_boxes_v2.py stops at text emission).
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_bucket_expr(word: Column, buckets: int = DSIR_BUCKETS) -> Column:
+    """Hashed feature bucket, reproducible in DuckDB:
+    CAST('0x' || substr(md5(w), 1, 10) AS BIGINT) % buckets.  40-bit
+    md5 prefix → modulo bias < 2^-30 for any buckets < 2^10."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(word), 1, 10), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def dsir_bucket_counts(
+    docs: DataFrame, text_col: str = "text", buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """(bucket, cnt) histogram of hashed word features over a corpus —
+    at most ``buckets`` rows, so always broadcast-sized regardless of
+    corpus size.  ONE map-side-combined shuffle (the bucket groupBy)."""
+    w = docs.select(
+        F.explode(norm_words_expr(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        w.select(dsir_bucket_expr(F.col("w"), buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_bucket_logratios(
+    raw: DataFrame,
+    target: DataFrame,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-bucket log importance ratio table (bucket, lr):
+    lr = round(ln p_t(b) - ln p_r(b), 6), with each p add-alpha smoothed
+    over the ``buckets`` feature universe.  Both count tables are
+    <= buckets rows; the full-outer merge runs driver-scale and the
+    result BROADCASTs into the scoring join.  Rounding to 6 decimals
+    makes the DECIMAL document sums bit-reproducible across engines."""
+    t = dsir_bucket_counts(target, text_col, buckets).withColumnRenamed("cnt", "tcnt")
+    r = dsir_bucket_counts(raw, text_col, buckets).withColumnRenamed("cnt", "rcnt")
+    ttot = t.agg(F.sum("tcnt").cast("double").alias("t_total"))
+    rtot = r.agg(F.sum("rcnt").cast("double").alias("r_total"))
+    merged = (
+        t.join(r, "bucket", "full_outer")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+    )
+    lp_t = F.log(
+        (F.coalesce(F.col("tcnt"), F.lit(0)) + F.lit(alpha))
+        / (F.col("t_total") + F.lit(alpha) * buckets)
+    )
+    lp_r = F.log(
+        (F.coalesce(F.col("rcnt"), F.lit(0)) + F.lit(alpha))
+        / (F.col("r_total") + F.lit(alpha) * buckets)
+    )
+    return merged.select(
+        F.col("bucket"), F.round(lp_t - lp_r, 6).alias("lr")
+    )
+
+
+def dsir_doc_logweights(
+    raw: DataFrame,
+    logratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document log importance weight: sum of bucket log-ratios over
+    the document's words → (doc_id, n_words, log_w).
+
+    Plan at 100 TB: ``logratios`` is <= buckets rows → BROADCAST; the
+    corpus explodes words map-side into the broadcast hash join, so the
+    only shuffle is the per-doc aggregate (map-side combined).  Sums run
+    in DECIMAL(18,6) — exact, order-independent — then round to 4."""
+    dw = raw.select(
+        F.col(id_col), F.explode(norm_words_expr(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    j = dw.select(
+        F.col(id_col), dsir_bucket_expr(F.col("w"), buckets).alias("bucket")
+    ).join(F.broadcast(logratios), "bucket", "left")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(
+            F.sum(F.coalesce(F.col("lr"), F.lit(0.0)).cast("decimal(18,6)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("log_w"),
+    )
+
+
+def dsir_resample(
+    logweights: DataFrame, k: int = 50, id_col: str = "doc_id", salt: str = "dsir"
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: sampling k docs without
+    replacement with probability proportional to exp(log_w) is exactly
+    taking the k largest (log_w + Gumbel noise) keys (Kool et al. 2019).
+    The noise is DERIVED, not drawn: u = (40-bit md5 hash of
+    '<doc_id>:<salt>' + 0.5) / 2^40 in (0,1), g = -ln(-ln(u)) — RNG-free,
+    so the sample is resume-stable and oracle-verifiable.
+
+    Plan at 100 TB: orderBy+limit plans as TakeOrdered (per-partition
+    top-k then a k-row driver merge) — no global sort shuffle."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 10),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**40))
+    key = F.round(F.col("log_w") - F.log(-F.log(u)), 6).alias("gumbel_key")
+    return (
+        logweights.select(F.col(id_col), F.col("log_w"), key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )

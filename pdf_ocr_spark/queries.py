@@ -2603,6 +2603,84 @@ GROUP BY 1
 """
 
 
+def q_dsir_logweights(spark, sf_dir):
+    """DSIR (Xie et al. 2023) per-document importance log-weights:
+    hashed bag-of-words models of the target distribution (here: the
+    ``lang='en'`` slice, standing in for 'looks like Wikipedia') and the
+    raw corpus; log_w(doc) = Σ_words [ln p_t(bucket) − ln p_r(bucket)]
+    with add-1 smoothing over the 1024-bucket hashed universe.  Both
+    bucket tables are ≤1024 rows → merged driver-scale and BROADCAST;
+    the corpus explodes words map-side into the broadcast join, so the
+    only shuffles are the two bucket groupBys and the per-doc agg."""
+    docs = _t(spark, sf_dir, "documents")
+    lrs = T.dsir_bucket_logratios(docs, docs.filter(F.col("lang") == "en"))
+    return T.dsir_doc_logweights(docs, lrs)
+
+
+_SQL_DSIR_BUCKET = (
+    "(CAST('0x' || substr(md5(w), 1, 10) AS BIGINT) % 1024)"
+)
+
+_SQL_DSIR_LOGWEIGHTS = f"""
+WITH dwf AS (
+  SELECT doc_id, lang, {_SQL_DSIR_BUCKET} AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+t AS (
+  SELECT bucket, count(*) AS tcnt FROM dwf WHERE lang = 'en' GROUP BY bucket
+),
+r AS (
+  SELECT bucket, count(*) AS rcnt FROM dwf GROUP BY bucket
+),
+lrs AS (
+  SELECT bucket,
+         round(ln((coalesce(tcnt, 0) + 1.0)
+                  / ((SELECT sum(tcnt) FROM t) + 1024.0))
+               - ln((coalesce(rcnt, 0) + 1.0)
+                    / ((SELECT sum(rcnt) FROM r) + 1024.0)), 6) AS lr
+  FROM t FULL OUTER JOIN r USING (bucket)
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  round(CAST(sum(CAST(coalesce(lr, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 4)
+    AS log_w
+FROM dwf LEFT JOIN lrs USING (bucket)
+GROUP BY doc_id
+""".strip()
+
+SQL_DSIR_LOGWEIGHTS = _SQL_DSIR_LOGWEIGHTS
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR Gumbel-top-k resampling: k docs without replacement with
+    probability ∝ exp(log_w), as the k largest (log_w + Gumbel) keys
+    where the Gumbel is derived from a salted md5 of doc_id (RNG-free,
+    resume-stable).  orderBy+limit plans as TakeOrdered — per-partition
+    top-k, then a k-row merge on the driver; no global sort shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    lrs = T.dsir_bucket_logratios(docs, docs.filter(F.col("lang") == "en"))
+    return T.dsir_resample(T.dsir_doc_logweights(docs, lrs), k=40)
+
+
+SQL_DSIR_RESAMPLE = f"""
+WITH lw AS ({_SQL_DSIR_LOGWEIGHTS}),
+keyed AS (
+  SELECT doc_id, log_w,
+    round(log_w - ln(-ln(
+      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 10)
+            AS BIGINT) + 0.5) / 1099511627776.0)), 6) AS gumbel_key
+  FROM lw
+)
+SELECT doc_id, log_w, gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id
+LIMIT 40
+"""
+
+
 _BM25_TERMS = ("spark", "window", "merge")
 
 
@@ -4741,6 +4819,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         q_text_lm_buckets_approx,
         SQL_TEXT_LM_BUCKETS_APPROX,
     ),
+    "dsir_logweights": (q_dsir_logweights, SQL_DSIR_LOGWEIGHTS),
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
     "search_postings": (q_search_postings, SQL_SEARCH_POSTINGS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

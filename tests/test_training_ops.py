@@ -249,7 +249,10 @@ def test_ngram_repetition_stats_pinned(spark):
     )
     t0 = time.time()
     ngram_repetition_stats(long_doc).collect()
-    assert time.time() - t0 < 30, "fold must stay linear per row"
+    # generous bound: CPU steal on this VM swings walls up to 4x (see
+    # bench.py calibration) — the naive O(W^2 log W) shape this guards
+    # against takes many minutes, so 120s still separates cleanly
+    assert time.time() - t0 < 120, "fold must stay linear per row"
 
 
 def test_temperature_mix_upweights_low_resource(spark):
@@ -350,3 +353,65 @@ def test_corpus_datacard_single_pass(spark):
     assert "Join" not in final and "Window" not in final
     # count_distinct = two-phase aggregate: (keys, fp) then keys — no more
     assert final.count("Exchange hashpartitioning") <= 2
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+
+
+def test_dsir_logweights_sign_and_determinism(spark):
+    from pdf_ocr_spark.operators.text_analysis import (
+        dsir_bucket_logratios,
+        dsir_doc_logweights,
+        dsir_resample,
+    )
+
+    # target distribution = docs that repeat "alpha"; raw corpus adds
+    # "omega"-heavy docs.  A doc full of target words must outweigh a
+    # doc full of non-target words.
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta alpha"),
+            (2, "omega omega omega gamma"),
+            (3, "alpha beta alpha alpha"),
+            (4, "omega gamma omega omega"),
+        ],
+        "doc_id long, text string",
+    )
+    target = raw.filter(F.col("doc_id").isin(1, 3))
+    lrs = dsir_bucket_logratios(raw, target)
+    lw = {r.doc_id: r.log_w for r in dsir_doc_logweights(raw, lrs).collect()}
+    assert set(lw) == {1, 2, 3, 4}
+    assert lw[1] > lw[2] and lw[3] > lw[4]
+    # identical texts -> identical weights (hash determinism)
+    assert lw[1] == lw[3] and lw[2] == lw[4]
+
+    # resample is deterministic and ranked by gumbel_key desc
+    top = dsir_resample(dsir_doc_logweights(raw, lrs), k=2).collect()
+    top2 = dsir_resample(dsir_doc_logweights(raw, lrs), k=2).collect()
+    assert [r.doc_id for r in top] == [r.doc_id for r in top2]
+    assert top[0].gumbel_key >= top[1].gumbel_key
+
+
+def test_dsir_plan_broadcasts_ratios_no_global_sort(spark):
+    from pdf_ocr_spark.operators.text_analysis import (
+        dsir_bucket_logratios,
+        dsir_doc_logweights,
+        dsir_resample,
+    )
+
+    raw = spark.createDataFrame(
+        [(i, f"word{i % 7} filler text") for i in range(50)],
+        "doc_id long, text string",
+    )
+    lrs = dsir_bucket_logratios(raw, raw.filter(F.col("doc_id") < 10))
+    plan = dsir_doc_logweights(raw, lrs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # top-k plans as TakeOrdered, not a global Sort+Exchange
+    rplan = (
+        dsir_resample(dsir_doc_logweights(raw, lrs), k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in rplan
