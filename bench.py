@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "fetch_schedule",
     "training_mix",
     "dsir_resample",
+    "dedup_semantic",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

@@ -959,3 +959,58 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+def semdedup_verdicts(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means
+    clustering + within-cluster cosine.  Vectors are assigned to their
+    nearest trained centroid; cosine pairs are computed ONLY within a
+    cluster; of each near-duplicate pair (cosine ≥ threshold) the
+    larger id drops → (vec_id, cent_id, keep).  Deterministic keep rule
+    (min id survives its pair set) instead of the paper's
+    random-within-group choice, so the verdict is resume-stable and
+    oracle-verifiable.
+
+    Plan at 100 TB: k-means training is sample-scale (see
+    ``kmeans_centroids``); the assignment is a zero-shuffle map-side
+    projection against driver-scale centroid literals; the pair join is
+    a self-equi-join on cent_id — Σ O(cluster²) not O(n²), and clusters
+    are k-means-balanced (unlike LSH buckets, a degenerate hot bucket
+    becomes its own cell; AQE skew-split spreads residual imbalance).
+    Reference scope: the reference has no embedding stage — this is the
+    training-data-pipeline surface over the extracted corpus."""
+    from pdf_ocr_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(
+        emb, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col,
+        dim=dim,
+    )
+    assigned = ivf_assign(emb, cents, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "cent_id"
+    )
+    a = assigned.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"), "cent_id")
+    b = assigned.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "cent_id")
+    drops = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return assigned.join(drops.withColumn("_drop", F.lit(1)), "vid", "left").select(
+        F.col("vid").alias(id_col),
+        "cent_id",
+        F.col("_drop").isNull().alias("keep"),
+    )

@@ -1748,6 +1748,37 @@ WHERE rank <= 3
 """
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup = k-means cluster
+    the embeddings (the REAL trained quantizer, 2 Lloyd iterations),
+    cosine pairs WITHIN clusters only, drop the larger id of each pair
+    over the cosine threshold → per-vector keep/drop verdicts.  The
+    production default is 0.95; the gate runs at 0.35 because the
+    synthetic embeddings have no true near-dups (max within-cluster
+    cosine ≈ 0.47) — 0.35 sits at the fixture's top percentile so BOTH
+    verdict branches are exercised and value-hashed.  Training is
+    sample-scale, the assignment is a zero-shuffle map-side argmin, and
+    the pair join is Σ O(cluster²) on k-means-balanced cells — the
+    embedding-space twin of the MinHash-LSH text path."""
+    return D.semdedup_verdicts(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8, iters=2
+    )
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH {_sql_kmeans_cte()},
+assigned AS ({_sql_ivf_assign('c2')}),
+drops AS (
+  SELECT DISTINCT b.vec_id AS vid
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE {_SQL_COSINE.format(a='a.embedding', b='b.embedding')} >= 0.35
+)
+SELECT a.vec_id, a.cent_id, (d.vid IS NULL) AS keep
+FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vid
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -4788,6 +4819,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         SQL_DEDUP_EMBEDDING_OVERFLOW,
     ),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     # similarity search
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),

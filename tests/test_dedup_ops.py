@@ -332,3 +332,35 @@ def test_strip_domain_boilerplate_vs_first_occurrence(spark):
     # b.com has 1 page: min_pages=2 protects its nav copy
     assert got[6]["clean_text"] == f"{nav}\n\nother site"
     assert got[1]["n_paras"] == 2 and got[1]["n_paras_kept"] == 1
+
+
+def test_semdedup_verdicts_pinned(spark):
+    """Two tight clusters of near-identical vectors + one outlier: the
+    min id per near-dup group survives, near-copies drop, cross-cluster
+    similarity is never evaluated."""
+    import pyspark.sql.functions as F
+
+    from pdf_ocr_spark.operators.dedup import semdedup_verdicts
+
+    def v(base, eps, dim=8):
+        out = [0.0] * dim
+        out[base] = 1.0
+        out[(base + 1) % dim] = eps
+        return out
+
+    rows = [
+        (1, v(0, 0.00)),  # cluster A anchor
+        (2, v(0, 0.01)),  # near-copy of 1 -> drop
+        (3, v(0, 0.02)),  # near-copy of 1 -> drop
+        (4, v(4, 0.00)),  # cluster B anchor
+        (5, v(4, 0.01)),  # near-copy of 4 -> drop
+        (6, [1.0] * 8),   # spread vector: not near anything
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.keep
+        for r in semdedup_verdicts(
+            emb, threshold=0.99, n_centroids=3, iters=1, dim=8
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: False, 6: True}
