@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "training_mix",
     "dsir_resample",
     "dedup_semantic",
+    "bitext_mining",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

@@ -408,3 +408,120 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def bitext_margin_pairs(
+    x: DataFrame,
+    y: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = None,
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    CCMatrix/CCAligned parallel-corpus mining step): score every
+    cross-side candidate pair by cosine normalized against both ends'
+    local neighborhood densities,
+
+        margin(x, y) = cos(x, y) / ((avgₖNN(x) + avgₖNN(y)) / 2),
+
+    keep pairs that are MUTUAL best-by-margin and above ``threshold``.
+    The margin cancels hubness: a vector whose neighborhood is dense
+    everywhere (high avg-kNN cosine) needs a proportionally higher raw
+    cosine to count as a translation pair.
+
+    ``bits=None`` scores all cross pairs (exactness baseline —
+    quadratic, guarded by ``max_rows``).  ``bits=b`` restricts
+    candidates to shared sign-LSH buckets — the ANN mining used at
+    CCMatrix scale (recall < 1; the margin denominators then average
+    over the candidate neighborhood, as in production FAISS mining).
+
+    Determinism: cosines round to 6 decimals, denominators average via
+    exact DECIMAL sums, margins round to 4, every rank ties on id —
+    bit-stable across engines and partitionings.
+
+    Plan at 100 TB: with ``bits`` set the candidate join is a bucket
+    equi-join (Σ O(bucket²), AQE skew-split); the two avg-kNN windows
+    partition per vector id — never global; the mutual-best check is
+    two more per-id windows over the same scored set."""
+    from pdf_ocr_spark.operators.dedup import _guard_bounded
+
+    xs = x.select(
+        F.col(id_col).alias("x_id"),
+        F.col(vec_col).alias("xv"),
+        norm_expr(F.col(vec_col)).alias("xnorm"),
+    )
+    ys = y.select(
+        F.col(id_col).alias("y_id"),
+        F.col(vec_col).alias("yv"),
+        norm_expr(F.col(vec_col)).alias("ynorm"),
+    )
+    if bits is None:
+        _guard_bounded(x, max_rows, "bitext_margin_pairs(x, y, bits=8)")
+        _guard_bounded(y, max_rows, "bitext_margin_pairs(x, y, bits=8)")
+        pairs = xs.crossJoin(ys)
+    else:
+        xs = xs.withColumn("bucket", sign_bucket_expr(F.col("xv"), bits))
+        ys = ys.withColumn("bucket", sign_bucket_expr(F.col("yv"), bits))
+        pairs = xs.join(ys, "bucket")
+    scored = pairs.select(
+        "x_id",
+        "y_id",
+        F.round(
+            dot_expr(F.col("xv"), F.col("yv")) / (F.col("xnorm") * F.col("ynorm")), 6
+        ).alias("c6"),
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("c6"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("c6"), F.asc("x_id"))
+    ranked = scored.select(
+        "x_id",
+        "y_id",
+        "c6",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    dx = (
+        ranked.filter(F.col("rx") <= k)
+        .groupBy("x_id")
+        .agg(
+            (
+                F.sum(F.col("c6").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dx")
+        )
+    )
+    dy = (
+        ranked.filter(F.col("ry") <= k)
+        .groupBy("y_id")
+        .agg(
+            (
+                F.sum(F.col("c6").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dy")
+        )
+    )
+    margins = (
+        scored.join(dx, "x_id")
+        .join(dy, "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            "c6",
+            F.round(F.col("c6") / ((F.col("dx") + F.col("dy")) / 2), 4).alias(
+                "margin"
+            ),
+        )
+    )
+    mx = Window.partitionBy("x_id").orderBy(F.desc("margin"), F.asc("y_id"))
+    my = Window.partitionBy("y_id").orderBy(F.desc("margin"), F.asc("x_id"))
+    return (
+        margins.withColumn("bx", F.row_number().over(mx))
+        .withColumn("by", F.row_number().over(my))
+        .filter((F.col("bx") == 1) & (F.col("by") == 1))
+        .filter(F.col("margin") >= threshold)
+        .select(
+            "x_id", "y_id", F.round(F.col("c6"), 4).alias("cosine"), "margin"
+        )
+    )

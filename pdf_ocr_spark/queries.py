@@ -1748,6 +1748,60 @@ WHERE rank <= 3
 """
 
 
+def q_bitext_mining(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): the two
+    'languages' are the even/odd vec_id halves of the embeddings table;
+    every cross pair scores cosine / mean(avg-4NN densities), and a
+    pair is mined iff it is the MUTUAL best-by-margin and above 1.0.
+    Exactness baseline (bits=None, guarded all-pairs); bits=8 is the
+    CCMatrix-style LSH-bucketed scale path with the same plan tail."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.bitext_margin_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.0,
+    )
+
+
+SQL_BITEXT_MINING = f"""
+WITH xs AS (SELECT vec_id AS x_id, embedding AS xv FROM embeddings WHERE vec_id % 2 = 0),
+ys AS (SELECT vec_id AS y_id, embedding AS yv FROM embeddings WHERE vec_id % 2 = 1),
+scored AS (
+  SELECT x_id, y_id,
+    round({{cos}}, 6) AS c6
+  FROM xs CROSS JOIN ys
+),
+ranked AS (
+  SELECT x_id, y_id, c6,
+    row_number() OVER (PARTITION BY x_id ORDER BY c6 DESC, y_id) AS rx,
+    row_number() OVER (PARTITION BY y_id ORDER BY c6 DESC, x_id) AS ry
+  FROM scored
+),
+dx AS (
+  SELECT x_id, CAST(sum(CAST(c6 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS dx
+  FROM ranked WHERE rx <= 4 GROUP BY x_id
+),
+dy AS (
+  SELECT y_id, CAST(sum(CAST(c6 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS dy
+  FROM ranked WHERE ry <= 4 GROUP BY y_id
+),
+margins AS (
+  SELECT s.x_id, s.y_id, s.c6,
+    round(s.c6 / ((dx.dx + dy.dy) / 2), 4) AS margin
+  FROM scored s JOIN dx USING (x_id) JOIN dy USING (y_id)
+),
+best AS (
+  SELECT x_id, y_id, c6, margin,
+    row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bx,
+    row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS by
+  FROM margins
+)
+SELECT x_id, y_id, round(c6, 4) AS cosine, margin
+FROM best WHERE bx = 1 AND by = 1 AND margin >= 1.0
+""".format(cos=_SQL_COSINE.format(a="xv", b="yv"))
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup = k-means cluster
     the embeddings (the REAL trained quantizer, 2 Lloyd iterations),
@@ -4820,6 +4874,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     ),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "bitext_mining": (q_bitext_mining, SQL_BITEXT_MINING),
     # similarity search
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),

@@ -364,3 +364,46 @@ def test_semdedup_verdicts_pinned(spark):
         ).collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: True, 5: False, 6: True}
+
+
+def test_bitext_margin_mutual_best_and_hubness(spark):
+    """Margin mining: (a) mutual-best pairs with margin >= threshold are
+    mined; (b) a one-directional best (y's best x already paired
+    elsewhere) is NOT mined; (c) the all-pairs and LSH-bucketed paths
+    agree when every candidate shares a bucket (recall=1 case)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from pdf_ocr_spark.operators.similarity import bitext_margin_pairs
+
+    def v(i, j, a=1.0, b=0.0, dim=6):
+        out = [0.01] * dim  # common positive floor -> all cosines > 0
+        out[i] += a
+        out[j] += b
+        return out
+
+    # x0<->y0 and x2<->y2 are translations (near-identical directions);
+    # y4 is closest to x0 too, but x0's mutual best is y0.
+    xs = spark.createDataFrame(
+        [(0, v(0, 1)), (2, v(2, 3)), (4, v(4, 5))],
+        "vec_id long, embedding array<double>",
+    )
+    ys = spark.createDataFrame(
+        [(1, v(0, 1, b=0.05)), (3, v(2, 3, b=0.05)), (5, v(0, 4, b=0.4))],
+        "vec_id long, embedding array<double>",
+    )
+    mined = {
+        (r.x_id, r.y_id): r.margin
+        for r in bitext_margin_pairs(xs, ys, k=2, threshold=1.0).collect()
+    }
+    assert (0, 1) in mined and (2, 3) in mined
+    assert all(x != 4 or y != 1 for (x, y) in mined)  # x4 never steals y1
+    # margins normalize against neighborhood density: the true pairs
+    # score strictly above 1 (their cosine beats their avg-kNN)
+    assert mined[(0, 1)] > 1.0 and mined[(2, 3)] > 1.0
+    # all coords positive -> every vector shares the all-signs-positive
+    # LSH bucket -> the bucketed scale path reproduces the exact result
+    bucketed = {
+        (r.x_id, r.y_id): r.margin
+        for r in bitext_margin_pairs(xs, ys, k=2, threshold=1.0, bits=4).collect()
+    }
+    assert bucketed == mined
