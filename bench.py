@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "dsir_resample",
     "dedup_semantic",
     "bitext_mining",
+    "dedup_bloom_prefilter",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

@@ -1014,3 +1014,68 @@ def semdedup_verdicts(
         "cent_id",
         F.col("_drop").isNull().alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational Bloom filter — the crawler visited-set / incremental-dedup
+# pre-filter.  A Bloom filter is SETS OF BIT POSITIONS; modelling the set
+# bits as a distinct (pos) table keeps the whole structure relational,
+# engine-portable, and oracle-verifiable, while preserving the real
+# false-positive semantics (a key is "possibly seen" iff ALL k of its
+# positions are set — never a false negative).
+
+BLOOM_M = 4096  # bits in the filter (gate-scale; size by n·k/ln2 at scale)
+BLOOM_K = 3  # hash functions per key
+
+
+def _bloom_pos(col, i: int, m: int):
+    """i-th Bloom position of a key, reproducible in DuckDB:
+    CAST('0x' || substr(md5(key || ':bloom<i>'), 1, 10) AS BIGINT) % m."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f":bloom{i}"))), 1, 10), 16, 10
+        ).cast("long"),
+        F.lit(m),
+    )
+
+
+def bloom_build(
+    seen: DataFrame, key_col: str = "fingerprint", m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Build the filter: the distinct set-bit positions of every seen
+    key → (pos) table with AT MOST ``m`` rows regardless of how many
+    billions of keys went in — that bound is the whole point: the
+    visited set compresses to a broadcastable relation.  ONE map-side-
+    combined shuffle (the distinct)."""
+    poss = F.array(*[_bloom_pos(F.col(key_col), i, m) for i in range(k)])
+    return seen.select(F.explode(poss).alias("pos")).distinct()
+
+
+def bloom_possibly_seen(
+    new_keys: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "fingerprint",
+    id_col: str = "doc_id",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership probe: (id, possibly_seen) — true iff ALL ``k``
+    positions of the key are set.  False positives happen at the usual
+    (1-e^(-kn/m))^k rate; false negatives never do, so 'false' rows can
+    SKIP the exact incremental-dedup join entirely — the pre-filter
+    that cuts the expensive history shuffle down to the possibly-seen
+    slice.
+
+    Plan at 100 TB: the bloom table (≤ m rows) BROADCASTs; each new key
+    explodes into k probe rows map-side, and the only shuffle is the
+    per-id count-matches aggregate (map-side combined)."""
+    poss = F.array(*[_bloom_pos(F.col(key_col), i, m) for i in range(k)])
+    probes = new_keys.select(
+        F.col(id_col), F.explode(poss).alias("pos")
+    )
+    hits = probes.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(1))), "pos", "left"
+    )
+    return hits.groupBy(id_col).agg(
+        (F.count("_set") == k).alias("possibly_seen")
+    )

@@ -873,6 +873,69 @@ FROM u GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_dedup_bloom_prefilter(spark, sf_dir):
+    """Relational Bloom-filter pre-filter for incremental dedup: the
+    history fingerprints (doc_id % 5 != 0 slice) build a 4096-bit /
+    3-hash filter as a distinct set-bit-position table (≤ m rows no
+    matter how many billions of keys — that bound is what makes the
+    visited set broadcastable); every document probes it.  Output adds
+    ground truth so false positives are VISIBLE in the value hash:
+    possibly_seen=true & truly_seen=false rows are the FP rate the
+    (1-e^(-kn/m))^k formula predicts; false negatives are structurally
+    impossible, which is why possibly_seen=false rows may safely skip
+    the exact history join."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(D.normalized(F.col("text"))).alias("fingerprint")
+    hist = docs.filter(F.col("doc_id") % 5 != 0).select(fp)
+    bloom = D.bloom_build(hist)
+    probe = docs.select(F.col("doc_id"), fp)
+    truly = (
+        probe.join(
+            hist.distinct().withColumn("_t", F.lit(1)), "fingerprint", "left"
+        )
+        .select("doc_id", F.col("_t").isNotNull().alias("truly_seen"))
+    )
+    return (
+        D.bloom_possibly_seen(probe, bloom)
+        .join(truly, "doc_id")
+        .select("doc_id", "possibly_seen", "truly_seen")
+    )
+
+
+def _sql_bloom_pos(key: str, i: int, m: int = 4096) -> str:
+    return (
+        f"(CAST('0x' || substr(md5({key} || ':bloom{i}'), 1, 10) AS BIGINT) % {m})"
+    )
+
+
+SQL_DEDUP_BLOOM_PREFILTER = f"""
+WITH fps AS (
+  SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fingerprint FROM documents
+),
+hist AS (SELECT fingerprint FROM fps WHERE doc_id % 5 <> 0),
+bloom AS (
+  SELECT DISTINCT unnest([{_sql_bloom_pos('fingerprint', 0)},
+                          {_sql_bloom_pos('fingerprint', 1)},
+                          {_sql_bloom_pos('fingerprint', 2)}]) AS pos
+  FROM hist
+),
+probes AS (
+  SELECT doc_id, unnest([{_sql_bloom_pos('fingerprint', 0)},
+                         {_sql_bloom_pos('fingerprint', 1)},
+                         {_sql_bloom_pos('fingerprint', 2)}]) AS pos
+  FROM fps
+),
+verdict AS (
+  SELECT p.doc_id, count(b.pos) = 3 AS possibly_seen
+  FROM probes p LEFT JOIN bloom b ON p.pos = b.pos
+  GROUP BY p.doc_id
+)
+SELECT v.doc_id, v.possibly_seen,
+       (f.fingerprint IN (SELECT fingerprint FROM hist)) AS truly_seen
+FROM verdict v JOIN fps f ON v.doc_id = f.doc_id
+"""
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Cross-snapshot incremental dedup: the history store holds the
     fingerprints of every doc_id%4==0 document ("previous snapshots");
@@ -4850,6 +4913,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # dedup
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_bloom_prefilter": (q_dedup_bloom_prefilter, SQL_DEDUP_BLOOM_PREFILTER),
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, SQL_DEDUP_MINHASH_SIGS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

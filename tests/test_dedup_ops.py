@@ -407,3 +407,36 @@ def test_bitext_margin_mutual_best_and_hubness(spark):
         for r in bitext_margin_pairs(xs, ys, k=2, threshold=1.0, bits=4).collect()
     }
     assert bucketed == mined
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom invariants: every seen key probes possibly_seen=true (no
+    false negatives — the property that makes skipping the exact join
+    safe); the positions table never exceeds m rows; a tiny m forces
+    false positives (saturated filter) but still no false negatives."""
+    import pyspark.sql.functions as F
+
+    from pdf_ocr_spark.operators.dedup import bloom_build, bloom_possibly_seen
+
+    seen = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)], "fingerprint string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"key{i}") for i in range(80)], "doc_id long, fingerprint string"
+    )
+    bloom = bloom_build(seen, m=4096, k=3)
+    assert bloom.count() <= 4096
+    got = {
+        r.doc_id: r.possibly_seen
+        for r in bloom_possibly_seen(new, bloom, m=4096, k=3).collect()
+    }
+    assert all(got[i] for i in range(50))  # no false negatives, ever
+    assert not all(got[i] for i in range(50, 80))  # filter discriminates
+
+    # saturate: m=8 with 50 keys -> everything possibly_seen, still no FN
+    sat = bloom_build(seen, m=8, k=3)
+    got_sat = {
+        r.doc_id: r.possibly_seen
+        for r in bloom_possibly_seen(new, sat, m=8, k=3).collect()
+    }
+    assert all(got_sat[i] for i in range(50))
