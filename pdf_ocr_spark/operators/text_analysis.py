@@ -941,3 +941,45 @@ def dsir_resample(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def chunk_passages(
+    docs: DataFrame,
+    chunk_words: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window passage chunking (the RAG / retrieval-index unit):
+    the normalized word sequence splits into windows of ``chunk_words``
+    words advancing by ``chunk_words - overlap``; the final window may
+    be shorter → (doc_id, chunk_idx, n_words, passage).  Empty texts
+    produce zero chunks.
+
+    Plan at 100 TB: pure per-row fan-out — sequence → transform →
+    posexplode, all inside whole-stage codegen; NO shuffle at all (the
+    chunk table inherits the corpus partitioning, exactly what the
+    downstream embedding/indexing stage wants to mapInPandas over)."""
+    step = chunk_words - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_words")
+    words = norm_words_expr(F.col(text_col))
+    words = F.filter(words, lambda w: w != "")
+    n = F.size(words)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.least(n - s, F.lit(chunk_words)).alias("n_words"),
+            F.array_join(F.slice(words, s + 1, chunk_words), " ").alias("passage"),
+        ),
+    )
+    return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.n_words").cast("long").alias("n_words"),
+        F.col("c.passage").alias("passage"),
+    )

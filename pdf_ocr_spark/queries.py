@@ -2656,6 +2656,37 @@ FROM t
 """
 
 
+def q_chunk_passages(spark, sf_dir):
+    """RAG-style passage chunking: 64-word windows advancing by 48
+    (16-word overlap) over the normalized word sequence — pure per-row
+    fan-out (sequence → transform → posexplode), ZERO shuffle; the
+    chunk table inherits the corpus partitioning for the downstream
+    embedding stage."""
+    return T.chunk_passages(
+        _t(spark, sf_dir, "documents"), chunk_words=64, overlap=16
+    )
+
+
+SQL_CHUNK_PASSAGES = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(str_split({_NORM_SQL.format(c='text')}, ' '),
+                     x -> x <> '') AS words
+  FROM documents
+),
+fan AS (
+  SELECT doc_id, words, len(words) AS nw,
+         unnest(range(0, len(words), 48)) AS s
+  FROM w
+)
+SELECT doc_id,
+  CAST(s / 48 AS INT) AS chunk_idx,
+  CAST(least(nw - s, 64) AS BIGINT) AS n_words,
+  array_to_string(words[s + 1 : s + 64], ' ') AS passage
+FROM fan
+"""
+
+
 def q_text_lm_score(spark, sf_dir):
     """CCNet-style LM quality score: add-1-smoothed unigram LM trained
     on the corpus itself (min_count=2 vocab trim keeps it broadcast-
@@ -4975,6 +5006,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
     "search_postings": (q_search_postings, SQL_SEARCH_POSTINGS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "chunk_passages": (q_chunk_passages, SQL_CHUNK_PASSAGES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "url_domain_counts": (q_url_domain_counts, SQL_URL_DOMAIN_COUNTS),

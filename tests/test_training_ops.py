@@ -415,3 +415,31 @@ def test_dsir_plan_broadcasts_ratios_no_global_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in rplan
+
+
+def test_chunk_passages_windows_and_edges(spark):
+    """Pinned chunking semantics: 5-word chunks with 2-word overlap
+    (step 3); short docs produce one chunk; empty docs produce none;
+    consecutive chunks share exactly the overlap; plan has no exchange."""
+    from pdf_ocr_spark.operators.text_analysis import chunk_passages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),  # 8 words -> starts 0,3,6
+            (2, "x y"),  # 2 words -> one short chunk
+            (3, ""),  # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_passages(docs, chunk_words=5, overlap=2)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    assert rows[(1, 0)].passage == "a b c d e"
+    assert rows[(1, 1)].passage == "d e f g h"
+    assert rows[(1, 2)].passage == "g h"  # trailing partial window
+    assert rows[(1, 2)].n_words == 2
+    assert rows[(2, 0)].passage == "x y"
+    assert all(d != 3 for (d, _) in rows)
+    assert len(rows) == 4
+    # zero-shuffle plan: no Exchange anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
