@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "bitext_mining",
     "dedup_bloom_prefilter",
+    "tfidf_keywords",
+    "link_hits",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

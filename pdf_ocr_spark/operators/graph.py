@@ -116,3 +116,74 @@ def anchor_text_profile(
         )
     )
     return counts.join(summary, "dst", "left")
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 2,
+    prec: int = 10,
+) -> DataFrame:
+    """HITS (Kleinberg): hub/authority scores over (src, dst) edges →
+    (node, hub, auth) after a FIXED number of mutual-reinforcement
+    iterations — the classic complement to PageRank for separating
+    link directories (hubs) from linked-to content (authorities) when
+    prioritizing a crawl.
+
+    Each half-step sums the opposite score over the edges and
+    L1-normalizes: auth(v) = Σ_{u→v} hub(u) / Σ auth-mass, then
+    hub(u) = Σ_{u→v} auth(v) / Σ hub-mass.  All mass moves through
+    exact DECIMAL sums; normalized scores round to ``prec`` — the same
+    partition-order-independence contract as :func:`pagerank`, so the
+    whole run value-hashes against an unrolled SQL oracle.
+
+    Scale: per half-step, one (edges ⋈ scores) join + one groupBy —
+    both partial-agg friendly; the normalizer reduces to ONE broadcast
+    row (no driver collect anywhere).  ``iters`` is a fixed
+    hyperparameter, so lineage stays bounded without checkpoints."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(iters):
+        am = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("hub").cast("decimal(28,14)")).alias("am"))
+        )
+        at = am.agg(F.sum("am").cast("double").alias("t"))
+        auth = (
+            nodes.join(am, "node", "left")
+            .crossJoin(F.broadcast(at))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("am").cast("double"), F.lit(0.0)) / F.col("t"),
+                    prec,
+                ).alias("auth"),
+            )
+        )
+        hm = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("auth").cast("decimal(28,14)")).alias("hm"))
+        )
+        ht = hm.agg(F.sum("hm").cast("double").alias("t"))
+        hub = (
+            nodes.join(hm, "node", "left")
+            .crossJoin(F.broadcast(ht))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("hm").cast("double"), F.lit(0.0)) / F.col("t"),
+                    prec,
+                ).alias("hub"),
+            )
+        )
+    return nodes.join(hub, "node").join(auth, "node").select("node", "hub", "auth")

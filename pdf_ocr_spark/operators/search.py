@@ -107,3 +107,56 @@ def bm25_topk(
         .filter(F.col("score") > 0)
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document TF-IDF keywords: the top-``k`` terms by
+    tf · ln(N/df) — the corpus-exploration op behind tag clouds,
+    cluster naming, and topic audits of a crawl.
+
+    Scoring: tf = in-doc term count; df over terms with df ≥ ``min_df``
+    (rarer terms are usually typos/ids at web scale and would dominate
+    idf); score rounds to 4 decimals; top-k ties break on the term so
+    the keyword set is fully deterministic.
+
+    Plan at 100 TB: ONE words fan-out feeds both aggregates — the
+    (doc, term) tf groupBy, then the term df groupBy on tf's (already
+    distinct) output.  The df table is vocabulary-scale → BROADCAST
+    back; the corpus-size scalar N reduces to a broadcast row (no
+    driver collect).  The only other shuffle is the per-doc top-k
+    window, which partitions by doc id — never global."""
+    from pyspark.sql.window import Window
+
+    dw = _doc_words(docs, text_col, id_col)
+    tf = dw.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("w").alias("term"),
+            F.col("tf"),
+            F.col("df"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

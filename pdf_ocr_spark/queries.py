@@ -2860,6 +2860,40 @@ LIMIT 40
 """
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keywords (top-3, df ≥ 2): one words fan-out
+    feeds the (doc, term) tf groupBy and the term df groupBy; the df
+    table broadcasts back; the only other shuffle is the per-doc top-k
+    window — never global."""
+    from pdf_ocr_spark.operators.search import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3, min_df=2)
+
+
+SQL_TFIDF_KEYWORDS = f"""
+WITH dwf AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM dwf GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w HAVING count(*) >= 2),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+         round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 _BM25_TERMS = ("spark", "window", "merge")
 
 
@@ -4398,6 +4432,60 @@ SELECT node, pr FROM pr{iters}
 SQL_LINK_PAGERANK = _sql_pagerank()
 
 
+def q_link_hits(spark, sf_dir):
+    """HITS hubs/authorities over the extracted link graph (2 mutual-
+    reinforcement iterations, L1-normalized): the crawl-prioritization
+    complement to PageRank — directories score as hubs, linked-to
+    content as authorities.  DECIMAL mass sums + round-10 make the run
+    value-hash identical to the unrolled-CTE oracle."""
+    from pdf_ocr_spark.operators.graph import hits
+
+    edges = spark.read.parquet(_golden("link_edges")).select(
+        F.col("url").alias("src"), F.col("link").alias("dst")
+    )
+    return hits(edges, iters=2, prec=10)
+
+
+def _sql_hits(iters: int = 2, prec: int = 10) -> str:
+    ctes = []
+    for i in range(1, iters + 1):
+        prev_h = f"h{i - 1}"
+        ctes.append(f"""
+am{i} AS (
+  SELECT e.dst AS node, sum(CAST(h.hub AS DECIMAL(28,14))) AS am
+  FROM e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst
+),
+a{i} AS (
+  SELECT n.node,
+    round(coalesce(CAST(m.am AS DOUBLE), 0.0)
+          / (SELECT CAST(sum(am) AS DOUBLE) FROM am{i}), {prec}) AS auth
+  FROM nodes n LEFT JOIN am{i} m ON n.node = m.node
+),
+hm{i} AS (
+  SELECT e.src AS node, sum(CAST(a.auth AS DECIMAL(28,14))) AS hm
+  FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+),
+h{i} AS (
+  SELECT n.node,
+    round(coalesce(CAST(m.hm AS DOUBLE), 0.0)
+          / (SELECT CAST(sum(hm) AS DOUBLE) FROM hm{i}), {prec}) AS hub
+  FROM nodes n LEFT JOIN hm{i} m ON n.node = m.node
+)""")
+    return f"""
+WITH e AS (
+  SELECT url AS src, link AS dst FROM read_parquet('{_golden("link_edges")}')
+),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+{",".join(ctes)}
+SELECT n.node, h.hub, a.auth
+FROM nodes n JOIN h{iters} h ON n.node = h.node JOIN a{iters} a ON n.node = a.node
+"""
+
+
+SQL_LINK_HITS = _sql_hits()
+
+
 def q_anchor_text_profile(spark, sf_dir):
     """Per-target incoming-anchor profile over the extracted link graph:
     inlink/follow/distinct-source counts + the bounded lexicographic
@@ -5005,6 +5093,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
     "search_postings": (q_search_postings, SQL_SEARCH_POSTINGS),
+    "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "chunk_passages": (q_chunk_passages, SQL_CHUNK_PASSAGES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
@@ -5027,6 +5116,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
     "link_edges": (q_link_edges, SQL_LINK_EDGES),
+    "link_hits": (q_link_hits, SQL_LINK_HITS),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     "anchor_text_profile": (q_anchor_text_profile, SQL_ANCHOR_TEXT_PROFILE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),

@@ -47,3 +47,56 @@ def test_anchor_text_profile_bounded_summary(spark):
     assert t["anchor_summary"] == "anchor00|anchor01|anchor02"
     u = got["u"]
     assert (u["n_inlinks"], u["n_follow"], u["anchor_summary"]) == (1, 1, None)
+
+
+def test_hits_star_graph_semantics(spark):
+    """Pinned HITS on a star: the directory page linking to all leaves is
+    the top hub; the page every node links to is the top authority; L1
+    normalization keeps each score vector summing to 1."""
+    from pdf_ocr_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [
+            ("dir", "a"), ("dir", "b"), ("dir", "c"), ("dir", "pop"),
+            ("a", "pop"), ("b", "pop"),
+        ],
+        "src string, dst string",
+    )
+    got = {r.node: (r.hub, r.auth) for r in hits(edges, iters=2).collect()}
+    hubs = {n: h for n, (h, _) in got.items()}
+    auths = {n: a for n, (_, a) in got.items()}
+    assert max(hubs, key=hubs.get) == "dir"
+    assert max(auths, key=auths.get) == "pop"
+    assert abs(sum(hubs.values()) - 1.0) < 1e-6
+    assert abs(sum(auths.values()) - 1.0) < 1e-6
+    # leaves that link nowhere are zero hubs; never-linked-to pages zero auth
+    assert hubs["c"] == 0.0 and hubs["pop"] == 0.0
+    assert auths["dir"] == 0.0
+
+
+def test_tfidf_keywords_pinned(spark):
+    """TF-IDF: a corpus-wide word scores 0 (ln(N/N)); a df-1 word is cut
+    by min_df; the doc-specific repeated word wins; rank ties on term."""
+    import math
+
+    from pdf_ocr_spark.operators.search import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common apple apple banana"),
+            (2, "common apple zebra"),
+            (3, "common banana"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.term): r for r in tfidf_keywords(docs, k=2, min_df=2).collect()}
+    # N=3; df: common=3, apple=2, banana=2; zebra df=1 -> excluded
+    assert (2, "zebra") not in rows
+    assert rows[(1, "apple")].tfidf == round(2 * math.log(3 / 2), 4)
+    assert rows[(1, "apple")].rank == 1
+    # doc 1's 2nd keyword: banana (0.4055) beats common (0, cut at k=2)
+    assert rows[(1, "banana")].rank == 2
+    assert (1, "common") not in rows
+    # doc 3 keeps common at rank 2: the corpus-wide term scores ln(3/3)=0
+    assert rows[(3, "common")].tfidf == 0.0
+    assert rows[(3, "common")].rank == 2
