@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "dedup_bloom_prefilter",
     "tfidf_keywords",
     "link_hits",
+    "crawl_traps",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

@@ -983,3 +983,90 @@ def chunk_passages(
         F.col("c.n_words").cast("long").alias("n_words"),
         F.col("c.passage").alias("passage"),
     )
+
+
+def url_template_expr(url: Column) -> Column:
+    """Path template of a URL: each path segment generalizes to '{n}'
+    (all digits) or '{h}' (16+ hex chars — session ids, content hashes),
+    else stays literal; query string and fragment drop.  Two URLs share
+    a template iff they differ only in those generated parts — the unit
+    of crawl-trap detection and per-site URL-space accounting."""
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
+    segs = F.split(path, "/")
+    gen = F.transform(
+        segs,
+        lambda s: F.when(s.rlike(r"^[0-9]+$"), F.lit("{n}"))
+        .when(s.rlike(r"^[0-9a-f]{16,}$"), F.lit("{h}"))
+        .otherwise(s),
+    )
+    return F.array_join(gen, "/")
+
+
+def url_template_counts(
+    urls: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(domain, template, n_urls, n_distinct_urls) over the crawl's URL
+    space — ONE map-side-combined groupBy after a codegen'd per-row
+    template projection.  The distinct-URL count rides the same
+    aggregate (the groupBy key set already separates templates)."""
+    norm = normalize_url_expr(F.col(url_col))
+    return (
+        urls.select(
+            domain_expr(norm).alias("domain"),
+            url_template_expr(norm).alias("template"),
+            norm.alias("norm_url"),
+        )
+        .groupBy("domain", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("norm_url").alias("n_distinct_urls"),
+        )
+    )
+
+
+def crawl_trap_domains(
+    urls: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    trap_min_urls: int = 20,
+    trap_concentration: float = 0.5,
+) -> DataFrame:
+    """Crawl-trap detection: a domain whose URL space is dominated by
+    ONE generated template (calendars, session ids, faceted search) is
+    a trap — the frontier must cap or skip it or it eats the crawl
+    budget.  Verdict: trap iff the hottest GENERATED template ('{n}' or
+    '{h}' in the path) holds ≥ ``trap_min_urls`` distinct URLs AND ≥
+    ``trap_concentration`` of the domain's distinct URLs.  Literal-path
+    templates never count — a flat news archive is breadth, not a trap.
+
+    The hottest template is an argmax-by-struct (max of (generated
+    count, template, count)): deterministic — count ties break on the
+    lexicographically LARGEST template — and aggregate-only.
+
+    Plan at 100 TB: rides :func:`url_template_counts` (one groupBy),
+    then ONE more groupBy(domain) — both map-side combinable, no
+    window, no sort."""
+    tc = url_template_counts(urls, url_col, id_col)
+    generated = F.col("template").rlike(r"\{[nh]\}")
+    gen_count = F.when(generated, F.col("n_distinct_urls")).otherwise(F.lit(0))
+    per_dom = tc.groupBy("domain").agg(
+        F.sum("n_distinct_urls").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_templates"),
+        F.max(
+            F.struct(
+                gen_count.alias("k"),
+                F.col("template").alias("t"),
+            )
+        ).alias("hot"),
+    )
+    return per_dom.select(
+        "domain",
+        "n_urls",
+        "n_templates",
+        F.col("hot.t").alias("hot_template"),
+        F.col("hot.k").alias("hot_template_urls"),
+        (
+            (F.col("hot.k") >= trap_min_urls)
+            & (F.col("hot.k") / F.col("n_urls") >= trap_concentration)
+        ).alias("is_trap"),
+    )

@@ -3144,6 +3144,124 @@ def _url_corpus(spark, sf_dir):
     return d.select("doc_id", url.alias("url"))
 
 
+def _trap_url_corpus(spark, sf_dir):
+    """Synthetic URL space with two real trap shapes: a calendar trap
+    (every doc its own /cal/{n}/day URL), a session-id trap (/p/{h}
+    md5 hex), a bounded archive (/article/{n} with only 12 pages — a
+    generated template but too small to be a trap), and a literal
+    docs site (never a trap)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://trap.example.com/cal/"),
+                F.col("doc_id").cast("string"),
+                F.lit("/day"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://news.example.com/article/"),
+                (F.col("doc_id") % 12).cast("string"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://docs.example.com/guide/chapter"),
+                ((F.col("doc_id") % 3) + 1).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://mixed.example.com/p/"),
+                F.md5(F.col("doc_id").cast("string")),
+            )
+        )
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+_SQL_TRAP_URLS = """
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://trap.example.com/cal/' || CAST(doc_id AS VARCHAR) || '/day'
+      WHEN 1 THEN 'https://news.example.com/article/' || CAST(doc_id % 12 AS VARCHAR)
+      WHEN 2 THEN 'https://docs.example.com/guide/chapter' || CAST((doc_id % 3) + 1 AS VARCHAR)
+      ELSE 'https://mixed.example.com/p/' || md5(CAST(doc_id AS VARCHAR))
+    END AS url
+  FROM documents WHERE doc_id < 400
+"""
+
+_SQL_URL_TEMPLATE = (
+    "array_to_string(list_transform("
+    "str_split(regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1), '/'),"
+    " s -> CASE WHEN regexp_matches(s, '^[0-9]+$') THEN '{n}'"
+    " WHEN regexp_matches(s, '^[0-9a-f]{16,}$') THEN '{h}'"
+    " ELSE s END), '/')"
+)
+
+_SQL_TEMPLATE_COUNTS = (
+    "SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain,\n"
+    "       " + _SQL_URL_TEMPLATE + " AS template,\n"
+    "       count(*) AS n_urls, count(DISTINCT url) AS n_distinct_urls\n"
+    "FROM u GROUP BY 1, 2"
+)
+
+
+def q_url_templates(spark, sf_dir):
+    """URL template mining: per (domain, path template) URL counts,
+    digit segments → '{n}', 16+-hex segments → '{h}' — ONE map-side-
+    combined groupBy after a codegen'd per-row template projection."""
+    return T.url_template_counts(_trap_url_corpus(spark, sf_dir))
+
+
+SQL_URL_TEMPLATES = (
+    "WITH u AS (" + _SQL_TRAP_URLS + ")\n" + _SQL_TEMPLATE_COUNTS
+)
+
+
+def q_crawl_traps(spark, sf_dir):
+    """Crawl-trap verdicts: the calendar trap (100 distinct /cal/{n}/day
+    URLs, 100% concentration) and the session-id trap (/p/{h}) flag; the
+    12-page /article/{n} archive is generated but too small; the literal
+    docs site never counts.  Aggregate-only plan — argmax-by-struct, no
+    window, no sort."""
+    return T.crawl_trap_domains(
+        _trap_url_corpus(spark, sf_dir), trap_min_urls=20, trap_concentration=0.5
+    )
+
+
+SQL_CRAWL_TRAPS = (
+    "WITH u AS (" + _SQL_TRAP_URLS + "),\n"
+    "tc AS (" + _SQL_TEMPLATE_COUNTS + "),\n"
+    """ranked AS (
+  SELECT domain, template, n_distinct_urls,
+    CASE WHEN regexp_matches(template, '\\{[nh]\\}')
+         THEN n_distinct_urls ELSE 0 END AS k,
+    row_number() OVER (
+      PARTITION BY domain
+      ORDER BY (CASE WHEN regexp_matches(template, '\\{[nh]\\}')
+                     THEN n_distinct_urls ELSE 0 END) DESC, template DESC
+    ) AS rn
+  FROM tc
+),
+dom AS (
+  SELECT domain, sum(n_distinct_urls) AS n_urls, count(*) AS n_templates
+  FROM tc GROUP BY domain
+)
+SELECT d.domain, d.n_urls, d.n_templates,
+       r.template AS hot_template,
+       CAST(r.k AS BIGINT) AS hot_template_urls,
+       (r.k >= 20 AND r.k / d.n_urls >= 0.5) AS is_trap
+FROM dom d JOIN ranked r ON d.domain = r.domain AND r.rn = 1
+"""
+)
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization for url-level dedup: lowercase scheme+host,
     strip default port / utm_* params / fragment / trailing slash."""
@@ -5098,6 +5216,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "chunk_passages": (q_chunk_passages, SQL_CHUNK_PASSAGES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
+    "crawl_traps": (q_crawl_traps, SQL_CRAWL_TRAPS),
     "url_domain_counts": (q_url_domain_counts, SQL_URL_DOMAIN_COUNTS),
     # multimodal
     # non-SQL-expressible kernels: oracle = frozen kernel golden

@@ -443,3 +443,36 @@ def test_chunk_passages_windows_and_edges(spark):
     # zero-shuffle plan: no Exchange anywhere
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_url_templates_and_crawl_traps(spark):
+    """Template generalization (digits -> {n}, 16+ hex -> {h}, literals
+    stay; query/fragment drop) and the trap rule: generated-template
+    dominance flags, literal dominance never does."""
+    from pdf_ocr_spark.operators.text_analysis import (
+        crawl_trap_domains,
+        url_template_counts,
+    )
+
+    rows = (
+        # calendar trap: 30 distinct generated urls, one template
+        [(i, f"https://trap.com/cal/{i}/day?sess=1#x") for i in range(30)]
+        # literal-dominant site: one literal page fetched 30 times
+        + [(100 + i, "https://flat.com/home") for i in range(30)]
+        # hex session ids (32-char md5-like)
+        + [(200 + i, f"https://sess.com/p/a{'%031x' % (i * 7919)}") for i in range(25)]
+    )
+    urls = spark.createDataFrame(rows, "doc_id long, url string")
+    tc = {
+        (r.domain, r.template): (r.n_urls, r.n_distinct_urls)
+        for r in url_template_counts(urls).collect()
+    }
+    assert tc[("trap.com", "/cal/{n}/day")] == (30, 30)
+    assert tc[("flat.com", "/home")] == (30, 1)  # query/fragment stripped
+    assert tc[("sess.com", "/p/{h}")] == (25, 25)
+
+    traps = {
+        r.domain: r.is_trap
+        for r in crawl_trap_domains(urls, trap_min_urls=20).collect()
+    }
+    assert traps == {"trap.com": True, "flat.com": False, "sess.com": True}
