@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "tfidf_keywords",
     "link_hits",
     "crawl_traps",
+    "ingest_validate",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

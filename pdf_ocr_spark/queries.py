@@ -3262,6 +3262,85 @@ FROM dom d JOIN ranked r ON d.domain = r.domain AND r.rn = 1
 )
 
 
+def q_ingest_validate(spark, sf_dir):
+    """Ingestion quarantine gate over the north-rule pages shape
+    (url, warc_ts, html, text, lang), with every corruption class
+    synthesized deterministically from documents: ftp/empty urls,
+    null/pre-web timestamps, contentless rows, unroutable lang tags.
+    One map-side projection, zero shuffle."""
+    from pdf_ocr_spark.operators.ingest import ingest_validate
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    m = F.col("doc_id") % 10
+    url = (
+        F.when(m == 3, F.lit("ftp://bad.example.com/x"))
+        .when(m == 7, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit("https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com/doc/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    epoch = (
+        F.when(m == 1, F.lit(None).cast("long"))
+        .when(m == 9, F.lit(123456).cast("long"))
+        .otherwise(F.lit(1735689600) + F.col("doc_id"))
+    )
+    html = F.when(m == 5, F.lit(None).cast("binary")).otherwise(
+        F.encode(F.col("text"), "utf-8")
+    )
+    text = F.when(m == 5, F.lit("")).otherwise(F.col("text"))
+    lang = F.when(m == 2, F.lit("xx")).otherwise(F.col("lang"))
+    pages = d.select(
+        url.alias("url"),
+        F.timestamp_seconds(epoch).alias("warc_ts"),
+        html.alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )
+    return ingest_validate(pages)
+
+
+SQL_INGEST_VALIDATE = r"""
+WITH p AS (
+  SELECT
+    CASE WHEN doc_id % 10 = 3 THEN 'ftp://bad.example.com/x'
+         WHEN doc_id % 10 = 7 THEN ''
+         ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com/doc/' || CAST(doc_id AS VARCHAR) END AS url,
+    CASE WHEN doc_id % 10 = 1 THEN NULL
+         WHEN doc_id % 10 = 9 THEN 123456
+         ELSE 1735689600 + doc_id END AS epoch,
+    CASE WHEN doc_id % 10 = 5 THEN NULL ELSE text END AS html_text,
+    CASE WHEN doc_id % 10 = 5 THEN '' ELSE text END AS text,
+    CASE WHEN doc_id % 10 = 2 THEN 'xx' ELSE lang END AS lang
+  FROM documents WHERE doc_id < 400
+),
+r AS (
+  SELECT url,
+    list_sort(list_filter([
+      CASE WHEN url IS NULL OR NOT regexp_matches(url, '^https?://[^\s/?#]+')
+           THEN 'bad_url' END,
+      CASE WHEN epoch IS NULL OR epoch < 789000000 OR epoch >= 2050000000
+           THEN 'bad_ts' END,
+      CASE WHEN (html_text IS NULL OR length(html_text) = 0)
+                AND (text IS NULL OR length(text) = 0)
+           THEN 'no_content' END,
+      CASE WHEN lang IS NOT NULL AND lang NOT IN
+                ('en','de','fr','es','zh','ja','ko','ru','unknown')
+           THEN 'bad_lang' END
+    ], x -> x IS NOT NULL)) AS reasons
+  FROM p
+)
+SELECT url, len(reasons) = 0 AS valid,
+       coalesce(array_to_string(reasons, '|'), '') AS reasons
+FROM r
+"""
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization for url-level dedup: lowercase scheme+host,
     strip default port / utm_* params / fragment / trailing slash."""
@@ -5217,6 +5296,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
+    "ingest_validate": (q_ingest_validate, SQL_INGEST_VALIDATE),
     "crawl_traps": (q_crawl_traps, SQL_CRAWL_TRAPS),
     "url_domain_counts": (q_url_domain_counts, SQL_URL_DOMAIN_COUNTS),
     # multimodal

@@ -420,3 +420,40 @@ def test_canonical_docs_retry_supersede(spark):
     assert {u: tuple(r) for u, r in got.items()} == {
         u: tuple(r) for u, r in again.items()
     }
+
+
+def test_ingest_validate_rules_and_plan(spark):
+    """Quarantine gate semantics on handcrafted corruption: each rule
+    fires alone and in combination; reasons are sorted and joined
+    deterministically; the plan is a single map-side projection."""
+    import datetime
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from pdf_ocr_spark.operators.ingest import ingest_validate
+
+    ok_ts = datetime.datetime(2025, 1, 2, 0, 0, 0)
+    rows = [
+        ("https://a.com/x", ok_ts, b"<html>", "hi", "en"),      # valid
+        ("ftp://a.com/x", ok_ts, b"<html>", "hi", "en"),         # bad_url
+        ("https://a.com/y", None, b"<html>", "hi", "en"),        # bad_ts
+        ("https://a.com/z", datetime.datetime(1970, 1, 2), b"x", "hi", "en"),  # bad_ts (pre-web)
+        ("https://a.com/w", ok_ts, None, "", "en"),              # no_content
+        ("https://a.com/v", ok_ts, b"<html>", "hi", "tlh"),      # bad_lang
+        ("", None, None, None, "tlh"),                           # all four
+        ("https://a.com/t", ok_ts, None, "text only", None),     # valid: text side + null lang ok
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = {r.url: (r.valid, r.reasons) for r in ingest_validate(pages).collect()}
+    assert out["https://a.com/x"] == (True, "")
+    assert out["ftp://a.com/x"] == (False, "bad_url")
+    assert out["https://a.com/y"] == (False, "bad_ts")
+    assert out["https://a.com/z"] == (False, "bad_ts")
+    assert out["https://a.com/w"] == (False, "no_content")
+    assert out["https://a.com/v"] == (False, "bad_lang")
+    assert out[""] == (False, "bad_lang|bad_ts|bad_url|no_content")
+    assert out["https://a.com/t"] == (True, "")
+    plan = ingest_validate(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
