@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dedup_apply",
     "fetch_schedule",
     "training_mix",
+    "filter_funnel",
     "dsir_resample",
     "dedup_semantic",
     "bitext_mining",

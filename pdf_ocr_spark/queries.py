@@ -2110,6 +2110,8 @@ _C_ELLIP = _cnt(T.ELLIPSIS_LINE_PATTERN)
 _C_SYM = _cnt(T.SYMBOL_PATTERN)
 _C_ALPHAW = _cnt(T.ALPHA_WORD_PATTERN)
 _C_NL = _cnt(r"\n")
+_C_SENT = _cnt(T.SENTENCE_PATTERN)
+_C_TERM = _cnt(T.TERMINAL_LINE_PATTERN)
 
 SQL_TEXT_GOPHER = f"""
 WITH f AS (
@@ -2369,6 +2371,224 @@ FROM u LEFT JOIN h ON u.doc_id = h.doc_id
 """
 
 
+def q_filter_funnel(spark, sf_dir):
+    """The FILTER FUNNEL: per-stage kill accounting through the
+    composed cleaning pipeline (Gopher lexical gate → Gopher n-gram
+    repetition gate → LM worst-tercile drop → exact first-occurrence
+    dedup) — the datasheet table every corpus release publishes
+    (C4 §2.2, Gopher A.1.1, RefinedWeb Fig. 2: what each stage removes).
+    Universe = the corpus + repetition bait (doubled text) + exact
+    copies, so every stage does visible, hash-pinned work.
+
+    SEMI-JOIN PUSHDOWN down the funnel: each stage's (expensive)
+    statistics run only on the PRIOR stage's survivors — the n-gram
+    folds never touch Gopher rejects, the LM scorer never touches
+    repetition rejects.  Per-row gates make this provably
+    output-identical to scoring everything (the oracle scores the full
+    universe relationally and must hash-match).  The five funnel counts
+    are one-row aggregates crossJoined and unstacked — one action.
+
+    Cache ownership: the four persists serve the multi-count reuse of
+    ONE datacard run (this is a once-per-release report, not a loop
+    body); Spark's LRU evicts them, and a session looping over corpora
+    should clearCache() between runs."""
+    from pyspark.sql.window import Window
+
+    from pdf_ocr_spark.operators.dedup import normalized
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        base.unionByName(
+            base.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"), F.col("text")
+            )
+        )
+    ).persist()
+    d1 = docs.join(
+        T.gopher_quality(docs)
+        .filter(F.col("passes_gopher"))
+        .select("doc_id"),
+        "doc_id",
+    ).persist()
+    d2 = d1.join(
+        T.ngram_repetition_stats(d1)
+        .filter(F.col("passes_repetition"))
+        .select("doc_id"),
+        "doc_id",
+    ).persist()
+    vocab = T.lm_word_counts(docs, min_count=2)  # corpus-general LM
+    scores = T.lm_doc_scores(d2, vocab, alpha=1.0).select(
+        "doc_id", "avg_logprob"
+    )
+    cut = scores.agg(
+        F.round(F.percentile("avg_logprob", F.lit(1.0 / 3)), 6).alias("c1")
+    )
+    d3 = d2.join(
+        scores.crossJoin(F.broadcast(cut))
+        .filter(F.col("avg_logprob") > F.col("c1"))
+        .select("doc_id"),
+        "doc_id",
+    ).persist()
+    wd = Window.partitionBy(F.md5(normalized(F.col("text")))).orderBy("doc_id")
+    n4df = (
+        d3.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .agg(F.count(F.lit(1)).alias("n4"))
+    )
+    one = (
+        docs.agg(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(d1.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(d2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(d3.agg(F.count(F.lit(1)).alias("n3")))
+        .crossJoin(n4df)
+    )
+    return one.selectExpr(
+        "stack(4, "
+        "'1_gopher_gate', n0, n0 - n1, n1, "
+        "'2_repetition_gate', n1, n1 - n2, n2, "
+        "'3_lm_tail_drop', n2, n2 - n3, n3, "
+        "'4_exact_dedup', n3, n3 - n4, n4"
+        ") AS (stage, n_in, n_dropped, n_out)"
+    )
+
+
+SQL_FILTER_FUNNEL = f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text || ' ' || text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0
+),
+f AS (
+  SELECT doc_id,
+    {_C_WORDS} AS words,
+    {_C_WCHARS} AS word_chars,
+    {_C_BULLET} AS bullet_lines,
+    {_C_ELLIP} AS ellipsis_lines,
+    {_C_SYM} AS symbols,
+    {_C_ALPHAW} AS alpha_words,
+    {_C_NL} + 1 AS n_lines,
+    md5({_NGRAM_REP_NORM}) AS fp
+  FROM u
+),
+v AS (
+  SELECT doc_id, fp,
+    (words >= 50 AND words <= 100000
+     AND word_chars / greatest(words, 1) >= 3.0
+     AND word_chars / greatest(words, 1) <= 10.0
+     AND symbols / greatest(words, 1) <= 0.1
+     AND bullet_lines / n_lines <= 0.9
+     AND ellipsis_lines / n_lines <= 0.3
+     AND alpha_words / greatest(words, 1) >= 0.8) AS s1
+  FROM f
+),
+rw AS (
+  SELECT doc_id, str_split({_NGRAM_REP_NORM}, ' ') AS words,
+         length({_NGRAM_REP_NORM}) AS nchars
+  FROM u
+),
+rg AS (
+  SELECT doc_id, nchars, n,
+         unnest(list_transform(range(1, len(words) - n + 2),
+                i -> array_to_string(list_slice(words, i, i + n - 1), ' ')))
+           AS gram
+  FROM rw, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+),
+rc AS (
+  SELECT doc_id, nchars, n, gram, count(*) AS cnt FROM rg GROUP BY ALL
+),
+rtop AS (
+  SELECT doc_id, n, round(cnt * length(gram) / nchars, 6) AS frac,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY cnt DESC, gram ASC) AS rn
+  FROM rc WHERE n <= 4 AND nchars > 0
+),
+rdup AS (
+  SELECT doc_id, n, round((sum(cnt) - count(*)) / sum(cnt), 6) AS frac
+  FROM rc WHERE n >= 5 GROUP BY doc_id, n
+),
+rep AS (
+  SELECT b.doc_id,
+    (coalesce(max(CASE WHEN t.n = 2 THEN t.frac END), 0.0) <= 0.20
+     AND coalesce(max(CASE WHEN t.n = 3 THEN t.frac END), 0.0) <= 0.18
+     AND coalesce(max(CASE WHEN t.n = 4 THEN t.frac END), 0.0) <= 0.16
+     AND coalesce(max(CASE WHEN d.n = 5 THEN d.frac END), 0.0) <= 0.15
+     AND coalesce(max(CASE WHEN d.n = 6 THEN d.frac END), 0.0) <= 0.14
+     AND coalesce(max(CASE WHEN d.n = 7 THEN d.frac END), 0.0) <= 0.13
+     AND coalesce(max(CASE WHEN d.n = 8 THEN d.frac END), 0.0) <= 0.12
+     AND coalesce(max(CASE WHEN d.n = 9 THEN d.frac END), 0.0) <= 0.11
+     AND coalesce(max(CASE WHEN d.n = 10 THEN d.frac END), 0.0) <= 0.10)
+    AS passes_repetition
+  FROM u b
+  LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) t ON b.doc_id = t.doc_id
+  LEFT JOIN rdup d ON b.doc_id = d.doc_id
+  GROUP BY b.doc_id
+),
+dwf AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(str_split({_NGRAM_REP_NORM}, ' ')) AS w
+        FROM u)
+  WHERE w <> ''
+),
+vocab AS (SELECT w, count(*) AS cnt FROM dwf GROUP BY w HAVING count(*) >= 2),
+tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+         CAST(count(*) AS DOUBLE) AS v_size FROM vocab
+),
+scores AS (
+  SELECT doc_id,
+    round(CAST(sum(CAST(ln((coalesce(cnt, 0) + 1.0)
+                           / (n_total + 1.0 * (v_size + 1))) AS DECIMAL(18,6)))
+               AS DOUBLE) / count(*), 4) AS avg_logprob
+  FROM dwf LEFT JOIN vocab USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+),
+j AS (
+  SELECT v.doc_id, v.fp, v.s1, (v.s1 AND r.passes_repetition) AS s2,
+         s.avg_logprob
+  FROM v JOIN rep r ON v.doc_id = r.doc_id
+       JOIN scores s ON v.doc_id = s.doc_id
+),
+cut AS (
+  SELECT round(quantile_cont(avg_logprob, 1.0/3), 6) AS c1
+  FROM j WHERE s2
+),
+j3 AS (
+  SELECT j.*, (j.s2 AND j.avg_logprob > cut.c1) AS s3
+  FROM j CROSS JOIN cut
+),
+j4 AS (
+  SELECT *, (s3 AND row_number() OVER (
+      PARTITION BY fp, s3 ORDER BY doc_id) = 1) AS s4
+  FROM j3
+),
+one AS (
+  SELECT count(*) AS n0,
+         sum(CAST(s1 AS BIGINT)) AS n1,
+         sum(CAST(s2 AS BIGINT)) AS n2,
+         sum(CAST(s3 AS BIGINT)) AS n3,
+         sum(CAST(s4 AS BIGINT)) AS n4
+  FROM j4
+)
+SELECT '1_gopher_gate' AS stage, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM one
+UNION ALL
+SELECT '2_repetition_gate', n1, n1 - n2, n2 FROM one
+UNION ALL
+SELECT '3_lm_tail_drop', n2, n2 - n3, n3 FROM one
+UNION ALL
+SELECT '4_exact_dedup', n3, n3 - n4, n4 FROM one
+"""
+
+
 def q_training_mix(spark, sf_dir):
     """The PRETRAINING-MIX pipeline as ONE plan: Gopher quality gate →
     corpus-trained LM tercile filter (drop the worst third) → exact
@@ -2493,9 +2713,6 @@ def q_text_c4(spark, sf_dir):
     """C4-style cleanup signals + keep decision."""
     return T.c4_filters(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
 
-
-_C_SENT = _cnt(T.SENTENCE_PATTERN)
-_C_TERM = _cnt(T.TERMINAL_LINE_PATTERN)
 
 SQL_TEXT_C4 = f"""
 SELECT doc_id,
@@ -5314,6 +5531,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "resume_canonical": (q_resume_canonical, SQL_RESUME_CANONICAL),
     "pages_table": (q_pages_table, SQL_PAGES_TABLE),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
+    "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),
     "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
     "link_edges": (q_link_edges, SQL_LINK_EDGES),
     "link_hits": (q_link_hits, SQL_LINK_HITS),

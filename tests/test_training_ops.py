@@ -476,3 +476,25 @@ def test_url_templates_and_crawl_traps(spark):
         for r in crawl_trap_domains(urls, trap_min_urls=20).collect()
     }
     assert traps == {"trap.com": True, "flat.com": False, "sess.com": True}
+
+
+def test_filter_funnel_invariants(spark):
+    """The funnel's structural invariants on the real registry query:
+    counts chain (stage N's n_out = stage N+1's n_in), n_dropped =
+    n_in - n_out, every count non-negative, and every stage does
+    visible work on the enriched universe."""
+    from pdf_ocr_spark.queries import q_filter_funnel
+
+    rows = {
+        r.stage: r
+        for r in q_filter_funnel(spark, "/root/testdata/sf0.001").collect()
+    }
+    order = ["1_gopher_gate", "2_repetition_gate", "3_lm_tail_drop", "4_exact_dedup"]
+    assert set(rows) == set(order)
+    for a, b in zip(order, order[1:]):
+        assert rows[a].n_out == rows[b].n_in
+    for st in order:
+        r = rows[st]
+        assert r.n_dropped == r.n_in - r.n_out >= 0
+    # enriched universe: every stage kills something at sf0.001
+    assert all(rows[st].n_dropped > 0 for st in order)
