@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "fetch_schedule",
     "training_mix",
     "filter_funnel",
+    "text_decontaminate_fuzzy",
     "dsir_resample",
     "dedup_semantic",
     "bitext_mining",

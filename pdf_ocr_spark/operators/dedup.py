@@ -1079,3 +1079,69 @@ def bloom_possibly_seen(
     return hits.groupBy(id_col).agg(
         (F.count("_set") == k).alias("possibly_seen")
     )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text: str = "text",
+    bench_id: str = "bench_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    threshold: float = 0.5,
+    max_bucket: Optional[int] = 500,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: MinHash-LSH crossmatch between
+    the corpus and an evaluation set, then exact shingle-Jaccard
+    verification → (doc_id, bench_id, jaccard) for contaminated docs.
+    Catches paraphrased / lightly-edited benchmark leakage that the
+    exact 13-gram rule (:func:`~pdf_ocr_spark.operators.text_analysis.
+    contaminated_docs`) misses — the two run together in practice
+    (exact rule for verbatim splits, fuzzy rule for rewrites).
+
+    Plan at 100 TB: the benchmark is eval-suite-sized → its banded
+    signatures AND its shingle arrays BROADCAST; the corpus side bands
+    once (map-side), joins the broadcast buckets, and only docs that
+    produced a candidate are ever shingled for verification (semi-join
+    pushdown).  The corpus never self-joins and never shuffles by
+    shingle; ``max_bucket`` caps degenerate corpus buckets."""
+    cb = _cap_buckets(
+        _banded_signatures(docs, text_col, id_col, num_perm, bands, k),
+        ["band", "bh"],
+        "doc_id",
+        max_bucket,
+    )
+    bb = _banded_signatures(
+        bench, bench_text, bench_id, num_perm, bands, k
+    ).withColumnRenamed("doc_id", "bench_id")
+    pairs = (
+        cb.join(F.broadcast(bb), ["band", "bh"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    involved = pairs.select("doc_id").distinct()
+    sh_docs = docs.join(involved, id_col, "left_semi").select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), _hbase40)
+        ).alias("sh_a"),
+    )
+    sh_bench = bench.select(
+        F.col(bench_id).alias("bench_id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(bench_text), k), _hbase40)
+        ).alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sh_docs, "doc_id")
+        .join(F.broadcast(sh_bench), "bench_id")
+        .filter((inter / union) >= threshold)  # unrounded, like the oracle
+        .select(
+            "doc_id", "bench_id", F.round(inter / union, 4).alias("jaccard")
+        )
+    )

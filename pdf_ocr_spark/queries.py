@@ -1475,6 +1475,83 @@ WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
 )
 
 
+def q_text_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY decontamination: the 'benchmark' is a paraphrase-style
+    edit of every 11th document ('Note: ' prefix — verbatim 13-grams
+    survive edits like this, so the exact rule would still catch these,
+    but shortened/reworded leaks would not); MinHash-LSH crossmatch
+    against the broadcast benchmark, exact shingle-Jaccard verification
+    ≥ 0.5 on the candidates only."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 50000).alias("bench_id"),
+        F.concat(F.lit("Note: "), F.col("text")).alias("text"),
+    )
+    return D.fuzzy_decontaminate(docs, bench, threshold=0.5)
+
+
+def _sql_banded(sig_src: str, bands: int = 4) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(mh{2 * b} AS VARCHAR) || '_' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bh "
+        f"FROM {sig_src}"
+        for b in range(bands)
+    )
+
+
+SQL_TEXT_DECONTAMINATE_FUZZY = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+bench AS (
+  SELECT doc_id + 50000 AS doc_id, 'Note: ' || text AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+csh AS ({_sql_shingles("corpus")}),
+bsh AS ({_sql_shingles("bench")}),
+csigs AS (SELECT doc_id, {_sql_minhash_mins(8)} FROM csh GROUP BY doc_id),
+bsigs AS (SELECT doc_id, {_sql_minhash_mins(8)} FROM bsh GROUP BY doc_id),
+cbanded AS ({_sql_banded("csigs")}),
+cbands AS (
+  SELECT doc_id, band, bh FROM (
+    SELECT *, row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+    FROM cbanded)
+  WHERE rn <= 500
+),
+bbanded AS ({_sql_banded("bsigs")}),
+pairs AS (
+  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+  FROM cbands c JOIN bbanded b ON c.band = b.band AND c.bh = b.bh
+),
+cshh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 10)) AS BIGINT) AS hb
+  FROM csh
+),
+bshh AS (
+  SELECT DISTINCT doc_id AS bench_id,
+         CAST(('0x' || substr(md5(sh), 1, 10)) AS BIGINT) AS hb
+  FROM bsh
+),
+csizes AS (SELECT doc_id, count(*) AS n_sh FROM cshh GROUP BY doc_id),
+bsizes AS (SELECT bench_id, count(*) AS n_sh FROM bshh GROUP BY bench_id),
+inter AS (
+  SELECT p.doc_id, p.bench_id, count(*) AS n_inter
+  FROM pairs p
+  JOIN cshh a ON a.doc_id = p.doc_id
+  JOIN bshh b ON b.bench_id = p.bench_id AND b.hb = a.hb
+  GROUP BY 1, 2
+)
+SELECT p.doc_id, p.bench_id,
+  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)), 4) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_id = p.doc_id AND i.bench_id = p.bench_id
+JOIN csizes ca ON ca.doc_id = p.doc_id
+JOIN bsizes cb ON cb.bench_id = p.bench_id
+WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+      / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)) >= 0.5
+"""
+
+
 def q_dedup_embedding_bucketed(spark, sf_dir):
     """Scale path for embedding near-dup: sign-LSH bucketed self-join on
     the FULL embeddings table (no bounded-universe cap needed — the pair
@@ -3074,6 +3151,45 @@ SELECT doc_id, log_w, gumbel_key
 FROM keyed
 ORDER BY gumbel_key DESC, doc_id
 LIMIT 40
+"""
+
+
+def q_source_lang_entropy(spark, sf_dir):
+    """Per-source language-mix entropy — the datacard coherence metric
+    (a 'source' whose language distribution is near-uniform noise is a
+    mislabeled aggregator; a near-zero-entropy source is monolingual).
+    H = -Σ p·ln p over the source's language shares, summed in
+    DECIMAL(18,6) for partition-order independence.  TWO map-side-
+    combinable groupBys ((source, lang) then source) — no window."""
+    d = _t(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = sl.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    p = F.col("cnt") / F.col("n_docs")
+    return (
+        sl.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(
+                -F.sum((p * F.log(p)).cast("decimal(18,6)")).cast("double"), 4
+            ).alias("lang_entropy"),
+        )
+    )
+
+
+SQL_SOURCE_LANG_ENTROPY = """
+WITH sl AS (
+  SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(cnt) AS n_docs FROM sl GROUP BY 1)
+SELECT sl.source,
+  CAST(max(tot.n_docs) AS BIGINT) AS n_docs,
+  count(*) AS n_langs,
+  round(-CAST(sum(CAST((sl.cnt / tot.n_docs) * ln(sl.cnt / tot.n_docs)
+                       AS DECIMAL(18,6))) AS DOUBLE), 4) AS lang_entropy
+FROM sl JOIN tot ON sl.source = tot.source
+GROUP BY sl.source
 """
 
 
@@ -5497,6 +5613,10 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_mojibake": (q_text_mojibake, SQL_TEXT_MOJIBAKE),
     "text_nfc": (q_text_nfc, SQL_TEXT_NFC),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "text_decontaminate_fuzzy": (
+        q_text_decontaminate_fuzzy,
+        SQL_TEXT_DECONTAMINATE_FUZZY,
+    ),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
     "text_lm_buckets": (q_text_lm_buckets, SQL_TEXT_LM_BUCKETS),
     "text_lm_buckets_approx": (
@@ -5508,6 +5628,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
     "search_postings": (q_search_postings, SQL_SEARCH_POSTINGS),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
+    "source_lang_entropy": (q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "chunk_passages": (q_chunk_passages, SQL_CHUNK_PASSAGES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),

@@ -440,3 +440,28 @@ def test_bloom_prefilter_no_false_negatives(spark):
         for r in bloom_possibly_seen(new, sat, m=8, k=3).collect()
     }
     assert all(got_sat[i] for i in range(50))
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    """A lightly-edited copy of a benchmark item is caught (high
+    jaccard); unrelated docs are not; the benchmark side broadcasts."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from pdf_ocr_spark.operators.dedup import fuzzy_decontaminate
+
+    body = " ".join(f"token{i} word{i % 13} filler" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, "Intro. " + body),          # paraphrased leak of bench 9
+            (2, "completely different text about other topics entirely " * 5),
+            (3, body[: len(body) // 2]),    # half overlap -> below 0.5? verify via jaccard col
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, body)], "bench_id long, text string")
+    out = fuzzy_decontaminate(docs, bench, threshold=0.5)
+    got = {(r.doc_id, r.bench_id): r.jaccard for r in out.collect()}
+    assert (1, 9) in got and got[(1, 9)] > 0.9
+    assert all(d != 2 for (d, _) in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
