@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "link_hits",
     "crawl_traps",
     "ingest_validate",
+    "sink_warc_roundtrip",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

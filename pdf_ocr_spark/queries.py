@@ -3595,6 +3595,47 @@ FROM dom d JOIN ranked r ON d.domain = r.domain AND r.rn = 1
 )
 
 
+def q_sink_warc_roundtrip(spark, sf_dir):
+    """WARC sink + source round-trip IN ONE PLAN: synthesized pages →
+    per-partition WARC archives (from-scratch ISO 28500 writer,
+    deterministic record ids) → the from-scratch reader parses them
+    back → (url, body_md5, n_bytes).  The oracle computes the md5 of
+    the expected bytes directly, so the value hash pins BOTH codecs:
+    any header, length, or body corruption in either direction breaks
+    the match."""
+    from pdf_ocr_spark.sources.warc import PAGES_DDL, pages_to_warc, warc_pages_batch
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pages = d.select(
+        F.concat(
+            F.lit("https://w"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    archives = pages_to_warc(pages.repartition(4, "url"))
+    back = archives.select(F.col("warc").alias("content")).mapInPandas(
+        warc_pages_batch, schema=PAGES_DDL
+    )
+    return back.select(
+        "url",
+        F.md5(F.col("html")).alias("body_md5"),
+        F.length(F.col("html")).cast("long").alias("n_bytes"),
+    )
+
+
+SQL_SINK_WARC_ROUNDTRIP = """
+SELECT 'https://w' || CAST(doc_id % 5 AS VARCHAR)
+       || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+       md5(text) AS body_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 200
+"""
+
+
 def q_ingest_validate(spark, sf_dir):
     """Ingestion quarantine gate over the north-rule pages shape
     (url, warc_ts, html, text, lang), with every corruption class
@@ -5635,6 +5676,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
     "ingest_validate": (q_ingest_validate, SQL_INGEST_VALIDATE),
+    "sink_warc_roundtrip": (q_sink_warc_roundtrip, SQL_SINK_WARC_ROUNDTRIP),
     "crawl_traps": (q_crawl_traps, SQL_CRAWL_TRAPS),
     "url_domain_counts": (q_url_domain_counts, SQL_URL_DOMAIN_COUNTS),
     # multimodal

@@ -171,3 +171,126 @@ def warc_to_pages(spark, path: str):
     streaming inside each file."""
     raw = spark.read.format("binaryFile").load(path).select("content")
     return raw.mapInPandas(warc_pages_batch, schema=PAGES_DDL)
+
+
+# ---------------------------------------------------------------------------
+# WARC writer — the round-trip sink.  A pipeline that reads Common Crawl
+# also EMITS archives (filtered sub-crawls, WET-style extracted text), so
+# the reader above gets a from-scratch ISO 28500 writer whose output it
+# must itself round-trip byte-for-byte on the body.
+
+
+def _record_id(uri: str, date: str) -> str:
+    """Deterministic RFC-4122-shaped record id derived from (uri, date) —
+    md5-based so re-running a job emits IDENTICAL archives (resume- and
+    diff-friendly), unlike the spec's suggested random UUIDs."""
+    import hashlib
+
+    h = hashlib.md5(f"{uri}\n{date}".encode("utf-8")).hexdigest()
+    return (
+        f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    )
+
+
+def write_warc_record(
+    uri: str,
+    date: str,
+    body: bytes,
+    warc_type: str = "response",
+    content_type: str = "application/http; msgtype=response",
+    http_status: str = "200 OK",
+    http_content_type: str = "text/html",
+) -> bytes:
+    """One WARC/1.0 record as bytes.  ``response`` records wrap the body
+    in a minimal HTTP/1.1 envelope (what the reader's ``_http_body``
+    strips back off); ``conversion`` records (WET extracted text) and
+    ``resource`` records carry the bare body."""
+    if warc_type == "response":
+        payload = (
+            f"HTTP/1.1 {http_status}\r\n"
+            f"Content-Type: {http_content_type}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1") + body
+    else:
+        payload = body
+        if warc_type == "conversion":
+            content_type = "text/plain"
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: {_record_id(uri, date)}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("latin-1")
+    return headers + payload + b"\r\n\r\n"
+
+
+def write_warc_bytes(
+    records,
+    gzip_members: bool = False,
+    warc_type: str = "response",
+) -> bytes:
+    """Records ``(uri, iso_date, body)`` → one WARC archive.  With
+    ``gzip_members=True`` every record compresses as its OWN gzip member
+    (mtime=0, no filename → deterministic bytes) — the Common Crawl
+    layout that lets readers stream member-at-a-time."""
+    import gzip as _gzip
+    import io
+
+    out = []
+    for uri, date, body in records:
+        rec = write_warc_record(uri, date, body, warc_type=warc_type)
+        if gzip_members:
+            buf = io.BytesIO()
+            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(rec)
+            rec = buf.getvalue()
+        out.append(rec)
+    return b"".join(out)
+
+
+def pages_to_warc_batch(batches):
+    """mapInPandas body: pages rows → (n_records, warc) one-archive
+    batches.  Timestamps render as ISO-8601 Z; null html rows emit
+    ``conversion`` records from ``text`` (the WET shape) so nothing is
+    silently dropped."""
+    import pandas as pd
+
+    for b in batches:
+        recs = []
+        for url, ts, html, text in zip(
+            b["url"], b["warc_ts"], b["html"], b["text"]
+        ):
+            date = (
+                pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                if not pd.isna(ts)
+                else "1970-01-01T00:00:00Z"
+            )
+            if html is not None and not (
+                isinstance(html, float) and pd.isna(html)
+            ):
+                recs.append(
+                    write_warc_record(str(url), date, bytes(html))
+                )
+            elif isinstance(text, str) and text:
+                recs.append(
+                    write_warc_record(
+                        str(url), date, text.encode("utf-8"),
+                        warc_type="conversion",
+                    )
+                )
+        yield pd.DataFrame(
+            {"n_records": [len(recs)], "warc": [b"".join(recs)]}
+        )
+
+
+def pages_to_warc(pages):
+    """The pages table → one WARC archive per PARTITION (the real output
+    layout: one ~1 GB segment per write task; size segments by
+    repartitioning upstream).  Returns (n_records, warc binary) rows —
+    write with any binary sink."""
+    return pages.select("url", "warc_ts", "html", "text").mapInPandas(
+        pages_to_warc_batch, schema="n_records long, warc binary"
+    )

@@ -166,3 +166,64 @@ def test_run_extraction_from_jsonl(spark, tmp_path):
         for r in extract_documents(pages, num_partitions=2).collect()
     }
     assert via_jsonl == via_parquet_route and len(via_jsonl) == 8
+
+
+def test_warc_writer_roundtrip_plain_and_gzip():
+    """Writer → reader round-trip: bodies, uris, and dates survive both
+    the plain and per-member-gzip layouts byte-for-byte; identical input
+    produces identical archive bytes (deterministic record ids, mtime=0
+    gzip) — the property resume/diff tooling relies on."""
+    from pdf_ocr_spark.sources.warc import (
+        iter_warc_records,
+        write_warc_bytes,
+    )
+
+    recs = [
+        ("https://a.com/x", "2025-01-02T03:04:05Z", b"<html>alpha</html>"),
+        ("https://b.com/y", "2025-01-02T03:04:06Z", "café".encode("utf-8")),
+        ("https://c.com/z", "2025-01-02T03:04:07Z", b""),
+    ]
+    for gz in (False, True):
+        blob = write_warc_bytes(recs, gzip_members=gz)
+        back = list(iter_warc_records(blob))
+        assert [(u, d) for u, d, _ in back] == [(u, d) for u, d, _ in recs]
+        assert [b for _, _, b in back] == [b for _, _, b in recs]
+        assert write_warc_bytes(recs, gzip_members=gz) == blob  # deterministic
+
+
+def test_warc_writer_conversion_records_roundtrip():
+    from pdf_ocr_spark.sources.warc import iter_warc_records, write_warc_bytes
+
+    blob = write_warc_bytes(
+        [("https://a.com/t", "2025-01-01T00:00:00Z", b"extracted text")],
+        warc_type="conversion",
+    )
+    ((uri, date, body),) = list(iter_warc_records(blob))
+    assert (uri, body) == ("https://a.com/t", b"extracted text")
+
+
+def test_pages_to_warc_spark_roundtrip(spark):
+    """Distributed round-trip: pages -> per-partition WARC archives ->
+    reader recovers every html row as a response body and every
+    html-less row as a conversion record of its text."""
+    import datetime
+
+    from pdf_ocr_spark.sources.warc import iter_warc_records, pages_to_warc
+
+    ts = datetime.datetime(2025, 1, 2, 3, 4, 5)
+    rows = [
+        (f"https://s.com/{i}", ts, f"<html>{i}</html>".encode(), None, "en")
+        for i in range(20)
+    ] + [("https://s.com/wet", ts, None, "text only row", "en")]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).repartition(3)
+    out = pages_to_warc(pages).collect()
+    assert sum(r.n_records for r in out) == 21
+    got = {}
+    for r in out:
+        for uri, date, body in iter_warc_records(bytes(r.warc)):
+            got[uri] = body
+    assert got["https://s.com/5"] == b"<html>5</html>"
+    assert got["https://s.com/wet"] == b"text only row"
+    assert len(got) == 21
