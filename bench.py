@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "j3_anti_join",
     "dedup_exact",
     "dedup_incremental",
+    "snapshot_delta",
     "dedup_minhash_lsh",
     "dedup_verified_lsh",
     "dedup_simhash",

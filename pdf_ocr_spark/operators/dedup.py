@@ -1145,3 +1145,36 @@ def fuzzy_decontaminate(
             "doc_id", "bench_id", F.round(inter / union, 4).alias("jaccard")
         )
     )
+
+
+def snapshot_delta(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-to-crawl delta report: per-URL verdicts between two
+    snapshots — ``added`` (url only in new), ``removed`` (only in old),
+    ``changed`` (both, content fingerprint differs), ``unchanged`` —
+    the refresh-rate signal that drives recrawl scheduling (frequently-
+    changing hosts earn shorter revisit intervals) and dedup planning
+    (unchanged pages skip re-extraction entirely).
+
+    Plan at 100 TB: ONE full-outer sort-merge join on url (both
+    snapshots partitioned/bucketed by url in practice, so the join
+    co-locates); fingerprints are computed map-side before the
+    exchange, so only (url, 16-byte md5) rows move — never text."""
+    fp = lambda d: d.select(  # noqa: E731
+        F.col(url_col).alias("url"),
+        F.md5(normalized(F.col(text_col))).alias("fp"),
+    )
+    o = fp(old_docs).withColumnRenamed("fp", "fp_old")
+    n = fp(new_docs).withColumnRenamed("fp", "fp_new")
+    j = o.join(n, "url", "full_outer")
+    verdict = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("url", verdict.alias("verdict"))

@@ -936,6 +936,48 @@ FROM verdict v JOIN fps f ON v.doc_id = f.doc_id
 """
 
 
+def q_snapshot_delta(spark, sf_dir):
+    """Crawl-to-crawl delta verdicts: old snapshot = doc_id < 450, new
+    snapshot = doc_id ≥ 50 with every 9th page's content edited → all
+    four verdicts (added / removed / changed / unchanged) exercised.
+    One full-outer join on url; only (url, md5) rows cross the wire."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://s"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/"), F.col("doc_id").cast("string"),
+    )
+    old = d.filter(F.col("doc_id") < 450).select(url.alias("url"), "text")
+    new = d.filter(F.col("doc_id") >= 50).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.snapshot_delta(old, new)
+
+
+SQL_SNAPSHOT_DELTA = f"""
+WITH o AS (
+  SELECT 'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/'
+         || CAST(doc_id AS VARCHAR) AS url,
+         md5({_NORM_SQL.format(c='text')}) AS fp_old
+  FROM documents WHERE doc_id < 450
+),
+n AS (
+  SELECT 'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/'
+         || CAST(doc_id AS VARCHAR) AS url,
+         md5({_NORM_SQL.format(c="CASE WHEN doc_id % 9 = 0 THEN text || ' [edited]' ELSE text END")}) AS fp_new
+  FROM documents WHERE doc_id >= 50
+)
+SELECT coalesce(o.url, n.url) AS url,
+  CASE WHEN o.fp_old IS NULL THEN 'added'
+       WHEN n.fp_new IS NULL THEN 'removed'
+       WHEN o.fp_old <> n.fp_new THEN 'changed'
+       ELSE 'unchanged' END AS verdict
+FROM o FULL OUTER JOIN n ON o.url = n.url
+"""
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Cross-snapshot incremental dedup: the history store holds the
     fingerprints of every doc_id%4==0 document ("previous snapshots");
@@ -5603,6 +5645,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # dedup
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "snapshot_delta": (q_snapshot_delta, SQL_SNAPSHOT_DELTA),
     "dedup_bloom_prefilter": (q_dedup_bloom_prefilter, SQL_DEDUP_BLOOM_PREFILTER),
     "dedup_minhash_sigs": (q_dedup_minhash_sigs, SQL_DEDUP_MINHASH_SIGS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),

@@ -465,3 +465,24 @@ def test_fuzzy_decontaminate_catches_paraphrase(spark):
     assert all(d != 2 for (d, _) in got)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_delta_verdicts(spark):
+    from pdf_ocr_spark.operators.dedup import snapshot_delta
+
+    old = spark.createDataFrame(
+        [("u1", "same text"), ("u2", "old body"), ("u3", "gone page")],
+        "url string, text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "Same   TEXT"), ("u2", "new body"), ("u4", "fresh page")],
+        "url string, text string",
+    )
+    got = {r.url: r.verdict for r in snapshot_delta(old, new).collect()}
+    # normalization (case/whitespace) makes u1 unchanged despite raw diff
+    assert got == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "removed",
+        "u4": "added",
+    }
