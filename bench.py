@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "crawl_traps",
     "ingest_validate",
     "sink_warc_roundtrip",
+    "sink_wet_export",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

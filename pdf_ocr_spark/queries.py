@@ -4008,6 +4008,45 @@ FROM read_parquet('{_golden("extract_corpus")}')
 """
 
 
+def q_sink_wet_export(spark, sf_dir):
+    """The WET product END-TO-END: synthetic pages corpus → full
+    extraction pipeline → conversion-record WARC archives (Common
+    Crawl's WET layout: one text record per document) → the from-scratch
+    reader parses them back → (url, text_md5).  Oracle = the frozen
+    extraction golden's md5 per url (docs with non-empty extracted
+    text, which is exactly the set WET emits) — so the hash pins the
+    extractor AND the writer AND the reader in one gate."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+    from pdf_ocr_spark.sources.warc import PAGES_DDL, pages_to_warc, warc_pages_batch
+
+    rows = gen_rows(150)
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"]) for r in rows],
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    docs = extract_documents(pages)
+    wet_in = docs.select(
+        "url",
+        F.timestamp_seconds(F.lit(1735689600)).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),  # null html → conversion record
+        F.col("extracted_text").alias("text"),
+        F.lit("unknown").alias("lang"),
+    )
+    archives = pages_to_warc(wet_in.repartition(4, "url"))
+    back = archives.select(F.col("warc").alias("content")).mapInPandas(
+        warc_pages_batch, schema=PAGES_DDL
+    )
+    return back.select("url", F.md5(F.col("html")).alias("text_md5"))
+
+
+SQL_SINK_WET_EXPORT = f"""
+SELECT url, text_md5
+FROM read_parquet('{_golden("extract_corpus")}')
+WHERE n_chars > 0
+"""
+
+
 def q_resume_canonical(spark, sf_dir):
     """Reader-side canonicalization of at-least-once extraction appends
     (pipeline/extract_job.py:canonical_docs): a resume run retries
@@ -5720,6 +5759,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
     "ingest_validate": (q_ingest_validate, SQL_INGEST_VALIDATE),
     "sink_warc_roundtrip": (q_sink_warc_roundtrip, SQL_SINK_WARC_ROUNDTRIP),
+    "sink_wet_export": (q_sink_wet_export, SQL_SINK_WET_EXPORT),
     "crawl_traps": (q_crawl_traps, SQL_CRAWL_TRAPS),
     "url_domain_counts": (q_url_domain_counts, SQL_URL_DOMAIN_COUNTS),
     # multimodal
