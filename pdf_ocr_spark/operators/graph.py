@@ -187,3 +187,68 @@ def hits(
             )
         )
     return nodes.join(hub, "node").join(auth, "node").select("node", "hub", "auth")
+
+
+# --------------------------------------------------------------------------
+# Host-level webgraph rollup.  Common Crawl publishes its webgraph at host
+# and domain granularity (the page-level graph is too large to ship); the
+# reference pipeline stops at per-page link emission
+# (pdf_ocr_with_boxes_v2.py has no graph stage), so this is part of the
+# crawl-analytics surface the engine adds on top of extract_links.
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)"
+
+
+def host_expr(url: "F.Column") -> "F.Column":
+    """Lowercased hostname of an absolute URL ('' when unparseable) —
+    one regexp, replayable verbatim in the DuckDB oracle (RE2 both
+    sides): scheme dropped, userinfo dropped, port dropped."""
+    return F.regexp_extract(F.lower(url), _HOST_RE, 1)
+
+
+def host_graph(
+    edges: DataFrame, url_col: str = "url", link_col: str = "link"
+) -> DataFrame:
+    """Page-level link edges → host-level webgraph:
+    (src_host, dst_host, n_links, n_nofollow, n_pages).
+
+    Only web links participate (absolute http(s) targets plus
+    root-relative paths, which resolve to the source host); mailto:,
+    javascript:, fragment-only and other non-fetchable hrefs are
+    dropped — the same scoping a crawl frontier applies.  n_pages is
+    the distinct source-page count behind each host pair (an edge
+    backed by many pages is structural; one backed by a single page is
+    incidental).
+
+    Plan at 100 TB: one filter + one groupBy on (src_host, dst_host) —
+    map-side partial aggregation collapses the per-page fan-in before
+    the shuffle, so traffic is bounded by distinct host pairs (~10^9),
+    not edges (~10^12).  count(DISTINCT url) rewrites to a two-stage
+    expand under AQE; hot host pairs (link farms) split via skew-join.
+    """
+    url, link = F.col(url_col), F.col(link_col)
+    is_web = (
+        F.lower(link).startswith("http://")
+        | F.lower(link).startswith("https://")
+        | link.startswith("/")
+    )
+    src_host = host_expr(url)
+    dst_host = F.coalesce(
+        F.nullif(host_expr(link), F.lit("")), src_host
+    )
+    return (
+        edges.filter(is_web)
+        .select(
+            src_host.alias("src_host"),
+            dst_host.alias("dst_host"),
+            url.alias("_page"),
+            F.col("nofollow"),
+        )
+        .filter(F.col("src_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum(F.col("nofollow").cast("int")).alias("n_nofollow"),
+            F.countDistinct("_page").alias("n_pages"),
+        )
+    )

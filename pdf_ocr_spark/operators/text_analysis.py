@@ -1070,3 +1070,47 @@ def crawl_trap_domains(
             & (F.col("hot.k") / F.col("n_urls") >= trap_concentration)
         ).alias("is_trap"),
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    target_bytes: int = 1 << 30,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic output sharding for training-data export: per
+    shard key, documents are packed in id order into files of
+    ~``target_bytes`` UTF-8 bytes (greedy cumulative-sum bin packing —
+    a document whose preceding bytes fill k whole targets lands in
+    shard k).  Returns (shard_key, doc_id, n_bytes, shard_index,
+    shard_path) with the final path rendered as
+    ``{key}/shard-00042.jsonl``.
+
+    Real exports need size-balanced files (object stores and data
+    loaders both degrade on pathological file sizes); ``df.write``
+    alone gives per-task splits that move under repartitioning, while
+    this assignment is a pure function of (key, id order, byte sizes) —
+    stable across runs, engines, and cluster layouts, so resumed or
+    re-run exports land every document in the same file.
+
+    Plan at 100 TB: ONE shuffle (the window partition on the shard
+    key), same shape as :func:`pack_sequences`; shard keys are the
+    export-stream granularity (language, source, …), and a two-level
+    key (lang, md5-bucket) bounds any one window's sort when a single
+    language dominates the corpus."""
+    from pyspark.sql.window import Window
+
+    nb = (F.octet_length(F.col(text_col)) + F.lit(1)).cast("long")  # +1 = \n
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    cum = F.sum(nb).over(w)
+    idx = F.floor((cum - nb) / F.lit(int(target_bytes))).cast("long")
+    return docs.select(
+        F.col(shard_col).alias("shard_key"),
+        F.col(id_col),
+        nb.alias("n_bytes"),
+        idx.alias("shard_index"),
+        F.format_string(
+            "%s/shard-%05d.jsonl", F.col(shard_col), idx
+        ).alias("shard_path"),
+    )

@@ -2992,6 +2992,132 @@ FROM t
 """
 
 
+def q_export_shards(spark, sf_dir):
+    """Deterministic output sharding for training-data export: per lang,
+    documents pack in id order into ~64 KiB files (greedy byte cumsum —
+    shard k starts where k whole targets are filled), emitting the final
+    path ``{lang}/shard-00042.jsonl``.  Assignment is a pure function of
+    (key, id order, byte sizes): stable across runs, engines, and
+    cluster layouts, so a resumed export lands every document in the
+    same file.  ONE shuffle (the per-lang window); the oracle replays
+    the identical cumsum + floor + printf."""
+    return T.shard_assign(
+        _t(spark, sf_dir, "documents"), target_bytes=1 << 16
+    )
+
+
+SQL_EXPORT_SHARDS = """
+WITH t AS (
+  SELECT lang AS shard_key, doc_id,
+         CAST(strlen(text) + 1 AS BIGINT) AS n_bytes
+  FROM documents
+), c AS (
+  SELECT shard_key, doc_id, n_bytes,
+    CAST(floor((sum(n_bytes) OVER (PARTITION BY shard_key ORDER BY doc_id)
+                - n_bytes) / 65536.0) AS BIGINT) AS shard_index
+  FROM t
+)
+SELECT shard_key, doc_id, n_bytes, shard_index,
+       printf('%s/shard-%05d.jsonl', shard_key, shard_index) AS shard_path
+FROM c
+"""
+
+
+def q_link_host_graph(spark, sf_dir):
+    """Host-level webgraph rollup (the granularity Common Crawl actually
+    publishes its webgraph at): page link edges → (src_host, dst_host,
+    n_links, n_nofollow, n_pages).  Only fetchable web links participate
+    (absolute http(s) + root-relative, which resolve to the source
+    host); mailto:/javascript:/fragment hrefs drop out, as in a crawl
+    frontier.  One filter + one map-side-combined groupBy; the oracle
+    replays the identical host regexp (RE2 both sides) and aggregation.
+    """
+    from pdf_ocr_spark.operators.graph import host_graph
+
+    extracted = spark.read.parquet(_golden("link_edges")).select(
+        "url", "link", "nofollow"
+    )
+    # Synthetic multi-host edges (the golden corpus is one site): cross-
+    # host links, a relative path, a mailto (must drop), an uppercase
+    # host with a port, and a userinfo URL — every shape host_expr
+    # normalizes.  Replayed verbatim by the oracle.
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    i = F.col("doc_id")
+    src = F.concat(
+        F.lit("https://site"), (i % 11).cast("string"),
+        F.lit(".example.org/page/"), i.cast("string"),
+    )
+    m = i % 5
+    link = (
+        F.when(m == 0, F.concat(
+            F.lit("https://site"), ((i * 3) % 11).cast("string"),
+            F.lit(".example.org/x/"), i.cast("string")))
+        .when(m == 1, F.concat(F.lit("/local/"), (i % 7).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("mailto:user"), i.cast("string"), F.lit("@example.org")))
+        .when(m == 3, F.concat(
+            F.lit("HTTPS://CDN.Example.NET:8080/asset?id="),
+            (i % 13).cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://u:p@site"), (i % 4).cast("string"),
+            F.lit(".example.org/auth")))
+    )
+    synth = d.select(
+        src.alias("url"), link.alias("link"),
+        (i % 3 == 0).alias("nofollow"),
+    )
+    return host_graph(extracted.unionByName(synth))
+
+
+_HOST_SQL_RE = "^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)"
+
+_EDGE_SYNTH_SQL = """
+  SELECT 'https://site' || CAST(doc_id % 11 AS VARCHAR)
+           || '.example.org/page/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://site' || CAST((doc_id * 3) % 11 AS VARCHAR)
+                       || '.example.org/x/' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/local/' || CAST(doc_id % 7 AS VARCHAR)
+           WHEN 2 THEN 'mailto:user' || CAST(doc_id AS VARCHAR)
+                       || '@example.org'
+           WHEN 3 THEN 'HTTPS://CDN.Example.NET:8080/asset?id='
+                       || CAST(doc_id % 13 AS VARCHAR)
+           ELSE 'https://u:p@site' || CAST(doc_id % 4 AS VARCHAR)
+                       || '.example.org/auth'
+         END AS link,
+         (doc_id % 3 = 0) AS nofollow
+  FROM documents WHERE doc_id < 400
+"""
+
+SQL_LINK_HOST_GRAPH = f"""
+WITH raw AS (
+  SELECT url, link, nofollow
+  FROM read_parquet('{_golden("link_edges")}')
+  UNION ALL
+  {_EDGE_SYNTH_SQL}
+), e AS (
+  SELECT url, link, nofollow FROM raw
+  WHERE lower(link) LIKE 'http://%' OR lower(link) LIKE 'https://%'
+     OR link LIKE '/%'
+), h AS (
+  SELECT regexp_extract(lower(url), '{_HOST_SQL_RE}', 1) AS src_host,
+         coalesce(
+           nullif(regexp_extract(lower(link), '{_HOST_SQL_RE}', 1), ''),
+           regexp_extract(lower(url), '{_HOST_SQL_RE}', 1)
+         ) AS dst_host,
+         url, nofollow
+  FROM e
+)
+SELECT src_host, dst_host, count(*) AS n_links,
+       CAST(sum(CASE WHEN nofollow THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nofollow,
+       count(DISTINCT url) AS n_pages
+FROM h
+WHERE src_host <> ''
+GROUP BY 1, 2
+"""
+
+
 def q_chunk_passages(spark, sf_dir):
     """RAG-style passage chunking: 64-word windows advancing by 48
     (16-word overlap) over the normalized word sequence — pure per-row
@@ -5753,6 +5879,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "source_lang_entropy": (q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "export_shards": (q_export_shards, SQL_EXPORT_SHARDS),
     "chunk_passages": (q_chunk_passages, SQL_CHUNK_PASSAGES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
@@ -5780,6 +5907,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),
     "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
     "link_edges": (q_link_edges, SQL_LINK_EDGES),
+    "link_host_graph": (q_link_host_graph, SQL_LINK_HOST_GRAPH),
     "link_hits": (q_link_hits, SQL_LINK_HITS),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     "anchor_text_profile": (q_anchor_text_profile, SQL_ANCHOR_TEXT_PROFILE),

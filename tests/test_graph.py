@@ -100,3 +100,37 @@ def test_tfidf_keywords_pinned(spark):
     # doc 3 keeps common at rank 2: the corpus-wide term scores ln(3/3)=0
     assert rows[(3, "common")].tfidf == 0.0
     assert rows[(3, "common")].rank == 2
+
+
+def test_host_graph_host_normalization_and_scoping(spark):
+    from pdf_ocr_spark.operators.graph import host_graph
+
+    edges = spark.createDataFrame(
+        [
+            # two pages on a.test linking cross-host + one relative
+            ("https://a.test/p1", "https://B.test/x", False),
+            ("https://a.test/p1", "/local", True),
+            ("https://a.test/p2", "HTTPS://b.TEST:8080/y", False),
+            # non-fetchable hrefs must drop out entirely
+            ("https://a.test/p2", "mailto:x@a.test", False),
+            ("https://a.test/p2", "javascript:void(0)", False),
+            ("https://a.test/p2", "#frag", False),
+            # userinfo is stripped from the target host
+            ("http://c.test/p", "https://u:p@a.test/auth", True),
+        ],
+        "url string, link string, nofollow boolean",
+    )
+    rows = {
+        (r.src_host, r.dst_host): r for r in host_graph(edges).collect()
+    }
+    assert set(rows) == {
+        ("a.test", "b.test"),
+        ("a.test", "a.test"),
+        ("c.test", "a.test"),
+    }
+    ab = rows[("a.test", "b.test")]
+    assert (ab.n_links, ab.n_nofollow, ab.n_pages) == (2, 0, 2)
+    aa = rows[("a.test", "a.test")]  # the relative link resolves home
+    assert (aa.n_links, aa.n_nofollow, aa.n_pages) == (1, 1, 1)
+    ca = rows[("c.test", "a.test")]
+    assert (ca.n_links, ca.n_nofollow, ca.n_pages) == (1, 1, 1)

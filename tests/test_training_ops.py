@@ -498,3 +498,32 @@ def test_filter_funnel_invariants(spark):
         assert r.n_dropped == r.n_in - r.n_out >= 0
     # enriched universe: every stage kills something at sf0.001
     assert all(rows[st].n_dropped > 0 for st in order)
+
+
+def test_shard_assign_byte_packing_and_stability(spark):
+    from pdf_ocr_spark.operators.text_analysis import shard_assign
+
+    # target 10 bytes; each row's cost = utf-8 bytes + 1 (newline)
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "aaaa"),       # 5B  -> cum 5   -> shard 0
+            (2, "en", "bbbbbbbb"),   # 9B  -> cum 14  -> shard 0 (starts at 5)
+            (3, "en", "cc"),         # 3B  -> cum 17  -> shard 1 (starts at 14)
+            (4, "en", "ddddddddddddddddddd"),  # 20B -> cum 37 -> shard 1
+            (5, "en", "e"),          # 2B  -> cum 39  -> shard 3 (starts at 37)
+            (1, "ja", "ああ"),  # 7B multibyte -> shard 0, own window
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = shard_assign(docs, target_bytes=10)
+    rows = {(r.shard_key, r.doc_id): r for r in out.collect()}
+    assert [rows[("en", i)].shard_index for i in (1, 2, 3, 4, 5)] == \
+        [0, 0, 1, 1, 3]
+    assert rows[("ja", 1)].n_bytes == 7  # octet_length, not char count
+    assert rows[("ja", 1)].shard_index == 0
+    assert rows[("en", 3)].shard_path == "en/shard-00001.jsonl"
+
+    # pure function of (key, id order, sizes): repartitioning is a no-op
+    again = shard_assign(docs.repartition(7, "doc_id"), target_bytes=10)
+    assert sorted(map(tuple, again.collect())) == \
+        sorted(map(tuple, out.collect()))
