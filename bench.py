@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "ingest_validate",
     "sink_warc_roundtrip",
     "sink_wet_export",
+    "warc_cdx",
+    "html_jsonld",
+    "link_host_graph",
+    "export_shards",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

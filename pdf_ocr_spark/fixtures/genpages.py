@@ -1152,6 +1152,103 @@ def gen_html_meta_rows(n: int, seed: int = 13) -> List[dict]:
     return rows
 
 
+def gen_jsonld_rows(n: int, seed: int = 29) -> List[dict]:
+    """Deterministic corpus for the html_jsonld query: every embed
+    shape schema.org pages use in practice — a plain Article, a
+    top-level array, an @graph wrapper, list-valued @type, parameters
+    on the script type attribute, uppercase tags, malformed JSON
+    (must still emit a valid=False row), a non-ld script that must be
+    ignored, and JSON-LD-free pages (emit nothing)."""
+    rows: List[dict] = []
+    for i in range(n):
+        rng = random.Random((seed << 18) ^ i)
+        title = _sentence(rng, "en")[:50]
+        body = f"<body><p>{_paragraph(rng, 'en')}</p></body>"
+        kind = i % 8
+        if kind == 0:  # plain Article
+            ld = (
+                f'<script type="application/ld+json">{{"@type": "Article", '
+                f'"headline": "{title}", '
+                f'"datePublished": "2025-0{1 + i % 9}-02T10:00:00Z"}}</script>'
+            )
+        elif kind == 1:  # top-level array, single quotes on the attr
+            ld = (
+                "<script type='application/ld+json'>"
+                f'[{{"@type": "Product", "name": "Widget {i}"}}, '
+                f'{{"@type": "Offer", "price": "{i}.00"}}]</script>'
+            )
+        elif kind == 2:  # @graph wrapper
+            ld = (
+                '<script type="application/ld+json">{"@context": '
+                '"https://schema.org", "@graph": [{"@type": "WebSite", '
+                f'"name": "Site {i % 5}"}}, {{"@type": "BreadcrumbList", '
+                f'"name": "crumbs {i}"}}]}}</script>'
+            )
+        elif kind == 3:  # list @type + name-beats-headline + params
+            ld = (
+                '<SCRIPT TYPE="application/ld+json; charset=utf-8">'
+                f'{{"@type": ["NewsArticle", "Article"], "name": "N{i}", '
+                f'"headline": "ignored {i}", '
+                f'"datePublished": "2024-1{i % 2}-2{i % 8}"}}</SCRIPT>'
+            )
+        elif kind == 4:  # malformed JSON: valid=False row, never a raise
+            ld = (
+                '<script type="application/ld+json">{"@type": "Article", '
+                f'"headline": "broken {i}"</script>'
+            )
+        elif kind == 5:  # two blocks on one page (block_index order)
+            ld = (
+                '<script type="application/ld+json">'
+                f'{{"@type": "Organization", "name": "Org {i % 3}"}}</script>'
+                '<script type="application/ld+json">'
+                f'{{"@type": "FAQPage", "name": "faq {i}"}}</script>'
+            )
+        elif kind == 6:  # non-ld scripts only -> emits nothing
+            ld = (
+                '<script type="text/javascript">var x = {"@type": "NOPE"};'
+                "</script><script>let y = 1 < 2;</script>"
+            )
+        else:  # no scripts at all -> emits nothing
+            ld = ""
+        html = (
+            f"<html><head><title>{title}</title>{ld}</head>{body}</html>"
+        ).encode("utf-8")
+        rows.append(
+            dict(url=f"https://example.test/jsonld/{i:05d}", html=html,
+                 kind=kind)
+        )
+    return rows
+
+
+def gen_cdx_rows() -> List[dict]:
+    """Deterministic corpus for the warc_cdx query: 40 HTML pages
+    (response records) + 8 text-only rows (WET conversion records),
+    each with a fixed naive timestamp — the full pages shape the WARC
+    sink consumes.  Order is NOT sorted here; callers sort by url so
+    the archive byte layout (and therefore CDX offsets) is pinned."""
+    base = datetime.datetime(2025, 3, 1, 0, 0, 0)
+    out: List[dict] = []
+    for i, r in enumerate(gen_html_meta_rows(40)):
+        out.append(
+            dict(
+                url=r["url"],
+                warc_ts=base + datetime.timedelta(seconds=37 * i),
+                html=r["html"],
+                text=None,
+            )
+        )
+    for j in range(8):
+        out.append(
+            dict(
+                url=f"https://example.test/wet/{j:04d}",
+                warc_ts=base + datetime.timedelta(seconds=9000 + j),
+                html=None,
+                text=f"extracted text {j} body " * (j + 1),
+            )
+        )
+    return out
+
+
 def gen_link_rows() -> List[dict]:
     """Corpus for the link-graph queries: the standard 100-doc mix plus
     dedicated pages exercising the rel=nofollow/ugc/sponsored link-level

@@ -533,3 +533,110 @@ def extract_html(data: bytes) -> Tuple[str, str, Optional[str]]:
         return main, "ok", None
     except (RecursionError, MemoryError) as e:
         return "", "failed", f"html_parse_error: {type(e).__name__}"
+
+
+class JsonLdBlock(NamedTuple):
+    """One ``<script type=application/ld+json>`` block, parsed."""
+
+    block_index: int          # document order among ld+json blocks
+    node_index: int           # order within the block (@graph / arrays)
+    ld_type: Optional[str]    # @type ('|'-joined when a list)
+    name: Optional[str]       # schema.org name > headline
+    date_published: Optional[str]
+    valid: bool               # json.loads succeeded
+    raw_md5: str              # md5 of the raw block (identity / dedup)
+
+
+_SCRIPT_CLOSE_RE = re.compile(r"</script\s*>", re.I)
+
+
+def _ld_nodes(doc: object) -> List[dict]:
+    """Flatten a parsed JSON-LD payload to its entity nodes: a bare
+    object is one node, a top-level array is its objects, and an
+    ``@graph`` wrapper contributes the graph's objects (the three
+    shapes schema.org embeds use in practice).  Non-dict members are
+    skipped; order is document order."""
+    out: List[dict] = []
+    items = doc if isinstance(doc, list) else [doc]
+    for it in items:
+        if not isinstance(it, dict):
+            continue
+        graph = it.get("@graph")
+        if isinstance(graph, list):
+            out.extend(g for g in graph if isinstance(g, dict))
+            # a wrapper with its own @type is ALSO a node (rare but real)
+            if "@type" in it:
+                out.append(it)
+        else:
+            out.append(it)
+    return out
+
+
+def _ld_str(v: object) -> Optional[str]:
+    if isinstance(v, str):
+        s = v.strip()
+        return s or None
+    if isinstance(v, list):
+        parts = [x.strip() for x in v if isinstance(x, str) and x.strip()]
+        return "|".join(parts) or None
+    return None
+
+
+def extract_jsonld(data: bytes) -> List[JsonLdBlock]:
+    """bytes → the page's schema.org JSON-LD entities — the structured-
+    data channel next to main-content extraction (what search engines
+    and web-data pipelines read for entity type, canonical name, and
+    publish date; the reference stops at text emission, see
+    pdf_ocr_with_boxes_v2.py — this is crawl-analytics surface on top).
+
+    Scan: the tolerant tag regex finds ``<script>`` open tags whose
+    ``type`` attribute is ``application/ld+json`` (any case, with
+    optional parameters), the block runs to the next ``</script>``.
+    Each block parses with :mod:`json`; malformed JSON still emits a
+    row (``valid=False``) so coverage accounting sees it — a crawl
+    pipeline must never silently drop a block it fetched.  Entity
+    fields: ``@type`` ('|'-joined when a list), ``name`` falling back
+    to ``headline``, ``datePublished``.  Deterministic, never raises.
+    """
+    import hashlib
+    import json as _json
+
+    try:
+        text = decode_html_bytes(data)
+    except Exception:  # noqa: BLE001 — bytes-ish inputs only
+        return []
+    out: List[JsonLdBlock] = []
+    bi = 0
+    for m in _TAG_RE.finditer(text):
+        closing, tag, attrs, _ = m.groups()
+        if closing or tag.lower() != "script":
+            continue
+        mime = (_attr(attrs, "type") or "").lower().split(";")[0].strip()
+        if mime != "application/ld+json":
+            continue
+        cm = _SCRIPT_CLOSE_RE.search(text, m.end())
+        raw = text[m.end() : cm.start()] if cm else text[m.end() :]
+        digest = hashlib.md5(raw.encode("utf-8")).hexdigest()
+        try:
+            doc = _json.loads(raw)
+            nodes = _ld_nodes(doc)
+        except Exception:  # noqa: BLE001 — malformed embeds are routine
+            out.append(JsonLdBlock(bi, 0, None, None, None, False, digest))
+            bi += 1
+            continue
+        if not nodes:
+            out.append(JsonLdBlock(bi, 0, None, None, None, True, digest))
+        for ni, node in enumerate(nodes):
+            out.append(
+                JsonLdBlock(
+                    bi,
+                    ni,
+                    _ld_str(node.get("@type")),
+                    _ld_str(node.get("name")) or _ld_str(node.get("headline")),
+                    _ld_str(node.get("datePublished")),
+                    True,
+                    digest,
+                )
+            )
+        bi += 1
+    return out

@@ -740,6 +740,55 @@ def extract_html_meta(
     )
 
 
+JSONLD_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("block_index", IntegerType()),
+        StructField("node_index", IntegerType()),
+        StructField("ld_type", StringType()),
+        StructField("name", StringType()),
+        StructField("date_published", StringType()),
+        StructField("valid", BooleanType()),
+        StructField("raw_md5", StringType()),
+    ]
+)
+
+
+def extract_jsonld_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Structured-data extractor (runs on executors): one row per
+    schema.org JSON-LD entity node — @type, name/headline,
+    datePublished, plus a valid flag so malformed embeds stay visible
+    to coverage accounting.  Non-HTML and JSON-LD-free pages emit
+    nothing."""
+    from pdf_ocr_spark.kernels.html_extract import extract_jsonld
+
+    _tune_worker_gc()
+    cols = [f.name for f in JSONLD_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not data or looks_like_pdf(data):
+                continue
+            for b in extract_jsonld(data):
+                rows.append((url, *b))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_structured_data(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages(url, html, …) → JSON-LD entities (url, block_index,
+    node_index, ld_type, name, date_published, valid, raw_md5).  Same
+    single-shuffle plan shape as the other extraction routes."""
+    return kernel_route(
+        pages_df, extract_jsonld_batch, JSONLD_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
 FORM_SCHEMA = StructType(
     [
         StructField("url", StringType()),

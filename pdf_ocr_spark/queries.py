@@ -3795,6 +3795,51 @@ def q_sink_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_cdx(spark, sf_dir):
+    """CDX capture index over a WARC archive (the lookup artifact of
+    web archiving — Common Crawl ships a CDXJ index beside every
+    crawl): SURT-sorted url key, 14-digit timestamp, base32-SHA1
+    payload digest, mime/status from the HTTP envelope, and the
+    (offset, length) byte range that fetches exactly that record.
+    Pages sort into ONE archive partition so the byte layout (hence
+    offsets) is pinned; production indexing is per-file parallel, no
+    shuffle.  Oracle = frozen kernel replay of pages → WARC → CDX
+    (tools/freeze_cdx_golden.py); a test slices every (offset, length)
+    back out of the archive and re-parses it."""
+    from pdf_ocr_spark.fixtures.genpages import gen_cdx_rows
+    from pdf_ocr_spark.sources.warc import pages_to_warc, warc_cdx
+
+    rows = gen_cdx_rows()
+    pages = spark.createDataFrame(
+        [
+            (
+                r["url"],
+                r["warc_ts"],
+                bytearray(r["html"]) if r["html"] is not None else None,
+                r["text"],
+                None,
+            )
+            for r in rows
+        ],
+        schema="url string, warc_ts timestamp, html binary, text string,"
+               " lang string",
+    )
+    archives = pages_to_warc(pages.repartition(1).sortWithinPartitions("url"))
+    return warc_cdx(
+        archives.select(
+            F.col("warc"), F.lit("part-00000.warc").alias("filename")
+        )
+    )
+
+
+SQL_WARC_CDX = f"""
+SELECT surt_key, ts, url, mime, CAST(status AS INT) AS status, digest,
+       CAST("offset" AS BIGINT) AS offset,
+       CAST(length AS BIGINT) AS length, filename
+FROM read_parquet('{_golden("cdx")}')
+"""
+
+
 SQL_SINK_WARC_ROUNDTRIP = """
 SELECT 'https://w' || CAST(doc_id % 5 AS VARCHAR)
        || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
@@ -4689,6 +4734,35 @@ def q_html_meta(spark, sf_dir):
 SQL_HTML_META = f"""
 SELECT url, title, description, canonical, lang, og_title, og_image, published
 FROM read_parquet('{_HTML_META_GOLDEN}')
+"""
+
+
+def q_html_jsonld(spark, sf_dir):
+    """Schema.org JSON-LD structured-data extraction: one row per
+    entity node in the page's ``<script type=application/ld+json>``
+    blocks — @type ('|'-joined lists), name (falling back to headline),
+    datePublished, and a valid flag (malformed embeds emit a
+    valid=False row instead of vanishing).  Exercises plain objects,
+    top-level arrays, @graph wrappers, attribute parameters, uppercase
+    tags, non-ld scripts (ignored), and JSON-LD-free pages (nothing).
+    Same single-shuffle route shape as the hot path.  Oracle = frozen
+    kernel golden (tools/freeze_jsonld_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_jsonld_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_structured_data
+
+    rows = gen_jsonld_rows(56)  # must match the freeze tool's N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_structured_data(pages)
+
+
+SQL_HTML_JSONLD = f"""
+SELECT url, CAST(block_index AS INT) AS block_index,
+       CAST(node_index AS INT) AS node_index, ld_type, name,
+       date_published, valid, raw_md5
+FROM read_parquet('{_golden("jsonld")}')
 """
 
 
@@ -5886,6 +5960,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
     "ingest_validate": (q_ingest_validate, SQL_INGEST_VALIDATE),
     "sink_warc_roundtrip": (q_sink_warc_roundtrip, SQL_SINK_WARC_ROUNDTRIP),
+    "warc_cdx": (q_warc_cdx, SQL_WARC_CDX),
     "sink_wet_export": (q_sink_wet_export, SQL_SINK_WET_EXPORT),
     "crawl_traps": (q_crawl_traps, SQL_CRAWL_TRAPS),
     "url_domain_counts": (q_url_domain_counts, SQL_URL_DOMAIN_COUNTS),
@@ -5935,6 +6010,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "blocks_composite": (q_blocks_composite, SQL_BLOCKS_COMPOSITE),
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "html_meta": (q_html_meta, SQL_HTML_META),
+    "html_jsonld": (q_html_jsonld, SQL_HTML_JSONLD),
     "pdf_forms": (q_pdf_forms, SQL_PDF_FORMS),
     "pdf_doc_info": (q_pdf_doc_info, SQL_PDF_DOC_INFO),
     "pdf_outline": (q_pdf_outline, SQL_PDF_OUTLINE),

@@ -294,3 +294,202 @@ def pages_to_warc(pages):
     return pages.select("url", "warc_ts", "html", "text").mapInPandas(
         pages_to_warc_batch, schema="n_records long, warc binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# CDX capture index — the lookup artifact of web archiving (Common Crawl
+# ships a CDXJ index beside every crawl; wayback machines resolve urls
+# through it).  One row per archived capture: SURT-sorted url key,
+# 14-digit timestamp, payload digest, and the (offset, length) needed to
+# range-request exactly that record out of the archive.
+
+
+def _surt_key(url: str) -> str:
+    """Sort-friendly URL key (SURT form): lowercase, scheme and userinfo
+    dropped, host segments reversed and comma-joined, default ports
+    dropped, then ')' + path[?query].  'https://www.Example.com/A/b?q=1'
+    → 'com,example,www)/a/b?q=1'.  Unparseable urls key as themselves
+    lowercased (they still sort deterministically)."""
+    u = url.strip().lower()
+    m = _SURT_RE.match(u)
+    if not m:
+        return u
+    host, port, rest = m.group(1), m.group(2), m.group(3) or "/"
+    key = ",".join(reversed(host.split(".")))
+    if port and port not in (":80", ":443"):
+        key += port
+    return key + ")" + rest
+
+
+import re as _re  # noqa: E402 — module-scope for the compiled pattern
+
+_SURT_RE = _re.compile(
+    r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)(:\d+)?([/?][^#]*)?"
+)
+
+
+def _b32_sha1(data: bytes) -> str:
+    """Base32 SHA-1 payload digest, the historical CDX digest format."""
+    import base64
+    import hashlib
+
+    return base64.b32encode(hashlib.sha1(data).digest()).decode("ascii")
+
+
+def _http_meta(payload: bytes) -> Tuple[Optional[int], Optional[str]]:
+    """(status, mime) of an HTTP response payload; (None, None) when the
+    payload is a bare body (resource/conversion records)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None
+    sep = payload.find(_CRLF2)
+    head = payload[: sep if sep >= 0 else len(payload)]
+    line_end = head.find(b"\r\n")
+    status_line = head[: line_end if line_end >= 0 else len(head)]
+    parts = status_line.split()
+    status = None
+    if len(parts) >= 2:
+        try:
+            status = int(parts[1])
+        except ValueError:
+            status = None
+    mime = _parse_headers(head).get("content-type")
+    if mime:
+        mime = mime.split(";")[0].strip().lower() or None
+    return status, mime
+
+
+def _iter_records_meta(
+    data: bytes, base_offset: int = 0
+) -> Iterator[Tuple[int, int, dict, bytes]]:
+    """Yield (offset, stored_length, warc_headers, payload) for every
+    record in an UNCOMPRESSED archive slab; offsets are archive-absolute
+    via ``base_offset``.  stored_length spans headers through the
+    record's trailing CRLFCRLF — the exact byte range a reader must
+    fetch."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = data.find(_CRLF2, start)
+        if hdr_end < 0:
+            break
+        headers = _parse_headers(data[start:hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        body_start = hdr_end + 4
+        rec_end = body_start + length
+        if rec_end > n:  # truncated tail: the capture is incomplete
+            break
+        end = rec_end + 4 if data[rec_end : rec_end + 4] == _CRLF2 else rec_end
+        yield base_offset + start, end - start, headers, data[
+            body_start:rec_end
+        ]
+        pos = rec_end
+
+
+def _ts14(warc_date: Optional[str]) -> str:
+    """WARC-Date (ISO 8601) → the 14-digit CDX timestamp."""
+    digits = "".join(c for c in (warc_date or "") if c.isdigit())
+    return (digits + "00000000000000")[:14]
+
+
+CDX_COLUMNS = [
+    "surt_key", "ts", "url", "mime", "status", "digest", "offset",
+    "length", "filename",
+]
+
+
+def cdx_records(data: bytes, filename: str = "") -> List[tuple]:
+    """One WARC archive (plain or member-gzipped) → its CDX rows,
+    sorted by (surt_key, ts) — the index file order.  For .warc.gz,
+    offset/length address the COMPRESSED gzip member holding the record
+    (what a range request against the stored file needs, and what
+    Common Crawl's cdx records contain); for plain archives they
+    address the record bytes directly.  Digest = base32 SHA-1 of the
+    HTTP payload body (conversion/resource: the bare body).  Malformed
+    records are skipped, never raised."""
+    rows: List[tuple] = []
+
+    def emit(off: int, ln: int, headers: dict, payload: bytes) -> None:
+        rtype = headers.get("warc-type", "").lower()
+        uri = headers.get("warc-target-uri", "")
+        if rtype not in ("response", "resource", "conversion") or not uri:
+            return
+        status, mime = _http_meta(payload)
+        if mime is None:
+            ct = headers.get("content-type", "")
+            mime = ct.split(";")[0].strip().lower() or None
+            if rtype == "conversion" and mime is None:
+                mime = "text/plain"
+        rows.append(
+            (
+                _surt_key(uri),
+                _ts14(headers.get("warc-date")),
+                uri,
+                mime,
+                status,
+                _b32_sha1(_http_body(payload)),
+                off,
+                ln,
+                filename,
+            )
+        )
+
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        n = len(data)
+        while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+            try:
+                chunk = d.decompress(data[pos:])
+            except zlib.error:
+                break
+            member_len = (n - pos) - len(d.unused_data)
+            for _, _, headers, payload in _iter_records_meta(chunk):
+                emit(pos, member_len, headers, payload)
+            if not d.unused_data:
+                break
+            pos = n - len(d.unused_data)
+    else:
+        for off, ln, headers, payload in _iter_records_meta(data):
+            emit(off, ln, headers, payload)
+    rows.sort(key=lambda r: (r[0], r[1], r[6]))
+    return rows
+
+
+CDX_DDL = (
+    "surt_key string, ts string, url string, mime string, status int, "
+    "digest string, offset long, length long, filename string"
+)
+
+
+def warc_cdx_batch(batches):
+    """mapInPandas body: archive rows (warc binary [, filename]) → CDX
+    rows.  Parallelism is per-ARCHIVE, matching the reader: indexing a
+    crawl is one map over its segment files, no shuffle."""
+    import pandas as pd
+
+    for b in batches:
+        names = b["filename"] if "filename" in b.columns else [""] * len(b)
+        rows: List[tuple] = []
+        for blob, name in zip(b["warc"], names):
+            try:
+                rows.extend(cdx_records(bytes(blob), str(name or "")))
+            except Exception:  # noqa: BLE001 — poison archives skip whole
+                continue
+        yield pd.DataFrame(rows, columns=CDX_COLUMNS)
+
+
+def warc_cdx(archives):
+    """(warc binary [, filename string]) rows → the CDX capture index.
+    Sort the final index with a range partition on surt_key when
+    writing a crawl-wide index (the only shuffle in the job)."""
+    cols = [c for c in ("warc", "filename") if c in archives.columns]
+    return archives.select(*cols).mapInPandas(
+        warc_cdx_batch, schema=CDX_DDL
+    )

@@ -323,3 +323,44 @@ def test_html_meta_route_skips_metadata_free_binaries(spark):
     )
     rows = extract_html_meta(pages, num_partitions=2).collect()
     assert [r.url for r in rows] == ["https://x.test/page"]
+
+
+def test_jsonld_shapes_and_tolerance():
+    from pdf_ocr_spark.kernels.html_extract import extract_jsonld
+
+    html = (
+        b'<html><head>'
+        b'<script type="application/ld+json">{"@type":"Article",'
+        b'"headline":"H","datePublished":"2024-01-02"}</script>'
+        b"<SCRIPT TYPE='application/ld+json; charset=utf-8'>"
+        b'[{"@type":["Product","Thing"],"name":"W"},{"@type":"Offer"}]'
+        b"</SCRIPT>"
+        b'<script type="application/ld+json">{"@graph":[{"@type":"WebSite",'
+        b'"name":"S"},{"@type":"Person","name":"P"}]}</script>'
+        b'<script type="application/ld+json">{broken</script>'
+        b'<script type="text/javascript">var x={"@type":"NOPE"};</script>'
+        b"</head><body></body></html>"
+    )
+    blocks = extract_jsonld(html)
+    assert [(b.block_index, b.node_index) for b in blocks] == [
+        (0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (3, 0)
+    ]
+    assert blocks[0].name == "H"  # headline fallback
+    assert blocks[0].date_published == "2024-01-02"
+    assert blocks[1].ld_type == "Product|Thing"  # list @type joins
+    assert blocks[3].ld_type == "WebSite"        # @graph flattens
+    assert blocks[5].valid is False              # malformed still emits
+    assert all(len(b.raw_md5) == 32 for b in blocks)
+    # name beats headline when both present
+    both = extract_jsonld(
+        b'<script type="application/ld+json">'
+        b'{"@type":"A","name":"N","headline":"H"}</script>'
+    )
+    assert both[0].name == "N"
+    # no ld+json -> nothing; unterminated script -> runs to EOF, parses
+    assert extract_jsonld(b"<html><script>var a=1;</script></html>") == []
+    tail = extract_jsonld(
+        b'<script type="application/ld+json">{"@type":"T"}'
+    )
+    assert len(tail) == 1 and tail[0].ld_type == "T" and tail[0].valid
+    assert extract_jsonld(b"") == []

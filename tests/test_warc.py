@@ -227,3 +227,70 @@ def test_pages_to_warc_spark_roundtrip(spark):
     assert got["https://s.com/5"] == b"<html>5</html>"
     assert got["https://s.com/wet"] == b"text only row"
     assert len(got) == 21
+
+
+def test_surt_key_forms():
+    from pdf_ocr_spark.sources.warc import _surt_key
+
+    assert _surt_key("https://www.Example.com:443/A/b?q=1") == \
+        "com,example,www)/a/b?q=1"
+    assert _surt_key("http://u:p@Sub.Host.ORG:8080/x") == \
+        "org,host,sub:8080)/x"
+    assert _surt_key("https://a.test") == "test,a)/"       # bare host
+    assert _surt_key("http://a.test:80/p") == "test,a)/p"  # default port
+    assert _surt_key("https://a.test/p#frag") == "test,a)/p"
+    assert _surt_key("not a url") == "not a url"           # degrades, sorts
+
+
+def test_cdx_records_plain_and_gz_offsets_slice_back():
+    import base64
+    import hashlib
+    import zlib
+
+    from pdf_ocr_spark.sources.warc import cdx_records, write_warc_bytes
+
+    recs = [
+        ("https://b.test/2", "2025-01-01T00:00:02Z", b"body-two"),
+        ("https://a.test/1", "2025-01-01T00:00:01Z", b"body-one"),
+    ]
+    for gz in (False, True):
+        data = write_warc_bytes(recs, gzip_members=gz)
+        rows = cdx_records(data, "seg.warc.gz" if gz else "seg.warc")
+        # index order is SURT order, not archive order
+        assert [r[0] for r in rows] == ["test,a)/1", "test,b)/2"]
+        assert [r[1] for r in rows] == ["20250101000001", "20250101000002"]
+        assert all(r[3] == "text/html" and r[4] == 200 for r in rows)
+        want = base64.b32encode(hashlib.sha1(b"body-one").digest()).decode()
+        assert rows[0][5] == want
+        # the (offset, length) range must fetch a parseable record
+        for r in rows:
+            blob = data[r[6] : r[6] + r[7]]
+            if gz:
+                blob = zlib.decompress(blob, 16 + zlib.MAX_WBITS)
+            assert blob.startswith(b"WARC/1.0")
+        # ranges tile the archive exactly (nothing unindexed)
+        spans = sorted((r[6], r[7]) for r in rows)
+        assert spans[0][0] == 0
+        assert spans[0][1] == spans[1][0]
+        assert spans[1][0] + spans[1][1] == len(data)
+
+
+def test_cdx_conversion_records_and_truncation():
+    from pdf_ocr_spark.sources.warc import cdx_records, write_warc_bytes
+
+    wet = write_warc_bytes(
+        [("https://a.test/t", "2025-02-02T03:04:05Z", b"plain text")],
+        warc_type="conversion",
+    )
+    (row,) = cdx_records(wet)
+    assert row[3] == "text/plain" and row[4] is None
+    # truncated tail: records before the cut survive, no raise
+    both = write_warc_bytes(
+        [
+            ("https://a.test/1", "2025-01-01T00:00:01Z", b"x"),
+            ("https://a.test/2", "2025-01-01T00:00:02Z", b"y"),
+        ]
+    )
+    assert len(cdx_records(both[: len(both) - 30])) == 1
+    assert cdx_records(b"") == []
+    assert cdx_records(b"\x1f\x8bgarbage") == []
