@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "html_jsonld",
     "link_host_graph",
     "export_shards",
+    "warc_redirects",
+    "redirect_resolve",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

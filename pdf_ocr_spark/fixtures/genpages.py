@@ -1249,6 +1249,55 @@ def gen_cdx_rows() -> List[dict]:
     return out
 
 
+def gen_redirect_archive() -> bytes:
+    """Deterministic WARC archive for the warc_redirects query: every
+    redirect shape a crawl sees — 301 root-relative, 302 absolute, 303
+    scheme-relative, 307 path-relative, 308 — interleaved with records
+    the extractor must IGNORE (200 response, 301 without Location, a
+    WET conversion record)."""
+    from pdf_ocr_spark.sources.warc import write_warc_record
+
+    recs = [
+        write_warc_record(
+            "https://move.test/old/page", "2025-04-01T00:00:01Z", b"",
+            http_status="301 Moved Permanently",
+            extra_http_headers=[("Location", "/new/page")],
+        ),
+        write_warc_record(
+            "https://move.test/ok", "2025-04-01T00:00:02Z", b"fine",
+        ),
+        write_warc_record(
+            "http://move.test/http", "2025-04-01T00:00:03Z", b"",
+            http_status="302 Found",
+            extra_http_headers=[("Location", "https://move.test/http")],
+        ),
+        write_warc_record(
+            "https://move.test/cdn", "2025-04-01T00:00:04Z", b"",
+            http_status="303 See Other",
+            extra_http_headers=[("Location", "//cdn.move.test/asset")],
+        ),
+        write_warc_record(
+            "https://move.test/a/b/c", "2025-04-01T00:00:05Z", b"",
+            http_status="307 Temporary Redirect",
+            extra_http_headers=[("Location", "sibling?x=1")],
+        ),
+        write_warc_record(
+            "https://move.test/gone", "2025-04-01T00:00:06Z", b"",
+            http_status="308 Permanent Redirect",
+            extra_http_headers=[("Location", "https://other.test/")],
+        ),
+        write_warc_record(  # 301 WITHOUT Location: ignored
+            "https://move.test/broken", "2025-04-01T00:00:07Z", b"",
+            http_status="301 Moved Permanently",
+        ),
+        write_warc_record(  # conversion record: ignored
+            "https://move.test/wet", "2025-04-01T00:00:08Z", b"text",
+            warc_type="conversion",
+        ),
+    ]
+    return b"".join(recs)
+
+
 def gen_link_rows() -> List[dict]:
     """Corpus for the link-graph queries: the standard 100-doc mix plus
     dedicated pages exercising the rel=nofollow/ugc/sponsored link-level

@@ -357,3 +357,64 @@ def feed_items(
         key="url", cols=("url", "body"),
         num_partitions=num_partitions,
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    urls: DataFrame,
+    max_hops: int = 3,
+    url_col: str = "url",
+    target_col: str = "target",
+) -> DataFrame:
+    """Follow redirect chains relationally: for every url in ``urls``,
+    hop through the (url → target) redirect-edge table up to
+    ``max_hops`` times → (url, final_url, n_hops, resolution).
+
+    resolution: ``direct`` (no redirect), ``moved`` (chain ended at a
+    non-redirecting url), ``unresolved`` (still redirecting after
+    ``max_hops`` — loops land here: a cycle never stops redirecting).
+
+    Plan at 100 TB: the loop UNROLLS to ``max_hops`` left joins against
+    the redirect map — no iteration state, no driver round-trips; 3xx
+    captures are a small fraction of a crawl, so each join's build side
+    broadcasts (hinted below) and the fact table never shuffles.  The
+    DuckDB oracle replays the identical unrolled joins."""
+    edges = F.broadcast(
+        redirects.select(
+            F.col(url_col).alias("_src"), F.col(target_col).alias("_dst")
+        ).dropDuplicates(["_src"])
+    )
+    out = urls.select(F.col(url_col).alias("url"))
+    cur = F.col("url")
+    hops = F.lit(0)
+    # after the first miss cur has no outgoing edge, so later hops miss
+    # too -- counting matches is exact without any "done" state
+    for i in range(max_hops):
+        step = f"_hop{i}"
+        out = out.join(
+            edges.withColumnRenamed("_src", f"{step}_src")
+                 .withColumnRenamed("_dst", f"{step}_dst"),
+            on=cur == F.col(f"{step}_src"),
+            how="left",
+        )
+        nxt = F.col(f"{step}_dst")
+        hops = hops + F.when(nxt.isNotNull(), 1).otherwise(0)
+        cur = F.coalesce(nxt, cur)
+    # still redirecting after max_hops? one more edge lookup decides
+    out = out.join(
+        edges.withColumnRenamed("_src", "_tail_src")
+             .withColumnRenamed("_dst", "_tail_dst"),
+        on=cur == F.col("_tail_src"),
+        how="left",
+    )
+    resolution = (
+        F.when(hops == 0, F.lit("direct"))
+        .when(F.col("_tail_dst").isNotNull(), F.lit("unresolved"))
+        .otherwise(F.lit("moved"))
+    )
+    return out.select(
+        "url",
+        cur.alias("final_url"),
+        hops.cast("int").alias("n_hops"),
+        resolution.alias("resolution"),
+    )

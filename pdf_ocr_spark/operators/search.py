@@ -103,7 +103,7 @@ def bm25_topk(
         total = total + c
     scored = (
         per_doc.crossJoin(F.broadcast(stats))
-        .select(id_col, F.round(total.cast("double"), 4).alias("score"))
+        .select(id_col, F.round(total, 4).cast("double").alias("score"))
         .filter(F.col("score") > 0)
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

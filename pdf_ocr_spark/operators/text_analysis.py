@@ -897,7 +897,13 @@ def dsir_doc_logweights(
     Plan at 100 TB: ``logratios`` is <= buckets rows → BROADCAST; the
     corpus explodes words map-side into the broadcast hash join, so the
     only shuffle is the per-doc aggregate (map-side combined).  Sums run
-    in DECIMAL(18,6) — exact, order-independent — then round to 4."""
+    in DECIMAL(18,6) — exact, order-independent — then round to 4.
+
+    The round happens ON THE DECIMAL, cast to double after: rounding
+    the double instead is engine-divergent at exact .xxxx5 boundaries
+    (Spark rounds the shortest decimal rendering of the double — so
+    -2.99285 → -2.9929 — while DuckDB rounds the true binary value
+    -2.99284999… → -2.9928)."""
     dw = raw.select(
         F.col(id_col), F.explode(norm_words_expr(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
@@ -907,11 +913,9 @@ def dsir_doc_logweights(
     return j.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_words"),
         F.round(
-            F.sum(F.coalesce(F.col("lr"), F.lit(0.0)).cast("decimal(18,6)")).cast(
-                "double"
-            ),
+            F.sum(F.coalesce(F.col("lr"), F.lit(0.0)).cast("decimal(18,6)")),
             4,
-        ).alias("log_w"),
+        ).cast("double").alias("log_w"),
     )
 
 

@@ -42,11 +42,15 @@ def _golden(name: str) -> str:
 
 
 def _dec_sum_sql(expr: str, r: int = 2) -> str:
-    return f"round(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE), {r})"
+    # round the exact DECIMAL, cast to double AFTER: rounding the double
+    # instead diverges between engines at exact .xx5 boundaries (Spark
+    # rounds the double's shortest decimal rendering, DuckDB its true
+    # binary value) — see dsir_doc_logweights for the caught instance
+    return f"CAST(round(SUM(CAST({expr} AS DECIMAL(18,4))), {r}) AS DOUBLE)"
 
 
 def _dec_sum(col, r: int = 2):
-    return F.round(F.sum(col.cast("decimal(18,4)")).cast("double"), r)
+    return F.round(F.sum(col.cast("decimal(18,4)")), r).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -640,15 +644,15 @@ def q_events_running_share(spark, sf_dir):
     return ev.select(
         "user_id",
         "event_id",
-        F.round(cum.cast("double"), 4).alias("cum_value"),
+        F.round(cum, 4).cast("double").alias("cum_value"),
         F.round((cum.cast("double") / tot.cast("double")), 4).alias("running_share"),
     )
 
 
 SQL_EVENTS_RUNNING_SHARE = """
 SELECT user_id, event_id,
-  round(CAST(sum(CAST(value AS DECIMAL(18,4)))
-             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE), 4)
+  CAST(round(sum(CAST(value AS DECIMAL(18,4)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS DOUBLE)
     AS cum_value,
   round(CAST(sum(CAST(value AS DECIMAL(18,4)))
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
@@ -3286,7 +3290,7 @@ lrs AS (
 )
 SELECT doc_id,
   CAST(count(*) AS BIGINT) AS n_words,
-  round(CAST(sum(CAST(coalesce(lr, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 4)
+  CAST(round(sum(CAST(coalesce(lr, 0.0) AS DECIMAL(18,6))), 4) AS DOUBLE)
     AS log_w
 FROM dwf LEFT JOIN lrs USING (bucket)
 GROUP BY doc_id
@@ -3446,7 +3450,7 @@ stats AS (
 )
 SELECT doc_id, score FROM (
   SELECT doc_id,
-    round(CAST(({contribs}) AS DOUBLE), 4) AS score
+    CAST(round(({contribs}), 4) AS DOUBLE) AS score
   FROM per_doc CROSS JOIN stats
 )
 WHERE score > 0
@@ -3846,6 +3850,84 @@ SELECT 'https://w' || CAST(doc_id % 5 AS VARCHAR)
        md5(text) AS body_md5,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents WHERE doc_id < 200
+"""
+
+
+def q_warc_redirects(spark, sf_dir):
+    """Redirect-edge extraction from WARC captures: every 3xx response
+    record with a Location header → (url, ts, status, raw location,
+    absolutized target) — the crawl's URL-rewrite edges (canonical
+    moves, http→https).  Location resolution covers absolute,
+    scheme-relative (//host), root-relative, and path-relative forms;
+    200s, Location-less 3xxs, and conversion records are ignored.
+    Per-archive map, no shuffle.  Oracle = frozen kernel golden
+    (tools/freeze_redirects_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_redirect_archive
+    from pdf_ocr_spark.sources.warc import warc_redirects
+
+    archives = spark.createDataFrame(
+        [(bytearray(gen_redirect_archive()),)], schema="warc binary"
+    )
+    return warc_redirects(archives)
+
+
+SQL_WARC_REDIRECTS = f"""
+SELECT url, ts, CAST(status AS INT) AS status, location, target
+FROM read_parquet('{_golden("redirects")}')
+"""
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution over the fetch frontier: follow
+    (url → target) edges up to 3 hops relationally — the loop UNROLLS
+    to broadcast left joins, no iteration state.  Synthetic edge table
+    exercises chains (u_i → u_{{i+1}} for i%5<3: up to 3-hop walks),
+    self-loops (i%7==6 → unresolved), and redirect-free urls
+    (direct).  The oracle replays the identical unrolled joins."""
+    from pdf_ocr_spark.operators.frontier import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    i = F.col("doc_id")
+    u = F.concat(F.lit("https://r.test/u/"), i.cast("string"))
+    target = (
+        F.when(i % 7 == 6, u)
+        .when(i % 5 < 3,
+              F.concat(F.lit("https://r.test/u/"), (i + 1).cast("string")))
+    )
+    edges = d.select(u.alias("url"), target.alias("target")).filter(
+        F.col("target").isNotNull()
+    )
+    urls = d.select(u.alias("url"))
+    return resolve_redirects(edges, urls, max_hops=3)
+
+
+_SQL_REDIR_U = "'https://r.test/u/' || CAST(doc_id AS VARCHAR)"
+
+SQL_REDIRECT_RESOLVE = f"""
+WITH u AS (
+  SELECT {_SQL_REDIR_U} AS url, doc_id FROM documents WHERE doc_id < 300
+), e AS (
+  SELECT url AS src,
+         CASE WHEN doc_id % 7 = 6 THEN url
+              WHEN doc_id % 5 < 3
+                THEN 'https://r.test/u/' || CAST(doc_id + 1 AS VARCHAR)
+         END AS dst
+  FROM u
+  WHERE doc_id % 7 = 6 OR doc_id % 5 < 3
+)
+SELECT u.url,
+  coalesce(e2.dst, e1.dst, e0.dst, u.url) AS final_url,
+  CAST((CASE WHEN e0.dst IS NULL THEN 0 ELSE 1 END)
+     + (CASE WHEN e1.dst IS NULL THEN 0 ELSE 1 END)
+     + (CASE WHEN e2.dst IS NULL THEN 0 ELSE 1 END) AS INT) AS n_hops,
+  CASE WHEN e0.dst IS NULL THEN 'direct'
+       WHEN e3.dst IS NOT NULL THEN 'unresolved'
+       ELSE 'moved' END AS resolution
+FROM u
+LEFT JOIN e e0 ON u.url = e0.src
+LEFT JOIN e e1 ON coalesce(e0.dst, u.url) = e1.src
+LEFT JOIN e e2 ON coalesce(e1.dst, e0.dst, u.url) = e2.src
+LEFT JOIN e e3 ON coalesce(e2.dst, e1.dst, e0.dst, u.url) = e3.src
 """
 
 
@@ -5434,11 +5516,8 @@ def q_frontier_discover(spark, sf_dir):
         .groupBy("target")
         .agg(
             F.round(
-                F.sum((F.col("pr") * weight).cast("decimal(28,14)")).cast(
-                    "double"
-                ),
-                8,
-            ).alias("priority"),
+                F.sum((F.col("pr") * weight).cast("decimal(28,14)")), 8
+            ).cast("double").alias("priority"),
             F.count(F.lit(1)).alias("n_inlinks"),
         )
         .orderBy(F.desc("priority"), "target")
@@ -5467,8 +5546,8 @@ new AS (
     AND NOT EXISTS (SELECT 1 FROM e WHERE e.url = c.target)
 )
 SELECT n.target,
-  round(CAST(sum(CAST(pr.pr * CASE WHEN n.nofollow THEN 0.5 ELSE 1.0 END
-                      AS DECIMAL(28,14))) AS DOUBLE), 8) AS priority,
+  CAST(round(sum(CAST(pr.pr * CASE WHEN n.nofollow THEN 0.5 ELSE 1.0 END
+                     AS DECIMAL(28,14))), 8) AS DOUBLE) AS priority,
   count(*) AS n_inlinks
 FROM new n JOIN pr ON pr.node = n.src
 GROUP BY n.target
@@ -5961,6 +6040,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "ingest_validate": (q_ingest_validate, SQL_INGEST_VALIDATE),
     "sink_warc_roundtrip": (q_sink_warc_roundtrip, SQL_SINK_WARC_ROUNDTRIP),
     "warc_cdx": (q_warc_cdx, SQL_WARC_CDX),
+    "warc_redirects": (q_warc_redirects, SQL_WARC_REDIRECTS),
+    "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     "sink_wet_export": (q_sink_wet_export, SQL_SINK_WET_EXPORT),
     "crawl_traps": (q_crawl_traps, SQL_CRAWL_TRAPS),
     "url_domain_counts": (q_url_domain_counts, SQL_URL_DOMAIN_COUNTS),

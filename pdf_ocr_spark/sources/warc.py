@@ -200,15 +200,22 @@ def write_warc_record(
     content_type: str = "application/http; msgtype=response",
     http_status: str = "200 OK",
     http_content_type: str = "text/html",
+    extra_http_headers: Optional[List[Tuple[str, str]]] = None,
 ) -> bytes:
     """One WARC/1.0 record as bytes.  ``response`` records wrap the body
     in a minimal HTTP/1.1 envelope (what the reader's ``_http_body``
     strips back off); ``conversion`` records (WET extracted text) and
-    ``resource`` records carry the bare body."""
+    ``resource`` records carry the bare body.  ``extra_http_headers``
+    appends (name, value) lines to the HTTP envelope (e.g. a redirect's
+    ``Location``)."""
     if warc_type == "response":
+        extra = "".join(
+            f"{k}: {v}\r\n" for k, v in (extra_http_headers or [])
+        )
         payload = (
             f"HTTP/1.1 {http_status}\r\n"
             f"Content-Type: {http_content_type}\r\n"
+            f"{extra}"
             f"Content-Length: {len(body)}\r\n\r\n"
         ).encode("latin-1") + body
     else:
@@ -492,4 +499,100 @@ def warc_cdx(archives):
     cols = [c for c in ("warc", "filename") if c in archives.columns]
     return archives.select(*cols).mapInPandas(
         warc_cdx_batch, schema=CDX_DDL
+    )
+
+
+# ---------------------------------------------------------------------------
+# Redirect extraction — 3xx captures carry the crawl's URL-rewrite edges
+# (canonicalization, http→https moves, geo mirrors).  A frontier that
+# ignores them re-fetches dead urls forever; a dedup stage that ignores
+# them misses that two urls are the same document.
+
+
+def resolve_location(base_url: str, loc: str) -> str:
+    """Absolutize a Location header against the redirecting url —
+    RFC 3986 relative resolution for the forms that occur in crawls:
+    absolute, scheme-relative (//host/…), root-relative (/…), and
+    path-relative.  Deterministic, never raises."""
+    loc = loc.strip()
+    if "://" in loc[:10]:
+        return loc
+    m = _SURT_RE.match(base_url.strip().lower())
+    scheme_end = base_url.find("://")
+    scheme = base_url[:scheme_end] if scheme_end > 0 else "https"
+    if loc.startswith("//"):
+        return f"{scheme}:{loc}"
+    if not m:
+        return loc
+    host_end = base_url.find("/", scheme_end + 3)
+    origin = base_url if host_end < 0 else base_url[:host_end]
+    if loc.startswith("/"):
+        return origin + loc
+    # path-relative: replace the last path segment
+    path = "" if host_end < 0 else base_url[host_end:]
+    cut = path.rfind("/")
+    base_dir = path[: cut + 1] if cut >= 0 else "/"
+    return origin + base_dir + loc
+
+
+REDIRECT_COLUMNS = ["url", "ts", "status", "location", "target"]
+
+
+def redirect_records(data: bytes) -> List[tuple]:
+    """One WARC archive → its redirect edges: (url, ts14, status,
+    raw Location, absolutized target) for every 3xx response record
+    that carries a Location header.  Malformed records skip."""
+
+    def gen() -> Iterator[Tuple[int, int, dict, bytes]]:
+        if data[:2] == b"\x1f\x8b":
+            for member in _iter_gzip_members(data):
+                yield from _iter_records_meta(member)
+        else:
+            yield from _iter_records_meta(data)
+
+    rows: List[tuple] = []
+    for _, _, headers, payload in gen():
+        if headers.get("warc-type", "").lower() != "response":
+            continue
+        uri = headers.get("warc-target-uri", "")
+        status, _ = _http_meta(payload)
+        if not uri or status is None or not 300 <= status < 400:
+            continue
+        sep = payload.find(_CRLF2)
+        http_headers = _parse_headers(payload[: sep if sep >= 0 else len(payload)])
+        loc = http_headers.get("location")
+        if not loc:
+            continue
+        rows.append(
+            (uri, _ts14(headers.get("warc-date")), status, loc,
+             resolve_location(uri, loc))
+        )
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return rows
+
+
+REDIRECT_DDL = (
+    "url string, ts string, status int, location string, target string"
+)
+
+
+def warc_redirects_batch(batches):
+    """mapInPandas body: archive rows (warc binary) → redirect edges."""
+    import pandas as pd
+
+    for b in batches:
+        rows: List[tuple] = []
+        for blob in b["warc"]:
+            try:
+                rows.extend(redirect_records(bytes(blob)))
+            except Exception:  # noqa: BLE001 — poison archives skip whole
+                continue
+        yield pd.DataFrame(rows, columns=REDIRECT_COLUMNS)
+
+
+def warc_redirects(archives):
+    """(warc binary) rows → the crawl's redirect-edge table.  Same
+    per-archive parallelism as the reader: one map, no shuffle."""
+    return archives.select("warc").mapInPandas(
+        warc_redirects_batch, schema=REDIRECT_DDL
     )

@@ -215,3 +215,23 @@ def test_parse_feed_rss_atom():
     assert parse_feed(gzip.compress(rss))[0][0] == "https://a.test/p1"
     assert parse_feed(b"not xml") == []
     assert parse_feed(b"\x1f\x8bbroken") == []
+
+
+def test_resolve_redirects_chains_loops_direct(spark):
+    from pdf_ocr_spark.operators.frontier import resolve_redirects
+
+    red = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "x"), ("q", "q2")],
+        "url string, target string",
+    )
+    urls = spark.createDataFrame(
+        [("a",), ("b",), ("n",), ("x",), ("q",)], "url string"
+    )
+    rows = {r.url: r for r in resolve_redirects(red, urls, max_hops=3).collect()}
+    assert (rows["a"].final_url, rows["a"].n_hops, rows["a"].resolution) == \
+        ("c", 2, "moved")
+    assert (rows["n"].final_url, rows["n"].n_hops, rows["n"].resolution) == \
+        ("n", 0, "direct")
+    # 2-cycle never stops redirecting within the hop budget
+    assert rows["x"].resolution == "unresolved" and rows["x"].n_hops == 3
+    assert rows["q"].resolution == "moved" and rows["q"].final_url == "q2"

@@ -294,3 +294,37 @@ def test_cdx_conversion_records_and_truncation():
     assert len(cdx_records(both[: len(both) - 30])) == 1
     assert cdx_records(b"") == []
     assert cdx_records(b"\x1f\x8bgarbage") == []
+
+
+def test_resolve_location_forms():
+    from pdf_ocr_spark.sources.warc import resolve_location
+
+    assert resolve_location("https://a.test/x/y", "https://b.test/z") == \
+        "https://b.test/z"
+    assert resolve_location("https://a.test/x/y", "//cdn.test/z") == \
+        "https://cdn.test/z"
+    assert resolve_location("http://a.test/x/y", "/root") == \
+        "http://a.test/root"
+    assert resolve_location("https://a.test/x/y", "sib?q=1") == \
+        "https://a.test/x/sib?q=1"
+    assert resolve_location("https://a.test", "p") == "https://a.test/p"
+
+
+def test_redirect_records_extraction():
+    from pdf_ocr_spark.fixtures.genpages import gen_redirect_archive
+    from pdf_ocr_spark.sources.warc import redirect_records
+
+    rows = redirect_records(gen_redirect_archive())
+    by_url = {r[0]: r for r in rows}
+    # 200, Location-less 301, and conversion records never appear
+    assert set(by_url) == {
+        "https://move.test/old/page", "http://move.test/http",
+        "https://move.test/cdn", "https://move.test/a/b/c",
+        "https://move.test/gone",
+    }
+    assert by_url["https://move.test/old/page"][2:] == (
+        301, "/new/page", "https://move.test/new/page")
+    assert by_url["https://move.test/a/b/c"][2:] == (
+        307, "sibling?x=1", "https://move.test/a/b/sibling?x=1")
+    assert by_url["https://move.test/cdn"][4] == \
+        "https://cdn.move.test/asset"
