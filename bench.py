@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "export_shards",
     "warc_redirects",
     "redirect_resolve",
+    "wet_cdx",
+    "text_compression",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

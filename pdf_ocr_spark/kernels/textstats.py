@@ -183,3 +183,18 @@ def jaccard(a: Set[str], b: Set[str]) -> float:
     inter = len(a & b)
     union = len(a) + len(b) - inter
     return inter / union if union else 0.0
+
+
+def compression_ratio(data: bytes, level: int = 6) -> float:
+    """zlib-compressed size / raw size, rounded to 6 decimals — the
+    Dolma/RedPajama-style repetition proxy: templated or repetitive
+    pages compress far below prose (~0.3-0.4 for English text; <0.15
+    flags boilerplate mills, near 1.0 flags binary/encrypted junk that
+    lexical gates miss).  Empty input → 1.0.  Level fixed at 6 so the
+    number is reproducible everywhere zlib is (RFC 1950 output differs
+    by level, not platform)."""
+    import zlib
+
+    if not data:
+        return 1.0
+    return round(len(zlib.compress(data, level)) / len(data), 6)

@@ -1118,3 +1118,40 @@ def shard_assign(
             "%s/shard-%05d.jsonl", F.col(shard_col), idx
         ).alias("shard_path"),
     )
+
+
+def compression_signals(
+    df: DataFrame, data_col: str = "html", id_col: str = "url"
+) -> DataFrame:
+    """Per-document zlib compression ratio (kernels.textstats.
+    compression_ratio): the repetition/junk proxy lexical gates miss —
+    templated pages compress abnormally well, binary junk abnormally
+    badly.  Returns (id, n_bytes, compression_ratio).
+
+    Arrow-batched pandas UDF (zlib runs at C speed; the batch transfer
+    is the only Python cost) — the same deliberate exception as NFC:
+    no built-in expression can compress.  Zero shuffle; ratio is a
+    pure per-row function so the operator composes map-side into any
+    gate stack."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        from pdf_ocr_spark.kernels.textstats import compression_ratio
+
+        return s.map(
+            lambda v: compression_ratio(
+                bytes(v) if v is not None else b""
+            )
+        )
+
+    col = F.col(data_col)
+    data = F.when(
+        col.isNotNull(), col.cast("binary")
+    ).otherwise(F.lit(b""))
+    return df.select(
+        F.col(id_col),
+        F.octet_length(F.coalesce(col.cast("binary"), F.lit(b"")))
+        .cast("long").alias("n_bytes"),
+        _ratio(data).alias("compression_ratio"),
+    )

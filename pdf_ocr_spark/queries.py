@@ -4300,6 +4300,76 @@ WHERE n_chars > 0
 """
 
 
+def q_text_compression(spark, sf_dir):
+    """zlib compression-ratio quality signal (the Dolma/RedPajama-style
+    repetition proxy): templated pages compress abnormally well, binary
+    junk abnormally badly — catches both failure classes lexical gates
+    miss.  Arrow-batched pandas UDF (the same deliberate exception as
+    NFC: nothing built-in can compress), zero shuffle, fixed level 6 so
+    the ratio is platform-reproducible.  Oracle = frozen kernel golden
+    (tools/freeze_compression_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_html_meta_rows
+    from pdf_ocr_spark.operators.text_analysis import compression_signals
+
+    rows = gen_html_meta_rows(48)  # must match the freeze tool's N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return compression_signals(pages)
+
+
+SQL_TEXT_COMPRESSION = f"""
+SELECT url, CAST(n_bytes AS BIGINT) AS n_bytes, compression_ratio
+FROM read_parquet('{_golden("compression")}')
+"""
+
+
+def q_wet_cdx(spark, sf_dir):
+    """The WET product PLUS its index in one gate: synthetic pages →
+    full extraction pipeline → conversion-record WET archive → CDX
+    capture index — the value hash pins the extractor, the WARC writer,
+    AND the CDX indexer (SURT keys, text/plain mime, base32-SHA1 digests
+    of the extracted text, byte ranges) together.  One sorted archive
+    partition pins the byte layout; production indexing is per-file
+    parallel.  Oracle = frozen kernel replay of the same three stages
+    (tools/freeze_wet_cdx_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+    from pdf_ocr_spark.sources.warc import pages_to_warc, warc_cdx
+
+    rows = gen_rows(150)
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"]) if r["html"] is not None else None)
+         for r in rows],
+        schema="url string, html binary",
+    )
+    docs = extract_documents(pages)
+    wet_in = docs.select(
+        "url",
+        F.timestamp_seconds(F.lit(1735689600)).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),  # null html → conversion
+        F.col("extracted_text").alias("text"),
+        F.lit("unknown").alias("lang"),
+    )
+    archives = pages_to_warc(
+        wet_in.repartition(1).sortWithinPartitions("url")
+    )
+    return warc_cdx(
+        archives.select(
+            F.col("warc"), F.lit("wet-00000.warc").alias("filename")
+        )
+    )
+
+
+SQL_WET_CDX = f"""
+SELECT surt_key, ts, url, mime, CAST(status AS INT) AS status, digest,
+       CAST("offset" AS BIGINT) AS offset,
+       CAST(length AS BIGINT) AS length, filename
+FROM read_parquet('{_golden("wet_cdx")}')
+"""
+
+
 def q_resume_canonical(spark, sf_dir):
     """Reader-side canonicalization of at-least-once extraction appends
     (pipeline/extract_job.py:canonical_docs): a resume run retries
@@ -6041,6 +6111,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sink_warc_roundtrip": (q_sink_warc_roundtrip, SQL_SINK_WARC_ROUNDTRIP),
     "warc_cdx": (q_warc_cdx, SQL_WARC_CDX),
     "warc_redirects": (q_warc_redirects, SQL_WARC_REDIRECTS),
+    "wet_cdx": (q_wet_cdx, SQL_WET_CDX),
+    "text_compression": (q_text_compression, SQL_TEXT_COMPRESSION),
     "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     "sink_wet_export": (q_sink_wet_export, SQL_SINK_WET_EXPORT),
     "crawl_traps": (q_crawl_traps, SQL_CRAWL_TRAPS),

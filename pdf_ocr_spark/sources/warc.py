@@ -259,14 +259,16 @@ def write_warc_bytes(
 
 
 def pages_to_warc_batch(batches):
-    """mapInPandas body: pages rows → (n_records, warc) one-archive
-    batches.  Timestamps render as ISO-8601 Z; null html rows emit
-    ``conversion`` records from ``text`` (the WET shape) so nothing is
-    silently dropped."""
+    """mapInPandas body: pages rows → ONE (n_records, warc) archive for
+    the whole partition (all Arrow batches accumulate — the session's
+    small maxRecordsPerBatch must not fragment the archive, or offsets
+    in a CDX built over it stop matching the stored file).  Timestamps
+    render as ISO-8601 Z; null html rows emit ``conversion`` records
+    from ``text`` (the WET shape) so nothing is silently dropped."""
     import pandas as pd
 
+    recs = []
     for b in batches:
-        recs = []
         for url, ts, html, text in zip(
             b["url"], b["warc_ts"], b["html"], b["text"]
         ):
@@ -288,9 +290,9 @@ def pages_to_warc_batch(batches):
                         warc_type="conversion",
                     )
                 )
-        yield pd.DataFrame(
-            {"n_records": [len(recs)], "warc": [b"".join(recs)]}
-        )
+    yield pd.DataFrame(
+        {"n_records": [len(recs)], "warc": [b"".join(recs)]}
+    )
 
 
 def pages_to_warc(pages):

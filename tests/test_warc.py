@@ -328,3 +328,35 @@ def test_redirect_records_extraction():
         307, "sibling?x=1", "https://move.test/a/b/sibling?x=1")
     assert by_url["https://move.test/cdn"][4] == \
         "https://cdn.move.test/asset"
+
+
+def test_pages_to_warc_one_archive_per_partition_under_small_batches(spark):
+    # the session's Arrow maxRecordsPerBatch is deliberately small (128);
+    # the writer must still emit ONE archive per partition or CDX offsets
+    # stop matching the stored file
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.sources.warc import pages_to_warc, warc_cdx
+
+    n = 300  # > maxRecordsPerBatch -> several Arrow batches per partition
+    pages = spark.range(n).select(
+        F.concat(F.lit("https://b.test/p/"), F.col("id")).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600)).alias("warc_ts"),
+        F.encode(F.concat(F.lit("body-"), F.col("id")), "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = pages_to_warc(pages.repartition(2, "url")).collect()
+    assert len(out) == 2  # not one per Arrow batch
+    assert sum(r.n_records for r in out) == n
+    # and the CDX ranges built over each archive tile it exactly
+    for r in out:
+        arc = spark.createDataFrame([(bytearray(r.warc),)], "warc binary")
+        spans = sorted(
+            (row.offset, row.length) for row in warc_cdx(arc).collect()
+        )
+        pos = 0
+        for off, ln in spans:
+            assert off == pos
+            pos += ln
+        assert pos == len(bytes(r.warc))
