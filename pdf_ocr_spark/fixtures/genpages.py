@@ -1112,6 +1112,7 @@ def gen_html_meta_rows(n: int, seed: int = 13) -> List[dict]:
                 f'<meta name="description" content="summary of {title}">'
                 f'<meta property="og:title" content="OG {title}">'
                 f'<meta property="og:image" content="https://img.test/{i}.jpg">'
+                f'<meta name="ROBOTS" content="NOINDEX, nofollow{", noindex" if i % 2 else ""}">'
                 f'<meta property="article:published_time" content="2025-0{1 + i % 9}-11T08:00:00Z">'
                 f'<link rel="canonical" href="https://example.test/meta/canon/{i}">'
                 f"</head><body><p>{_paragraph(rng, 'en')}</p>"
@@ -1127,7 +1128,8 @@ def gen_html_meta_rows(n: int, seed: int = 13) -> List[dict]:
             ).encode("utf-8")
         elif kind == 2:  # <time datetime> date, no meta date
             html = (
-                f"<html><head><title>{title}</title></head><body>"
+                f"<html><head><title>{title}</title>"
+                f"<meta name=robots content='index, follow'></head><body>"
                 f'<article><time datetime="2024-12-0{1 + i % 9}">posted</time>'
                 f"<p>{_paragraph(rng, 'en')}</p></article></body></html>"
             ).encode("utf-8")

@@ -377,6 +377,8 @@ class HtmlMeta(NamedTuple):
     og_image: Optional[str]     # <meta property=og:image content=…>
     published: Optional[str]    # article:published_time > <time datetime>
     #                             > JSON-LD datePublished
+    robots: Optional[str]       # <meta name=robots content=…>, normalized:
+    #                             lowercased tokens, sorted, comma-joined
 
 
 _ATTR_RES: Dict[str, "re.Pattern[str]"] = {}
@@ -412,14 +414,14 @@ def extract_metadata(data: bytes) -> HtmlMeta:
     priority: ``<meta property=article:published_time>`` beats
     ``<time datetime=…>`` beats JSON-LD ``datePublished`` — the order
     of decreasing structure.  Deterministic, never raises."""
-    empty = HtmlMeta(None, None, None, None, None, None, None)
+    empty = HtmlMeta(None, None, None, None, None, None, None, None)
     try:
         text = decode_html_bytes(data)
     except Exception:  # noqa: BLE001 — bytes-ish inputs only
         return empty
     vals: Dict[str, Optional[str]] = dict.fromkeys(
         ("title", "description", "canonical", "lang",
-         "og_title", "og_image", "meta_date", "time_date")
+         "og_title", "og_image", "meta_date", "time_date", "robots")
     )
     for m in _TAG_RE.finditer(text):
         closing, tag, attrs, _ = m.groups()
@@ -440,6 +442,14 @@ def extract_metadata(data: bytes) -> HtmlMeta:
                 continue
             if name == "description" and vals["description"] is None:
                 vals["description"] = content
+            elif name == "robots" and vals["robots"] is None:
+                # normalize the directive list: lowercase tokens, sorted
+                # unique, comma-joined — "NOINDEX, nofollow" and
+                # "nofollow,noindex" gate identically downstream
+                toks = sorted(
+                    {t.strip().lower() for t in content.split(",") if t.strip()}
+                )
+                vals["robots"] = ",".join(toks) or None
             elif prop == "og:title" and vals["og_title"] is None:
                 vals["og_title"] = content
             elif prop == "og:image" and vals["og_image"] is None:
@@ -467,6 +477,7 @@ def extract_metadata(data: bytes) -> HtmlMeta:
         og_title=vals["og_title"],
         og_image=vals["og_image"],
         published=vals["meta_date"] or vals["time_date"] or ld_date,
+        robots=vals["robots"],
     )
 
 

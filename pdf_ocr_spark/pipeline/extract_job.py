@@ -699,6 +699,7 @@ HTML_META_SCHEMA = StructType(
         StructField("og_title", StringType()),
         StructField("og_image", StringType()),
         StructField("published", StringType()),
+        StructField("robots", StringType()),
     ]
 )
 

@@ -4884,7 +4884,8 @@ def q_html_meta(spark, sf_dir):
 
 
 SQL_HTML_META = f"""
-SELECT url, title, description, canonical, lang, og_title, og_image, published
+SELECT url, title, description, canonical, lang, og_title, og_image, published,
+       robots
 FROM read_parquet('{_HTML_META_GOLDEN}')
 """
 
@@ -4915,6 +4916,45 @@ SELECT url, CAST(block_index AS INT) AS block_index,
        CAST(node_index AS INT) AS node_index, ld_type, name,
        date_published, valid, raw_md5
 FROM read_parquet('{_golden("jsonld")}')
+"""
+
+
+def q_noindex_gate(spark, sf_dir):
+    """Page-level robots-directive gate (the indexing twin of
+    robots.txt): a page whose <meta name=robots> carries ``noindex`` or
+    ``none`` must not enter the searchable index, whatever robots.txt
+    said at FETCH time — the two gates protect different stages.
+    Composition: the html-meta route extracts the normalized directive
+    list, a codegen'd filter computes eligibility; the oracle REPLAYS
+    the eligibility logic in SQL over the frozen kernel golden, so the
+    gate itself is second-implementation checked."""
+    from pdf_ocr_spark.fixtures.genpages import gen_html_meta_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_html_meta
+
+    rows = gen_html_meta_rows(48)  # must match the freeze tool's N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    toks = F.split(F.col("robots"), ",")
+    blocked = F.array_contains(toks, "noindex") | F.array_contains(
+        toks, "none"
+    )
+    return extract_html_meta(pages).select(
+        "url",
+        "robots",
+        (F.col("robots").isNull() | ~F.coalesce(blocked, F.lit(False)))
+        .alias("index_eligible"),
+    )
+
+
+SQL_NOINDEX_GATE = f"""
+SELECT url, robots,
+       (robots IS NULL
+        OR NOT (list_contains(string_split(robots, ','), 'noindex')
+                OR list_contains(string_split(robots, ','), 'none')))
+         AS index_eligible
+FROM read_parquet('{_golden("html_meta")}')
 """
 
 
@@ -6164,6 +6204,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "html_meta": (q_html_meta, SQL_HTML_META),
     "html_jsonld": (q_html_jsonld, SQL_HTML_JSONLD),
+    "noindex_gate": (q_noindex_gate, SQL_NOINDEX_GATE),
     "pdf_forms": (q_pdf_forms, SQL_PDF_FORMS),
     "pdf_doc_info": (q_pdf_doc_info, SQL_PDF_DOC_INFO),
     "pdf_outline": (q_pdf_outline, SQL_PDF_OUTLINE),

@@ -364,3 +364,22 @@ def test_jsonld_shapes_and_tolerance():
     )
     assert len(tail) == 1 and tail[0].ld_type == "T" and tail[0].valid
     assert extract_jsonld(b"") == []
+
+
+def test_robots_meta_directives_normalized():
+    from pdf_ocr_spark.kernels.html_extract import extract_metadata
+
+    m = extract_metadata(
+        b'<html><head><meta name="ROBOTS" '
+        b'content="NOINDEX, nofollow, noindex"></head></html>'
+    )
+    assert m.robots == "nofollow,noindex"  # lowercased, deduped, sorted
+    first = extract_metadata(
+        b"<html><head><meta name=robots content='none'>"
+        b"<meta name=robots content='all'></head></html>"
+    )
+    assert first.robots == "none"  # first occurrence wins
+    assert extract_metadata(
+        b"<html><head><meta name=robots content=''></head></html>"
+    ).robots is None
+    assert extract_metadata(b"<html><head></head></html>").robots is None
