@@ -1120,6 +1120,64 @@ def shard_assign(
     )
 
 
+def source_kl_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-source unigram-distribution drift: KL(Q_source ‖ P_corpus)
+    over the shared trimmed vocabulary — the datacard-level twin of the
+    per-document LM score (``lm_doc_scores``).  A source whose word
+    distribution diverges hard from the corpus is templated boilerplate,
+    machine-generated spam, or a mislabeled language shard; CCNet-style
+    pipelines use exactly this signal to rank crawl segments before the
+    per-document gates run.
+
+    Support is restricted to the corpus vocab (``min_count`` trim) on
+    BOTH sides, so q>0 ⇒ p>0 and the sum is finite by construction.
+    Per-word terms q·ln(q/p) are cast to DECIMAL(18,6) before summing —
+    exact, order-independent addition, bit-reproducible across engines
+    and partitionings (the same protocol as ``lm_doc_scores``).
+
+    Plan at 100 TB: ONE corpus word fan-out feeds both groupBys
+    ((word) for P, (group, word) for Q — each map-side combined and
+    bounded by vocab × groups, not corpus size); the trimmed vocab
+    BROADCASTs into the per-group join; the final per-group aggregate
+    is tiny.  No window, no global sort, nothing driver-side."""
+    w = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(norm_words_expr(F.col(text_col))).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    totals = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
+    gw = (
+        w.join(F.broadcast(vocab), "w")  # in-vocab words only (shared support)
+        .groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).alias("gcnt"), F.max("cnt").alias("cnt"))
+    )
+    gtot = gw.groupBy("grp").agg(F.sum("gcnt").cast("double").alias("g_total"))
+    j = gw.join(gtot, "grp").crossJoin(F.broadcast(totals))
+    q = F.col("gcnt") / F.col("g_total")
+    p = F.col("cnt") / F.col("n_total")
+    term = q * F.log(q / p)
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.max("g_total").cast("long").alias("n_words"),
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.round(
+                F.sum(term.cast("decimal(18,6)")).cast("double"), 4
+            ).alias("kl_divergence"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 def compression_signals(
     df: DataFrame, data_col: str = "html", id_col: str = "url"
 ) -> DataFrame:

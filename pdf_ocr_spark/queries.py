@@ -3365,6 +3365,45 @@ GROUP BY sl.source
 """
 
 
+def q_domain_kl_drift(spark, sf_dir):
+    """Per-source unigram-distribution drift KL(Q_source ‖ P_corpus)
+    over the shared min_count-trimmed vocabulary — the segment-level
+    quality signal CCNet-style pipelines rank crawl sources by before
+    per-document gates run.  DECIMAL(18,6)-summed terms (order-
+    independent, engine-reproducible); one word fan-out, two bounded
+    map-side-combined groupBys, broadcast vocab join, no window."""
+    return T.source_kl_divergence(
+        _t(spark, sf_dir, "documents"), group_col="source", min_count=2
+    )
+
+
+SQL_DOMAIN_KL_DRIFT = f"""
+WITH wf AS (
+  SELECT grp, w FROM (
+    SELECT source AS grp,
+           unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+vocab AS (
+  SELECT w, count(*) AS cnt FROM wf GROUP BY w HAVING count(*) >= 2
+),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM vocab),
+gw AS (
+  SELECT grp, wf.w, count(*) AS gcnt, max(cnt) AS cnt
+  FROM wf JOIN vocab ON wf.w = vocab.w GROUP BY grp, wf.w
+),
+gtot AS (SELECT grp, CAST(sum(gcnt) AS DOUBLE) AS g_total FROM gw GROUP BY grp)
+SELECT grp AS source,
+  CAST(max(g_total) AS BIGINT) AS n_words,
+  count(*) AS n_vocab,
+  round(CAST(sum(CAST((gcnt / g_total) * ln((gcnt / g_total) / (cnt / n_total))
+                      AS DECIMAL(18,6))) AS DOUBLE), 4) AS kl_divergence
+FROM gw JOIN gtot USING (grp) CROSS JOIN tot
+GROUP BY grp
+"""
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-document TF-IDF keywords (top-3, df ≥ 2): one words fan-out
     feeds the (doc, term) tf groupBy and the term df groupBy; the df
@@ -6141,6 +6180,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "search_postings": (q_search_postings, SQL_SEARCH_POSTINGS),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "source_lang_entropy": (q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
+    "domain_kl_drift": (q_domain_kl_drift, SQL_DOMAIN_KL_DRIFT),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "export_shards": (q_export_shards, SQL_EXPORT_SHARDS),
     "chunk_passages": (q_chunk_passages, SQL_CHUNK_PASSAGES),

@@ -527,3 +527,39 @@ def test_shard_assign_byte_packing_and_stability(spark):
     again = shard_assign(docs.repartition(7, "doc_id"), target_bytes=10)
     assert sorted(map(tuple, again.collect())) == \
         sorted(map(tuple, out.collect()))
+
+
+def test_source_kl_divergence_orders_drift(spark):
+    """A source whose word distribution matches the corpus scores near
+    zero; a divergent (templated) source scores strictly higher, and
+    the sum runs over the shared min_count-trimmed support only."""
+    from pdf_ocr_spark.operators.text_analysis import source_kl_divergence
+
+    base = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [
+            (1, "news", base),
+            (2, "news", base),
+            (3, "blog", base),
+            (4, "spam", "buy buy buy now now the"),
+            (5, "spam", "buy now buy now buy the"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in source_kl_divergence(docs, min_count=2).collect()}
+    assert set(out) == {"news", "blog", "spam"}
+    # blog == one verbatim corpus-typical doc: small drift; spam >> both
+    assert out["spam"].kl_divergence > out["news"].kl_divergence
+    assert out["spam"].kl_divergence > out["blog"].kl_divergence
+    # support restricted to vocab (cnt >= 2): singleton words drop from
+    # BOTH n_words and n_vocab ('sat'/'on'/'mat' appear 3x so they stay)
+    assert out["spam"].n_vocab == 3  # buy, now, the
+    assert out["spam"].n_words == 12
+
+    # partition-order independence (DECIMAL-summed terms)
+    again = {
+        r.source: r.kl_divergence
+        for r in source_kl_divergence(docs.repartition(5, "doc_id"), min_count=2)
+        .collect()
+    }
+    assert again == {s: r.kl_divergence for s, r in out.items()}
