@@ -3404,6 +3404,93 @@ GROUP BY grp
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) over
+    the deterministic fixture corpus: one corpus-sized word groupBy,
+    then per-round codegen'd pair explodes + map-side-combined pair
+    aggregates over the compact weighted vocab table, TakeOrdered(1)
+    winner with a total tie-break, greedy fold rewrite.  Oracle = the
+    INDEPENDENT pure-python BPE frozen by tools/freeze_bpe_golden.py
+    (value hash pins every merge, rank, and frequency)."""
+    from pdf_ocr_spark.operators import tokenizer as TK
+
+    corpus = spark.createDataFrame(TK.fixture_corpus(), "doc_id long, text string")
+    merges = TK.bpe_train(TK.word_freq_table(corpus), n_merges=12)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, freq long"
+    )
+
+
+SQL_BPE_MERGES = f"""
+SELECT "rank", "left", "right", freq
+FROM read_parquet('{{golden}}')
+""".format(golden=_golden("bpe_merges"))
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE ENCODING with the learned merge table: every merge applied
+    in rank order as chained greedy folds (pure codegen — zero Python
+    in the row path).  Train + encode in one job; oracle = the frozen
+    pure-python encoder's token streams (value hash pins every subword
+    boundary in every document)."""
+    from pdf_ocr_spark.operators import tokenizer as TK
+
+    corpus = spark.createDataFrame(TK.fixture_corpus(), "doc_id long, text string")
+    merges = TK.bpe_train(TK.word_freq_table(corpus), n_merges=12)
+    enc = TK.bpe_encode(corpus, merges)
+    return enc.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "tokens"
+    )
+
+
+SQL_BPE_ENCODE = f"""
+SELECT doc_id, n_tokens, tokens FROM read_parquet('{{golden}}')
+""".format(golden=_golden("bpe_encode"))
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """First-round BPE pair statistics over the DOCUMENTS table (the
+    sf-scaled twin of the fixture-corpus trainer): top-50 adjacent
+    symbol pairs by weighted frequency.  Fully SQL-expressible, so this
+    one gets a live DuckDB replay instead of a golden — it pins the
+    word-frequency collapse, the symbol init (chars + '</w>'), and the
+    overlap-counting pair explode against an independent engine."""
+    from pdf_ocr_spark.operators import tokenizer as TK
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = TK.word_freq_table(docs)
+    words = wf.select("cnt", TK._symbols_expr(F.col("w")).alias("syms"))
+    sz = F.size("syms")
+    pairs = F.arrays_zip(F.slice("syms", 1, sz - 1), F.slice("syms", 2, sz - 1))
+    return (
+        words.select(F.col("cnt"), F.explode(pairs).alias("p"))
+        .select(F.col("p.0").alias("l"), F.col("p.1").alias("r"), "cnt")
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+        .limit(50)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH wf AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+    FROM documents) t
+  WHERE w <> '' GROUP BY w
+),
+s AS (SELECT cnt, list_append(str_split(w, ''), '</w>') AS syms FROM wf),
+p AS (
+  SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+  FROM s
+)
+SELECT pr[1] AS l, pr[2] AS r, sum(cnt) AS freq
+FROM p GROUP BY 1, 2
+ORDER BY freq DESC, l ASC, r ASC
+LIMIT 50
+"""
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-document TF-IDF keywords (top-3, df ≥ 2): one words fan-out
     feeds the (doc, term) tf groupBy and the term df groupBy; the df
@@ -6181,6 +6268,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "source_lang_entropy": (q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
     "domain_kl_drift": (q_domain_kl_drift, SQL_DOMAIN_KL_DRIFT),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "export_shards": (q_export_shards, SQL_EXPORT_SHARDS),
     "chunk_passages": (q_chunk_passages, SQL_CHUNK_PASSAGES),

@@ -1,0 +1,71 @@
+"""Distributed BPE trainer/encoder — pinned small-input semantics and
+parity with the independent pure-python implementation
+(tools/freeze_bpe_golden.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pdf_ocr_spark.operators.tokenizer import (
+    END,
+    _apply_merge_expr,
+    _symbols_expr,
+    bpe_encode,
+    bpe_train,
+    word_freq_table,
+)
+
+
+def test_merge_fold_greedy_overlaps(spark):
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("abab",)], "w string")
+    out = df.select(
+        "w",
+        _apply_merge_expr(F.split("w", ""), "a", "a").alias("m"),
+    ).collect()
+    got = {r.w: r.m for r in out}
+    # greedy left-to-right: a merged pair's right symbol cannot start
+    # the next match (classic BPE application semantics)
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["abab"] == ["a", "b", "a", "b"]
+
+
+def test_symbols_end_marker(spark):
+    df = spark.createDataFrame([("ab",)], "w string")
+    assert df.select(_symbols_expr(F.col("w")).alias("s")).first().s == [
+        "a", "b", END,
+    ]
+
+
+def test_bpe_train_hand_computed(spark):
+    # corpus: 'ab' x3, 'abc' x2 → pair freqs: (a,b)=5, (b,</w>)=3,
+    # (b,c)=2, (c,</w>)=2 → first merge (a,b); then (ab,</w>)=3 wins
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "ab abc")], "doc_id long, text string"
+    )
+    merges = bpe_train(word_freq_table(docs), n_merges=2)
+    assert merges == [(0, "a", "b", 5), (1, "ab", END, 3)]
+
+
+def test_bpe_train_min_freq_stops(spark):
+    docs = spark.createDataFrame([(1, "xy zq")], "doc_id long, text string")
+    # every pair occurs once → no merge reaches min_freq=2
+    assert bpe_train(word_freq_table(docs), n_merges=5) == []
+
+
+def test_bpe_encode_matches_python_twin(spark):
+    from tools.freeze_bpe_golden import encode as py_encode
+    from tools.freeze_bpe_golden import train as py_train
+
+    corpus = [(1, "low lower lowest"), (2, "low slow lower"), (3, "new newest")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = bpe_train(word_freq_table(docs), n_merges=6)
+    assert merges == py_train(corpus, 6)
+
+    got = {r.doc_id: r.tokens for r in bpe_encode(docs, merges).collect()}
+    for doc_id, text in corpus:
+        assert got[doc_id] == " ".join(py_encode(text, merges))
+
+    # partition-order independence: training is aggregate-only
+    again = bpe_train(word_freq_table(docs.repartition(7, "doc_id")), n_merges=6)
+    assert again == merges
