@@ -4426,6 +4426,44 @@ WHERE n_chars > 0
 """
 
 
+def q_sink_wat_export(spark, sf_dir):
+    """The WAT product end-to-end (Common Crawl's metadata sidecar —
+    the third member of the WARC/WAT/WET triple): synthetic pages →
+    response WARC archives → WAT metadata archives (JSON envelopes with
+    WARC headers, HTTP status/mime, and HTML title + outgoing links
+    from the same from-scratch kernels the pipeline uses) → parsed back
+    to rows.  Oracle = the frozen kernel replay of the same chain
+    (tools/freeze_wat_golden.py); the value hash pins writer, WAT
+    builder, and parser together.  Rows carry no byte offsets, so the
+    gate is archive-partitioning-independent."""
+    from pdf_ocr_spark.fixtures.genpages import gen_rows
+    from pdf_ocr_spark.sources.warc import pages_to_warc, warc_to_wat, wat_to_rows
+
+    rows = gen_rows(150)
+    pages = spark.createDataFrame(
+        [
+            (
+                r["url"],
+                r["warc_ts"],
+                bytearray(r["html"]) if r["html"] is not None else None,
+                r["text"],
+                r["lang"],
+            )
+            for r in rows
+        ],
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    arcs = pages_to_warc(pages.repartition(4, "url"))
+    return wat_to_rows(warc_to_wat(arcs))
+
+
+SQL_SINK_WAT_EXPORT = f"""
+SELECT url, target_type, CAST(status AS INT) AS status, mime, title,
+       CAST(n_links AS BIGINT) AS n_links, links_md5
+FROM read_parquet('{_golden("wat")}')
+"""
+
+
 def q_text_compression(spark, sf_dir):
     """zlib compression-ratio quality signal (the Dolma/RedPajama-style
     repetition proxy): templated pages compress abnormally well, binary
@@ -6285,6 +6323,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_compression": (q_text_compression, SQL_TEXT_COMPRESSION),
     "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     "sink_wet_export": (q_sink_wet_export, SQL_SINK_WET_EXPORT),
+    "sink_wat_export": (q_sink_wat_export, SQL_SINK_WAT_EXPORT),
     "crawl_traps": (q_crawl_traps, SQL_CRAWL_TRAPS),
     "url_domain_counts": (q_url_domain_counts, SQL_URL_DOMAIN_COUNTS),
     # multimodal

@@ -598,3 +598,199 @@ def warc_redirects(archives):
     return archives.select("warc").mapInPandas(
         warc_redirects_batch, schema=REDIRECT_DDL
     )
+
+
+# ---------------------------------------------------------------------------
+# WAT metadata sidecar — the third member of Common Crawl's per-segment
+# triple (WARC captures / WAT metadata / WET text; CDX indexes them).
+# A WAT archive holds one 'metadata' record per capture whose payload is
+# a JSON envelope of everything ABOUT the record — WARC header fields,
+# HTTP status/mime, and for HTML payloads the head metadata + outgoing
+# links — so downstream consumers (link-graph builders, title indexes)
+# never have to re-fetch or re-parse the full capture.
+
+
+def _sniff_pdf(body: bytes) -> bool:
+    """Prefix-only %PDF- magic, whitespace/NUL-tolerant — the same
+    sniff discipline as the extraction pipeline's doc-mode classifier
+    (pipeline/extract_job.py), re-stated locally to keep sources/ free
+    of pipeline imports."""
+    return body.lstrip(b"\x00\t\r\n\x0c ")[:5] == b"%PDF-"
+
+
+def wat_payload(headers: dict, payload: bytes) -> str:
+    """One capture's WAT JSON envelope (Common Crawl WAT shape, the
+    documented subset): WARC-Header-Metadata verbatim, HTTP response
+    status + content-type, and — for HTML payloads only — Head.Title
+    plus the outgoing link list (``A@/href``), extracted by the same
+    from-scratch HTML kernels the pipeline uses.  Serialized with
+    sorted keys / no whitespace so the bytes are deterministic."""
+    import json
+
+    from pdf_ocr_spark.kernels.html_extract import extract_links, extract_metadata
+
+    env: dict = {
+        "Format": "WARC",
+        "WARC-Header-Metadata": {
+            "WARC-Type": headers.get("warc-type", ""),
+            "WARC-Target-URI": headers.get("warc-target-uri", ""),
+            "WARC-Date": headers.get("warc-date", ""),
+            "WARC-Record-ID": headers.get("warc-record-id", ""),
+            "Content-Length": headers.get("content-length", ""),
+        },
+        "Payload-Metadata": {},
+    }
+    if payload.startswith(b"HTTP/"):
+        status, mime = _http_meta(payload)
+        http: dict = {
+            "Response-Message": {"Status": str(status) if status else ""},
+            "Headers": {"Content-Type": mime or ""},
+        }
+        body = _http_body(payload)
+        http["Entity-Length"] = str(len(body))
+        if mime == "text/html" and not _sniff_pdf(body):
+            meta = extract_metadata(body)
+            links = extract_links(body)
+            http["HTML-Metadata"] = {
+                "Head": {"Title": meta.title or ""},
+                "Links": [{"path": "A@/href", "url": u} for u in links],
+            }
+        env["Payload-Metadata"]["HTTP-Response-Metadata"] = http
+        env["Payload-Metadata"]["Actual-Content-Type"] = (
+            "application/http; msgtype=response"
+        )
+    else:
+        env["Payload-Metadata"]["Actual-Content-Type"] = "text/plain"
+        env["Payload-Metadata"]["Entity-Length"] = str(len(payload))
+    return json.dumps({"Envelope": env}, sort_keys=True, separators=(",", ":"))
+
+
+def warc_to_wat_bytes(data: bytes) -> Tuple[int, bytes]:
+    """One WARC archive (plain or member-gzipped) → its WAT archive:
+    a 'metadata' record per response/conversion capture, JSON payload,
+    same target URI and date.  Deterministic bytes (record ids are
+    md5-derived, JSON is key-sorted) — identical input archives yield
+    identical WAT archives, the same resume/diff property as the
+    writer."""
+    recs: List[bytes] = []
+    slabs: Iterator[bytes]
+    if data[:2] == b"\x1f\x8b":
+        slabs = _iter_gzip_members(data)
+    else:
+        slabs = iter((data,))
+    for slab in slabs:
+        for _, _, headers, payload in _iter_records_meta(slab):
+            rtype = headers.get("warc-type", "").lower()
+            uri = headers.get("warc-target-uri", "")
+            if rtype not in ("response", "resource", "conversion") or not uri:
+                continue
+            j = wat_payload(headers, payload)
+            recs.append(
+                write_warc_record(
+                    uri,
+                    headers.get("warc-date", "1970-01-01T00:00:00Z"),
+                    j.encode("utf-8"),
+                    warc_type="metadata",
+                    content_type="application/json",
+                )
+            )
+    return len(recs), b"".join(recs)
+
+
+def warc_to_wat_batch(batches):
+    """mapInPandas body: (warc binary) archive rows → (n_records, wat
+    binary) WAT archives, one per input archive."""
+    import pandas as pd
+
+    for b in batches:
+        ns: List[int] = []
+        wats: List[bytes] = []
+        for blob in b["warc"]:
+            try:
+                n, wat = warc_to_wat_bytes(bytes(blob))
+            except Exception:  # noqa: BLE001 — poison archives skip whole
+                n, wat = 0, b""
+            ns.append(n)
+            wats.append(wat)
+        yield pd.DataFrame({"n_records": ns, "wat": wats})
+
+
+def warc_to_wat(archives):
+    """(warc binary) rows → WAT archives.  Same per-archive parallelism
+    as the reader/CDX: one map, no shuffle — at crawl scale this is a
+    pure passthrough stage beside the segment files."""
+    return archives.select("warc").mapInPandas(
+        warc_to_wat_batch, schema="n_records long, wat binary"
+    )
+
+
+WAT_ROW_COLUMNS = [
+    "url", "target_type", "status", "mime", "title", "n_links", "links_md5",
+]
+WAT_ROW_DDL = (
+    "url string, target_type string, status int, mime string,"
+    " title string, n_links long, links_md5 string"
+)
+
+
+def wat_rows(data: bytes) -> List[tuple]:
+    """Parse a WAT archive back into one row per metadata record:
+    (url, target_type, status, mime, title, n_links, links_md5) with
+    ``links_md5`` the digest of the newline-joined link list — a
+    compact value-hashable summary of the full link set."""
+    import hashlib
+    import json
+
+    rows: List[tuple] = []
+    slabs: Iterator[bytes]
+    if data[:2] == b"\x1f\x8b":
+        slabs = _iter_gzip_members(data)
+    else:
+        slabs = iter((data,))
+    for slab in slabs:
+        for _, _, headers, payload in _iter_records_meta(slab):
+            if headers.get("warc-type", "").lower() != "metadata":
+                continue
+            try:
+                env = json.loads(payload.decode("utf-8"))["Envelope"]
+            except Exception:  # noqa: BLE001 — malformed JSON: skip record
+                continue
+            whm = env.get("WARC-Header-Metadata", {})
+            pm = env.get("Payload-Metadata", {})
+            http = pm.get("HTTP-Response-Metadata", {})
+            hm = http.get("HTML-Metadata")
+            status_s = http.get("Response-Message", {}).get("Status", "")
+            links = [d.get("url", "") for d in (hm or {}).get("Links", [])]
+            rows.append(
+                (
+                    whm.get("WARC-Target-URI", ""),
+                    whm.get("WARC-Type", ""),
+                    int(status_s) if status_s.isdigit() else None,
+                    http.get("Headers", {}).get("Content-Type") or None,
+                    (hm or {}).get("Head", {}).get("Title") or None,
+                    len(links),
+                    hashlib.md5("\n".join(links).encode("utf-8")).hexdigest()
+                    if links
+                    else None,
+                )
+            )
+    return rows
+
+
+def wat_rows_batch(batches):
+    """mapInPandas body: (wat binary) rows → parsed WAT metadata rows."""
+    import pandas as pd
+
+    for b in batches:
+        rows: List[tuple] = []
+        for blob in b["wat"]:
+            try:
+                rows.extend(wat_rows(bytes(blob)))
+            except Exception:  # noqa: BLE001 — poison archives skip whole
+                continue
+        yield pd.DataFrame(rows, columns=WAT_ROW_COLUMNS)
+
+
+def wat_to_rows(wats):
+    """(wat binary) rows → the parsed WAT metadata table."""
+    return wats.select("wat").mapInPandas(wat_rows_batch, schema=WAT_ROW_DDL)

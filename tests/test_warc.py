@@ -360,3 +360,75 @@ def test_pages_to_warc_one_archive_per_partition_under_small_batches(spark):
             assert off == pos
             pos += ln
         assert pos == len(bytes(r.warc))
+
+
+def test_wat_roundtrip_html_pdf_conversion():
+    from pdf_ocr_spark.sources.warc import (
+        warc_to_wat_bytes,
+        wat_rows,
+        write_warc_record,
+    )
+
+    html = (
+        b"<html><head><title>T1</title></head><body>"
+        b'<a href="https://x.test/a">a</a><a href="/b">b</a>text</body></html>'
+    )
+    arc = write_warc_record("https://e.test/p", "2024-01-01T00:00:00Z", html)
+    # PDF bytes served as text/html: sniff must suppress HTML-Metadata
+    arc += write_warc_record(
+        "https://e.test/d.pdf", "2024-01-01T00:00:00Z", b"%PDF-1.4 fake"
+    )
+    arc += write_warc_record(
+        "https://e.test/t", "2024-01-01T00:00:00Z", b"plain", warc_type="conversion"
+    )
+    n, wat = warc_to_wat_bytes(arc)
+    assert n == 3
+    rows = {r[0]: r for r in wat_rows(wat)}
+    url, ttype, status, mime, title, n_links, links_md5 = rows["https://e.test/p"]
+    assert (ttype, status, mime, title, n_links) == (
+        "response", 200, "text/html", "T1", 2,
+    )
+    assert links_md5 is not None
+    assert rows["https://e.test/d.pdf"][4] is None  # no title from PDF bytes
+    assert rows["https://e.test/d.pdf"][5] == 0
+    assert rows["https://e.test/t"][1] == "conversion"
+
+    # determinism: identical archive -> identical WAT bytes
+    assert warc_to_wat_bytes(arc)[1] == wat
+
+
+def test_wat_spark_route_matches_kernel(spark):
+    from pdf_ocr_spark.sources.warc import (
+        pages_to_warc,
+        pages_to_warc_batch,
+        warc_to_wat,
+        warc_to_wat_bytes,
+        wat_rows,
+        wat_to_rows,
+    )
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    pages = spark.range(0, 12).select(
+        F.concat(F.lit("https://w.test/p/"), F.col("id")).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600)).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>t"),
+                F.col("id"),
+                F.lit('</title></head><body><a href="/n">n</a>ok</body></html>'),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    got = sorted(
+        map(tuple, wat_to_rows(warc_to_wat(pages_to_warc(pages.repartition(3, "url")))).collect())
+    )
+    # kernel twin over the same rows, single archive
+    pdf = pages.toPandas()
+    (arc,) = list(pages_to_warc_batch(iter([pdf])))
+    _, wat = warc_to_wat_bytes(bytes(arc["warc"][0]))
+    assert got == sorted(wat_rows(wat))
+    assert all(r[5] == 1 and r[4].startswith("t") for r in got)
