@@ -418,3 +418,41 @@ def resolve_redirects(
         hops.cast("int").alias("n_hops"),
         resolution.alias("resolution"),
     )
+
+
+def crawl_budget(
+    host_stats: DataFrame,
+    total_budget: int,
+    host_col: str = "domain",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-host crawl-budget allocation for the next crawl cycle — the
+    frontier-shaping step above the politeness scheduler: given a
+    per-host score (pages kept × quality rate, PageRank mass, whatever
+    the operator ranks by), each host receives
+    ``floor(total_budget × score / Σscore)`` fetch slots.
+
+    Floor-quantized proportional shares (the same determinism protocol
+    as the temperature-resampling rates in operators/sampling.py): no
+    largest-remainder pass, because that needs a GLOBAL rank over all
+    hosts — a scale-killer at 10^8 hosts — and under-allocating at most
+    one slot per host is the right trade.  Scores quantize to integer
+    millionths BEFORE summing, so the whole allocation is BIGINT
+    arithmetic — exact, order-independent, and bit-identical in every
+    engine (no decimal-division scale rules to reconcile).  The one-row
+    total broadcasts back as a cross join; everything else is a
+    map-side projection.  Zero-score hosts get budget 0 and stay in the
+    output so the allocation is auditable."""
+    sq = F.floor(F.col(score_col) * F.lit(1000000)).cast("long")
+    q = host_stats.select(F.col(host_col), F.col(score_col), sq.alias("_sq"))
+    tot = q.agg(F.sum("_sq").alias("_tot"))
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .select(
+            host_col,
+            score_col,
+            F.expr(f"(CAST({int(total_budget)} AS BIGINT) * _sq) div _tot")
+            .cast("long")
+            .alias("budget"),
+        )
+    )

@@ -1096,6 +1096,67 @@ FROM bands a JOIN bands b
 )
 
 
+def q_dedup_recall(spark, sf_dir):
+    """Dedup-path quality observability ("measure, don't guess" — the
+    MinHash twin of sim_recall): recall and precision of the banded
+    LSH candidate generator against exact 5-gram-Jaccard ground truth
+    (threshold 0.5) on the dup-variant universe.  The dashboard row
+    that tells a 100-TB operator whether 4 bands × 2 rows is catching
+    the near-dups the verify stage would confirm — and how much
+    verification work the candidate set wastes (precision)."""
+    docs = _docs_with_variants(spark, sf_dir)
+    truth = D.ngram_jaccard_pairs(docs, k=5, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cand = D.minhash_lsh_pairs(docs, num_perm=8, bands=4, k=5)
+    hit = truth.join(
+        cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_truth"), F.count("hit").alias("n_hits")
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return hit.crossJoin(n_cand).select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_truth"), 4).alias("recall"),
+        F.round(F.col("n_hits") / F.col("n_candidates"), 4).alias(
+            "precision_at_t"
+        ),
+    )
+
+
+SQL_DEDUP_RECALL = (
+    _SQL_SIGS_VARIANTS
+    + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.5
+),
+h AS (SELECT count(*) AS n_hits FROM truth JOIN cand USING (doc_a, doc_b)),
+t AS (SELECT count(*) AS n_truth FROM truth),
+c AS (SELECT count(*) AS n_candidates FROM cand)
+SELECT n_truth, n_candidates, n_hits,
+  round(CAST(n_hits AS DOUBLE) / n_truth, 4) AS recall,
+  round(CAST(n_hits AS DOUBLE) / n_candidates, 4) AS precision_at_t
+FROM t CROSS JOIN c CROSS JOIN h
+"""
+)
+
+
 def q_dedup_lsh_overflow(spark, sf_dir):
     """LSH hot-bucket overflow accounting: buckets whose membership
     exceeds the cap (here 2, so the dup-variant fixture actually
@@ -2434,6 +2495,72 @@ SELECT domain, n_docs, n_gate_fail,
             OR round((n_docs - n_distinct) / n_docs, 6) > 0.5 THEN 'drop'
        ELSE 'keep' END AS verdict
 FROM a
+"""
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Per-host crawl-budget allocation (frontier shaping above the
+    politeness scheduler): each site's fetch quota for the next cycle
+    is its floor-quantized proportional share of a 1000-fetch budget,
+    scored by pages × Gopher pass rate.  BIGINT-exact end to end
+    (scores quantize to millionths before summing — no decimal-division
+    scale rules, no largest-remainder global rank); one map-side
+    groupBy + a broadcast one-row total."""
+    from pdf_ocr_spark.operators.frontier import crawl_budget
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = d.select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        "text",
+    )
+    per = docs.select(
+        "domain", T.gopher_pass_expr(F.col("text")).cast("int").alias("p")
+    )
+    stats = per.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("p") / F.count(F.lit(1)), 6).alias("pass_rate"),
+    )
+    scored = stats.select(
+        "domain", (F.col("n_docs") * F.col("pass_rate")).alias("score")
+    )
+    out = crawl_budget(scored, total_budget=1000)
+    return out.select("domain", F.round("score", 6).alias("score"), "budget")
+
+
+SQL_CRAWL_BUDGET = f"""
+WITH u AS (
+  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain,
+         text
+  FROM documents WHERE doc_id < 300
+),
+f AS (
+  SELECT domain,
+    CASE WHEN ({_C_WORDS} >= 50 AND {_C_WORDS} <= 100000
+      AND {_C_WCHARS} / greatest({_C_WORDS}, 1) >= 3.0
+      AND {_C_WCHARS} / greatest({_C_WORDS}, 1) <= 10.0
+      AND {_C_SYM} / greatest({_C_WORDS}, 1) <= 0.1
+      AND {_C_BULLET} / ({_C_NL} + 1) <= 0.9
+      AND {_C_ELLIP} / ({_C_NL} + 1) <= 0.3
+      AND {_C_ALPHAW} / greatest({_C_WORDS}, 1) >= 0.8)
+    THEN 1 ELSE 0 END AS p
+  FROM u
+),
+a AS (
+  SELECT domain, count(*) AS n_docs, round(sum(p) / count(*), 6) AS pass_rate
+  FROM f GROUP BY 1
+),
+s AS (
+  SELECT domain, n_docs * pass_rate AS score,
+         CAST(floor((n_docs * pass_rate) * 1000000) AS BIGINT) AS sq
+  FROM a
+),
+t AS (SELECT sum(sq) AS tot FROM s)
+SELECT domain, round(score, 6) AS score,
+       CAST((1000 * sq) // tot AS BIGINT) AS budget
+FROM s CROSS JOIN t
 """
 
 
@@ -6257,6 +6384,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         SQL_DEDUP_EMBEDDING_BUCKETED,
     ),
     "dedup_lsh_overflow": (q_dedup_lsh_overflow, SQL_DEDUP_LSH_OVERFLOW),
+    "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
     "dedup_embedding_overflow": (
         q_dedup_embedding_overflow,
         SQL_DEDUP_EMBEDDING_OVERFLOW,
@@ -6283,6 +6411,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "text_ngram_repetition": (q_ngram_repetition, SQL_NGRAM_REPETITION),
     "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
     "domain_reputation": (q_domain_reputation, SQL_DOMAIN_REPUTATION),
+    "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "text_c4": (q_text_c4, SQL_TEXT_C4),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),

@@ -235,3 +235,24 @@ def test_resolve_redirects_chains_loops_direct(spark):
     # 2-cycle never stops redirecting within the hop budget
     assert rows["x"].resolution == "unresolved" and rows["x"].n_hops == 3
     assert rows["q"].resolution == "moved" and rows["q"].final_url == "q2"
+
+
+def test_crawl_budget_integer_exact_allocation(spark):
+    from pdf_ocr_spark.operators.frontier import crawl_budget
+
+    hosts = spark.createDataFrame(
+        [("a.test", 3.0), ("b.test", 1.0), ("c.test", 0.0), ("d.test", 1.5)],
+        "domain string, score double",
+    )
+    out = {r.domain: r.budget for r in crawl_budget(hosts, 110).collect()}
+    # shares of 5.5: 3.0->60, 1.0->20, 0->0, 1.5->30 (floor quantized)
+    assert out == {"a.test": 60, "b.test": 20, "c.test": 0, "d.test": 30}
+    # floor under-allocates, never over-allocates
+    assert sum(out.values()) <= 110
+
+    # partition-order independence (BIGINT sum of quantized scores)
+    again = {
+        r.domain: r.budget
+        for r in crawl_budget(hosts.repartition(3, "domain"), 110).collect()
+    }
+    assert again == out
