@@ -5181,6 +5181,62 @@ FROM read_parquet('{_HTML_META_GOLDEN}')
 """
 
 
+def q_page_freshness(spark, sf_dir):
+    """Capture-freshness signal over extracted head metadata: publish
+    date (meta > <time> > JSON-LD priority, from the SAME distributed
+    extract_html_meta route) → age at a pinned crawl date → staleness
+    bucket (fresh ≤30d, recent ≤365d, stale beyond, unknown when the
+    page declares nothing, future when publish postdates the crawl).
+    The recrawl-prioritization input every freshness-aware scheduler
+    feeds on.  All codegen (regex-guarded to_date + datediff + CASE),
+    zero shuffle; oracle replays the identical arithmetic relationally
+    over the frozen html-meta golden."""
+    from pdf_ocr_spark.fixtures.genpages import gen_html_meta_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_html_meta
+
+    rows = gen_html_meta_rows(48)
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    meta = extract_html_meta(pages)
+    ok = F.col("published").rlike(r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])")
+    pub = F.when(ok, F.to_date(F.substring("published", 1, 10)))
+    age = F.datediff(F.lit("2025-08-18").cast("date"), pub)
+    bucket = (
+        F.when(pub.isNull(), F.lit("unknown"))
+        .when(age < 0, F.lit("future"))
+        .when(age <= 30, F.lit("fresh"))
+        .when(age <= 365, F.lit("recent"))
+        .otherwise(F.lit("stale"))
+    )
+    return meta.select(
+        "url",
+        pub.cast("string").alias("publish_date"),
+        age.cast("int").alias("age_days"),
+        bucket.alias("freshness"),
+    )
+
+
+SQL_PAGE_FRESHNESS = f"""
+WITH m AS (
+  SELECT url,
+    CASE WHEN regexp_matches(published,
+              '^\\d{{4}}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])')
+         THEN CAST(substr(published, 1, 10) AS DATE) END AS publish_date
+  FROM read_parquet('{_HTML_META_GOLDEN}')
+)
+SELECT url, CAST(publish_date AS VARCHAR) AS publish_date,
+  CAST(date_diff('day', publish_date, DATE '2025-08-18') AS INT) AS age_days,
+  CASE WHEN publish_date IS NULL THEN 'unknown'
+       WHEN date_diff('day', publish_date, DATE '2025-08-18') < 0 THEN 'future'
+       WHEN date_diff('day', publish_date, DATE '2025-08-18') <= 30 THEN 'fresh'
+       WHEN date_diff('day', publish_date, DATE '2025-08-18') <= 365 THEN 'recent'
+       ELSE 'stale' END AS freshness
+FROM m
+"""
+
+
 def q_html_jsonld(spark, sf_dir):
     """Schema.org JSON-LD structured-data extraction: one row per
     entity node in the page's ``<script type=application/ld+json>``
@@ -6503,6 +6559,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "html_meta": (q_html_meta, SQL_HTML_META),
     "html_jsonld": (q_html_jsonld, SQL_HTML_JSONLD),
     "noindex_gate": (q_noindex_gate, SQL_NOINDEX_GATE),
+    "page_freshness": (q_page_freshness, SQL_PAGE_FRESHNESS),
     "pdf_forms": (q_pdf_forms, SQL_PDF_FORMS),
     "pdf_doc_info": (q_pdf_doc_info, SQL_PDF_DOC_INFO),
     "pdf_outline": (q_pdf_outline, SQL_PDF_OUTLINE),
