@@ -96,6 +96,12 @@ BENCH_QUERIES = [
     "redirect_resolve",
     "wet_cdx",
     "text_compression",
+    "domain_kl_drift",
+    "dedup_recall",
+    "sink_wat_export",
+    "bpe_pair_counts",
+    "crawl_budget",
+    "page_freshness",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number
