@@ -442,7 +442,12 @@ def crawl_budget(
     engine (no decimal-division scale rules to reconcile).  The one-row
     total broadcasts back as a cross join; everything else is a
     map-side projection.  Zero-score hosts get budget 0 and stay in the
-    output so the allocation is auditable."""
+    output so the allocation is auditable.  ``host_stats`` is host-
+    scale; when it is derived from a corpus aggregation in the same
+    plan, persist it first (otherwise the per-host branch and the
+    one-row total each recompute the upstream subtree — AQE's exchange
+    reuse usually dedupes the shuffle, but the contract belongs to the
+    caller)."""
     sq = F.floor(F.col(score_col) * F.lit(1000000)).cast("long")
     q = host_stats.select(F.col(host_col), F.col(score_col), sq.alias("_sq"))
     tot = q.agg(F.sum("_sq").alias("_tot"))

@@ -1140,11 +1140,15 @@ def source_kl_divergence(
     exact, order-independent addition, bit-reproducible across engines
     and partitionings (the same protocol as ``lm_doc_scores``).
 
-    Plan at 100 TB: ONE corpus word fan-out feeds both groupBys
-    ((word) for P, (group, word) for Q — each map-side combined and
-    bounded by vocab × groups, not corpus size); the trimmed vocab
-    BROADCASTs into the per-group join; the final per-group aggregate
-    is tiny.  No window, no global sort, nothing driver-side."""
+    Plan at 100 TB: two corpus word fan-outs — one into the vocab
+    groupBy (P), one into the per-(group, word) groupBy (Q) — the same
+    two-pass shape as training a corpus LM (``lm_doc_scores``); both
+    aggregates are map-side combined and bounded by vocab × groups, not
+    corpus size, the trimmed vocab BROADCASTs into the per-group join
+    (AQE reuses its exchange between the totals and the join), and the
+    final per-group aggregate is tiny.  Persist the vocab when scoring
+    several group columns in one job.  No window, no global sort,
+    nothing driver-side."""
     w = docs.select(
         F.col(group_col).alias("grp"),
         F.explode(norm_words_expr(F.col(text_col))).alias("w"),
