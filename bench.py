@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "crawl_budget",
     "page_freshness",
+    "crawl_cycle",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

@@ -6013,6 +6013,80 @@ LIMIT 50
 """
 
 
+def q_crawl_cycle(spark, sf_dir):
+    """The crawl-ops capstone as ONE composed plan (the planning twin
+    of pipeline_end_to_end): frontier discovery (link resolution →
+    anti-join vs crawled → PageRank-weighted priority, the
+    frontier_discover composition) → per-domain crawl-budget allocation
+    (BIGINT-exact floor-quantized shares of 20 fetches, scored by
+    Σ priority) → politeness slots per domain (priority order) →
+    scheduled fetches only (slot < budget) with 1 s-delay offsets.
+    Every stage is individually oracled elsewhere; this gate pins the
+    composition.  Shuffles: the discovery groupBy + the per-domain
+    aggregates and window — the window partitions by DOMAIN only
+    (politeness's inherent serialization unit); nothing global."""
+    from pyspark.sql.window import Window
+
+    from pdf_ocr_spark.operators.frontier import crawl_budget
+
+    disc = q_frontier_discover(spark, sf_dir)
+    domain = F.lower(
+        F.regexp_extract("target", r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    d = disc.select("target", "priority", domain.alias("domain"))
+    per = d.groupBy("domain").agg(
+        F.sum(F.col("priority").cast("decimal(28,14)"))
+        .cast("double")
+        .alias("score")
+    )
+    budgets = crawl_budget(per, total_budget=20)
+    w = Window.partitionBy("domain").orderBy(F.desc("priority"), F.asc("target"))
+    return (
+        d.withColumn("slot", F.row_number().over(w) - 1)
+        .join(budgets.select("domain", "budget"), "domain")
+        .filter(F.col("slot") < F.col("budget"))
+        .select(
+            "target",
+            "domain",
+            "priority",
+            F.col("slot").cast("int").alias("slot"),
+            "budget",
+            (F.col("slot") * F.lit(1.0)).alias("fetch_offset"),
+        )
+    )
+
+
+SQL_CRAWL_CYCLE = f"""
+WITH disc AS ({{disc}}),
+d AS (
+  SELECT target, priority,
+         lower(regexp_extract(target,
+               '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) AS domain
+  FROM disc
+),
+per AS (
+  SELECT domain,
+         CAST(sum(CAST(priority AS DECIMAL(28,14))) AS DOUBLE) AS score
+  FROM d GROUP BY 1
+),
+q AS (SELECT domain, CAST(floor(score * 1000000) AS BIGINT) AS sq FROM per),
+t AS (SELECT sum(sq) AS tot FROM q),
+b AS (
+  SELECT domain, CAST((20 * sq) // tot AS BIGINT) AS budget
+  FROM q CROSS JOIN t
+),
+s AS (
+  SELECT d.*, row_number() OVER (
+    PARTITION BY domain ORDER BY priority DESC, target) - 1 AS slot
+  FROM d
+)
+SELECT s.target, s.domain, s.priority, CAST(s.slot AS INT) AS slot, b.budget,
+       s.slot * 1.0 AS fetch_offset
+FROM s JOIN b USING (domain)
+WHERE s.slot < b.budget
+""".format(disc=SQL_FRONTIER_DISCOVER)
+
+
 def q_pipeline_end_to_end(spark, sf_dir):
     """The engine's reason to exist, as ONE composed plan: crawl pages →
     fused extraction → Gopher quality gate on the EXTRACTED text → exact
@@ -6544,6 +6618,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "feed_items": (q_feed_items, SQL_FEED_ITEMS),
     "frontier_discover": (q_frontier_discover, SQL_FRONTIER_DISCOVER),
     "fetch_schedule": (q_fetch_schedule, SQL_FETCH_SCHEDULE),
+    "crawl_cycle": (q_crawl_cycle, SQL_CRAWL_CYCLE),
     # lineage rows stay rows-only: part_id depends on physical
     # partitioning; the partition-independent TOTALS get a full oracle
     "extract_lineage": (q_extract_lineage, None),
