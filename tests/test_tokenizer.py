@@ -69,3 +69,18 @@ def test_bpe_encode_matches_python_twin(spark):
     # partition-order independence: training is aggregate-only
     again = bpe_train(word_freq_table(docs.repartition(7, "doc_id")), n_merges=6)
     assert again == merges
+
+
+def test_bpe_multibyte_and_empty_text(spark):
+    from tools.freeze_bpe_golden import encode as py_encode
+    from tools.freeze_bpe_golden import train as py_train
+
+    corpus = [(1, "日本語 日本語 テスト"), (2, "  "), (3, "日本 語テスト 日本語")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = bpe_train(word_freq_table(docs), n_merges=4)
+    assert merges == py_train(corpus, 4)
+    got = {r.doc_id: (r.n_tokens, r.tokens) for r in bpe_encode(docs, merges).collect()}
+    for doc_id, text in corpus:
+        toks = py_encode(text, merges)
+        assert got[doc_id] == (len(toks), " ".join(toks))
+    assert got[2] == (0, "")  # whitespace-only doc -> zero tokens

@@ -432,3 +432,28 @@ def test_wat_spark_route_matches_kernel(spark):
     _, wat = warc_to_wat_bytes(bytes(arc["warc"][0]))
     assert got == sorted(wat_rows(wat))
     assert all(r[5] == 1 and r[4].startswith("t") for r in got)
+
+
+def test_wat_malformed_inputs_never_raise():
+    from pdf_ocr_spark.sources.warc import (
+        warc_to_wat_bytes,
+        wat_rows,
+        write_warc_record,
+    )
+
+    # truncated archive: records after the cut are dropped, not raised
+    html = b"<html><head><title>x</title></head><body>b</body></html>"
+    arc = write_warc_record("https://e.test/1", "2024-01-01T00:00:00Z", html)
+    arc += write_warc_record("https://e.test/2", "2024-01-01T00:00:00Z", html)
+    n_full, _ = warc_to_wat_bytes(arc)
+    assert n_full == 2
+    n_cut, _ = warc_to_wat_bytes(arc[: len(arc) // 2 + 10])
+    assert n_cut <= 1
+
+    # garbage bytes: zero records, empty archive
+    assert warc_to_wat_bytes(b"\x00garbage" * 100) == (0, b"")
+
+    # WAT archive with a corrupted JSON payload: that record is skipped
+    _, wat = warc_to_wat_bytes(arc)
+    bad = wat.replace(b'"Envelope"', b'"Envelop@"', 1)
+    assert len(wat_rows(bad)) == 1  # second record still parses
