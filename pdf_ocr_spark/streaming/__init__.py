@@ -4,5 +4,6 @@ from pdf_ocr_spark.streaming.stream_job import (  # noqa: F401
     stream_dedup_exact,
     stream_extract,
     stream_incremental_dedup,
+    stream_wet_export,
     windowed_event_counts,
 )

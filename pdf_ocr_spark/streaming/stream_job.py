@@ -312,3 +312,61 @@ def _stream_feed_batch(batches):
         yield pd.DataFrame(
             rows, columns=["feed", "link", "title", "date", "fetched_at"]
         )
+
+
+def stream_wet_export(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    num_partitions: Optional[int] = None,
+):
+    """Streaming WET export — the continuous-publication twin of the
+    batch ``sink_wet_export`` product: every micro-batch of newly
+    landed pages runs the SAME fused extractor, and its non-empty
+    extracted texts land as conversion-record WARC (WET) archives, one
+    archive per partition per batch.
+
+    ``foreachBatch`` is the pattern for sinks Spark has no streaming
+    writer for (a custom archive format); idempotence comes from
+    writing each batch into its own ``batch=<id>`` subdirectory with
+    mode=overwrite — a retried micro-batch overwrites its own output
+    instead of appending duplicates, so checkpoint + directory layout
+    together give exactly-once archives.  Returns the started query."""
+    import os as _os
+
+    from pdf_ocr_spark.sources.warc import pages_to_warc
+
+    reader = spark.readStream.schema(PAGES_SCHEMA).option(
+        "ignoreCorruptFiles", "true"
+    )
+    pages = reader.parquet(input_path)
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+    docs = (
+        pages.select("url", "html")
+        .repartition(num_partitions, F.xxhash64("url"))
+        .mapInArrow(extract_docs_arrow, schema=DOC_SCHEMA)
+    )
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        wet_in = (
+            batch_df.filter(F.length("extracted_text") > 0)
+            .select(
+                "url",
+                F.timestamp_seconds(F.lit(1735689600)).alias("warc_ts"),
+                F.lit(None).cast("binary").alias("html"),
+                F.col("extracted_text").alias("text"),
+                F.lit("unknown").alias("lang"),
+            )
+        )
+        pages_to_warc(wet_in).write.mode("overwrite").parquet(
+            _os.path.join(output_path, f"batch={batch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

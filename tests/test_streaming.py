@@ -313,3 +313,61 @@ def test_stream_incremental_dedup(spark, tmp_path):
     assert 1 not in survivors          # history hit dropped
     assert 4 in survivors              # new doc survives
     assert len(survivors & {2, 3}) == 1  # stream dup: one sighting only
+
+
+def test_stream_wet_export_incremental_and_idempotent(spark, corpus_rows, tmp_path):
+    """Streaming WET publication: drain A -> archives hold exactly A's
+    non-empty extracted texts (byte-identical to the batch extractor);
+    drain after B lands -> only B's batch directory appears (checkpoint
+    resume, no re-export of A); texts parse back from the archives."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+    from pdf_ocr_spark.sources.warc import PAGES_DDL, warc_pages_batch
+    from pdf_ocr_spark.streaming import stream_wet_export
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "wet_out")
+    ckpt = str(tmp_path / "ckpt")
+    a, b = corpus_rows[:60], corpus_rows[60:]
+    _write_chunk(a, os.path.join(src, "chunk-a.parquet"))
+
+    q = stream_wet_export(spark, src, out, ckpt, num_partitions=4)
+    q.awaitTermination(120)
+
+    def texts_in(path):
+        arcs = spark.read.parquet(path).select(
+            F.col("warc").alias("content")
+        )
+        back = arcs.mapInPandas(warc_pages_batch, schema=PAGES_DDL)
+        return {
+            r["url"]: bytes(r["html"]).decode("utf-8") for r in back.collect()
+        }
+
+    def batch_texts(rows):
+        pages = spark.createDataFrame(
+            [(r["url"], bytearray(r["html"])) for r in rows],
+            "url string, html binary",
+        )
+        return {
+            r["url"]: r["extracted_text"]
+            for r in extract_documents(pages).collect()
+            if r["extracted_text"]
+        }
+
+    got_a = texts_in(out)
+    assert got_a == batch_texts(a)
+
+    _write_chunk(b, os.path.join(src, "chunk-b.parquet"))
+    q2 = stream_wet_export(spark, src, out, ckpt, num_partitions=4)
+    q2.awaitTermination(120)
+    assert texts_in(out) == batch_texts(corpus_rows)
+    # batch directories: one per drained micro-batch, nothing rewritten
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("batch="))
+    assert len(dirs) == 2
+
+    # a third drain with nothing new adds nothing
+    q3 = stream_wet_export(spark, src, out, ckpt, num_partitions=4)
+    q3.awaitTermination(120)
+    assert texts_in(out) == batch_texts(corpus_rows)
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("batch=")
+    ) == dirs
