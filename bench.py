@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "crawl_budget",
     "page_freshness",
     "crawl_cycle",
+    "url_spam_features",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

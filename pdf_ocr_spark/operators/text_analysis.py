@@ -1217,3 +1217,52 @@ def compression_signals(
         .cast("long").alias("n_bytes"),
         _ratio(data).alias("compression_ratio"),
     )
+
+
+def url_spam_features(
+    urls: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """URL-level heuristic features — the pre-fetch spam gate crawl
+    pipelines run BEFORE spending bandwidth (C4 / RefinedWeb both gate
+    on URL shape): subdomain depth, path depth, path length, digit
+    ratio over the path, query-parameter count, and a port/userinfo
+    flag; ``url_suspect`` fires when the shape matches generated-URL
+    spam (deep subdomains, digit-heavy paths, parameter explosions).
+
+    Pure map-side codegen'd projection (regex + length arithmetic),
+    zero shuffle — composes in front of any fetch queue at any scale.
+    Thresholds are the conventional conservative ones; they gate
+    SCHEDULING (fetch later / lower priority), not deletion."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    hostname = F.regexp_replace(host, r"(:[0-9]+)$", "")
+    path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
+    query = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    sub_depth = F.size(F.split(hostname, r"\.")) - 2
+    path_depth = F.when(
+        F.length(path) > 1, F.size(F.split(path, "/")) - 1
+    ).otherwise(F.lit(0))
+    digits = F.length(F.regexp_replace(path, r"[^0-9]", ""))
+    digit_ratio = F.round(
+        digits / F.greatest(F.length(path), F.lit(1)), 4
+    )
+    n_params = F.when(
+        F.length(query) > 0, F.size(F.split(query, "&"))
+    ).otherwise(F.lit(0))
+    has_userinfo_or_port = host.rlike("@") | host.rlike(":[0-9]+$")
+    suspect = (
+        (sub_depth >= 4)
+        | (path_depth >= 8)
+        | (F.length(path) >= 200)
+        | (digit_ratio >= 0.4)
+        | (n_params >= 8)
+    )
+    return urls.select(
+        url_col,
+        sub_depth.cast("int").alias("sub_depth"),
+        path_depth.cast("int").alias("path_depth"),
+        F.length(path).cast("int").alias("path_len"),
+        digit_ratio.alias("digit_ratio"),
+        n_params.cast("int").alias("n_params"),
+        has_userinfo_or_port.alias("has_userinfo_or_port"),
+        suspect.alias("url_suspect"),
+    )

@@ -3982,6 +3982,86 @@ SQL_URL_TEMPLATES = (
 )
 
 
+def q_url_spam_features(spark, sf_dir):
+    """URL-shape spam features — the pre-fetch gate (C4/RefinedWeb both
+    gate on URL heuristics before spending bandwidth): subdomain depth,
+    path depth/length, digit ratio, query-parameter count, port/userinfo
+    flag, and the composed url_suspect verdict.  Four synthesized URL
+    shapes: clean article, deep subdomain chain, date+id digit-heavy
+    path, parameter explosion.  Pure map-side codegen, zero shuffle."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://www.example.com/articles/item-"), i),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://a.b.c.d.e.example.com/p/"), i),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://shop.example.com:8080/2024/11/05/item/"),
+                i,
+                F.lit("/9912387/view"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://t.example.com/s?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&id="),
+                i,
+            )
+        )
+    )
+    return T.url_spam_features(d.select(url.alias("url")))
+
+
+SQL_URL_SPAM_FEATURES = """
+WITH u AS (
+  SELECT CASE
+    WHEN doc_id % 4 = 0 THEN 'https://www.example.com/articles/item-' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 4 = 1 THEN 'https://a.b.c.d.e.example.com/p/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 4 = 2 THEN 'https://shop.example.com:8080/2024/11/05/item/'
+         || CAST(doc_id AS VARCHAR) || '/9912387/view'
+    ELSE 'https://t.example.com/s?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&id='
+         || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents WHERE doc_id < 200
+),
+f AS (
+  SELECT url,
+    lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+    regexp_replace(
+      lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)),
+      '(:[0-9]+)$', '') AS hostname,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+)
+SELECT url,
+  CAST(len(string_split(hostname, '.')) - 2 AS INT) AS sub_depth,
+  CAST(CASE WHEN len(path) > 1 THEN len(string_split(path, '/')) - 1
+            ELSE 0 END AS INT) AS path_depth,
+  CAST(len(path) AS INT) AS path_len,
+  round(len(regexp_replace(path, '[^0-9]', '', 'g'))
+        / greatest(len(path), 1), 4) AS digit_ratio,
+  CAST(CASE WHEN len(query) > 0 THEN len(string_split(query, '&'))
+            ELSE 0 END AS INT) AS n_params,
+  (regexp_matches(host, '@') OR regexp_matches(host, ':[0-9]+$'))
+    AS has_userinfo_or_port,
+  ((len(string_split(hostname, '.')) - 2 >= 4)
+   OR (CASE WHEN len(path) > 1 THEN len(string_split(path, '/')) - 1
+            ELSE 0 END >= 8)
+   OR (len(path) >= 200)
+   OR (round(len(regexp_replace(path, '[^0-9]', '', 'g'))
+             / greatest(len(path), 1), 4) >= 0.4)
+   OR (CASE WHEN len(query) > 0 THEN len(string_split(query, '&'))
+            ELSE 0 END >= 8)) AS url_suspect
+FROM f
+"""
+
+
 def q_crawl_traps(spark, sf_dir):
     """Crawl-trap verdicts: the calendar trap (100 distinct /cal/{n}/day
     URLs, 100% concentration) and the session-id trap (/p/{h}) flag; the
@@ -6574,6 +6654,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
+    "url_spam_features": (q_url_spam_features, SQL_URL_SPAM_FEATURES),
     "ingest_validate": (q_ingest_validate, SQL_INGEST_VALIDATE),
     "sink_warc_roundtrip": (q_sink_warc_roundtrip, SQL_SINK_WARC_ROUNDTRIP),
     "warc_cdx": (q_warc_cdx, SQL_WARC_CDX),

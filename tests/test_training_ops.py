@@ -563,3 +563,31 @@ def test_source_kl_divergence_orders_drift(spark):
         .collect()
     }
     assert again == {s: r.kl_divergence for s, r in out.items()}
+
+
+def test_url_spam_features_verdicts(spark):
+    from pdf_ocr_spark.operators.text_analysis import url_spam_features
+
+    urls = spark.createDataFrame(
+        [
+            ("https://www.example.com/articles/cats",),
+            ("https://a.b.c.d.e.example.com/x",),          # deep subdomains
+            ("https://s.example.com/1/2/3/4/5/6/7/8/p",),  # deep path
+            ("https://u:p@example.com:8443/ok",),           # userinfo+port
+            ("https://t.example.com/q?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8",),
+            ("https://d.example.com/20240101123456789",),   # digit-heavy
+        ],
+        "url string",
+    )
+    out = {r.url: r for r in url_spam_features(urls).collect()}
+    clean = out["https://www.example.com/articles/cats"]
+    assert (clean.sub_depth, clean.url_suspect) == (1, False)
+    assert out["https://a.b.c.d.e.example.com/x"].sub_depth == 5
+    assert out["https://a.b.c.d.e.example.com/x"].url_suspect
+    assert out["https://s.example.com/1/2/3/4/5/6/7/8/p"].path_depth == 9
+    assert out["https://s.example.com/1/2/3/4/5/6/7/8/p"].url_suspect
+    flagged = out["https://u:p@example.com:8443/ok"]
+    assert flagged.has_userinfo_or_port and not flagged.url_suspect
+    assert out["https://t.example.com/q?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8"].n_params == 8
+    assert out["https://d.example.com/20240101123456789"].digit_ratio > 0.4
+    assert out["https://d.example.com/20240101123456789"].url_suspect
