@@ -84,3 +84,34 @@ def test_bpe_multibyte_and_empty_text(spark):
         toks = py_encode(text, merges)
         assert got[doc_id] == (len(toks), " ".join(toks))
     assert got[2] == (0, "")  # whitespace-only doc -> zero tokens
+
+
+def test_bpe_randomized_parity_with_python_twin(spark):
+    """Seeded randomized corpora (deterministic, no wall-clock): the
+    distributed trainer and encoder agree with the independent python
+    implementation on every merge and every token stream — including
+    tie-heavy corpora where the (freq, left, right) break decides."""
+    import random
+
+    from tools.freeze_bpe_golden import encode as py_encode
+    from tools.freeze_bpe_golden import train as py_train
+
+    rng = random.Random(1234)
+    alphabet = "abcdexyz"
+    for trial in range(4):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(12)
+        ]
+        corpus = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randint(2, 8))))
+            for i in range(10)
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        merges = bpe_train(word_freq_table(docs), n_merges=5)
+        assert merges == py_train(corpus, 5), f"trial {trial}: merges diverge"
+        got = {r.doc_id: r.tokens for r in bpe_encode(docs, merges).collect()}
+        for doc_id, text in corpus:
+            assert got[doc_id] == " ".join(py_encode(text, merges)), (
+                f"trial {trial} doc {doc_id}: token stream diverges"
+            )
