@@ -1127,10 +1127,14 @@ def gen_html_meta_rows(n: int, seed: int = 13) -> List[dict]:
                 f"</head><body><p>{_paragraph(rng, 'en')}</p></body></html>"
             ).encode("utf-8")
         elif kind == 2:  # <time datetime> date, no meta date
+            # i == 8: shape-valid but CALENDAR-invalid declared date (real
+            # pages do this) — freshness must bucket it 'unknown', not
+            # crash ANSI to_date (queries.q_page_freshness try_to_date)
+            date = "2024-02-30" if i == 8 else f"2024-12-0{1 + i % 9}"
             html = (
                 f"<html><head><title>{title}</title>"
                 f"<meta name=robots content='index, follow'></head><body>"
-                f'<article><time datetime="2024-12-0{1 + i % 9}">posted</time>'
+                f'<article><time datetime="{date}">posted</time>'
                 f"<p>{_paragraph(rng, 'en')}</p></article></body></html>"
             ).encode("utf-8")
         elif kind == 3:  # JSON-LD-only date

@@ -447,7 +447,10 @@ def crawl_budget(
     plan, persist it first (otherwise the per-host branch and the
     one-row total each recompute the upstream subtree — AQE's exchange
     reuse usually dedupes the shuffle, but the contract belongs to the
-    caller)."""
+    caller).  When the summed quantized score is 0 (every host
+    zero-score, or all scores below the 1e-6 quantum), every host gets
+    budget 0 — ``nullif`` guards the BIGINT division so ANSI mode does
+    not raise DIVIDE_BY_ZERO (the SQL twins mirror the same guard)."""
     sq = F.floor(F.col(score_col) * F.lit(1000000)).cast("long")
     q = host_stats.select(F.col(host_col), F.col(score_col), sq.alias("_sq"))
     tot = q.agg(F.sum("_sq").alias("_tot"))
@@ -456,7 +459,13 @@ def crawl_budget(
         .select(
             host_col,
             score_col,
-            F.expr(f"(CAST({int(total_budget)} AS BIGINT) * _sq) div _tot")
+            F.coalesce(
+                F.expr(
+                    f"(CAST({int(total_budget)} AS BIGINT) * _sq)"
+                    " div nullif(_tot, 0)"
+                ),
+                F.lit(0),
+            )
             .cast("long")
             .alias("budget"),
         )

@@ -1232,9 +1232,17 @@ def url_spam_features(
     Pure map-side codegen'd projection (regex + length arithmetic),
     zero shuffle — composes in front of any fetch queue at any scale.
     Thresholds are the conventional conservative ones; they gate
-    SCHEDULING (fetch later / lower priority), not deletion."""
+    SCHEDULING (fetch later / lower priority), not deletion.
+
+    Rows whose url does not parse as scheme://host (malformed or
+    relative URLs) get ``is_valid_url = false``, NULL numeric features
+    — NOT the nonsense negative sub_depth a '' host would yield — and
+    false verdict flags (an invalid URL is routed by its validity flag,
+    not smuggled through the spam verdict), so a downstream gate can
+    handle them explicitly instead of silently scoring garbage."""
     host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
     hostname = F.regexp_replace(host, r"(:[0-9]+)$", "")
+    valid = hostname != F.lit("")
     path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
     query = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
     sub_depth = F.size(F.split(hostname, r"\.")) - 2
@@ -1256,13 +1264,18 @@ def url_spam_features(
         | (digit_ratio >= 0.4)
         | (n_params >= 8)
     )
+
+    def _gated(col):
+        return F.when(valid, col)
+
     return urls.select(
         url_col,
-        sub_depth.cast("int").alias("sub_depth"),
-        path_depth.cast("int").alias("path_depth"),
-        F.length(path).cast("int").alias("path_len"),
-        digit_ratio.alias("digit_ratio"),
-        n_params.cast("int").alias("n_params"),
-        has_userinfo_or_port.alias("has_userinfo_or_port"),
-        suspect.alias("url_suspect"),
+        valid.alias("is_valid_url"),
+        _gated(sub_depth.cast("int")).alias("sub_depth"),
+        _gated(path_depth.cast("int")).alias("path_depth"),
+        _gated(F.length(path).cast("int")).alias("path_len"),
+        _gated(digit_ratio).alias("digit_ratio"),
+        _gated(n_params.cast("int")).alias("n_params"),
+        (valid & has_userinfo_or_port).alias("has_userinfo_or_port"),
+        (valid & suspect).alias("url_suspect"),
     )

@@ -2559,7 +2559,7 @@ s AS (
 ),
 t AS (SELECT sum(sq) AS tot FROM s)
 SELECT domain, round(score, 6) AS score,
-       CAST((1000 * sq) // tot AS BIGINT) AS budget
+       CAST(coalesce((1000 * sq) // nullif(tot, 0), 0) AS BIGINT) AS budget
 FROM s CROSS JOIN t
 """
 
@@ -3986,34 +3986,39 @@ def q_url_spam_features(spark, sf_dir):
     """URL-shape spam features — the pre-fetch gate (C4/RefinedWeb both
     gate on URL heuristics before spending bandwidth): subdomain depth,
     path depth/length, digit ratio, query-parameter count, port/userinfo
-    flag, and the composed url_suspect verdict.  Four synthesized URL
+    flag, and the composed url_suspect verdict.  Five synthesized URL
     shapes: clean article, deep subdomain chain, date+id digit-heavy
-    path, parameter explosion.  Pure map-side codegen, zero shuffle."""
+    path, parameter explosion, and a malformed relative URL (no
+    scheme://host) which must come back is_valid_url=false with NULL
+    features, not nonsense negatives.  Pure map-side codegen, zero
+    shuffle."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     i = F.col("doc_id").cast("string")
     url = (
         F.when(
-            F.col("doc_id") % 4 == 0,
+            F.col("doc_id") % 5 == 0,
             F.concat(F.lit("https://www.example.com/articles/item-"), i),
         )
         .when(
-            F.col("doc_id") % 4 == 1,
+            F.col("doc_id") % 5 == 1,
             F.concat(F.lit("https://a.b.c.d.e.example.com/p/"), i),
         )
         .when(
-            F.col("doc_id") % 4 == 2,
+            F.col("doc_id") % 5 == 2,
             F.concat(
                 F.lit("https://shop.example.com:8080/2024/11/05/item/"),
                 i,
                 F.lit("/9912387/view"),
             ),
         )
-        .otherwise(
+        .when(
+            F.col("doc_id") % 5 == 3,
             F.concat(
                 F.lit("https://t.example.com/s?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&id="),
                 i,
             )
         )
+        .otherwise(F.concat(F.lit("relative/path-"), i))
     )
     return T.url_spam_features(d.select(url.alias("url")))
 
@@ -4021,12 +4026,13 @@ def q_url_spam_features(spark, sf_dir):
 SQL_URL_SPAM_FEATURES = """
 WITH u AS (
   SELECT CASE
-    WHEN doc_id % 4 = 0 THEN 'https://www.example.com/articles/item-' || CAST(doc_id AS VARCHAR)
-    WHEN doc_id % 4 = 1 THEN 'https://a.b.c.d.e.example.com/p/' || CAST(doc_id AS VARCHAR)
-    WHEN doc_id % 4 = 2 THEN 'https://shop.example.com:8080/2024/11/05/item/'
+    WHEN doc_id % 5 = 0 THEN 'https://www.example.com/articles/item-' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 5 = 1 THEN 'https://a.b.c.d.e.example.com/p/' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 5 = 2 THEN 'https://shop.example.com:8080/2024/11/05/item/'
          || CAST(doc_id AS VARCHAR) || '/9912387/view'
-    ELSE 'https://t.example.com/s?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&id='
-         || CAST(doc_id AS VARCHAR) END AS url
+    WHEN doc_id % 5 = 3 THEN 'https://t.example.com/s?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&id='
+         || CAST(doc_id AS VARCHAR)
+    ELSE 'relative/path-' || CAST(doc_id AS VARCHAR) END AS url
   FROM documents WHERE doc_id < 200
 ),
 f AS (
@@ -4038,18 +4044,26 @@ f AS (
     regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) AS path,
     regexp_extract(url, '\\?([^#]*)', 1) AS query
   FROM u
-)
+),
+v AS (SELECT f.*, hostname <> '' AS is_valid_url FROM f)
 SELECT url,
-  CAST(len(string_split(hostname, '.')) - 2 AS INT) AS sub_depth,
-  CAST(CASE WHEN len(path) > 1 THEN len(string_split(path, '/')) - 1
-            ELSE 0 END AS INT) AS path_depth,
-  CAST(len(path) AS INT) AS path_len,
-  round(len(regexp_replace(path, '[^0-9]', '', 'g'))
-        / greatest(len(path), 1), 4) AS digit_ratio,
-  CAST(CASE WHEN len(query) > 0 THEN len(string_split(query, '&'))
-            ELSE 0 END AS INT) AS n_params,
-  (regexp_matches(host, '@') OR regexp_matches(host, ':[0-9]+$'))
+  is_valid_url,
+  CASE WHEN is_valid_url
+       THEN CAST(len(string_split(hostname, '.')) - 2 AS INT) END AS sub_depth,
+  CASE WHEN is_valid_url
+       THEN CAST(CASE WHEN len(path) > 1 THEN len(string_split(path, '/')) - 1
+                 ELSE 0 END AS INT) END AS path_depth,
+  CASE WHEN is_valid_url THEN CAST(len(path) AS INT) END AS path_len,
+  CASE WHEN is_valid_url
+       THEN round(len(regexp_replace(path, '[^0-9]', '', 'g'))
+                  / greatest(len(path), 1), 4) END AS digit_ratio,
+  CASE WHEN is_valid_url
+       THEN CAST(CASE WHEN len(query) > 0 THEN len(string_split(query, '&'))
+                 ELSE 0 END AS INT) END AS n_params,
+  (is_valid_url AND
+   (regexp_matches(host, '@') OR regexp_matches(host, ':[0-9]+$')))
     AS has_userinfo_or_port,
+  (is_valid_url AND
   ((len(string_split(hostname, '.')) - 2 >= 4)
    OR (CASE WHEN len(path) > 1 THEN len(string_split(path, '/')) - 1
             ELSE 0 END >= 8)
@@ -4057,8 +4071,8 @@ SELECT url,
    OR (round(len(regexp_replace(path, '[^0-9]', '', 'g'))
              / greatest(len(path), 1), 4) >= 0.4)
    OR (CASE WHEN len(query) > 0 THEN len(string_split(query, '&'))
-            ELSE 0 END >= 8)) AS url_suspect
-FROM f
+            ELSE 0 END >= 8))) AS url_suspect
+FROM v
 """
 
 
@@ -5268,9 +5282,13 @@ def q_page_freshness(spark, sf_dir):
     bucket (fresh ≤30d, recent ≤365d, stale beyond, unknown when the
     page declares nothing, future when publish postdates the crawl).
     The recrawl-prioritization input every freshness-aware scheduler
-    feeds on.  All codegen (regex-guarded to_date + datediff + CASE),
-    zero shuffle; oracle replays the identical arithmetic relationally
-    over the frozen html-meta golden."""
+    feeds on.  All codegen (regex-guarded try_to_date + datediff +
+    CASE), zero shuffle; oracle replays the identical arithmetic
+    relationally over the frozen html-meta golden.  try_to_date (not
+    to_date): page-declared dates can be shape-valid but calendar-
+    invalid ('2024-02-30'), which would raise CAST_INVALID_INPUT under
+    ANSI mode — those fall into the 'unknown' bucket instead (the
+    DuckDB twin mirrors with TRY_CAST)."""
     from pdf_ocr_spark.fixtures.genpages import gen_html_meta_rows
     from pdf_ocr_spark.pipeline.extract_job import extract_html_meta
 
@@ -5281,7 +5299,7 @@ def q_page_freshness(spark, sf_dir):
     )
     meta = extract_html_meta(pages)
     ok = F.col("published").rlike(r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])")
-    pub = F.when(ok, F.to_date(F.substring("published", 1, 10)))
+    pub = F.when(ok, F.try_to_date(F.substring("published", 1, 10)))
     age = F.datediff(F.lit("2025-08-18").cast("date"), pub)
     bucket = (
         F.when(pub.isNull(), F.lit("unknown"))
@@ -5303,7 +5321,7 @@ WITH m AS (
   SELECT url,
     CASE WHEN regexp_matches(published,
               '^\\d{{4}}-(0[1-9]|1[0-2])-(0[1-9]|[12]\\d|3[01])')
-         THEN CAST(substr(published, 1, 10) AS DATE) END AS publish_date
+         THEN TRY_CAST(substr(published, 1, 10) AS DATE) END AS publish_date
   FROM read_parquet('{_HTML_META_GOLDEN}')
 )
 SELECT url, CAST(publish_date AS VARCHAR) AS publish_date,
@@ -6152,7 +6170,8 @@ per AS (
 q AS (SELECT domain, CAST(floor(score * 1000000) AS BIGINT) AS sq FROM per),
 t AS (SELECT sum(sq) AS tot FROM q),
 b AS (
-  SELECT domain, CAST((20 * sq) // tot AS BIGINT) AS budget
+  SELECT domain,
+         CAST(coalesce((20 * sq) // nullif(tot, 0), 0) AS BIGINT) AS budget
   FROM q CROSS JOIN t
 ),
 s AS (

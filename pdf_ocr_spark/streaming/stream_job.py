@@ -314,6 +314,42 @@ def _stream_feed_batch(batches):
         )
 
 
+#: DOC_SCHEMA plus the input row's capture timestamp, passed through the
+#: extractor 1:1 (``_parse_batch`` emits exactly one doc row per input
+#: row, in input order) — WET conversion records must carry the ORIGINAL
+#: WARC-Date of the capture they convert, like Common Crawl's WET product.
+DOC_TS_SCHEMA = StructType(
+    list(DOC_SCHEMA.fields) + [StructField("warc_ts", TimestampType())]
+)
+
+
+def extract_docs_with_ts_arrow(batches):
+    """Arrow extractor over (url, warc_ts, html) batches: the fused
+    extractor's output columns plus the untouched per-row ``warc_ts``.
+    No join needed — the kernel's 1:1 input-order contract makes the
+    timestamp a pure column pass-through (zero extra shuffle, unlike a
+    join-back-by-url inside every micro-batch)."""
+    import pyarrow as pa
+
+    from pdf_ocr_spark.pipeline.extract_job import _parse_batch, _tune_worker_gc
+
+    _tune_worker_gc()
+    engine = None
+    types = (
+        pa.string(), pa.string(), pa.string(), pa.int32(), pa.int32(),
+        pa.int32(), pa.string(), pa.string(), pa.int64(), pa.int32(),
+    )
+    names = [f.name for f in DOC_SCHEMA.fields] + ["warc_ts"]
+    for rb in batches:
+        rows, engine = _parse_batch(
+            rb.column(0).to_pylist(), rb.column(2).to_pylist(), engine
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in types]
+        arrays = [pa.array(c, t) for c, t in zip(cols, types)]
+        arrays.append(rb.column(1))
+        yield pa.record_batch(arrays, names=names)
+
+
 def stream_wet_export(
     spark: SparkSession,
     input_path: str,
@@ -325,7 +361,11 @@ def stream_wet_export(
     batch ``sink_wet_export`` product: every micro-batch of newly
     landed pages runs the SAME fused extractor, and its non-empty
     extracted texts land as conversion-record WARC (WET) archives, one
-    archive per partition per batch.
+    archive per partition per batch, each stamped with the page's REAL
+    capture timestamp (``warc_ts`` threaded through the extractor) so
+    the conversion records keep the original WARC-Date like Common
+    Crawl's WET product; null capture timestamps render as the epoch
+    (``pages_to_warc``'s null contract).
 
     ``foreachBatch`` is the pattern for sinks Spark has no streaming
     writer for (a custom archive format); idempotence comes from
@@ -344,9 +384,9 @@ def stream_wet_export(
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 8)
     docs = (
-        pages.select("url", "html")
+        pages.select("url", "warc_ts", "html")
         .repartition(num_partitions, F.xxhash64("url"))
-        .mapInArrow(extract_docs_arrow, schema=DOC_SCHEMA)
+        .mapInArrow(extract_docs_with_ts_arrow, schema=DOC_TS_SCHEMA)
     )
 
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
@@ -354,7 +394,7 @@ def stream_wet_export(
             batch_df.filter(F.length("extracted_text") > 0)
             .select(
                 "url",
-                F.timestamp_seconds(F.lit(1735689600)).alias("warc_ts"),
+                "warc_ts",
                 F.lit(None).cast("binary").alias("html"),
                 F.col("extracted_text").alias("text"),
                 F.lit("unknown").alias("lang"),

@@ -256,3 +256,22 @@ def test_crawl_budget_integer_exact_allocation(spark):
         for r in crawl_budget(hosts.repartition(3, "domain"), 110).collect()
     }
     assert again == out
+
+
+def test_crawl_budget_all_zero_scores_no_divide_by_zero(spark):
+    """Σ quantized score == 0 (all hosts zero-score, or every score below
+    the 1e-6 quantum): every host gets budget 0 and stays in the output —
+    ANSI mode must not raise DIVIDE_BY_ZERO (r3 ADVICE item)."""
+    from pdf_ocr_spark.operators.frontier import crawl_budget
+
+    hosts = spark.createDataFrame(
+        [("a.test", 0.0), ("b.test", 0.0)], "domain string, score double"
+    )
+    out = {r.domain: r.budget for r in crawl_budget(hosts, 50).collect()}
+    assert out == {"a.test": 0, "b.test": 0}
+
+    tiny = spark.createDataFrame(
+        [("a.test", 4e-7), ("b.test", 9e-7)], "domain string, score double"
+    )
+    out2 = {r.domain: r.budget for r in crawl_budget(tiny, 50).collect()}
+    assert out2 == {"a.test": 0, "b.test": 0}

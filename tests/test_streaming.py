@@ -356,6 +356,18 @@ def test_stream_wet_export_incremental_and_idempotent(spark, corpus_rows, tmp_pa
     got_a = texts_in(out)
     assert got_a == batch_texts(a)
 
+    # WET conversion records carry each page's ORIGINAL capture date
+    # (WARC-Date), not a constant export stamp
+    back = (
+        spark.read.parquet(out)
+        .select(F.col("warc").alias("content"))
+        .mapInPandas(warc_pages_batch, schema=PAGES_DDL)
+    )
+    got_ts = {r["url"]: r["warc_ts"] for r in back.collect()}
+    exp_ts = {r["url"]: r["warc_ts"].replace(microsecond=0) for r in a}
+    assert got_ts and all(got_ts[u] == exp_ts[u] for u in got_ts)
+    assert len({t for t in got_ts.values()}) > 1  # not one constant
+
     _write_chunk(b, os.path.join(src, "chunk-b.parquet"))
     q2 = stream_wet_export(spark, src, out, ckpt, num_partitions=4)
     q2.awaitTermination(120)

@@ -591,3 +591,30 @@ def test_url_spam_features_verdicts(spark):
     assert out["https://t.example.com/q?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8"].n_params == 8
     assert out["https://d.example.com/20240101123456789"].digit_ratio > 0.4
     assert out["https://d.example.com/20240101123456789"].url_suspect
+    assert all(r.is_valid_url for r in out.values())
+
+
+def test_url_spam_features_malformed_urls_flagged_not_scored(spark):
+    """Malformed/relative URLs (no scheme://host) come back
+    is_valid_url=false with NULL features — not the nonsense sub_depth=-1
+    a ''-host split would yield (r3 ADVICE item)."""
+    from pdf_ocr_spark.operators.text_analysis import url_spam_features
+
+    urls = spark.createDataFrame(
+        [
+            ("relative/path/only",),
+            ("/rooted/path?x=1",),
+            ("",),
+            ("https://ok.example.com/fine",),
+        ],
+        "url string",
+    )
+    out = {r.url: r for r in url_spam_features(urls).collect()}
+    for bad in ("relative/path/only", "/rooted/path?x=1", ""):
+        r = out[bad]
+        assert r.is_valid_url is False
+        assert r.sub_depth is None and r.path_depth is None
+        assert r.digit_ratio is None and r.n_params is None
+        assert r.url_suspect is False and r.has_userinfo_or_port is False
+    good = out["https://ok.example.com/fine"]
+    assert good.is_valid_url and good.sub_depth == 1 and good.url_suspect is False
