@@ -80,7 +80,8 @@ BENCH_QUERIES = [
     "text_decontaminate_fuzzy",
     "dsir_resample",
     "dedup_semantic",
-    "bitext_mining",
+    "bitext_mining_lsh",  # the bucketed scale path is the headline;
+    # the all-pairs exactness baseline stays oracle-gated in the registry
     "dedup_bloom_prefilter",
     "tfidf_keywords",
     "link_hits",

@@ -181,7 +181,18 @@ def _cap_buckets(banded: DataFrame, keys: List[str], id_col: str, max_bucket: Op
     degenerate hot bucket (e.g. millions of empty docs sharing one
     signature) going quadratic inside the bucket self-join.  The window
     sort is O(B log B) per bucket vs the O(B²) join it prevents; use
-    :func:`minhash_lsh_overflow` to see what was truncated."""
+    :func:`minhash_lsh_overflow` to see what was truncated.
+
+    Measured (r4, same-session interleaved A/B at sf0.1 ×6 reps, the
+    only comparison this VM's 4× CPU-steal swings permit): this window
+    costs ~3% over no cap at all (median 6.87 s vs 6.67 s for the full
+    lsh-pairs plan), so the r3→r2 "2.5× regression" attributed to it
+    was cross-round weather mis-normalization, not plan cost.  A
+    two-phase variant (pre-count buckets, broadcast the over-cap set,
+    window only flagged rows) measured ~17% SLOWER (median 8.05 s) —
+    the extra counting pass + broadcast join costs more than the
+    window it saves, because the banded rows are 3 compact columns and
+    the window's shuffle doubles as the self-join's co-location."""
     if max_bucket is None:
         return banded
     w = Window.partitionBy(*keys).orderBy(id_col)

@@ -2049,6 +2049,67 @@ FROM best WHERE bx = 1 AND by = 1 AND margin >= 1.0
 """.format(cos=_SQL_COSINE.format(a="xv", b="yv"))
 
 
+def q_bitext_mining_lsh(spark, sf_dir):
+    """The CCMatrix-style SCALE path of bitext mining: candidates
+    restricted to shared sign-LSH buckets (bits=8) instead of all cross
+    pairs — the bucket equi-join is the plan that runs at 100 TB, so it
+    gets its own oracle gate rather than riding on the all-pairs
+    baseline's (r3 verdict item).  The margin denominators average over
+    the CANDIDATE neighborhood (as in production FAISS mining); recall
+    vs the exact baseline is < 1 by construction — ``bitext_mining``
+    stays as the exactness reference."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.bitext_margin_pairs(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        threshold=1.0,
+        bits=8,
+    )
+
+
+SQL_BITEXT_MINING_LSH = f"""
+WITH xs AS (
+  SELECT vec_id AS x_id, embedding AS xv, CAST({_sql_bucket(8)} AS BIGINT) AS bucket
+  FROM embeddings WHERE vec_id % 2 = 0),
+ys AS (
+  SELECT vec_id AS y_id, embedding AS yv, CAST({_sql_bucket(8)} AS BIGINT) AS bucket
+  FROM embeddings WHERE vec_id % 2 = 1),
+scored AS (
+  SELECT x_id, y_id,
+    round({{cos}}, 6) AS c6
+  FROM xs JOIN ys USING (bucket)
+),
+ranked AS (
+  SELECT x_id, y_id, c6,
+    row_number() OVER (PARTITION BY x_id ORDER BY c6 DESC, y_id) AS rx,
+    row_number() OVER (PARTITION BY y_id ORDER BY c6 DESC, x_id) AS ry
+  FROM scored
+),
+dx AS (
+  SELECT x_id, CAST(sum(CAST(c6 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS dx
+  FROM ranked WHERE rx <= 4 GROUP BY x_id
+),
+dy AS (
+  SELECT y_id, CAST(sum(CAST(c6 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS dy
+  FROM ranked WHERE ry <= 4 GROUP BY y_id
+),
+margins AS (
+  SELECT s.x_id, s.y_id, s.c6,
+    round(s.c6 / ((dx.dx + dy.dy) / 2), 4) AS margin
+  FROM scored s JOIN dx USING (x_id) JOIN dy USING (y_id)
+),
+best AS (
+  SELECT x_id, y_id, c6, margin,
+    row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bx,
+    row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS by
+  FROM margins
+)
+SELECT x_id, y_id, round(c6, 4) AS cosine, margin
+FROM best WHERE bx = 1 AND by = 1 AND margin >= 1.0
+""".format(cos=_SQL_COSINE.format(a="xv", b="yv"))
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup = k-means cluster
     the embeddings (the REAL trained quantizer, 2 Lloyd iterations),
@@ -6621,6 +6682,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "bitext_mining": (q_bitext_mining, SQL_BITEXT_MINING),
+    "bitext_mining_lsh": (q_bitext_mining_lsh, SQL_BITEXT_MINING_LSH),
     # similarity search
     "sim_topk_bruteforce": (q_sim_topk_bruteforce, SQL_SIM_TOPK),
     "sim_lsh_buckets": (q_sim_lsh_buckets, SQL_SIM_LSH_BUCKETS),
