@@ -1735,27 +1735,61 @@ def gen_jpx_scan_rows(n_docs: int = 6) -> List[dict]:
     return rows
 
 
+def _marker_to_symbol_page(iw: int, ih: int, px: bytes) -> bytes:
+    """Re-encode a pixel-grid marker bitmap as a JBIG2 symbol-coded
+    page: a 4-glyph dictionary (1–4 consecutive black cells) + a text
+    region placing one instance per run — the symbol-dictionary /
+    text-region coding real scanned-text JBIG2 uses (T.88 §6.4/§6.5).
+    The decoded page is pixel-identical to the generic encoding."""
+    from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page
+    from pdf_ocr_spark.kernels.pixelcode import CELL
+
+    cols, rows = iw // CELL, ih // CELL
+    symbols = [(k * CELL, CELL, bytes(k * CELL * CELL)) for k in (1, 2, 3, 4)]
+    instances = []
+    for r in range(rows):
+        c = 0
+        while c < cols:
+            mid = (r * CELL + CELL // 2) * iw + c * CELL + CELL // 2
+            if px[mid] < 128:
+                run = 0
+                while (c + run < cols and run < 4 and
+                       px[mid + run * CELL] < 128):
+                    run += 1
+                instances.append((run - 1, c * CELL, r * CELL))
+                c += run
+            else:
+                c += 1
+    return encode_symbol_page(iw, ih, symbols, instances)
+
+
 def make_scan_pdf_jbig2(
     page_texts: List[str],
     corrupt_page: int = 0,
     flate_wrap: bool = False,
+    coding: str = "generic",
 ) -> bytes:
     """Image-only pages whose XObject is a REAL JBIG2 stream
     (``/Filter /JBIG2Decode``, embedded-PDF segment organization)
-    produced by the from-scratch generic-region encoder
-    (kernels/pdf/jbig2.py: template-0 arithmetic coding + TPGDON
-    typical rows) — the codec of high-compression bi-level scanner
-    output.  Ground truth rides in the DECODED PIXELS as the pixel-grid
-    marker (kernels/pixelcode.py).
+    produced by the from-scratch encoder (kernels/pdf/jbig2.py) — the
+    codec of high-compression bi-level scanner output.  Ground truth
+    rides in the DECODED PIXELS as the pixel-grid marker
+    (kernels/pixelcode.py).
 
-    ``flate_wrap`` zlib-wraps the stream
-    (``/Filter [/FlateDecode /JBIG2Decode]``); ``corrupt_page``
+    ``coding`` picks the JBIG2 profile: ``generic`` (template-0
+    arithmetic + TPGDON typical rows), ``symbol`` (symbol dictionary +
+    text region — what real scanned text uses), or ``mmr`` (MMR=1
+    generic region, a T.6/G4 bitstream).  ``flate_wrap`` zlib-wraps the
+    stream (``/Filter [/FlateDecode /JBIG2Decode]``); ``corrupt_page``
     (1-based, 0 = none) truncates that page's stream mid-data: the
     decoder must raise cleanly and the payload fall back to opaque
     bytes (fingerprint OCR), never crash."""
     import zlib as _zlib
 
-    from pdf_ocr_spark.kernels.pdf.jbig2 import encode_bilevel
+    from pdf_ocr_spark.kernels.pdf.jbig2 import (
+        encode_bilevel,
+        encode_bilevel_mmr,
+    )
     from pdf_ocr_spark.kernels.pixelcode import text_to_pixels
 
     media = (612.0, 792.0)
@@ -1765,7 +1799,12 @@ def make_scan_pdf_jbig2(
     page_nums = []
     for pno, text in enumerate(page_texts, 1):
         iw, ih, px = text_to_pixels(text)
-        payload = encode_bilevel(iw, ih, px)
+        if coding == "symbol":
+            payload = _marker_to_symbol_page(iw, ih, px)
+        elif coding == "mmr":
+            payload = encode_bilevel_mmr(iw, ih, px)
+        else:
+            payload = encode_bilevel(iw, ih, px)
         if pno == corrupt_page:
             payload = payload[: max(4, len(payload) // 3)]
         if flate_wrap:
@@ -1800,12 +1839,15 @@ def make_scan_pdf_jbig2(
     return w.build(catalog)
 
 
-def gen_jbig2_scan_rows(n_docs: int = 8) -> List[dict]:
+def gen_jbig2_scan_rows(n_docs: int = 11) -> List[dict]:
     """Corpus for the JBIG2 scan branch: multi-page PDFs whose pages are
-    JBIG2Decode image XObjects carrying pixel-marker ground truth; one
-    doc zlib-wraps its streams (filter chain), the last doc carries a
-    truncated stream on page 1 (decode must fail loudly, extract must
-    not).  Deterministic — same rows every call."""
+    JBIG2Decode image XObjects carrying pixel-marker ground truth.
+    Docs 0-6 are generic-region coded; docs 7-8 are symbol-coded
+    (symbol dictionary + text region — the coding real scanned text
+    uses); doc n-2 is MMR (T.6) coded AND zlib-wraps its streams
+    (filter chain over the MMR body); the last doc carries a truncated
+    symbol-coded stream on page 1 (decode must fail loudly, extract
+    must not).  Deterministic — same rows every call."""
     rng = random.Random(0x1B162)
     rows = []
     for d in range(n_docs):
@@ -1818,12 +1860,19 @@ def gen_jbig2_scan_rows(n_docs: int = 8) -> List[dict]:
             )
         corrupt = 1 if d == n_docs - 1 else 0
         flate = d == n_docs - 2
+        if d in (7, 8) or d == n_docs - 1:
+            coding = "symbol"
+        elif d == n_docs - 2:
+            coding = "mmr"
+        else:
+            coding = "generic"
         rows.append(
             dict(
                 url=f"https://example.test/docs/jbig2scan/{d:06d}",
                 warc_ts=datetime.datetime(2025, 1, 6, 0, 0, d),
                 html=make_scan_pdf_jbig2(
-                    texts, corrupt_page=corrupt, flate_wrap=flate
+                    texts, corrupt_page=corrupt, flate_wrap=flate,
+                    coding=coding,
                 ),
                 text="",
                 lang="en",

@@ -7,23 +7,38 @@ The reference renders real pixmaps whatever the codec
 FOUR real-world scan codecs (DCT, CCITT, JPX, JBIG2) reach the OCR
 branch and the rasterizer as real decoded pixels.
 
-Scope — the generic-region profile, implemented on BOTH sides so
-fixtures are deterministic:
+Scope — the profiles real scanned PDFs actually carry, implemented on
+BOTH sides so fixtures are deterministic:
 
 * embedded-PDF segment organization (no file header): segment headers
-  (§7.2), page information (§7.4.8), immediate (lossless) generic
-  region (§7.4.6), end-of-page/file ignored
+  (§7.2, including referred-to segment lists), page information
+  (§7.4.8), immediate (lossless) generic regions (§7.4.6), symbol
+  dictionaries (§7.4.3 / §6.5), immediate (lossless) text regions
+  (§7.4.4 / §6.4), end-of-page/file ignored
 * generic region decoding (§6.2): arithmetic template 0 with the
   nominal AT pixel positions, TPGDON typical-prediction rows, OR
-  composition onto the page bitmap
+  composition onto the page bitmap — OR MMR=1 regions, whose body is
+  a T.6 (G4) bitstream decoded by the shared CCITT kernel
+  (kernels/pdf/ccitt.py; T.88 §6.2.6 defers to T.6 verbatim)
+* symbol dictionaries (§6.5): arithmetic (SDHUFF=0) height-class /
+  delta-width decoding, per-symbol generic bitmaps (template 0,
+  TPGDON=0 per §6.5.8.1), IAEX export runs, referred-dictionary
+  symbol import
+* text regions (§6.4): arithmetic (SBHUFF=0) strip decoding — IADT /
+  IAFS / IADS / IAIT coordinate coding, IAID symbol-ID tree of
+  SBSYMCODELEN bits, all four REFCORNERs, SBSTRIPS ∈ {1,2,4,8},
+  signed SBDSOFFSET, OR composition
+* the arithmetic integer decoding procedure (Annex A.2/A.3) and its
+  exact encoder mirror, used by both segment types
 * the MQ arithmetic coder is shared with the JPEG 2000 kernel
   (kernels/pdf/jp2.py) — JBIG2 and JPEG 2000 specify the identical
-  coder; here every one of the 2^16 template contexts starts at state
-  0 / MPS 0 per §6.2.5.3 (JBIG2 has no preset context table)
+  coder; here every context starts at state 0 / MPS 0 per §6.2.5.3
+  (JBIG2 has no preset context table)
 
-Out of scope (→ loud ``JBIG2Error``): MMR-coded regions (PDF carries
-those as CCITT streams anyway), symbol dictionaries / text regions,
-halftones, refinement, unknown-length regions, JBIG2Globals.
+Out of scope (→ loud ``JBIG2Error``): Huffman-coded symbol/text
+segments (SDHUFF/SBHUFF=1 — arithmetic coding is what PDF generators
+emit), refinement/aggregate coding, transposed text regions, halftone
+regions, unknown-length regions, JBIG2Globals, retained contexts.
 
 The 16-bit template context packs the nominal template-0 neighbourhood
 in raster order (sorted by (y, x), MSB first) — the convention of the
@@ -34,7 +49,7 @@ lossless round-trips, truncation fuzz, and frozen pipeline goldens.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pdf_ocr_spark.kernels.pdf.jp2 import MQDecoder, MQEncoder
 
@@ -58,15 +73,25 @@ _TPGD_CTX0 = 0x9B25
 
 _NOMINAL_AT = bytes([0x03, 0xFF, 0xFD, 0xFF, 0x02, 0xFE, 0xFE, 0xFE])
 
+_SEG_SYMBOL_DICT = 0
+_SEG_TEXT_IMMEDIATE = 6
+_SEG_TEXT_IMMEDIATE_LOSSLESS = 7
 _SEG_PAGE_INFO = 48
 _SEG_END_OF_PAGE = 49
 _SEG_END_OF_FILE = 51
 _SEG_GENERIC_IMMEDIATE = 38
 _SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
 
+_MAX_SYM_DIM = 1 << 14
+_MAX_SYMS = 1 << 16
+_MAX_INSTANCES = 1 << 24
+
 
 class _Ctx(dict):
-    """Lazily-allocated per-context [state, mps] table (2^16 ids)."""
+    """Lazily-allocated per-context [state, mps] table.  Keys are the
+    16-bit generic-template ids (ints) and the integer-procedure
+    ``(name, PREV)`` tuples — disjoint key spaces in one table, exactly
+    the per-segment context lifetime §6.5.8.1/§6.4.7 require."""
 
     def __missing__(self, key):
         v = [0, 0]
@@ -89,50 +114,170 @@ def _u32(v: int) -> bytes:
     return v.to_bytes(4, "big")
 
 
-def _segment(number: int, seg_type: int, page: int, data: bytes) -> bytes:
-    """One segment with the short header forms (no referred segments)."""
-    return (_u32(number) + bytes([seg_type & 0x3F]) + b"\x00" +
+def _u16(v: int) -> bytes:
+    return v.to_bytes(2, "big")
+
+
+# --------------------------------------------------------------------------
+# Arithmetic integer coding (T.88 Annex A) — decoder and exact mirror encoder
+# --------------------------------------------------------------------------
+
+# (prefix-length, value-bits, offset) ladder of A.2 step 2
+_INT_RANGES = ((0, 2, 0), (1, 4, 4), (2, 6, 20),
+               (3, 8, 84), (4, 12, 340), (5, 32, 4436))
+
+
+class _IntDecoder:
+    """IAx integer decoding (A.2) + IAID (A.3) over a shared MQDecoder.
+
+    Contexts live in the decoder's shared table keyed ``(proc, PREV)``;
+    returns ``None`` for OOB (the "negative zero" codeword).
+    """
+
+    def __init__(self, mq: MQDecoder) -> None:
+        self.mq = mq
+
+    def _bit(self, proc: str, prev: int) -> Tuple[int, int]:
+        b = self.mq.decode((proc, prev))
+        if prev < 256:
+            prev = (prev << 1) | b
+        else:
+            prev = ((((prev << 1) | b) & 511) | 256)
+        return b, prev
+
+    def decode(self, proc: str) -> Optional[int]:
+        prev = 1
+        s, prev = self._bit(proc, prev)
+        for i, (plen, nbits, offset) in enumerate(_INT_RANGES):
+            if i < len(_INT_RANGES) - 1:
+                more, prev = self._bit(proc, prev)
+                if more:
+                    continue
+            v = 0
+            for _ in range(nbits):
+                b, prev = self._bit(proc, prev)
+                v = (v << 1) | b
+            v += offset
+            if s and v == 0:
+                return None                  # OOB
+            return -v if s else v
+        raise JBIG2Error("unreachable integer range")  # pragma: no cover
+
+    def decode_id(self, symcodelen: int) -> int:
+        prev = 1
+        for _ in range(symcodelen):
+            b = self.mq.decode(("IAID", prev))
+            prev = (prev << 1) | b
+        return prev - (1 << symcodelen)
+
+
+class _IntEncoder:
+    """Exact mirror of :class:`_IntDecoder` over a shared MQEncoder."""
+
+    def __init__(self, mq: MQEncoder) -> None:
+        self.mq = mq
+
+    def _bit(self, proc: str, prev: int, b: int) -> int:
+        self.mq.encode(b, (proc, prev))
+        if prev < 256:
+            return (prev << 1) | b
+        return ((((prev << 1) | b) & 511) | 256)
+
+    def encode(self, proc: str, value: Optional[int]) -> None:
+        if value is None:                    # OOB = "negative zero"
+            s, v = 1, 0
+        else:
+            s, v = (1, -value) if value < 0 else (0, value)
+        prev = 1
+        prev = self._bit(proc, prev, s)
+        for i, (plen, nbits, offset) in enumerate(_INT_RANGES):
+            last = i == len(_INT_RANGES) - 1
+            hi = offset + (1 << nbits)
+            if v < hi or last:
+                if not last:
+                    prev = self._bit(proc, prev, 0)
+                rel = v - offset
+                if rel < 0 or (last and rel >= (1 << nbits)):
+                    raise JBIG2Error(f"integer {value} out of coder range")
+                for k in range(nbits - 1, -1, -1):
+                    prev = self._bit(proc, prev, (rel >> k) & 1)
+                return
+            prev = self._bit(proc, prev, 1)
+
+    def encode_id(self, sym_id: int, symcodelen: int) -> None:
+        prev = 1
+        for k in range(symcodelen - 1, -1, -1):
+            b = (sym_id >> k) & 1
+            self.mq.encode(b, ("IAID", prev))
+            prev = (prev << 1) | b
+
+
+def _symcodelen(nsyms: int) -> int:
+    """SBSYMCODELEN = max(1, ⌈log2(SBNUMSYMS)⌉) — the T.88 errata /
+    pdf.js convention for arithmetic symbol-ID coding."""
+    return max(1, (nsyms - 1).bit_length()) if nsyms > 1 else 1
+
+
+# --------------------------------------------------------------------------
+# Generic bitmap coding (§6.2) — shared by region segments and symbol dicts
+# --------------------------------------------------------------------------
+
+def _encode_generic_bitmap(mq: MQEncoder, bits, w: int, h: int,
+                           tpgdon: bool) -> None:
+    ltp = 0
+    prev = bytearray(w)          # the virtual all-zero row above row 0
+    for y in range(h):
+        base = y * w
+        if tpgdon:
+            row = bits[base:base + w]
+            typical = 1 if row == prev else 0
+            # SLTP is the TOGGLE of the typical-prediction state, not
+            # the state itself (T.88 §6.2.5.7: LTP ^= SLTP per row)
+            mq.encode(typical ^ ltp, _TPGD_CTX0)
+            ltp = typical
+            prev = row
+            if ltp:
+                continue         # decoder copies the row above
+        for x in range(w):
+            mq.encode(bits[base + x], _context(bits, w, h, x, y))
+
+
+def _decode_generic_bitmap(mq: MQDecoder, w: int, h: int,
+                           tpgdon: bool) -> bytearray:
+    bits = bytearray(w * h)
+    ltp = 0
+    for y in range(h):
+        base = y * w
+        if tpgdon:
+            ltp ^= mq.decode(_TPGD_CTX0)
+            if ltp:
+                if y:
+                    bits[base:base + w] = bits[base - w:base]
+                continue        # row 0: copy of the all-zero virtual row
+        for x in range(w):
+            if mq.decode(_context(bits, w, h, x, y)):
+                bits[base + x] = 1
+    return bits
+
+
+# --------------------------------------------------------------------------
+# Segment framing (§7.2)
+# --------------------------------------------------------------------------
+
+def _segment(number: int, seg_type: int, page: int, data: bytes,
+             refs: Sequence[int] = ()) -> bytes:
+    """One segment with the short header forms (≤4 referred segments,
+    1-byte referred numbers — valid while segment numbers stay ≤ 256)."""
+    if len(refs) > 4 or number > 256 or any(r > 255 for r in refs):
+        raise JBIG2Error("segment header out of short-form range")
+    rts = bytes([len(refs) << 5]) + bytes(refs)
+    return (_u32(number) + bytes([seg_type & 0x3F]) + rts +
             bytes([page]) + _u32(len(data)) + data)
 
 
-def encode_bilevel(width: int, height: int, luma: bytes) -> bytes:
-    """Encode an 8-bit grayscale buffer (thresholded at 128: dark=ink)
-    as an embedded-PDF JBIG2 stream: page info + one immediate lossless
-    generic region (template 0, TPGDON) + end-of-page."""
-    if width <= 0 or height <= 0 or len(luma) != width * height:
-        raise JBIG2Error("bad image dimensions")
-    bits = bytearray(1 if b < 128 else 0 for b in luma)
-    ctx = _Ctx()
-    mq = MQEncoder(states=ctx)
-    ltp = 0
-    prev = bytearray(width)      # the virtual all-zero row above row 0
-    for y in range(height):
-        row = bits[y * width:(y + 1) * width]
-        typical = 1 if row == prev else 0
-        # SLTP is the TOGGLE of the typical-prediction state, not the
-        # state itself (T.88 §6.2.5.7: LTP ^= SLTP per row)
-        mq.encode(typical ^ ltp, _TPGD_CTX0)
-        ltp = typical
-        prev = row
-        if ltp:
-            continue             # decoder copies the row above
-        base = y * width
-        for x in range(width):
-            mq.encode(bits[base + x], _context(bits, width, height, x, y))
-    data = mq.flush()
-    page_info = (_u32(width) + _u32(height) + _u32(0) + _u32(0) +
-                 bytes([0x01]) + b"\x00\x00")
-    region = (_u32(width) + _u32(height) + _u32(0) + _u32(0) +
-              bytes([0x00]) +          # external combination op: OR
-              bytes([0x08]) +          # MMR=0, template 0, TPGDON=1
-              _NOMINAL_AT + data)
-    return (_segment(0, _SEG_PAGE_INFO, 1, page_info) +
-            _segment(1, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, region) +
-            _segment(2, _SEG_END_OF_PAGE, 1, b""))
-
-
-def _parse_segment_header(data: bytes, pos: int) -> Tuple[int, int, int, int]:
-    """→ (seg_type, data_length, data_start, next_header_pos)."""
+def _parse_segment_header(
+        data: bytes, pos: int) -> Tuple[int, List[int], int, int, int]:
+    """→ (seg_type, referred_numbers, data_length, data_start, next_pos)."""
     if pos + 11 > len(data):
         raise JBIG2Error("truncated segment header")
     number = int.from_bytes(data[pos:pos + 4], "big")
@@ -150,6 +295,10 @@ def _parse_segment_header(data: bytes, pos: int) -> Tuple[int, int, int, int]:
     else:
         p += 1
     ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+    if p + count * ref_size > len(data):
+        raise JBIG2Error("truncated referred-to list")
+    refs = [int.from_bytes(data[p + i * ref_size:p + (i + 1) * ref_size],
+                           "big") for i in range(count)]
     p += count * ref_size
     p += 4 if page_assoc_4 else 1
     if p + 4 > len(data):
@@ -160,44 +309,94 @@ def _parse_segment_header(data: bytes, pos: int) -> Tuple[int, int, int, int]:
         raise JBIG2Error("unknown-length segments unsupported")
     if p + length > len(data):
         raise JBIG2Error("truncated segment data")
-    return seg_type, length, p, p + length
+    return seg_type, refs, length, p, p + length
+
+
+# --------------------------------------------------------------------------
+# Generic region segments (§7.4.6)
+# --------------------------------------------------------------------------
+
+def encode_bilevel(width: int, height: int, luma: bytes) -> bytes:
+    """Encode an 8-bit grayscale buffer (thresholded at 128: dark=ink)
+    as an embedded-PDF JBIG2 stream: page info + one immediate lossless
+    generic region (template 0, TPGDON) + end-of-page."""
+    if width <= 0 or height <= 0 or len(luma) != width * height:
+        raise JBIG2Error("bad image dimensions")
+    bits = bytearray(1 if b < 128 else 0 for b in luma)
+    mq = MQEncoder(states=_Ctx())
+    _encode_generic_bitmap(mq, bits, width, height, tpgdon=True)
+    data = mq.flush()
+    region = (_u32(width) + _u32(height) + _u32(0) + _u32(0) +
+              bytes([0x00]) +          # external combination op: OR
+              bytes([0x08]) +          # MMR=0, template 0, TPGDON=1
+              _NOMINAL_AT + data)
+    return (_segment(0, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
+            _segment(1, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, region) +
+            _segment(2, _SEG_END_OF_PAGE, 1, b""))
+
+
+def encode_bilevel_mmr(width: int, height: int, luma: bytes) -> bytes:
+    """Encode as an MMR (T.6/G4) generic region — JBIG2's §6.2.6 MMR=1
+    variant, whose region body is the exact bitstream the shared CCITT
+    kernel produces (black < 128 = ink)."""
+    from pdf_ocr_spark.kernels.pdf import ccitt
+
+    if width <= 0 or height <= 0 or len(luma) != width * height:
+        raise JBIG2Error("bad image dimensions")
+    body = ccitt.encode_g4(luma, width, height)
+    region = (_u32(width) + _u32(height) + _u32(0) + _u32(0) +
+              bytes([0x00]) +          # external combination op: OR
+              bytes([0x01]) +          # MMR=1 (no AT pixels follow)
+              body)
+    return (_segment(0, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
+            _segment(1, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, region) +
+            _segment(2, _SEG_END_OF_PAGE, 1, b""))
+
+
+def _page_info(width: int, height: int) -> bytes:
+    return (_u32(width) + _u32(height) + _u32(0) + _u32(0) +
+            bytes([0x01]) + b"\x00\x00")
 
 
 def _decode_generic(body: bytes, page: bytearray,
                     pw: int, ph: int) -> None:
-    if len(body) < 17 + 1 + 8:
+    if len(body) < 18:
         raise JBIG2Error("short generic region segment")
     rw = int.from_bytes(body[0:4], "big")
     rh = int.from_bytes(body[4:8], "big")
     rx = int.from_bytes(body[8:12], "big")
     ry = int.from_bytes(body[12:16], "big")
     gflags = body[17]
-    if gflags & 0x01:
-        raise JBIG2Error("MMR-coded generic regions unsupported")
-    if (gflags >> 1) & 0x03 != 0:
-        raise JBIG2Error("only generic template 0 supported")
-    tpgdon = bool(gflags & 0x08)
-    at = body[18:26]
-    if at != _NOMINAL_AT:
-        raise JBIG2Error("non-nominal AT pixels unsupported")
     if rx + rw > pw or ry + rh > ph:
         raise JBIG2Error("region exceeds page")
     if rw == 0 or rh == 0 or rw * rh > 64 << 20:
         raise JBIG2Error("unreasonable region size")
-    mq = MQDecoder(body[26:], states=_Ctx())
-    bits = bytearray(rw * rh)
-    ltp = 0
-    for y in range(rh):
-        ltp ^= mq.decode(_TPGD_CTX0)
-        base = y * rw
-        if ltp:
-            if y == 0:
-                continue        # copy of the (all-zero) virtual row
-            bits[base:base + rw] = bits[base - rw:base]
-            continue
-        for x in range(rw):
-            if mq.decode(_context(bits, rw, rh, x, y)):
-                bits[base + x] = 1
+    if gflags & 0x01:
+        # MMR=1: the region body is a T.6 (G4) bitstream (§6.2.6)
+        from pdf_ocr_spark.kernels.pdf import ccitt
+
+        try:
+            w, h, luma = ccitt.decode(body[18:], columns=rw, rows=rh, k=-1)
+        except ccitt.CcittError as exc:
+            raise JBIG2Error(f"MMR region: {exc}") from exc
+        if (w, h) != (rw, rh):
+            raise JBIG2Error("MMR region dimension mismatch")
+        bits = bytearray(1 if b < 128 else 0 for b in luma)
+    else:
+        if (gflags >> 1) & 0x03 != 0:
+            raise JBIG2Error("only generic template 0 supported")
+        tpgdon = bool(gflags & 0x08)
+        if len(body) < 26:
+            raise JBIG2Error("short generic region segment")
+        if body[18:26] != _NOMINAL_AT:
+            raise JBIG2Error("non-nominal AT pixels unsupported")
+        mq = MQDecoder(body[26:], states=_Ctx())
+        bits = _decode_generic_bitmap(mq, rw, rh, tpgdon)
+    _compose_or(bits, rw, rh, page, pw, rx, ry)
+
+
+def _compose_or(bits, rw: int, rh: int, page: bytearray,
+                pw: int, rx: int, ry: int) -> None:
     for y in range(rh):
         src = y * rw
         dst = (ry + y) * pw + rx
@@ -206,6 +405,297 @@ def _decode_generic(body: bytes, page: bytearray,
                 page[dst + x] = 1      # OR composition
 
 
+# --------------------------------------------------------------------------
+# Symbol dictionary segments (§7.4.3 / §6.5)
+# --------------------------------------------------------------------------
+
+def _encode_symbol_dict_body(symbols: Sequence[Tuple[int, int, bytearray]]
+                             ) -> bytes:
+    """Arithmetic symbol dictionary exporting every symbol, in order.
+    Consecutive same-height symbols share a height class; IADH/IADW are
+    signed so the caller's order is preserved verbatim."""
+    mq = MQEncoder(states=_Ctx())
+    enc = _IntEncoder(mq)
+    prev_h = 0
+    i = 0
+    while i < len(symbols):
+        h = symbols[i][1]
+        enc.encode("IADH", h - prev_h)
+        prev_h = h
+        symw = 0
+        while i < len(symbols) and symbols[i][1] == h:
+            w, _, bits = symbols[i]
+            enc.encode("IADW", w - symw)
+            symw = w
+            _encode_generic_bitmap(mq, bits, w, h, tpgdon=False)
+            i += 1
+        enc.encode("IADW", None)             # OOB ends the height class
+    enc.encode("IAEX", 0)                    # no un-exported prefix
+    enc.encode("IAEX", len(symbols))         # export every symbol
+    return (_u16(0x0000) +                   # SDHUFF=0 REFAGG=0 template 0
+            _NOMINAL_AT +
+            _u32(len(symbols)) + _u32(len(symbols)) +
+            mq.flush())
+
+
+def _decode_symbol_dict(body: bytes,
+                        input_syms: List[Tuple[int, int, bytearray]]
+                        ) -> List[Tuple[int, int, bytearray]]:
+    if len(body) < 18:
+        raise JBIG2Error("short symbol dictionary segment")
+    flags = int.from_bytes(body[0:2], "big")
+    if flags & 0x0001:
+        raise JBIG2Error("Huffman symbol dictionaries unsupported")
+    if flags & 0x0002:
+        raise JBIG2Error("refinement/aggregate symbol coding unsupported")
+    if (flags >> 10) & 0x03 != 0:
+        raise JBIG2Error("only symbol template 0 supported")
+    if flags & 0x6000:
+        raise JBIG2Error("retained coding contexts unsupported")
+    if body[2:10] != _NOMINAL_AT:
+        raise JBIG2Error("non-nominal AT pixels unsupported")
+    num_ex = int.from_bytes(body[10:14], "big")
+    num_new = int.from_bytes(body[14:18], "big")
+    if num_new > _MAX_SYMS or num_ex > len(input_syms) + num_new:
+        raise JBIG2Error("unreasonable symbol counts")
+    mq = MQDecoder(body[18:], states=_Ctx())
+    dec = _IntDecoder(mq)
+    new_syms: List[Tuple[int, int, bytearray]] = []
+    hc_height = 0
+    while len(new_syms) < num_new:
+        dh = dec.decode("IADH")
+        if dh is None:
+            raise JBIG2Error("OOB height-class delta")
+        hc_height += dh
+        if not 0 < hc_height <= _MAX_SYM_DIM:
+            raise JBIG2Error("unreasonable symbol height")
+        symw = 0
+        while True:
+            dw = dec.decode("IADW")
+            if dw is None:
+                break                        # OOB: height class done
+            symw += dw
+            if not 0 < symw <= _MAX_SYM_DIM:
+                raise JBIG2Error("unreasonable symbol width")
+            if len(new_syms) >= num_new:
+                raise JBIG2Error("more symbols than declared")
+            if symw * hc_height > 64 << 20:
+                raise JBIG2Error("unreasonable symbol size")
+            bits = _decode_generic_bitmap(mq, symw, hc_height, tpgdon=False)
+            new_syms.append((symw, hc_height, bits))
+    all_syms = list(input_syms) + new_syms
+    exported: List[Tuple[int, int, bytearray]] = []
+    idx = 0
+    cur_flag = 0
+    while idx < len(all_syms):
+        run = dec.decode("IAEX")
+        if run is None or run < 0 or idx + run > len(all_syms):
+            raise JBIG2Error("bad export run")
+        if cur_flag:
+            exported.extend(all_syms[idx:idx + run])
+        idx += run
+        cur_flag ^= 1
+    if len(exported) != num_ex:
+        raise JBIG2Error("export count mismatch")
+    return exported
+
+
+# --------------------------------------------------------------------------
+# Text region segments (§7.4.4 / §6.4)
+# --------------------------------------------------------------------------
+
+_REFCORNERS = ("BOTTOMLEFT", "TOPLEFT", "BOTTOMRIGHT", "TOPRIGHT")
+
+
+def _encode_text_region_body(
+        rw: int, rh: int,
+        symbols: Sequence[Tuple[int, int, bytearray]],
+        instances: Sequence[Tuple[int, int, int]],
+        refcorner: int, logsbstrips: int) -> bytes:
+    """Immediate lossless text region placing ``instances`` of
+    ``(sym_idx, x, y)`` with (x, y) the symbol's TOP-LEFT pixel — the
+    encoder converts to the transmitted T per ``refcorner``."""
+    sbstrips = 1 << logsbstrips
+    symlen = _symcodelen(len(symbols))
+    top_corner = refcorner in (1, 3)         # TOPLEFT / TOPRIGHT
+    strips: Dict[int, List[Tuple[int, int, int, int]]] = {}
+    for sid, x, y in instances:
+        w, h, _ = symbols[sid]
+        t = y if top_corner else y + h - 1
+        strips.setdefault(t // sbstrips, []).append((x, t, sid, w))
+    mq = MQEncoder(states=_Ctx())
+    enc = _IntEncoder(mq)
+    enc.encode("IADT", 0)                    # STRIPT init → 0
+    stript_q = 0
+    firsts = 0
+    for q in sorted(strips):
+        enc.encode("IADT", q - stript_q)
+        stript_q = q
+        first = True
+        curs = 0
+        for x, t, sid, w in sorted(strips[q]):
+            if first:
+                enc.encode("IAFS", x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                enc.encode("IADS", x - curs)
+            curs = x
+            if sbstrips > 1:
+                enc.encode("IAIT", t - stript_q * sbstrips)
+            enc.encode_id(sid, symlen)
+            curs += w - 1
+        enc.encode("IADS", None)             # OOB ends the strip
+    flags = (logsbstrips << 2) | (refcorner << 4)
+    return (_u32(rw) + _u32(rh) + _u32(0) + _u32(0) +
+            bytes([0x00]) +                  # external combination op: OR
+            _u16(flags) +
+            _u32(len(instances)) +
+            mq.flush())
+
+
+def _decode_text_region(body: bytes,
+                        syms: List[Tuple[int, int, bytearray]],
+                        page: bytearray, pw: int, ph: int) -> None:
+    if len(body) < 23:
+        raise JBIG2Error("short text region segment")
+    rw = int.from_bytes(body[0:4], "big")
+    rh = int.from_bytes(body[4:8], "big")
+    rx = int.from_bytes(body[8:12], "big")
+    ry = int.from_bytes(body[12:16], "big")
+    if rx + rw > pw or ry + rh > ph:
+        raise JBIG2Error("region exceeds page")
+    if rw == 0 or rh == 0 or rw * rh > 64 << 20:
+        raise JBIG2Error("unreasonable region size")
+    flags = int.from_bytes(body[17:19], "big")
+    if flags & 0x0001:
+        raise JBIG2Error("Huffman text regions unsupported")
+    if flags & 0x0002:
+        raise JBIG2Error("refinement text coding unsupported")
+    logsbstrips = (flags >> 2) & 0x03
+    sbstrips = 1 << logsbstrips
+    refcorner = (flags >> 4) & 0x03
+    if (flags >> 6) & 0x01:
+        raise JBIG2Error("transposed text regions unsupported")
+    if (flags >> 7) & 0x03 != 0:
+        raise JBIG2Error("only OR text composition supported")
+    if (flags >> 9) & 0x01:
+        raise JBIG2Error("SBDEFPIXEL=1 unsupported")
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    num_inst = int.from_bytes(body[19:23], "big")
+    if num_inst > _MAX_INSTANCES:
+        raise JBIG2Error("unreasonable instance count")
+    if not syms:
+        raise JBIG2Error("text region with no symbols")
+    symlen = _symcodelen(len(syms))
+    top_corner = refcorner in (1, 3)
+    mq = MQDecoder(body[23:], states=_Ctx())
+    dec = _IntDecoder(mq)
+    bits = bytearray(rw * rh)
+    dt0 = dec.decode("IADT")
+    if dt0 is None:
+        raise JBIG2Error("OOB STRIPT")
+    stript = -dt0 * sbstrips
+    firsts = 0
+    n = 0
+    guard = 0
+    while n < num_inst:
+        guard += 1
+        if guard > num_inst + 1024:       # empty strips are bounded too
+            raise JBIG2Error("runaway text region")
+        dt = dec.decode("IADT")
+        if dt is None:
+            raise JBIG2Error("OOB strip delta")
+        stript += dt * sbstrips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = dec.decode("IAFS")
+                if dfs is None:
+                    raise JBIG2Error("OOB first-symbol S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = dec.decode("IADS")
+                if ids is None:
+                    break                    # OOB: strip done
+                curs += ids + dsoffset
+            if n >= num_inst:
+                raise JBIG2Error("more instances than declared")
+            curt = 0 if sbstrips == 1 else dec.decode("IAIT")
+            if curt is None:
+                raise JBIG2Error("OOB T offset")
+            tt = stript + curt
+            sid = dec.decode_id(symlen)
+            if not 0 <= sid < len(syms):
+                raise JBIG2Error(f"symbol id {sid} out of range")
+            sw, sh, sbits = syms[sid]
+            # for all four (untransposed) corners the drawn top-left x
+            # is CURS before advancement, and CURS advances by WS-1
+            # (§6.4.5 step 3(c) vi-x collapse to this)
+            x0 = curs
+            y0 = tt if top_corner else tt - sh + 1
+            for yy in range(sh):
+                ty = y0 + yy
+                if not 0 <= ty < rh:
+                    continue
+                rowbase = ty * rw
+                sbase = yy * sw
+                for xx in range(sw):
+                    tx = x0 + xx
+                    if 0 <= tx < rw and sbits[sbase + xx]:
+                        bits[rowbase + tx] = 1
+            curs += sw - 1
+            n += 1
+    _compose_or(bits, rw, rh, page, pw, rx, ry)
+
+
+def encode_symbol_page(width: int, height: int,
+                       symbols: Sequence[Tuple[int, int, bytes]],
+                       instances: Sequence[Tuple[int, int, int]],
+                       refcorner: int = 1, logsbstrips: int = 0) -> bytes:
+    """Encode a page as symbol dictionary + text region — the coding
+    real scanned-text JBIG2 uses.  ``symbols`` are ``(w, h, luma8)``
+    glyph bitmaps (dark < 128 = ink); ``instances`` are
+    ``(symbol_index, x, y)`` placements with (x, y) the glyph's
+    top-left pixel on the page.  ``refcorner``/``logsbstrips`` choose
+    the transmitted corner (§6.4: 0=BL 1=TL 2=BR 3=TR) and strip height
+    (2^logsbstrips) — the decoded page is identical for all choices."""
+    if width <= 0 or height <= 0:
+        raise JBIG2Error("bad page dimensions")
+    if not symbols:
+        raise JBIG2Error("symbol page needs at least one symbol")
+    if refcorner not in (0, 1, 2, 3) or logsbstrips not in (0, 1, 2, 3):
+        raise JBIG2Error("bad refcorner/logsbstrips")
+    syms: List[Tuple[int, int, bytearray]] = []
+    for w, h, luma in symbols:
+        if w <= 0 or h <= 0 or len(luma) != w * h:
+            raise JBIG2Error("bad symbol dimensions")
+        syms.append((w, h, bytearray(1 if b < 128 else 0 for b in luma)))
+    for sid, x, y in instances:
+        if not 0 <= sid < len(syms):
+            raise JBIG2Error("instance symbol index out of range")
+        if not (0 <= x < width and 0 <= y < height):
+            raise JBIG2Error("instance origin outside page")
+    dict_body = _encode_symbol_dict_body(syms)
+    text_body = _encode_text_region_body(width, height, syms, instances,
+                                         refcorner, logsbstrips)
+    return (_segment(0, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
+            _segment(1, _SEG_SYMBOL_DICT, 1, dict_body) +
+            _segment(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_body,
+                     refs=(1,)) +
+            _segment(3, _SEG_END_OF_PAGE, 1, b""))
+
+
+# --------------------------------------------------------------------------
+# Top-level decode
+# --------------------------------------------------------------------------
+
 def decode_bilevel(data: bytes) -> Tuple[int, int, bytes]:
     """Decode an embedded-PDF JBIG2 stream → (w, h, luma 0/255)."""
     data = bytes(data)
@@ -213,8 +703,9 @@ def decode_bilevel(data: bytes) -> Tuple[int, int, bytes]:
     pw = ph = None
     page: bytearray = bytearray()
     saw_region = False
+    sym_dicts: Dict[int, List[Tuple[int, int, bytearray]]] = {}
     while pos < len(data):
-        seg_type, length, start, nxt = _parse_segment_header(data, pos)
+        seg_type, refs, length, start, nxt = _parse_segment_header(data, pos)
         body = data[start:start + length]
         if seg_type == _SEG_PAGE_INFO:
             if len(body) < 19:
@@ -224,6 +715,21 @@ def decode_bilevel(data: bytes) -> Tuple[int, int, bytes]:
             if not (0 < pw <= 1 << 16 and 0 < ph <= 1 << 16):
                 raise JBIG2Error("unreasonable page dimensions")
             page = bytearray(pw * ph)
+        elif seg_type == _SEG_SYMBOL_DICT:
+            input_syms: List[Tuple[int, int, bytearray]] = []
+            for r in refs:
+                input_syms.extend(sym_dicts.get(r, []))
+            number = int.from_bytes(data[pos:pos + 4], "big")
+            sym_dicts[number] = _decode_symbol_dict(body, input_syms)
+        elif seg_type in (_SEG_TEXT_IMMEDIATE,
+                          _SEG_TEXT_IMMEDIATE_LOSSLESS):
+            if pw is None:
+                raise JBIG2Error("text region before page info")
+            syms: List[Tuple[int, int, bytearray]] = []
+            for r in refs:
+                syms.extend(sym_dicts.get(r, []))
+            _decode_text_region(body, syms, page, pw, ph)
+            saw_region = True
         elif seg_type in (_SEG_GENERIC_IMMEDIATE,
                           _SEG_GENERIC_IMMEDIATE_LOSSLESS):
             if pw is None:

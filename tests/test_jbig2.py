@@ -1,8 +1,10 @@
 """From-scratch JBIG2 codec (kernels/pdf/jbig2.py): generic-region
-template-0 arithmetic coding with TPGDON, embedded-PDF segment framing,
-lossless round-trips, truncation/corruption fuzz, and the JBIG2Decode
-scan branch through the extraction pipeline (reference behavior: real
-pixmaps rendered and OCRed whatever codec the PDF carries,
+template-0 arithmetic coding with TPGDON, MMR (T.6) regions, symbol
+dictionaries + text regions (the coding real scanned text uses),
+embedded-PDF segment framing, lossless round-trips,
+truncation/corruption fuzz, and the JBIG2Decode scan branch through
+the extraction pipeline (reference behavior: real pixmaps rendered and
+OCRed whatever codec the PDF carries,
 /root/reference/pdf_ocr_with_boxes_v2.py:200-247)."""
 
 import random
@@ -15,7 +17,24 @@ from pdf_ocr_spark.kernels.pdf.jbig2 import (
     JBIG2Error,
     decode_bilevel,
     encode_bilevel,
+    encode_bilevel_mmr,
+    encode_symbol_page,
 )
+
+
+def _rand_glyph(w, h, seed):
+    rng = np.random.RandomState(seed)
+    return (w, h, (rng.randint(0, 2, size=w * h) * 255)
+            .astype(np.uint8).tobytes())
+
+
+def _expected_or(width, height, symbols, instances):
+    exp = np.zeros((height, width), dtype=np.uint8)
+    for sid, x, y in instances:
+        w, h, luma = symbols[sid]
+        g = np.frombuffer(luma, dtype=np.uint8).reshape(h, w) < 128
+        exp[y:y + h, x:x + w] |= g.astype(np.uint8)
+    return np.where(exp, 0, 255).astype(np.uint8).tobytes()
 
 
 class TestRoundTrip:
@@ -51,6 +70,118 @@ class TestRoundTrip:
         w2, h2, out = decode_bilevel(encode_bilevel(w, h, px))
         assert (w2, h2, out) == (w, h, px)
         assert pixels_to_text(w2, h2, out) == "jbig2 codec\npixel marker"
+
+
+class TestMMR:
+    @pytest.mark.parametrize("w,h", [(1, 1), (17, 9), (64, 64), (96, 40)])
+    def test_random_round_trip(self, w, h):
+        rng = np.random.RandomState(w * 7 + h)
+        luma = (rng.randint(0, 2, size=w * h) * 255).astype(np.uint8).tobytes()
+        assert decode_bilevel(encode_bilevel_mmr(w, h, luma)) == (w, h, luma)
+
+    def test_matches_generic_pixels(self):
+        from pdf_ocr_spark.kernels.pixelcode import text_to_pixels
+
+        w, h, px = text_to_pixels("mmr region\nT.6 body")
+        assert decode_bilevel(encode_bilevel_mmr(w, h, px)) == \
+            decode_bilevel(encode_bilevel(w, h, px))
+
+    def test_truncated_mmr_raises(self):
+        luma = bytes(32 * 32)
+        data = encode_bilevel_mmr(32, 32, luma)
+        with pytest.raises(JBIG2Error):
+            decode_bilevel(data[: len(data) - 12])
+
+
+class TestSymbolText:
+    """Symbol dictionary (§6.5) + text region (§6.4) coding."""
+
+    SYMS = [_rand_glyph(8, 8, 1), _rand_glyph(16, 8, 2),
+            _rand_glyph(5, 11, 3), _rand_glyph(7, 11, 4)]
+    INSTS = [(0, 0, 0), (1, 10, 0), (0, 30, 2), (2, 50, 5), (3, 60, 1),
+             (1, 3, 20), (2, 40, 25), (0, 70, 30), (3, 20, 36)]
+
+    @pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+    @pytest.mark.parametrize("logsbstrips", [0, 1, 2])
+    def test_round_trip_all_corners_and_strips(self, refcorner, logsbstrips):
+        """The decoded page is identical whatever REFCORNER / SBSTRIPS
+        the encoder transmits — multiple height classes, negative-delta
+        widths, and IAIT T-offsets all exercised."""
+        exp = _expected_or(96, 48, self.SYMS, self.INSTS)
+        data = encode_symbol_page(96, 48, self.SYMS, self.INSTS,
+                                  refcorner=refcorner,
+                                  logsbstrips=logsbstrips)
+        assert decode_bilevel(data) == (96, 48, exp)
+
+    def test_single_symbol_dictionary(self):
+        syms = [_rand_glyph(6, 6, 9)]
+        insts = [(0, 0, 0), (0, 10, 10), (0, 20, 3)]
+        exp = _expected_or(32, 20, syms, insts)
+        assert decode_bilevel(encode_symbol_page(32, 20, syms, insts)) == \
+            (32, 20, exp)
+
+    def test_unused_symbols_still_decode(self):
+        """Dictionary exports glyphs the text region never places."""
+        insts = [(0, 0, 0), (0, 16, 0)]
+        exp = _expected_or(40, 16, self.SYMS, insts)
+        assert decode_bilevel(
+            encode_symbol_page(40, 16, self.SYMS, insts)) == (40, 16, exp)
+
+    def test_overlapping_instances_or_compose(self):
+        insts = [(1, 4, 4), (1, 8, 4), (0, 6, 6)]
+        exp = _expected_or(40, 24, self.SYMS, insts)
+        assert decode_bilevel(
+            encode_symbol_page(40, 24, self.SYMS, insts)) == (40, 24, exp)
+
+    def test_marker_text_through_symbols(self):
+        from pdf_ocr_spark.fixtures.genpages import _marker_to_symbol_page
+        from pdf_ocr_spark.kernels.pixelcode import pixels_to_text, \
+            text_to_pixels
+
+        text = "jbig2 symbol fixture\nsecond line"
+        w, h, px = text_to_pixels(text)
+        w2, h2, out = decode_bilevel(_marker_to_symbol_page(w, h, px))
+        assert (w2, h2, out) == (w, h, px)
+        assert pixels_to_text(w2, h2, out) == text
+
+    def test_symbol_stream_beats_generic_on_text(self):
+        """The whole point of symbol coding: repeated glyphs compress
+        better than generic-region coding the same page."""
+        from pdf_ocr_spark.fixtures.genpages import _marker_to_symbol_page
+        from pdf_ocr_spark.kernels.pixelcode import text_to_pixels
+
+        w, h, px = text_to_pixels("symbol coding wins " * 8)
+        assert len(_marker_to_symbol_page(w, h, px)) < \
+            len(encode_bilevel(w, h, px))
+
+    def test_rejects_bad_inputs(self):
+        with pytest.raises(JBIG2Error):
+            encode_symbol_page(16, 16, [], [])
+        with pytest.raises(JBIG2Error):
+            encode_symbol_page(16, 16, self.SYMS, [(99, 0, 0)])
+        with pytest.raises(JBIG2Error):
+            encode_symbol_page(16, 16, self.SYMS, [(0, 99, 0)])
+        with pytest.raises(JBIG2Error):
+            encode_symbol_page(16, 16, [(4, 4, b"xy")], [])
+        with pytest.raises(JBIG2Error):
+            encode_symbol_page(16, 16, self.SYMS, [], refcorner=7)
+
+    def test_symbol_fuzz_truncation_and_flips(self):
+        data = encode_symbol_page(96, 48, self.SYMS, self.INSTS)
+        rng = random.Random(41)
+        for _ in range(150):
+            cut = rng.randrange(1, len(data))
+            try:
+                decode_bilevel(data[:cut])
+            except JBIG2Error:
+                pass
+        for _ in range(150):
+            b = bytearray(data)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                decode_bilevel(bytes(b))
+            except JBIG2Error:
+                pass   # wrong pixels are fine; other exceptions are not
 
 
 class TestValidation:
