@@ -635,8 +635,9 @@ def make_scan_pdf(page_texts: List[str]) -> bytes:
     return w.build(catalog)
 
 
-def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0) -> bytes:
-    """Image-only pages whose XObject is a REAL baseline JPEG
+def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0,
+                       coding: str = "baseline") -> bytes:
+    """Image-only pages whose XObject is a REAL JPEG
     (``/Filter /DCTDecode``) produced by the from-scratch encoder
     (kernels/pdf/jpeg.py): the ground truth is carried in the DECODED
     PIXELS as the pixel-grid marker (kernels/pixelcode.py), so the OCR
@@ -644,10 +645,22 @@ def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0) -> bytes:
     pixmap flow (/root/reference/pdf_ocr_with_boxes_v2.py:200-209) —
     not a byte-layout stand-in.
 
+    ``coding`` picks the JPEG flavor: ``baseline`` (SOF0 grayscale),
+    ``progressive`` (SOF2 spectral-selection + successive-approximation
+    grayscale — the common web/scan variant), or ``cmyk`` (baseline
+    4-component with the Adobe APP14 inverted-sample convention of
+    print-origin PDFs; the marker luma rides on the K channel).
+
     ``corrupt_page`` (1-based, 0 = none) truncates that page's JPEG
     stream mid-entropy-data: the decoder must raise cleanly and the
     stub must emit its fingerprint fallback, never crash the task."""
-    from pdf_ocr_spark.kernels.pdf.jpeg import encode_gray
+    import numpy as _np
+
+    from pdf_ocr_spark.kernels.pdf.jpeg import (
+        encode_cmyk,
+        encode_gray,
+        encode_gray_progressive,
+    )
     from pdf_ocr_spark.kernels.pixelcode import text_to_pixels
 
     media = (612.0, 792.0)
@@ -657,13 +670,22 @@ def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0) -> bytes:
     page_nums = []
     for pno, text in enumerate(page_texts, 1):
         iw, ih, px = text_to_pixels(text)
-        payload = encode_gray(px, iw, ih, quality=90)
+        colorspace = b"/DeviceGray"
+        if coding == "progressive":
+            payload = encode_gray_progressive(px, iw, ih, quality=90)
+        elif coding == "cmyk":
+            cmyk = _np.zeros((ih, iw, 4), dtype=_np.uint8)
+            cmyk[:, :, 3] = 255 - _np.frombuffer(px, _np.uint8).reshape(ih, iw)
+            payload = encode_cmyk(cmyk.tobytes(), iw, ih, quality=90)
+            colorspace = b"/DeviceCMYK"
+        else:
+            payload = encode_gray(px, iw, ih, quality=90)
         if pno == corrupt_page:
             payload = payload[: max(16, len(payload) * 2 // 3)]
         img_num = w.add_stream(
             b"/Type /XObject /Subtype /Image /Width %d /Height %d"
-            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
-            b" /Filter /DCTDecode" % (iw, ih),
+            b" /ColorSpace %s /BitsPerComponent 8"
+            b" /Filter /DCTDecode" % (iw, ih, colorspace),
             payload,
             compress=False,
         )
@@ -963,11 +985,13 @@ def gen_ccitt_scan_rows(n_docs: int = 10) -> List[dict]:
     return rows
 
 
-def gen_jpeg_scan_rows(n_docs: int = 12) -> List[dict]:
+def gen_jpeg_scan_rows(n_docs: int = 15) -> List[dict]:
     """Corpus for the real-pixel scan branch: multi-page PDFs whose pages
-    are baseline-JPEG images (DCTDecode) carrying pixel-marker ground
-    truth, plus one doc with a truncated JPEG page (decode must fail
-    loudly, extract must not).  Deterministic — same rows every call."""
+    are JPEG images (DCTDecode) carrying pixel-marker ground truth.
+    Docs 0-10 are baseline grayscale; docs 11-12 are PROGRESSIVE (SOF2);
+    doc n-2 is Adobe CMYK (4-component, inverted samples); the last doc
+    carries a truncated progressive page 1 (decode must fail loudly,
+    extract must not).  Deterministic — same rows every call."""
     rng = random.Random(0xDC7)
     rows = []
     for d in range(n_docs):
@@ -979,11 +1003,18 @@ def gen_jpeg_scan_rows(n_docs: int = 12) -> List[dict]:
                 f"scan doc {d} page {p + 1}\n" + _sentence(rng, lang)
             )
         corrupt = 1 if d == n_docs - 1 else 0  # last doc: page 1 truncated
+        if d in (11, 12) or d == n_docs - 1:
+            coding = "progressive"
+        elif d == n_docs - 2:
+            coding = "cmyk"
+        else:
+            coding = "baseline"
         rows.append(
             dict(
                 url=f"https://example.test/docs/jpegscan/{d:06d}",
                 warc_ts=datetime.datetime(2025, 1, 3, 0, 0, d),
-                html=make_scan_pdf_jpeg(texts, corrupt_page=corrupt),
+                html=make_scan_pdf_jpeg(texts, corrupt_page=corrupt,
+                                        coding=coding),
                 text="",
                 lang="en",
                 kind="pdf_jpeg_scan",

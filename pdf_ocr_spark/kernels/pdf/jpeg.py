@@ -1,4 +1,4 @@
-"""From-scratch baseline JPEG (DCTDecode) codec — ISO/IEC 10918-1.
+"""From-scratch JPEG (DCTDecode) codec — ISO/IEC 10918-1.
 
 The reference renders real pixmaps and OCRs real pixels
 (/root/reference/pdf_ocr_with_boxes_v2.py:200-209); our sandbox has no
@@ -6,14 +6,24 @@ image libraries, so until now DCTDecode streams flowed to the OCR
 branch as opaque bytes (kernels/pdf/cos.py:138-141).  This module makes
 the scan branch process ACTUAL image content:
 
-* :func:`decode` — baseline sequential DCT decoder (SOF0/SOF1 Huffman,
-  grayscale + YCbCr with 4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 sampling, DRI/RST
-  restart intervals, 8- and 16-bit DQT, FF-stuffing).  Dequantization +
+* :func:`decode` — sequential (SOF0/SOF1) AND progressive (SOF2)
+  Huffman DCT decoder: grayscale + YCbCr with 4:4:4 / 4:2:2 / 4:2:0 /
+  4:4:0 sampling, 4-component CMYK / YCCK (Adobe APP14 transform, with
+  the Adobe inverted-sample convention print-origin PDFs carry),
+  spectral-selection + successive-approximation progressive scans
+  (DC/AC first + refinement passes with EOB runs, Annex G), DRI/RST
+  restart intervals, 8- and 16-bit DQT, FF-stuffing.  Dequantization +
   IDCT are vectorized over all blocks with numpy; only the Huffman
   bit-walk is per-symbol python (bounded by the entropy stream length).
 * :func:`encode_gray` — baseline sequential grayscale encoder with the
   Annex-K luminance quantization table (libjpeg quality scaling) and the
   Annex-K standard Huffman tables, so output decodes anywhere.
+* :func:`encode_gray_progressive` — progressive grayscale encoder (a
+  6-scan spectral-selection + successive-approximation script) for
+  deterministic fixture generation.
+* :func:`encode_cmyk` — baseline 4-component CMYK encoder emitting the
+  Adobe APP14 marker with inverted samples (the Photoshop/print
+  convention).
 
 Everything is bounded and no-surprise: malformed/truncated input raises
 :class:`JpegError` (never hangs, never over-allocates — dimensions are
@@ -27,12 +37,13 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["JpegError", "decode", "decode_gray", "encode_gray", "is_jpeg"]
+__all__ = ["JpegError", "decode", "decode_gray", "encode_gray",
+           "encode_gray_progressive", "encode_cmyk", "is_jpeg"]
 
 
 class JpegError(ValueError):
-    """Malformed, truncated, or unsupported (progressive/arithmetic/
-    12-bit) JPEG input."""
+    """Malformed, truncated, or unsupported (arithmetic/12-bit/
+    hierarchical) JPEG input."""
 
 
 MAX_SIDE = 1 << 14          # 16384 px — poison cap, same spirit as raster.py
@@ -205,7 +216,8 @@ def _extend(v: int, t: int) -> int:
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "dc_tbl", "ac_tbl", "blocks", "pred")
+    __slots__ = ("cid", "h", "v", "tq", "dc_tbl", "ac_tbl", "pred",
+                 "coef", "bwp", "bhp", "nbw", "nbh")
 
     def __init__(self, cid: int, h: int, v: int, tq: int) -> None:
         if not (1 <= h <= 4 and 1 <= v <= 4):
@@ -213,16 +225,62 @@ class _Component:
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
         self.dc_tbl: Optional[dict] = None
         self.ac_tbl: Optional[dict] = None
-        self.blocks: List[np.ndarray] = []   # zigzag int64[64] per block
+        self.coef: Optional[np.ndarray] = None   # (bhp*bwp, 64) zigzag
         self.pred = 0
+        self.bwp = self.bhp = self.nbw = self.nbh = 0
+
+
+def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """BT.601 full-range YCbCr → RGB float planes."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = np.clip(np.round(yf + 1.402 * crf), 0, 255)
+    g = np.clip(np.round(yf - 0.344136 * cbf - 0.714136 * crf), 0, 255)
+    b = np.clip(np.round(yf + 1.772 * cbf), 0, 255)
+    return r, g, b
+
+
+def _find_next_marker(data: bytes, pos: int) -> int:
+    """Skip past entropy remnants / fill bytes to the next real marker
+    (returns the index of its 0xFF); RSTn markers are skipped — scans
+    own their restarts."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        b = data[pos + 1]
+        if b in (0x00, 0xFF):
+            pos += 1 if b == 0xFF else 2
+            continue
+        if 0xD0 <= b <= 0xD7:        # stray RST between scans
+            pos += 2
+            continue
+        return pos
+    raise JpegError("truncated after scan")
+
+
+def _refine_nonzero(reader: "_BitReader", blk: np.ndarray,
+                    k: int, se: int, p1: int) -> None:
+    """Correction-bit pass over already-nonzero coefficients in
+    positions k..se (Annex G.1.2.3 / jdphuff's tail loop)."""
+    for kk in range(k, se + 1):
+        v = int(blk[kk])
+        if v != 0 and reader.get(1):
+            if not (abs(v) & p1):
+                blk[kk] = v + p1 if v > 0 else v - p1
 
 
 def decode(data: bytes) -> Tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG → (width, height, n_components, pixels).
+    """Decode a sequential or progressive JPEG →
+    (width, height, n_components, pixels).
 
-    pixels is row-major: luma bytes for 1 component, interleaved RGB for
-    3 (JFIF YCbCr, BT.601 full-range).  Raises JpegError on anything
-    malformed, truncated, progressive, arithmetic, or 12-bit."""
+    pixels is row-major: luma bytes for 1 component, interleaved RGB
+    for 3 and 4 components (JFIF YCbCr BT.601 full-range; CMYK/YCCK via
+    the Adobe APP14 transform with the inverted-sample convention).
+    Raises JpegError on anything malformed, truncated, arithmetic,
+    hierarchical, or 12-bit."""
     if not is_jpeg(data):
         raise JpegError("no SOI")
     qtables: Dict[int, np.ndarray] = {}
@@ -230,20 +288,29 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
     ac_tables: Dict[int, dict] = {}
     comps: List[_Component] = []
     w = h = 0
+    progressive = False
+    adobe = False
+    adobe_transform = -1
     restart_interval = 0
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
     pos = 2
     n = len(data)
     while True:
-        if pos + 4 > n:
-            raise JpegError("truncated before SOS")
+        if pos + 2 > n:
+            raise JpegError("truncated before EOI")
         if data[pos] != 0xFF:
             raise JpegError("expected marker, got 0x%02X" % data[pos])
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xD9:          # EOI
+            break
         if marker == 0xD8:          # stray SOI
             continue
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue                # standalone markers
+        if pos + 2 > n:
+            raise JpegError("truncated segment header")
         seglen = (data[pos] << 8) | data[pos + 1]
         if seglen < 2 or pos + seglen > n:
             raise JpegError("bad segment length")
@@ -267,7 +334,10 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
                 else:
                     raise JpegError("bad DQT precision")
                 qtables[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 — baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if comps:
+                raise JpegError("multiple SOF markers")
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise JpegError("short SOF")
             if body[0] != 8:
@@ -279,15 +349,29 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
                 raise JpegError("dimensions out of bounds")
             if w * h > MAX_PIXELS:
                 raise JpegError("pixel count out of bounds")
-            if nc not in (1, 3):
-                raise JpegError("only 1 or 3 components supported")
+            if nc not in (1, 3, 4):
+                raise JpegError("only 1, 3, or 4 components supported")
             if len(body) < 6 + 3 * nc:
                 raise JpegError("short SOF component list")
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("non-baseline SOF 0x%02X unsupported" % marker)
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            if mcux * mcuy * sum(c.h * c.v for c in comps) * 64 > 4 * MAX_PIXELS:
+                raise JpegError("coefficient storage out of bounds")
+            for c in comps:
+                c.bwp, c.bhp = mcux * c.h, mcuy * c.v
+                # non-interleaved block grid: ceil(ceil(w*h_i/hmax)/8)
+                compw = -(-(w * c.h) // hmax)
+                comph = -(-(h * c.v) // vmax)
+                c.nbw = -(-compw // 8)
+                c.nbh = -(-comph // 8)
+                c.coef = np.zeros((c.bhp * c.bwp, 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("unsupported SOF 0x%02X" % marker)
         elif marker == 0xC4:        # DHT
             i = 0
             while i + 17 <= len(body):
@@ -304,89 +388,42 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
             if len(body) < 2:
                 raise JpegError("short DRI")
             restart_interval = (body[0] << 8) | body[1]
+        elif marker == 0xEE:        # APP14 (Adobe color transform)
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                adobe = True
+                adobe_transform = body[11]
         elif marker == 0xDA:        # SOS
-            break
-        elif marker == 0xD9:
-            raise JpegError("EOI before SOS")
+            if not comps or w == 0:
+                raise JpegError("SOS before SOF")
+            pos = _decode_scan(
+                data, pos, body, comps, dc_tables, ac_tables,
+                progressive, restart_interval, mcux, mcuy)
+            saw_scan = True
+            if not progressive:
+                # baseline: single scan; ignore any trailer before EOI
+                break
         else:
             continue                # APPn / COM / others: skipped
-    if not comps or w == 0:
-        raise JpegError("SOS before SOF")
-    # SOS header
-    ns = body[0]
-    if ns != len(comps):
-        raise JpegError("partial-scan (non-interleaved) JPEG unsupported")
-    for si in range(ns):
-        cs, tds = body[1 + 2 * si], body[2 + 2 * si]
-        for c in comps:
-            if c.cid == cs:
-                c.dc_tbl = dc_tables.get(tds >> 4)
-                c.ac_tbl = ac_tables.get(tds & 15)
-                if c.dc_tbl is None or c.ac_tbl is None:
-                    raise JpegError("scan references missing DHT")
+    if not comps or not saw_scan:
+        raise JpegError("no image scan decoded")
     for c in comps:
         if c.tq not in qtables:
             raise JpegError("SOF references missing DQT")
-
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    reader = _BitReader(data, pos)
-    rst = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.align_and_expect_rst(rst)
-            rst = (rst + 1) & 7
-            for c in comps:
-                c.pred = 0
-        for c in comps:
-            for _ in range(c.h * c.v):
-                blk = np.zeros(64, dtype=np.int64)
-                t = reader.decode_symbol(c.dc_tbl)
-                if t > 11:
-                    raise JpegError("bad DC category")
-                diff = _extend(reader.get(t), t) if t else 0
-                c.pred += diff
-                blk[0] = c.pred
-                k = 1
-                while k < 64:
-                    rs = reader.decode_symbol(c.ac_tbl)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:
-                            k += 16          # ZRL
-                            continue
-                        break                # EOB
-                    k += r
-                    if k > 63:
-                        raise JpegError("AC run past block end")
-                    blk[k] = _extend(reader.get(s), s)
-                    k += 1
-                c.blocks.append(blk)
 
     # dequantize + IDCT, vectorized per component over all blocks
     planes: List[np.ndarray] = []
     for c in comps:
         q = qtables[c.tq]
-        zz = np.stack(c.blocks) * q[np.newaxis, :]        # (nblk, 64) zigzag
+        zz = c.coef * q[np.newaxis, :]                    # (nblk, 64) zigzag
         rasters = np.zeros_like(zz)
         rasters[:, ZIGZAG] = zz                           # de-zigzag
         coeff = rasters.reshape(-1, 8, 8).astype(np.float64)
         spatial = np.einsum("ux,nuv,vy->nxy", _C, coeff, _C)
         pix = np.clip(np.round(spatial) + 128.0, 0, 255).astype(np.uint8)
-        # assemble plane: blocks are in MCU order, c.h x c.v per MCU
-        pw, ph = mcux * c.h * 8, mcuy * c.v * 8
-        plane = np.zeros((ph, pw), dtype=np.uint8)
-        bi = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for by in range(c.v):
-                    for bx in range(c.h):
-                        y0 = (my * c.v + by) * 8
-                        x0 = (mx * c.h + bx) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = pix[bi]
-                        bi += 1
+        # blocks are stored row-major over the padded (bhp, bwp) grid
+        plane = (pix.reshape(c.bhp, c.bwp, 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(c.bhp * 8, c.bwp * 8))
         # upsample to full resolution (nearest — JFIF-legal) and crop
         if c.h != hmax or c.v != vmax:
             plane = plane.repeat(vmax // c.v, axis=0).repeat(hmax // c.h, axis=1)
@@ -394,14 +431,234 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
 
     if len(planes) == 1:
         return w, h, 1, planes[0].tobytes()
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
-    r = np.clip(np.round(y + 1.402 * cr), 0, 255)
-    g = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
-    b = np.clip(np.round(y + 1.772 * cb), 0, 255)
-    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    if len(planes) == 3:
+        if adobe and adobe_transform == 0:
+            rgb = np.stack(planes, axis=-1)              # RGB stored direct
+            return w, h, 3, rgb.astype(np.uint8).tobytes()
+        r, g, b = _ycc_to_rgb(*planes)
+        rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+        return w, h, 3, rgb.tobytes()
+    # 4 components: CMYK (transform 0 / no marker) or YCCK (transform 2)
+    if adobe and adobe_transform == 2:                   # YCCK
+        r, g, b = _ycc_to_rgb(planes[0], planes[1], planes[2])
+        cp, mp, yp = 255.0 - r, 255.0 - g, 255.0 - b
+    elif adobe_transform in (-1, 0):
+        cp = planes[0].astype(np.float64)
+        mp = planes[1].astype(np.float64)
+        yp = planes[2].astype(np.float64)
+    else:
+        raise JpegError("unsupported Adobe transform %d" % adobe_transform)
+    kp = planes[3].astype(np.float64)
+    if adobe:
+        # Adobe 4-component JPEGs store INVERTED samples (the
+        # Photoshop/print convention PDF viewers also apply)
+        cp, mp, yp, kp = 255.0 - cp, 255.0 - mp, 255.0 - yp, 255.0 - kp
+    r = np.round((255.0 - cp) * (255.0 - kp) / 255.0)
+    g = np.round((255.0 - mp) * (255.0 - kp) / 255.0)
+    b = np.round((255.0 - yp) * (255.0 - kp) / 255.0)
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
     return w, h, 3, rgb.tobytes()
+
+
+def _decode_scan(data: bytes, pos: int, body: bytes,
+                 comps: List[_Component], dc_tables: Dict[int, dict],
+                 ac_tables: Dict[int, dict], progressive: bool,
+                 restart_interval: int, mcux: int, mcuy: int) -> int:
+    """Entropy-decode one scan starting at ``pos`` (just past the SOS
+    segment).  Returns the position of the next marker's 0xFF."""
+    if len(body) < 4:
+        raise JpegError("short SOS header")
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise JpegError("short SOS component list")
+    scan_comps: List[_Component] = []
+    for si in range(ns):
+        cs, tds = body[1 + 2 * si], body[2 + 2 * si]
+        for c in comps:
+            if c.cid == cs:
+                c.dc_tbl = dc_tables.get(tds >> 4)
+                c.ac_tbl = ac_tables.get(tds & 15)
+                scan_comps.append(c)
+                break
+        else:
+            raise JpegError("scan references unknown component")
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ahal = body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    reader = _BitReader(data, pos)
+
+    if not progressive:
+        if ns != len(comps):
+            raise JpegError("partial-scan sequential JPEG unsupported")
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise JpegError("bad sequential scan header")
+        for c in scan_comps:
+            if c.dc_tbl is None or c.ac_tbl is None:
+                raise JpegError("scan references missing DHT")
+            c.pred = 0
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.align_and_expect_rst(rst)
+                rst = (rst + 1) & 7
+                for c in comps:
+                    c.pred = 0
+            for c in scan_comps:
+                for bi in range(c.h * c.v):
+                    my, mx = divmod(m, mcux)
+                    by, bx = divmod(bi, c.h)
+                    blk = c.coef[(my * c.v + by) * c.bwp + mx * c.h + bx]
+                    t = reader.decode_symbol(c.dc_tbl)
+                    if t > 11:
+                        raise JpegError("bad DC category")
+                    diff = _extend(reader.get(t), t) if t else 0
+                    c.pred += diff
+                    blk[0] = c.pred
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(c.ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16          # ZRL
+                                continue
+                            break                # EOB
+                        k += r
+                        if k > 63:
+                            raise JpegError("AC run past block end")
+                        blk[k] = _extend(reader.get(s), s)
+                        k += 1
+        return _find_next_marker(data, reader.pos)
+
+    # ---- progressive scan (Annex G) ----
+    if ah and ah != al + 1:
+        raise JpegError("bad successive-approximation Ah/Al")
+    if ss == 0:                                  # DC scan
+        if se != 0:
+            raise JpegError("bad progressive DC scan header")
+        if ns not in (1, len(comps)):
+            raise JpegError("partial interleaved DC scan unsupported")
+        if ah == 0:
+            for c in scan_comps:
+                if c.dc_tbl is None:
+                    raise JpegError("DC scan references missing DHT")
+                c.pred = 0
+        rst = 0
+        if ns > 1:                               # interleaved MCU walk
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    reader.align_and_expect_rst(rst)
+                    rst = (rst + 1) & 7
+                    for c in comps:
+                        c.pred = 0
+                for c in scan_comps:
+                    for bi in range(c.h * c.v):
+                        my, mx = divmod(m, mcux)
+                        by, bx = divmod(bi, c.h)
+                        blk = c.coef[(my * c.v + by) * c.bwp
+                                     + mx * c.h + bx]
+                        _dc_block(reader, c, blk, ah, al)
+        else:                                    # single-component walk
+            c = scan_comps[0]
+            for m in range(c.nbh * c.nbw):
+                if restart_interval and m and m % restart_interval == 0:
+                    reader.align_and_expect_rst(rst)
+                    rst = (rst + 1) & 7
+                    c.pred = 0
+                by, bx = divmod(m, c.nbw)
+                _dc_block(reader, c, c.coef[by * c.bwp + bx], ah, al)
+        return _find_next_marker(data, reader.pos)
+
+    # AC scan: single component only (G.1.1.1.1)
+    if ns != 1:
+        raise JpegError("interleaved progressive AC scan is illegal")
+    if not (1 <= ss <= se <= 63):
+        raise JpegError("bad spectral band")
+    c = scan_comps[0]
+    if c.ac_tbl is None:
+        raise JpegError("AC scan references missing DHT")
+    eobrun = 0
+    rst = 0
+    p1 = 1 << al
+    for m in range(c.nbh * c.nbw):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.align_and_expect_rst(rst)
+            rst = (rst + 1) & 7
+            eobrun = 0
+        by, bx = divmod(m, c.nbw)
+        blk = c.coef[by * c.bwp + bx]
+        if ah == 0:                              # first pass
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode_symbol(c.ac_tbl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16                  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.get(r)
+                    break
+                k += r
+                if k > se:
+                    raise JpegError("AC run past band end")
+                blk[k] = _extend(reader.get(s), s) << al
+                k += 1
+        else:                                    # refinement pass
+            if eobrun > 0:
+                eobrun -= 1
+                _refine_nonzero(reader, blk, ss, se, p1)
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode_symbol(c.ac_tbl)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.get(r)
+                        break                    # tail-refine below
+                    # ZRL: skip 16 zero-history positions
+                elif s == 1:
+                    newval = p1 if reader.get(1) else -p1
+                else:
+                    raise JpegError("bad refinement symbol")
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if reader.get(1) and not (abs(v) & p1):
+                            blk[k] = v + p1 if v > 0 else v - p1
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+            if k <= se:
+                _refine_nonzero(reader, blk, k, se, p1)
+    return _find_next_marker(data, reader.pos)
+
+
+def _dc_block(reader: "_BitReader", c: _Component, blk: np.ndarray,
+              ah: int, al: int) -> None:
+    if ah == 0:                                  # first DC pass
+        t = reader.decode_symbol(c.dc_tbl)
+        if t > 11:
+            raise JpegError("bad DC category")
+        diff = _extend(reader.get(t), t) if t else 0
+        c.pred += diff
+        blk[0] = c.pred << al
+    else:                                        # DC refinement: 1 raw bit
+        if reader.get(1):
+            blk[0] = int(blk[0]) | (1 << al)
 
 
 def decode_gray(data: bytes) -> Tuple[int, int, bytes]:
@@ -458,6 +715,66 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
+def _quantized_blocks(pixels: bytes, width: int, height: int,
+                      q: np.ndarray) -> np.ndarray:
+    """Pad (edge replication), forward DCT, quantize → (nblk, 64) zigzag
+    int64 blocks in row-major block order."""
+    img = np.frombuffer(pixels, np.uint8).reshape(height, width)
+    pw, ph = -(-width // 8) * 8, -(-height // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.uint8)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]           # edge replication
+    padded[:, width:] = padded[:, width - 1 : width]
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coeff = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+    quant = np.round(coeff.reshape(-1, 64) / q[np.newaxis, :]).astype(np.int64)
+    return quant[:, ZIGZAG]                         # raster → zigzag
+
+
+def _encode_block_sequential(bw: "_BitWriter", blk: np.ndarray, pred: int,
+                             dc_codes: dict, ac_codes: dict) -> int:
+    """Baseline-entropy-code one zigzag block; returns the new DC pred."""
+    diff = int(blk[0]) - pred
+    pred = int(blk[0])
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
+    for k in range(1, 64):
+        v = int(blk[k])
+        if v == 0:
+            if k > last_nz:
+                break
+            run += 1
+            if run == 16:
+                code, ln = ac_codes[0xF0]            # ZRL
+                bw.put(code, ln)
+                run = 0
+            continue
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]                    # EOB
+        bw.put(code, ln)
+    return pred
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
 def encode_gray(pixels: bytes, width: int, height: int, quality: int = 90) -> bytes:
     """Encode a row-major 8-bit grayscale image as baseline JPEG.
 
@@ -468,67 +785,21 @@ def encode_gray(pixels: bytes, width: int, height: int, quality: int = 90) -> by
         raise JpegError("bad encode dimensions")
     if len(pixels) != width * height:
         raise JpegError("pixel buffer size mismatch")
-    img = np.frombuffer(pixels, np.uint8).reshape(height, width)
-    pw, ph = -(-width // 8) * 8, -(-height // 8) * 8
-    padded = np.empty((ph, pw), dtype=np.uint8)
-    padded[:height, :width] = img
-    padded[height:, :width] = img[-1:, :]           # edge replication
-    padded[:, width:] = padded[:, width - 1 : width]
     q = _scaled_qtable(quality)                      # raster order (Annex K)
-
-    blocks = (
-        padded.reshape(ph // 8, 8, pw // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
-        .astype(np.float64)
-        - 128.0
-    )
-    coeff = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
-    quant = np.round(coeff.reshape(-1, 64) / q[np.newaxis, :]).astype(np.int64)
-    zz = quant[:, ZIGZAG]                            # raster → zigzag scan order
+    zz = _quantized_blocks(pixels, width, height, q)
 
     dc_codes = _build_codes(*STD_DC_LUMA)
     ac_codes = _build_codes(*STD_AC_LUMA)
     bw = _BitWriter()
     pred = 0
     for blk in zz:
-        diff = int(blk[0]) - pred
-        pred = int(blk[0])
-        t = _category(diff)
-        code, ln = dc_codes[t]
-        bw.put(code, ln)
-        if t:
-            bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
-        run = 0
-        last_nz = int(np.max(np.nonzero(blk)[0])) if np.any(blk[1:]) else 0
-        for k in range(1, 64):
-            v = int(blk[k])
-            if v == 0:
-                if k > last_nz:
-                    break
-                run += 1
-                if run == 16:
-                    code, ln = ac_codes[0xF0]        # ZRL
-                    bw.put(code, ln)
-                    run = 0
-                continue
-            s = _category(v)
-            code, ln = ac_codes[(run << 4) | s]
-            bw.put(code, ln)
-            bw.put(v if v > 0 else v + (1 << s) - 1, s)
-            run = 0
-        if last_nz < 63:
-            code, ln = ac_codes[0x00]                # EOB
-            bw.put(code, ln)
+        pred = _encode_block_sequential(bw, blk, pred, dc_codes, ac_codes)
     bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
-
     out = bytearray(b"\xff\xd8")                     # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q[ZIGZAG]))  # DQT is zigzag-ordered
-    out += seg(
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q[ZIGZAG]))  # DQT is zigzag-ordered
+    out += _seg(
         0xC0,
         bytes([8])
         + height.to_bytes(2, "big")
@@ -536,10 +807,271 @@ def encode_gray(pixels: bytes, width: int, height: int, quality: int = 90) -> by
         + bytes([1, 1, 0x11, 0]),
     )
     db, dv = STD_DC_LUMA
-    out += seg(0xC4, bytes([0x00]) + bytes(db) + bytes(dv))
+    out += _seg(0xC4, bytes([0x00]) + bytes(db) + bytes(dv))
     ab, av = STD_AC_LUMA
-    out += seg(0xC4, bytes([0x10]) + bytes(ab) + bytes(av))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _seg(0xC4, bytes([0x10]) + bytes(ab) + bytes(av))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += bw.out
     out += b"\xff\xd9"                               # EOI
+    return bytes(out)
+
+
+def encode_cmyk(pixels: bytes, width: int, height: int,
+                quality: int = 90) -> bytes:
+    """Encode row-major interleaved CMYK (4 bytes/pixel) as a baseline
+    4-component JPEG with the Adobe APP14 marker (transform 0) and the
+    Adobe INVERTED-sample convention print-origin PDFs carry — the
+    exact stream a ``/DeviceCMYK /DCTDecode`` image holds.
+    Deterministic: same input → same bytes."""
+    if width <= 0 or height <= 0 or width > MAX_SIDE or height > MAX_SIDE:
+        raise JpegError("bad encode dimensions")
+    if len(pixels) != width * height * 4:
+        raise JpegError("pixel buffer size mismatch")
+    q = _scaled_qtable(quality)
+    arr = np.frombuffer(pixels, np.uint8).reshape(height, width, 4)
+    inv = (255 - arr).astype(np.uint8)               # Adobe inversion
+    plane_blocks = [
+        _quantized_blocks(inv[:, :, ci].tobytes(), width, height, q)
+        for ci in range(4)
+    ]
+    dc_codes = _build_codes(*STD_DC_LUMA)
+    ac_codes = _build_codes(*STD_AC_LUMA)
+    bw = _BitWriter()
+    preds = [0, 0, 0, 0]
+    nblk = plane_blocks[0].shape[0]
+    for m in range(nblk):                            # MCU = 1 block/component
+        for ci in range(4):
+            preds[ci] = _encode_block_sequential(
+                bw, plane_blocks[ci][m], preds[ci], dc_codes, ac_codes)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xEE, b"Adobe\x00\x64\x00\x00\x00\x00\x00")  # transform 0
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q[ZIGZAG]))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([4])
+    for cid in (1, 2, 3, 4):
+        sof += bytes([cid, 0x11, 0])
+    out += _seg(0xC0, sof)
+    db, dv = STD_DC_LUMA
+    out += _seg(0xC4, bytes([0x00]) + bytes(db) + bytes(dv))
+    ab, av = STD_AC_LUMA
+    out += _seg(0xC4, bytes([0x10]) + bytes(ab) + bytes(av))
+    sos = bytes([4])
+    for cid in (1, 2, 3, 4):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (grayscale) — deterministic fixture generation
+# ---------------------------------------------------------------------------
+
+# Fixed AC table for progressive scans: the standard baseline table
+# lacks the EOBn symbols (0x10..0xE0), so progressive encoders ship
+# custom DHTs.  Ours is the flat 8-bit canon over every symbol the
+# scan script can emit — suboptimal compression, valid prefix code.
+_PROG_AC_SYMBOLS = ([(r << 4) | s for r in range(16) for s in range(1, 11)]
+                    + [n << 4 for n in range(15)] + [0xF0])
+_PROG_AC_TABLE = (
+    [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted(_PROG_AC_SYMBOLS),
+)
+
+
+def _point_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero
+    (G.1.2.1)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _emit_dc_first(zz: np.ndarray, al: int, dc_codes: dict) -> bytes:
+    bw = _BitWriter()
+    pred = 0
+    for blk in zz:
+        val = int(blk[0]) >> al                      # arithmetic shift
+        diff = val - pred
+        pred = val
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _emit_dc_refine(zz: np.ndarray, al: int) -> bytes:
+    bw = _BitWriter()
+    for blk in zz:
+        bw.put((int(blk[0]) >> al) & 1, 1)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _emit_ac_first(zz: np.ndarray, ss: int, se: int, al: int,
+                   ac_codes: dict) -> bytes:
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = ac_codes[nb << 4]
+            bw.put(code, ln)
+            if nb:
+                bw.put(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for blk in zz:
+        band = [_point_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+        last_nz = -1
+        for i, v in enumerate(band):
+            if v:
+                last_nz = i
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for i in range(last_nz + 1):
+            v = band[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_codes[0xF0]            # ZRL
+                bw.put(code, ln)
+                r -= 16
+            s = _category(v)
+            code, ln = ac_codes[(r << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            r = 0
+        if last_nz < len(band) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def _emit_ac_refine(zz: np.ndarray, ss: int, se: int, al: int,
+                    ac_codes: dict) -> bytes:
+    """Successive-approximation AC refinement (G.1.2.3, the jcphuff
+    shape): newly-nonzero coefficients emit (r<<4|1)+sign, history
+    coefficients buffer correction bits that ride behind the next
+    emitted symbol or EOB run."""
+    bw = _BitWriter()
+    eobrun = 0
+    behind_eob: List[int] = []      # correction bits behind a pending EOB run
+    since_emit: List[int] = []      # correction bits since the last emit
+
+    def drain_since() -> None:
+        for b in since_emit:
+            bw.put(b, 1)
+        since_emit.clear()
+
+    def flush_eob() -> None:
+        """Emit the pending EOB run (if any) with the correction bits
+        riding behind it — libjpeg's emit_eobrun: the drain happens ONLY
+        when an EOB symbol actually goes out."""
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            code, ln = ac_codes[nb << 4]
+            bw.put(code, ln)
+            if nb:
+                bw.put(eobrun - (1 << nb), nb)
+            eobrun = 0
+            for b in behind_eob:
+                bw.put(b, 1)
+            behind_eob.clear()
+
+    for blk in zz:
+        absband = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob = -1                                     # last NEWLY-nonzero
+        for i, t in enumerate(absband):
+            if t == 1:
+                eob = i
+        r = 0
+        for i, t in enumerate(absband):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eob()
+                code, ln = ac_codes[0xF0]            # ZRL
+                bw.put(code, ln)
+                r -= 16
+                drain_since()
+            if t > 1:                                # history coefficient
+                since_emit.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if int(blk[ss + i]) > 0 else 0, 1)
+            drain_since()
+            r = 0
+        if r > 0 or since_emit:
+            eobrun += 1
+            behind_eob.extend(since_emit)
+            since_emit.clear()
+            if eobrun == 0x7FFF or len(behind_eob) > 900:
+                flush_eob()
+    flush_eob()
+    bw.flush()
+    return bytes(bw.out)
+
+
+def encode_gray_progressive(pixels: bytes, width: int, height: int,
+                            quality: int = 90) -> bytes:
+    """Encode 8-bit grayscale as a PROGRESSIVE JPEG (SOF2) with a
+    6-scan spectral-selection + successive-approximation script —
+    DC first (Al=1), AC 1-5 / 6-63 first (Al=1), then the three
+    refinement passes — exercising every Annex-G decode path (EOB
+    runs, ZRL-in-refinement, correction bits).  Decodes to the SAME
+    pixels as :func:`encode_gray` at the same quality (identical
+    quantized coefficients, different transport).  Deterministic."""
+    if width <= 0 or height <= 0 or width > MAX_SIDE or height > MAX_SIDE:
+        raise JpegError("bad encode dimensions")
+    if len(pixels) != width * height:
+        raise JpegError("pixel buffer size mismatch")
+    q = _scaled_qtable(quality)
+    zz = _quantized_blocks(pixels, width, height, q)
+    dc_codes = _build_codes(*STD_DC_LUMA)
+    ac_codes = _build_codes(*_PROG_AC_TABLE)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q[ZIGZAG]))
+    out += _seg(
+        0xC2,                                        # SOF2: progressive
+        bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    db, dv = STD_DC_LUMA
+    out += _seg(0xC4, bytes([0x00]) + bytes(db) + bytes(dv))
+    ab, av = _PROG_AC_TABLE
+    out += _seg(0xC4, bytes([0x10]) + bytes(ab) + bytes(av))
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    out += sos(0, 0, 0, 1) + _emit_dc_first(zz, 1, dc_codes)
+    out += sos(1, 5, 0, 1) + _emit_ac_first(zz, 1, 5, 1, ac_codes)
+    out += sos(6, 63, 0, 1) + _emit_ac_first(zz, 6, 63, 1, ac_codes)
+    out += sos(0, 0, 1, 0) + _emit_dc_refine(zz, 0)
+    out += sos(1, 5, 1, 0) + _emit_ac_refine(zz, 1, 5, 0, ac_codes)
+    out += sos(6, 63, 1, 0) + _emit_ac_refine(zz, 6, 63, 0, ac_codes)
+    out += b"\xff\xd9"
     return bytes(out)

@@ -203,13 +203,131 @@ def test_missing_rst_raises():
         decode(bytes(out))
 
 
-def test_progressive_rejected():
+def test_sof2_with_baseline_scan_rejected():
+    """Flipping SOF0→SOF2 without a progressive scan script is
+    malformed: the baseline SOS header (Ss=0, Se=63) is illegal for a
+    progressive DC scan."""
     img = _barcode_image(1)
     data = bytearray(encode_gray(img.tobytes(), 96, 64))
     i = data.find(b"\xff\xc0")
     data[i + 1] = 0xC2                             # pretend SOF2
     with pytest.raises(JpegError):
         decode(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) and CMYK (Adobe APP14)
+# ---------------------------------------------------------------------------
+
+
+class TestProgressive:
+    def test_equals_baseline_pixels_flat(self):
+        """Same quantized coefficients, different transport: the
+        progressive file decodes to the SAME pixels as baseline."""
+        w, h, px = text_to_pixels("progressive marker\nline two")
+        assert decode_gray(jpeg.encode_gray_progressive(px, w, h)) == \
+            decode_gray(encode_gray(px, w, h))
+
+    @pytest.mark.parametrize("seed,quality", [(1, 50), (2, 75), (3, 90),
+                                              (4, 95)])
+    def test_equals_baseline_pixels_noise(self, seed, quality):
+        rng = np.random.RandomState(seed)
+        w, h = int(rng.randint(9, 80)), int(rng.randint(9, 80))
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        p = decode_gray(jpeg.encode_gray_progressive(img.tobytes(), w, h,
+                                                     quality=quality))
+        b = decode_gray(encode_gray(img.tobytes(), w, h, quality=quality))
+        assert p == b
+
+    def test_marker_survives(self):
+        w, h, px = text_to_pixels("sof2 pixels")
+        _, _, out = decode_gray(jpeg.encode_gray_progressive(px, w, h))
+        assert pixels_to_text(w, h, out) == "sof2 pixels"
+
+    def test_truncation_sweep_never_hangs(self):
+        img = _barcode_image(6)
+        data = jpeg.encode_gray_progressive(img.tobytes(), 96, 64)
+        for cut in range(2, len(data), 11):
+            try:
+                decode(data[:cut])
+            except JpegError:
+                pass
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 120))
+    def test_bitflip_fuzz(self, seed, nflips):
+        img = _barcode_image(11)
+        data = bytearray(jpeg.encode_gray_progressive(img.tobytes(), 96, 64))
+        rng = np.random.RandomState(seed % (2**32))
+        for _ in range(nflips):
+            i = int(rng.randint(2, len(data)))
+            data[i] ^= 1 << int(rng.randint(0, 8))
+        try:
+            decode(bytes(data))
+        except JpegError:
+            pass
+
+    def test_interleaved_ac_scan_rejected(self):
+        """Progressive AC scans must be single-component (G.1.1.1.1)."""
+        w, h, px = text_to_pixels("bad scan")
+        data = bytearray(jpeg.encode_gray_progressive(px, w, h))
+        # find the second SOS (first AC scan) and corrupt ns 1 → 2
+        i = data.find(b"\xff\xda")
+        i = data.find(b"\xff\xda", i + 2)
+        assert data[i + 4] == 1
+        data[i + 4] = 2
+        with pytest.raises(JpegError):
+            decode(bytes(data))
+
+
+class TestCmyk:
+    def _marker_cmyk(self, text="cmyk pixels"):
+        w, h, px = text_to_pixels(text)
+        cmyk = np.zeros((h, w, 4), dtype=np.uint8)
+        cmyk[:, :, 3] = 255 - np.frombuffer(px, np.uint8).reshape(h, w)
+        return w, h, px, cmyk
+
+    def test_k_channel_marker_round_trip(self):
+        """K carries the marker luma; Adobe inversion + CMYK→RGB→luma
+        recover it exactly for flat blocks."""
+        w, h, px, cmyk = self._marker_cmyk()
+        w2, h2, out = decode_gray(jpeg.encode_cmyk(cmyk.tobytes(), w, h))
+        assert (w2, h2) == (w, h)
+        assert pixels_to_text(w2, h2, out) == "cmyk pixels"
+
+    def test_pure_ink_channels(self):
+        """C=255 → cyan (0,255,255); M=255 → magenta; Y=255 → yellow."""
+        for ch, expect in ((0, (0, 255, 255)), (1, (255, 0, 255)),
+                           (2, (255, 255, 0))):
+            cm = np.zeros((8, 8, 4), dtype=np.uint8)
+            cm[:, :, ch] = 255
+            _, _, nc, rgb = decode(jpeg.encode_cmyk(cm.tobytes(), 8, 8))
+            assert nc == 3
+            got = tuple(np.frombuffer(rgb, np.uint8).reshape(8, 8, 3)[4, 4])
+            assert got == expect
+
+    def test_full_k_is_black(self):
+        cm = np.zeros((8, 8, 4), dtype=np.uint8)
+        cm[:, :, 3] = 255
+        _, _, _, rgb = decode(jpeg.encode_cmyk(cm.tobytes(), 8, 8))
+        assert set(rgb) == {0}
+
+    def test_truncation_never_hangs(self):
+        w, h, _, cmyk = self._marker_cmyk("truncate")
+        data = jpeg.encode_cmyk(cmyk.tobytes(), w, h)
+        for cut in range(2, len(data), 17):
+            try:
+                decode(data[:cut])
+            except JpegError:
+                pass
+
+    def test_unknown_adobe_transform_rejected(self):
+        w, h, _, cmyk = self._marker_cmyk("bad transform")
+        data = bytearray(jpeg.encode_cmyk(cmyk.tobytes(), w, h))
+        i = data.find(b"Adobe")
+        data[i + 11] = 7                            # bogus transform code
+        with pytest.raises(JpegError):
+            decode(bytes(data))
 
 
 def test_dimension_caps():
@@ -304,13 +422,15 @@ def test_jpeg_scan_pipeline_roundtrip():
     pages = pd.concat(list(ocr_batch(iter([pages]))), ignore_index=True)
     assert bool(pages["needs_ocr"].all())
     assert (pages["status"] == "ok").all()
-    # every intact page recovers its exact ground truth from REAL pixels
-    ok = pages[~pages.url.str.endswith("000011") | (pages.page != 1)]
+    # every intact page (baseline, progressive, AND cmyk) recovers its
+    # exact ground truth from REAL pixels
+    corrupt = f"{len(rows) - 1:06d}"
+    ok = pages[~pages.url.str.endswith(corrupt) | (pages.page != 1)]
     for _, r in ok.iterrows():
         d = int(r.url.rsplit("/", 1)[1])
         assert r.page_text.startswith(f"scan doc {d} page {int(r.page)}\n")
     # the truncated-JPEG page degrades to the deterministic fingerprint
-    bad = pages[pages.url.str.endswith("000011") & (pages.page == 1)]
+    bad = pages[pages.url.str.endswith(corrupt) & (pages.page == 1)]
     assert len(bad) == 1
     assert bad.iloc[0].page_text.startswith("[unrecognized image ")
 
