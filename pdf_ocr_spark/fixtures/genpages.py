@@ -780,6 +780,37 @@ def make_ruled_table_pdf(
     return _one_page_pdf(b"".join(parts))
 
 
+def make_borderless_table_pdf(
+    caption: str, cells: List[List[str]], footnote: str
+) -> bytes:
+    """One-page PDF with a BORDERLESS table: no painted rules, ≥2 text
+    columns whose x-starts align across the rows (plus a caption above
+    and footnote below) — exercises whitespace-alignment table typing
+    (kernels/pdf/layout.py borderless_table_regions), the no-ML stand-in
+    for the reference model's table blocks
+    (/root/reference/pdf_ocr_with_boxes_v4.py:239-248)."""
+    n_rows = len(cells)
+    row_h = 24.0
+    top = 700.0
+    parts = [
+        b"BT /F1 10 Tf 1 0 0 1 72 %.0f Tm (%s) Tj ET\n"
+        % (top + 26, caption.encode("ascii", "replace")),
+    ]
+    for r, row in enumerate(cells):
+        y = top - r * row_h
+        for c, text in enumerate(row[:3]):
+            x = 80 + c * 150
+            parts.append(
+                b"BT /F1 10 Tf 1 0 0 1 %.0f %.0f Tm (%s) Tj ET\n"
+                % (x, y, text.encode("ascii", "replace"))
+            )
+    parts.append(
+        b"BT /F1 10 Tf 1 0 0 1 72 %.0f Tm (%s) Tj ET\n"
+        % (top - n_rows * row_h - 6, footnote.encode("ascii", "replace"))
+    )
+    return _one_page_pdf(b"".join(parts))
+
+
 def make_rotated_pdf(lines: List[str], angle: int) -> bytes:
     """One-page PDF whose text is drawn rotated by ``angle`` (90/180/270
     CCW) via text matrices ONLY — no /Rotate attribute (the producer
@@ -1045,12 +1076,13 @@ def gen_orientation_rows(n: int = 40) -> List[dict]:
 
 def gen_composite_rows(n: int, seed: int = 7) -> List[dict]:
     """Deterministic corpus for the composite-blocks queries: cycles
-    table / figure / plain-text docs (plain docs prove the route emits
-    nothing for them)."""
+    ruled-table / figure / plain-text / BORDERLESS-table docs (plain
+    docs prove the route emits nothing for them; borderless docs prove
+    whitespace-alignment typing reaches the composite renderer)."""
     rows: List[dict] = []
     for i in range(n):
         rng = random.Random((seed << 16) ^ i)
-        kind = ("table", "figure", "plain")[i % 3]
+        kind = ("table", "figure", "plain", "borderless")[i % 4]
         url = f"https://example.test/composite/{kind}/{i:05d}"
         if kind == "table":
             n_rows = rng.randint(1, 3)
@@ -1060,6 +1092,18 @@ def gen_composite_rows(n: int, seed: int = 7) -> List[dict]:
             ]
             payload = make_ruled_table_pdf(
                 f"Table {i}: {_sentence(rng, 'en')}",
+                cells,
+                f"Source: dataset {rng.randint(1, 99)}",
+            )
+        elif kind == "borderless":
+            n_rows = rng.randint(3, 5)
+            cells = [
+                [f"row {i}-{r}", str(rng.randint(10, 9999)),
+                 f"u{rng.randint(1, 99)}"]
+                for r in range(n_rows)
+            ]
+            payload = make_borderless_table_pdf(
+                f"Table {i}: {_sentence(rng, 'en')[:40]}",
                 cells,
                 f"Source: dataset {rng.randint(1, 99)}",
             )

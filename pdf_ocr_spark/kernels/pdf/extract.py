@@ -27,6 +27,7 @@ from pdf_ocr_spark.kernels.pdf.raster import rasterize_page
 from pdf_ocr_spark.kernels.pdf.layout import (
     Block,
     attach_captions,
+    borderless_table_regions,
     build_blocks,
     build_lines,
     image_blocks,
@@ -148,7 +149,15 @@ def extract_pdf(
         ordered = xy_cut_order(lines)
         pblocks = build_blocks(ordered, i)
         regions = table_regions(res.rules, res.height) if res.rules else []
-        if regions:  # ruled-line grids → 'table' typed blocks (v4)
+        # whitespace-aligned (borderless) tables: keep only detections
+        # whose center is outside every ruled grid — ruled cells align
+        # too, and the grid already claims them
+        for bx0, by0, bx1, by1 in borderless_table_regions(lines):
+            cx, cy = (bx0 + bx1) / 2.0, (by0 + by1) / 2.0
+            if not any(rx0 <= cx <= rx1 and ry0 <= cy <= ry1
+                       for rx0, ry0, rx1, ry1 in regions):
+                regions.append((bx0, by0, bx1, by1))
+        if regions:  # ruled grids + borderless runs → 'table' blocks (v4)
             pblocks = retype_table_blocks(pblocks, regions)
         # page text comes from the TEXT-layout blocks only, BEFORE image
         # blocks / caption retyping — 'image' blocks carry empty text and

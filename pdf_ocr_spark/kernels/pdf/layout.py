@@ -323,6 +323,85 @@ def table_regions(
     return regions
 
 
+def borderless_table_regions(
+    lines: Sequence[Line],
+    min_rows: int = 3,
+    min_cols: int = 2,
+    x_tol: float = 4.0,
+    max_cell_chars: int = 28,
+) -> List[Tuple[float, float, float, float]]:
+    """Whitespace-alignment table detection — the no-ML stand-in for the
+    reference layout model's borderless table blocks
+    (/root/reference/pdf_ocr_with_boxes_v4.py:239-248).
+
+    ``build_lines`` already splits a baseline into cell segments at big
+    horizontal gaps, so a borderless table row arrives as ≥2 Line
+    segments sharing a baseline.  A run of ≥``min_rows`` vertically
+    adjacent multi-segment rows whose segment x-starts align column-wise
+    (within ``x_tol``) across consecutive rows is a table region.
+
+    Guards against the classic false positive (two-column BODY text,
+    whose column starts also align): cells must read like cells — the
+    run's median segment length must stay ≤ ``max_cell_chars`` and no
+    single segment may exceed 2× that (paragraph lines are long).
+    Returns bboxes in the same top-down coordinates ``table_regions``
+    emits, so ``retype_table_blocks`` / ``attach_captions`` consume
+    either source unchanged."""
+    if not lines:
+        return []
+    med_size = _median([l.size for l in lines], 10.0)
+    # 1. cluster segments into baseline rows (y1 = baseline, top-down)
+    row_tol = max(1.5, 0.4 * med_size)
+    ordered = sorted(lines, key=lambda l: (l.y1, l.x0))
+    rows: List[List[Line]] = [[ordered[0]]]
+    for ln in ordered[1:]:
+        if abs(ln.y1 - rows[-1][-1].y1) <= row_tol:
+            rows[-1].append(ln)
+        else:
+            rows.append([ln])
+    # 2. candidate rows: ≥ min_cols cell-like segments
+    cands: List[Tuple[float, List[Line]]] = []
+    for segs in rows:
+        if len(segs) >= min_cols:
+            cands.append((segs[0].y1, sorted(segs, key=lambda l: l.x0)))
+    if len(cands) < min_rows:
+        return []
+    # 3. chain vertically adjacent candidate rows with aligned x-starts
+    max_row_gap = 3.0 * med_size
+    regions: List[Tuple[float, float, float, float]] = []
+    run: List[List[Line]] = [cands[0][1]]
+    prev_y = cands[0][0]
+
+    def close_run() -> None:
+        if len(run) < min_rows:
+            return
+        cells = [seg for row in run for seg in row]
+        lens = sorted(len(c.text) for c in cells)
+        if lens[len(lens) // 2] > max_cell_chars:
+            return                       # reads like column text, not cells
+        if lens[-1] > 2 * max_cell_chars:
+            return
+        regions.append((
+            min(c.x0 for c in cells), min(c.y0 for c in cells),
+            max(c.x1 for c in cells), max(c.y1 for c in cells),
+        ))
+
+    for y, segs in cands[1:]:
+        prev_starts = [s.x0 for s in run[-1]]
+        aligned = sum(
+            1 for s in segs
+            if any(abs(s.x0 - px) <= x_tol for px in prev_starts)
+        )
+        if y - prev_y <= max_row_gap and aligned >= min_cols:
+            run.append(segs)
+        else:
+            close_run()
+            run = [segs]
+        prev_y = y
+    close_run()
+    return regions
+
+
 def retype_table_blocks(
     blocks: List[Block],
     regions: Sequence[Tuple[float, float, float, float]],

@@ -506,3 +506,105 @@ class TestCompositeBlocks:
 
         blocks = [Block(1, 0, "image", (10.0, 10.0, 50.0, 50.0), "", 1.0)]
         assert composite_text(blocks) == [(1, 0, "image caption: NULL")]
+
+
+class TestBorderlessTables:
+    """Whitespace-alignment table typing (borderless_table_regions) —
+    the no-ML stand-in for the reference model's borderless table blocks
+    (pdf_ocr_with_boxes_v4.py:239-248)."""
+
+    def _extract(self, pdf):
+        from pdf_ocr_spark.kernels.pdf.extract import extract_pdf
+
+        return extract_pdf(pdf)
+
+    def test_borderless_grid_typed_with_caption(self):
+        from pdf_ocr_spark.fixtures.genpages import make_borderless_table_pdf
+
+        pdf = make_borderless_table_pdf(
+            "Table 3: yields",
+            [["alpha", "12", "a"], ["beta", "77", "b"], ["gamma", "5", "c"]],
+            "Source: lab 9",
+        )
+        res = self._extract(pdf)
+        types = {b.text: b.type for b in res.blocks}
+        assert types["Table 3: yields"] == "table_caption"
+        assert types["Source: lab 9"] == "table_footnote"
+        for cell in ("alpha", "beta", "gamma", "12", "77", "5"):
+            assert types[cell] == "table"
+        # typing never touches text bytes
+        assert "Table 3: yields" in res.pages[0].text
+        assert "alpha" in res.pages[0].text
+
+    def test_two_rows_not_typed(self):
+        """Fewer than 3 aligned rows is not a table."""
+        from pdf_ocr_spark.fixtures.genpages import make_borderless_table_pdf
+
+        pdf = make_borderless_table_pdf(
+            "Caption", [["one", "1", "x"], ["two", "2", "y"]], "Footer")
+        res = self._extract(pdf)
+        assert all(b.type != "table" for b in res.blocks)
+
+    def test_long_segments_not_typed(self):
+        """Two-column BODY text aligns on x-starts too; the cell-length
+        guard keeps it typed 'text'."""
+        from pdf_ocr_spark.kernels.pdf.layout import Line, \
+            borderless_table_regions
+
+        long = "this is an ordinary body paragraph line of prose text"
+        lines = []
+        for r in range(6):
+            y = 100.0 + r * 14.0
+            lines.append(Line(long, 72.0, y - 10, 280.0, y, 10.0))
+            lines.append(Line(long, 320.0, y - 10, 528.0, y, 10.0))
+        assert borderless_table_regions(lines) == []
+
+    def test_misaligned_rows_not_typed(self):
+        from pdf_ocr_spark.kernels.pdf.layout import Line, \
+            borderless_table_regions
+
+        lines = []
+        for r in range(5):
+            y = 100.0 + r * 14.0
+            x = 72.0 + r * 23.0                  # drifting starts
+            lines.append(Line("aa", x, y - 10, x + 20, y, 10.0))
+            lines.append(Line("bb", x + 150, y - 10, x + 170, y, 10.0))
+        assert borderless_table_regions(lines) == []
+
+    def test_single_column_list_not_typed(self):
+        from pdf_ocr_spark.kernels.pdf.layout import Line, \
+            borderless_table_regions
+
+        lines = [Line(f"item {r}", 72.0, 90.0 + r * 14, 130.0,
+                      100.0 + r * 14, 10.0) for r in range(8)]
+        assert borderless_table_regions(lines) == []
+
+    def test_ruled_region_wins_over_borderless(self):
+        """Ruled-grid cells align too; the ruled detection claims them
+        and the borderless pass must not add a duplicate region."""
+        from pdf_ocr_spark.fixtures.genpages import make_ruled_table_pdf
+
+        pdf = make_ruled_table_pdf(
+            "Table 1: x",
+            [["metric a", "100"], ["metric b", "200"], ["metric c", "300"]],
+            "Source: y",
+        )
+        res = self._extract(pdf)
+        caps = [b for b in res.blocks if b.type == "table_caption"]
+        foots = [b for b in res.blocks if b.type == "table_footnote"]
+        assert len(caps) == 1 and len(foots) == 1
+
+    def test_region_bbox_covers_cells(self):
+        from pdf_ocr_spark.kernels.pdf.layout import Line, \
+            borderless_table_regions
+
+        lines = []
+        for r in range(4):
+            y = 100.0 + r * 14.0
+            for c, x in enumerate((72.0, 220.0, 380.0)):
+                lines.append(Line(f"c{r}{c}", x, y - 10, x + 30, y, 10.0))
+        regions = borderless_table_regions(lines)
+        assert len(regions) == 1
+        x0, y0, x1, y1 = regions[0]
+        assert x0 == 72.0 and x1 == 410.0
+        assert y0 == 90.0 and y1 == 142.0
