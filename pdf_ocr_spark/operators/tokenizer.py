@@ -190,3 +190,79 @@ def _encode_word_chain(
     for _, l, r, _ in sorted(merges):
         syms = _apply_merge_expr(syms, l, r)
     return syms
+
+
+def bpe_encode_arrow(
+    docs: DataFrame,
+    merges: Sequence[Tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The PRODUCTION-VOCAB encode path: same semantics as
+    :func:`bpe_encode` (rank-ordered greedy left-to-right passes, the
+    contract the python twin in tools/freeze_bpe_golden.py pins) but
+    the frozen merge table is applied inside ONE Arrow-batched
+    ``mapInPandas`` stage instead of a len(merges)-deep codegen chain —
+    the right shape when the vocabulary has thousands of merges (the
+    chain's plan size is linear in k; this path is O(1) plan, O(batch)
+    Python with per-word memoization, Heaps'-law-friendly since web
+    batches repeat words heavily).
+
+    Output schema matches :func:`bpe_encode`: (id, n_tokens, tokens)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, \
+        StructType
+
+    ordered = [(l, r) for _, l, r, _ in sorted(merges)]
+    out_schema = StructType([
+        docs.schema[id_col],
+        StructField("n_tokens", IntegerType(), False),
+        StructField("tokens", StringType(), False),
+    ])
+    src = docs.select(id_col, text_col)
+
+    def _encode_batches(batches):
+        import re as _re
+
+        cache: dict = {}
+
+        def word_tokens(w: str) -> List[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w) + [END]
+            present = set(syms)
+            for left, right in ordered:
+                if left not in present or right not in present:
+                    continue
+                out: List[str] = []
+                changed = False
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                        changed = True
+                    else:
+                        out.append(s)
+                if changed:
+                    syms = out
+                    present = set(syms)
+            cache[w] = syms
+            return syms
+
+        for pdf in batches:
+            ids = pdf[id_col]
+            n_out: List[int] = []
+            t_out: List[str] = []
+            for text in pdf[text_col].astype(str):
+                toks: List[str] = []
+                for w in _re.sub(r"\s+", " ", text.lower()).strip().split(" "):
+                    if w:
+                        toks.extend(word_tokens(w))
+                n_out.append(len(toks))
+                t_out.append(" ".join(toks))
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                {id_col: ids, "n_tokens": n_out, "tokens": t_out}
+            )
+
+    return src.mapInPandas(_encode_batches, schema=out_schema)

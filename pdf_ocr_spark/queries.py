@@ -3636,6 +3636,27 @@ SELECT doc_id, n_tokens, tokens FROM read_parquet('{{golden}}')
 """.format(golden=_golden("bpe_encode"))
 
 
+def q_bpe_encode_arrow(spark, sf_dir):
+    """The PRODUCTION-VOCAB encode path (operators/tokenizer.py
+    bpe_encode_arrow): the frozen merge table applied in ONE
+    Arrow-batched mapInPandas stage with per-word memoization instead
+    of the len(merges)-deep codegen chain — the shape a
+    thousands-of-merges vocabulary needs (plan size O(1), not O(k)).
+    Same oracle as ``bpe_encode``: both paths must reproduce the
+    pure-python twin's token streams byte-exactly."""
+    from pdf_ocr_spark.operators import tokenizer as TK
+
+    corpus = spark.createDataFrame(TK.fixture_corpus(), "doc_id long, text string")
+    merges = TK.bpe_train(TK.word_freq_table(corpus), n_merges=12)
+    enc = TK.bpe_encode_arrow(corpus, merges)
+    return enc.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "tokens"
+    )
+
+
+SQL_BPE_ENCODE_ARROW = SQL_BPE_ENCODE
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """First-round BPE pair statistics over the DOCUMENTS table (the
     sf-scaled twin of the fixture-corpus trainer): top-50 adjacent
@@ -6728,6 +6749,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "domain_kl_drift": (q_domain_kl_drift, SQL_DOMAIN_KL_DRIFT),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "bpe_encode_arrow": (q_bpe_encode_arrow, SQL_BPE_ENCODE_ARROW),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "export_shards": (q_export_shards, SQL_EXPORT_SHARDS),

@@ -115,3 +115,72 @@ def test_bpe_randomized_parity_with_python_twin(spark):
             assert got[doc_id] == " ".join(py_encode(text, merges)), (
                 f"trial {trial} doc {doc_id}: token stream diverges"
             )
+
+
+def test_bpe_encode_arrow_matches_chain_and_twin(spark):
+    """The production-vocab Arrow path and the codegen chain produce the
+    same token streams (and both match the python twin) on the golden
+    fixture corpus."""
+    from pdf_ocr_spark.operators.tokenizer import bpe_encode_arrow, \
+        fixture_corpus
+    from tools.freeze_bpe_golden import encode as py_encode
+
+    corpus = fixture_corpus()
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = bpe_train(word_freq_table(docs), n_merges=12)
+    chain = {r.doc_id: (r.n_tokens, r.tokens)
+             for r in bpe_encode(docs, merges).collect()}
+    arrow = {r.doc_id: (r.n_tokens, r.tokens)
+             for r in bpe_encode_arrow(docs, merges).collect()}
+    assert arrow == chain
+    for doc_id, text in corpus:
+        toks = py_encode(text, merges)
+        assert arrow[doc_id] == (len(toks), " ".join(toks))
+
+
+def test_bpe_encode_arrow_thousand_merges(spark):
+    """1k-merge production-shape parity: a python-twin-trained
+    1000-merge table applied by the Arrow path reproduces the twin's
+    token streams exactly.  (The codegen chain is deliberately NOT run
+    at this size — a 1000-deep fold chain is the plan shape this path
+    exists to avoid.)"""
+    import random
+
+    from pdf_ocr_spark.operators.tokenizer import bpe_encode_arrow
+    from tools.freeze_bpe_golden import encode as py_encode
+    from tools.freeze_bpe_golden import train as py_train
+
+    rng = random.Random(99)
+    syllables = ["ba", "ne", "to", "ri", "shu", "ka", "lo", "wi", "zen",
+                 "dor", "mi", "fa"]
+    words = ["".join(rng.choice(syllables)
+                     for _ in range(rng.randint(1, 4)))
+             for _ in range(400)]
+    corpus = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(5, 30))))
+        for i in range(120)
+    ]
+    merges = py_train(corpus, 1000)
+    assert len(merges) > 300          # the corpus really yields a big table
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.tokens)
+           for r in bpe_encode_arrow(docs, merges).collect()}
+    for doc_id, text in corpus:
+        toks = py_encode(text, merges)
+        assert got[doc_id] == (len(toks), " ".join(toks)), f"doc {doc_id}"
+
+
+def test_bpe_encode_arrow_multibyte_and_empty(spark):
+    from pdf_ocr_spark.operators.tokenizer import bpe_encode_arrow
+    from tools.freeze_bpe_golden import encode as py_encode
+    from tools.freeze_bpe_golden import train as py_train
+
+    corpus = [(1, "日本語 日本語 テスト"), (2, "  "), (3, "日本 語テスト 日本語")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = py_train(corpus, 4)
+    got = {r.doc_id: (r.n_tokens, r.tokens)
+           for r in bpe_encode_arrow(docs, merges).collect()}
+    for doc_id, text in corpus:
+        toks = py_encode(text, merges)
+        assert got[doc_id] == (len(toks), " ".join(toks))
+    assert got[2] == (0, "")
