@@ -51,6 +51,32 @@ def image_data_uri(image: bytes, mime: str = "image/png") -> str:
     return f"data:{mime};base64,{base64.b64encode(image).decode('ascii')}"
 
 
+def parse_layout_response(response: str) -> dict:
+    """F5: the reference's layout-response parse with its exact 3-way
+    fence fallback (pdf_ocr_with_silicon_remote_vllm.py:317-334):
+    ```json …``` block if present, else the first bare ``` …``` block,
+    else the raw stripped text; JSON parse success →
+    ``{"layout": parsed, "raw_response": response}``, failure →
+    ``{"text": response, "error": str(e)}`` — models answer in several
+    fence dialects and the client must survive all of them."""
+    import json as _json
+
+    if "```json" in response:
+        start = response.find("```json") + 7
+        end = response.find("```", start)
+        json_str = response[start:end].strip()
+    elif "```" in response:
+        start = response.find("```") + 3
+        end = response.find("```", start)
+        json_str = response[start:end].strip()
+    else:
+        json_str = response.strip()
+    try:
+        return {"layout": _json.loads(json_str), "raw_response": response}
+    except (ValueError, TypeError) as e:        # json.JSONDecodeError ⊂ ValueError
+        return {"text": response, "error": str(e)}
+
+
 class _Non5xxError(Exception):
     """Definitive HTTP rejection (4xx other than 408/429) — not retryable."""
 

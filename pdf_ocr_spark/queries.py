@@ -6455,13 +6455,29 @@ FROM documents
 
 
 def q_f5_json_fence(spark, sf_dir):
-    """F5: JSON fence extraction + parse — pull the ```json …``` block
-    out of a model response and read a field from it
-    (pdf_ocr_with_silicon_remote_vllm.py:317-334)."""
-    resp = F.format_string(
-        'intro text ```json{"page": %d, "lang": "%s"}``` trailing', F.col("doc_id"), F.col("lang")
+    """F5: JSON fence extraction + parse with the reference's EXACT
+    3-way fallback (pdf_ocr_with_silicon_remote_vllm.py:317-334):
+    ```json …``` block if present, else the first bare ``` …``` block,
+    else the raw stripped response — models answer in several fence
+    dialects (kernel twin: ocr_remote.parse_layout_response).  The
+    corpus cycles all three dialects by doc_id."""
+    payload = F.format_string(
+        '{"page": %d, "lang": "%s"}', F.col("doc_id"), F.col("lang")
     )
-    fence = F.regexp_extract(resp, r"```json(.*?)```", 1)
+    resp = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.format_string("intro text ```json%s``` trailing", payload))
+        .when(F.col("doc_id") % 3 == 1,
+              F.format_string("note ```%s``` done", payload))
+        .otherwise(F.format_string("  %s  ", payload))
+    )
+    fence = (
+        F.when(resp.contains("```json"),
+               F.trim(F.regexp_extract(resp, r"```json(.*?)```", 1)))
+        .when(resp.contains("```"),
+              F.trim(F.regexp_extract(resp, r"```(.*?)```", 1)))
+        .otherwise(F.trim(resp))
+    )
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         fence.alias("fence"),
@@ -6471,12 +6487,25 @@ def q_f5_json_fence(spark, sf_dir):
 
 
 SQL_F5 = """
+WITH resp AS (
+  SELECT doc_id, lang,
+    printf('{"page": %d, "lang": "%s"}', doc_id, lang) AS payload,
+    CASE doc_id % 3
+      WHEN 0 THEN printf('intro text ```json{"page": %d, "lang": "%s"}``` trailing', doc_id, lang)
+      WHEN 1 THEN printf('note ```{"page": %d, "lang": "%s"}``` done', doc_id, lang)
+      ELSE printf('  {"page": %d, "lang": "%s"}  ', doc_id, lang)
+    END AS r
+  FROM documents
+)
 SELECT doc_id,
-  regexp_extract(printf('intro text ```json{"page": %d, "lang": "%s"}``` trailing', doc_id, lang),
-                 '```json(.*?)```', 1) AS fence,
+  CASE
+    WHEN contains(r, '```json') THEN trim(regexp_extract(r, '```json(.*?)```', 1))
+    WHEN contains(r, '```') THEN trim(regexp_extract(r, '```(.*?)```', 1))
+    ELSE trim(r)
+  END AS fence,
   doc_id AS page,
   lang AS parsed_lang
-FROM documents
+FROM resp
 """
 
 

@@ -361,3 +361,174 @@ def test_live_endpoint_smoke():
     assert result is not None, "live OCR round-trip failed after retries"
     assert all(isinstance(t, str) and c == 1.0 for t, c in result)
     assert eng.prompt_tokens > 0  # A7 accounting engaged on the live reply
+
+
+# ---------------------------------------------------------------------------
+# recorded-response conformance (real-endpoint response variants)
+# ---------------------------------------------------------------------------
+
+# Verbatim response-body shapes as real OpenAI-compatible OCR endpoints
+# serve them (vLLM, SiliconFlow, DeepSeek-style reasoners).  The client
+# must lift message.content from every envelope, and the layout parse
+# must survive every fence dialect the reference survives
+# (/root/reference/pdf_ocr_with_silicon_remote_vllm.py:317-334).
+RECORDED_RESPONSES = {
+    "vllm_json_fence": {
+        "id": "chatcmpl-8f2f6b0f3a9c4d1e",
+        "object": "chat.completion",
+        "created": 1735689600,
+        "model": "Qwen/Qwen2-VL-7B-Instruct",
+        "choices": [{
+            "index": 0,
+            "message": {
+                "role": "assistant",
+                "content": "以下是版面分析结果：\n```json\n[{\"category\": \"text\","
+                           " \"bbox\": [10, 20, 300, 48], \"text\": \"第一段\"}]\n```"
+                           "\n注意：输出为原始文本。",
+            },
+            "logprobs": None,
+            "finish_reason": "stop",
+        }],
+        "usage": {"prompt_tokens": 1201, "total_tokens": 1289,
+                  "completion_tokens": 88},
+    },
+    "siliconflow_bare_fence": {
+        "id": "0194e7a2c8b64f0e8a3d",
+        "object": "chat.completion",
+        "created": 1735689601,
+        "model": "deepseek-ai/deepseek-vl2",
+        "system_fingerprint": "",
+        "choices": [{
+            "index": 0,
+            "message": {
+                "role": "assistant",
+                "content": "```\n[{\"category\": \"table\", \"bbox\":"
+                           " [0, 0, 100, 50], \"text\": \"表格\"}]\n```",
+            },
+            "finish_reason": "stop",
+        }],
+        "usage": {"prompt_tokens": 940, "completion_tokens": 41,
+                  "total_tokens": 981,
+                  "completion_tokens_details": {"reasoning_tokens": 0}},
+    },
+    "reasoner_raw_json": {
+        "id": "chatcmpl-aa11",
+        "object": "chat.completion",
+        "created": 1735689602,
+        "model": "deepseek-reasoner",
+        "choices": [{
+            "index": 0,
+            "message": {
+                "role": "assistant",
+                "reasoning_content": "The page contains one text block…",
+                "content": "[{\"category\": \"text\", \"bbox\":"
+                           " [5, 5, 80, 20], \"text\": \"plain\"}]",
+            },
+            "finish_reason": "stop",
+        }],
+        "usage": {"prompt_tokens": 700, "completion_tokens": 120,
+                  "total_tokens": 820},
+    },
+    "malformed_fence_payload": {
+        "id": "chatcmpl-bb22",
+        "object": "chat.completion",
+        "created": 1735689603,
+        "model": "Qwen/Qwen2-VL-7B-Instruct",
+        "choices": [{
+            "index": 0,
+            "message": {
+                "role": "assistant",
+                "content": "```json\n[{\"category\": \"text\", \"bbox\":"
+                           " [1, 2, 3, 4], \"text\": \"oops\",}]\n```",
+            },
+            "finish_reason": "length",
+        }],
+        "usage": {"prompt_tokens": 650, "completion_tokens": 2048,
+                  "total_tokens": 2698},
+    },
+}
+
+
+class _CannedVlm(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    queue = []                       # response dicts served in order
+
+    def do_POST(self):  # noqa: N802
+        self.rfile.read(int(self.headers["Content-Length"]))
+        payload = json.dumps(_CannedVlm.queue.pop(0)).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def canned_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _CannedVlm)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}/v1"
+    srv.shutdown()
+
+
+def test_recorded_variants_content_and_usage(canned_server):
+    """The client lifts message.content verbatim from every recorded
+    envelope shape (extra fields like reasoning_content,
+    system_fingerprint, completion_tokens_details are ignored) and sums
+    usage across the batch."""
+    names = ["vllm_json_fence", "siliconflow_bare_fence",
+             "reasoner_raw_json", "malformed_fence_payload"]
+    _CannedVlm.queue = [RECORDED_RESPONSES[n] for n in names]
+    eng = _engine(canned_server)
+    out = eng.recognize_batch([b"x"] * len(names))
+    assert len(out) == 4 and all(o is not None for o in out)
+    # line split of the exact content, blanks dropped, confidence 1.0
+    assert out[0][0] == ("以下是版面分析结果：", 1.0)
+    assert out[0][1][0].startswith("```json")
+    assert eng.prompt_tokens == 1201 + 940 + 700 + 650
+    assert eng.completion_tokens == 88 + 41 + 120 + 2048
+
+
+def test_parse_layout_response_fence_dialects():
+    """parse_layout_response reproduces the reference's 3-way fallback
+    on every recorded content variant."""
+    from pdf_ocr_spark.kernels.ocr_remote import parse_layout_response
+
+    def content(name):
+        return RECORDED_RESPONSES[name]["choices"][0]["message"]["content"]
+
+    r = parse_layout_response(content("vllm_json_fence"))
+    assert r["layout"] == [{"category": "text", "bbox": [10, 20, 300, 48],
+                            "text": "第一段"}]
+    assert r["raw_response"].startswith("以下是")
+
+    r = parse_layout_response(content("siliconflow_bare_fence"))
+    assert r["layout"][0]["category"] == "table"
+
+    r = parse_layout_response(content("reasoner_raw_json"))
+    assert r["layout"][0]["text"] == "plain"
+
+    r = parse_layout_response(content("malformed_fence_payload"))
+    assert "error" in r and r["text"] == content("malformed_fence_payload")
+
+
+def test_parse_layout_response_reference_quirks():
+    """Edge fidelity with the reference slicer: an UNTERMINATED fence
+    slices to find('```', start) == -1, i.e. drops the final character
+    (reference line 321/325 behavior) — the payload then fails to parse
+    and falls into the error branch instead of raising."""
+    from pdf_ocr_spark.kernels.ocr_remote import parse_layout_response
+
+    r = parse_layout_response('```json\n{"a": 1}')
+    assert "error" in r and r["text"] == '```json\n{"a": 1}'
+    # fence containing the ```json marker wins over a bare ``` earlier on
+    r = parse_layout_response('``` ignored ``` ```json{"a": 1}```')
+    assert r == {"layout": {"a": 1},
+                 "raw_response": '``` ignored ``` ```json{"a": 1}```'}
+    # whitespace-only / empty responses -> error branch, never a raise
+    assert "error" in parse_layout_response("")
+    assert "error" in parse_layout_response("   \n  ")
