@@ -340,10 +340,18 @@ def borderless_table_regions(
     adjacent multi-segment rows whose segment x-starts align column-wise
     (within ``x_tol``) across consecutive rows is a table region.
 
-    Guards against the classic false positive (two-column BODY text,
-    whose column starts also align): cells must read like cells — the
-    run's median segment length must stay ≤ ``max_cell_chars`` and no
-    single segment may exceed 2× that (paragraph lines are long).
+    Guards against the classic false positives:
+
+    * two-column BODY text (column starts align too) — cells must read
+      like cells: the run's median segment length must stay ≤
+      ``max_cell_chars`` and no single segment may exceed 2× that
+      (paragraph lines are long);
+    * aligned enumerations that are NOT data tables (fill-in-the-blank
+      worksheets, numbered exercise grids) — a data table must have at
+      least one aligned COLUMN whose cells are mostly numeric (≥60% of
+      the column's cells with ≥50% digit characters), the signature
+      tabular data has and running prose never does.
+
     Returns bboxes in the same top-down coordinates ``table_regions``
     emits, so ``retype_table_blocks`` / ``attach_captions`` consume
     either source unchanged."""
@@ -380,6 +388,26 @@ def borderless_table_regions(
         if lens[len(lens) // 2] > max_cell_chars:
             return                       # reads like column text, not cells
         if lens[-1] > 2 * max_cell_chars:
+            return
+        # ≥1 aligned column must be mostly numeric (data, not a
+        # worksheet/enumeration whose starts happen to align)
+        by_x = sorted(cells, key=lambda c: c.x0)
+        col: List[Line] = []
+        found_numeric = False
+        for c in by_x + [None]:
+            if col and (c is None or c.x0 - col[-1].x0 > x_tol):
+                if len(col) >= min_rows:
+                    numericish = sum(
+                        1 for s in col
+                        if s.text and sum(ch.isdigit() for ch in s.text)
+                        >= 0.5 * len(s.text)
+                    )
+                    if numericish >= 0.6 * len(col):
+                        found_numeric = True
+                col = []
+            if c is not None:
+                col.append(c)
+        if not found_numeric:
             return
         regions.append((
             min(c.x0 for c in cells), min(c.y0 for c in cells),
