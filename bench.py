@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "dedup_recall",
     "sink_wat_export",
     "bpe_pair_counts",
+    "unigram_seed_counts",
     "crawl_budget",
     "page_freshness",
     "crawl_cycle",

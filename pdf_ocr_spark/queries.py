@@ -3700,6 +3700,99 @@ LIMIT 50
 """
 
 
+def q_unigram_vocab(spark, sf_dir):
+    """Distributed unigram-LM tokenizer TRAINING (SentencePiece family,
+    Kudo 2018; Viterbi hard-EM) over the deterministic fixture corpus:
+    one corpus-sized word groupBy, a codegen'd substring fan-out over
+    the compact vocab table for the seed statistics, then per-round
+    Arrow mapInPandas Viterbi E-steps + map-side-combined piece
+    aggregates, coverage-safe pruning to vocab_size.  Oracle = the
+    INDEPENDENT pure-python trainer frozen by
+    tools/freeze_unigram_golden.py (value hash pins every piece and
+    path count)."""
+    from pdf_ocr_spark.operators import unigram as UG
+
+    corpus = spark.createDataFrame(UG.fixture_corpus(), "doc_id long, text string")
+    vocab = UG.unigram_train(
+        UG.word_freq_table(corpus), vocab_size=40, rounds=2,
+        max_piece_len=4, seed_size=150,
+    )
+    return spark.createDataFrame(vocab, "piece string, freq long")
+
+
+SQL_UNIGRAM_VOCAB = f"""
+SELECT piece, freq FROM read_parquet('{{golden}}')
+""".format(golden=_golden("unigram_vocab"))
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Unigram-LM ENCODING with the learned piece table: ONE
+    Arrow-batched mapInPandas stage (broadcast scores, per-word Viterbi
+    with memoization — O(1) plan depth at any vocabulary size, the
+    bpe_encode_arrow shape).  Train + encode in one job; oracle = the
+    frozen pure-python twin's token streams (value hash pins every
+    segmentation boundary in every document)."""
+    from pdf_ocr_spark.operators import unigram as UG
+
+    corpus = spark.createDataFrame(UG.fixture_corpus(), "doc_id long, text string")
+    vocab = UG.unigram_train(
+        UG.word_freq_table(corpus), vocab_size=40, rounds=2,
+        max_piece_len=4, seed_size=150,
+    )
+    enc = UG.unigram_encode(corpus, vocab, max_piece_len=4)
+    return enc.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "tokens"
+    )
+
+
+SQL_UNIGRAM_ENCODE = f"""
+SELECT doc_id, n_tokens, tokens FROM read_parquet('{{golden}}')
+""".format(golden=_golden("unigram_encode"))
+
+
+def q_unigram_seed_counts(spark, sf_dir):
+    """Unigram seed-piece statistics over the DOCUMENTS table (the
+    sf-scaled twin of the fixture-corpus trainer; the bpe_pair_counts
+    analogue): top-50 substring pieces (length ≤ 4) by corpus-weighted
+    occurrence frequency.  The substring fan-out runs over the compact
+    distinct-word table, never the corpus.  Fully SQL-expressible, so
+    this one gets a live DuckDB replay instead of a golden — it pins
+    the word-frequency collapse and the position-weighted substring
+    explode against an independent engine."""
+    from pdf_ocr_spark.operators import unigram as UG
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = UG.word_freq_table(docs)
+    return (
+        UG.seed_piece_counts(wf, max_piece_len=4)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(50)
+    )
+
+
+SQL_UNIGRAM_SEED_COUNTS = f"""
+WITH wf AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+    FROM documents) t
+  WHERE w <> '' GROUP BY w
+),
+pos AS (
+  SELECT w, cnt, unnest(range(1, length(w) + 1)) AS i FROM wf
+),
+sub AS (
+  SELECT cnt,
+         substr(w, i::INT, unnest(range(1, least(4, length(w) - i + 1) + 1))::INT)
+           AS piece
+  FROM pos
+)
+SELECT piece, sum(cnt) AS freq
+FROM sub GROUP BY 1
+ORDER BY freq DESC, piece ASC
+LIMIT 50
+"""
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-document TF-IDF keywords (top-3, df ≥ 2): one words fan-out
     feeds the (doc, term) tf groupBy and the term df groupBy; the df
@@ -6780,6 +6873,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "bpe_encode_arrow": (q_bpe_encode_arrow, SQL_BPE_ENCODE_ARROW),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "unigram_vocab": (q_unigram_vocab, SQL_UNIGRAM_VOCAB),
+    "unigram_encode": (q_unigram_encode, SQL_UNIGRAM_ENCODE),
+    "unigram_seed_counts": (q_unigram_seed_counts, SQL_UNIGRAM_SEED_COUNTS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "export_shards": (q_export_shards, SQL_EXPORT_SHARDS),
     "chunk_passages": (q_chunk_passages, SQL_CHUNK_PASSAGES),
