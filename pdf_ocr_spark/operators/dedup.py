@@ -923,21 +923,38 @@ def duplicate_spans(
     for a rolling hash) but only ~len/stride windows survive to the
     shuffle.  The dup-hash side of the join-back is small (duplicated
     content only) — AQE converts it to a broadcast join when it fits."""
+    _, marked = _dup_marked_windows(docs, text_col, id_col, k, stride)
+    return _merge_windows(marked, k).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+    )
+
+
+def _dup_marked_windows(
+    docs: DataFrame, text_col: str, id_col: str, k: int, stride: int
+):
+    """Shared front half of the ExactSubstr family: content-anchored
+    k-char window hashes, kept only where the hash is held by >1
+    distinct doc.  Returns (normalized docs ``(doc_id, t)``, marked
+    windows ``(doc_id, pos, h)``)."""
     anchor_w = 8
     norm = normalized(F.col(text_col))
-    n = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    ndocs = docs.select(F.col(id_col).alias("doc_id"), norm.alias("t"))
+    n = F.greatest(F.length("t") - (k - 1), F.lit(1))
     anchors = F.filter(
         F.sequence(F.lit(1), n),
-        lambda i: _hbase40(norm.substr(i, F.lit(anchor_w))) % stride == 0,
+        lambda i: _hbase40(F.col("t").substr(i, F.lit(anchor_w))) % stride == 0,
     )
-    wins = docs.select(
-        F.col(id_col).alias("doc_id"),
+    wins = ndocs.select(
+        "doc_id",
         F.explode(
             F.transform(
                 anchors,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    _hbase40(norm.substr(i, F.lit(k))).alias("h"),
+                    _hbase40(F.col("t").substr(i, F.lit(k))).alias("h"),
                 ),
             )
         ).alias("w"),
@@ -948,7 +965,13 @@ def duplicate_spans(
         .filter(F.col("n_docs") > 1)
         .select("h")
     )
-    marked = wins.join(dup_hashes, "h", "left_semi")
+    return ndocs, wins.join(dup_hashes, "h", "left_semi")
+
+
+def _merge_windows(marked: DataFrame, k: int) -> DataFrame:
+    """Per-doc gaps-and-islands merge of k-char windows at ``pos`` into
+    maximal spans ``(doc_id, span_start, span_end)`` — windows only
+    shuffle within their own doc partition, never a global sort."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -963,11 +986,102 @@ def duplicate_spans(
             F.min("pos").alias("span_start"),
             (F.max("pos") + (k - 1)).alias("span_end"),
         )
+        .drop("grp")
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Exact-substring dedup APPLY (the removal half of Lee et al. 2022's
+    ExactSubstr: keep ONE occurrence of each duplicated region
+    corpus-wide, cut every other occurrence out of the text).
+
+    Keeper election is deterministic: for each duplicated window hash
+    the corpus-first occurrence by ``(doc_id, pos)`` survives
+    (row_number over the per-hash bucket — bounded by duplicated-content
+    volume, never corpus-sized); all later occurrences are removal
+    marks.  Removal windows merge per doc (gaps-and-islands), their
+    complement segments are stitched back with an order-pinned
+    ``array_sort(collect_list(struct))`` fold, and untouched docs pass
+    through by left join — the whole plan is JVM built-ins.
+
+    Output: ``(doc_id, clean_text, removed_chars, n_spans_removed)``
+    over the NORMALIZED text (positions/segments live in the same
+    coordinate space ``duplicate_spans`` reports).
+
+    Scale notes: identical shuffle profile to ``duplicate_spans`` plus
+    one per-hash window over the (small) duplicated-window table and one
+    per-doc segment groupBy; nothing global, nothing Python.  Reference
+    precedent: the reference dedups page text only at whole-doc
+    granularity (pdf_ocr_with_boxes_v2.py resume set) — span-level
+    removal is the web-scale extension its corpus consumers apply."""
+    ndocs, marked = _dup_marked_windows(docs, text_col, id_col, k, stride)
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos"))
+    removal = marked.withColumn("rn", rn).filter(F.col("rn") > 1).drop("rn", "h")
+    spans = _merge_windows(removal, k).withColumnRenamed(
+        "span_start", "s"
+    ).withColumnRenamed("span_end", "e")
+
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    gaps = spans.select(
+        "doc_id",
+        F.coalesce(F.lag("e").over(ws) + 1, F.lit(1)).cast("long").alias("seg_s"),
+        (F.col("s") - 1).cast("long").alias("seg_e"),
+    )
+    tails = spans.groupBy("doc_id").agg(
+        (F.max("e") + 1).cast("long").alias("seg_s")
+    ).select("doc_id", "seg_s", F.lit(None).cast("long").alias("seg_e"))
+    lens = ndocs.select("doc_id", "t", F.length("t").alias("len"))
+    segs = (
+        gaps.unionByName(tails)
+        .join(lens, "doc_id")
         .select(
             "doc_id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "seg_s",
+            F.least(F.coalesce(F.col("seg_e").cast("long"), F.col("len").cast("long")), F.col("len").cast("long")).alias("seg_e2"),
+            "t",
+        )
+        .filter(F.col("seg_s") <= F.col("seg_e2"))
+        .select(
+            "doc_id",
+            "seg_s",
+            F.expr("substr(t, cast(seg_s as int), cast(seg_e2 - seg_s + 1 as int))").alias("sub"),
+        )
+    )
+    assembled = segs.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_s", "sub"))),
+                lambda x: x["sub"],
+            ),
+            "",
+        ).alias("asm")
+    )
+    stats = spans.join(lens.select("doc_id", "len"), "doc_id").groupBy("doc_id").agg(
+        F.sum(
+            F.least(F.col("e").cast("long"), F.col("len").cast("long"))
+            - F.col("s")
+            + 1
+        ).alias("removed_chars"),
+        F.count(F.lit(1)).alias("n_spans_removed"),
+    )
+    return (
+        lens.join(assembled, "doc_id", "left")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("removed_chars").isNotNull(), F.coalesce("asm", F.lit(""))
+            )
+            .otherwise(F.col("t"))
+            .alias("clean_text"),
+            F.coalesce(F.col("removed_chars"), F.lit(0)).cast("long").alias("removed_chars"),
+            F.coalesce(F.col("n_spans_removed"), F.lit(0)).cast("long").alias("n_spans_removed"),
         )
     )
 

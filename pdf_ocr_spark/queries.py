@@ -1538,6 +1538,100 @@ FROM grps GROUP BY doc_id, grp
 SQL_DEDUP_DUP_SPANS = _sql_dup_spans()
 
 
+def q_dedup_span_remove(spark, sf_dir):
+    """Exact-substring dedup APPLY (Lee et al. 2022 remove-all-but-one)
+    over the dup-variant universe: the corpus-first occurrence of each
+    duplicated window survives, every later occurrence is cut out and
+    the surviving segments are stitched back — variants of a doc lose
+    their whole body (clean_text = ''), originals keep theirs, and
+    template-shared sentences survive only in the lowest-id doc.
+    Oracle replays the identical keeper election + islands merge +
+    segment stitching relationally."""
+    return D.remove_duplicate_spans(
+        _docs_with_variants(spark, sf_dir), k=40, stride=10
+    )
+
+
+def _sql_span_remove(k: int = 40, stride: int = 10, anchor_w: int = 8) -> str:
+    hb = "CAST(('0x' || substr(md5(substr(t, CAST(pos AS INT), {k})), 1, 10)) AS BIGINT)".format(k=k)
+    anchor = (
+        "CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), {w})), 1, 10))"
+        " AS BIGINT) % {s} = 0"
+    ).format(w=anchor_w, s=stride)
+    return f"""
+WITH u AS ({_SQL_VARIANTS}),
+n AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM u),
+wins AS (
+  SELECT doc_id, pos, {hb} AS h
+  FROM n, unnest(list_filter(range(1, greatest(length(t) - {k - 1}, 1) + 1),
+                 i -> {anchor})) AS r(pos)
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+marked AS (SELECT w.doc_id, w.pos, w.h FROM wins w JOIN dup USING (h)),
+rem AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM marked) WHERE rn > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > coalesce(max(pos + {k - 1}) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 1 ELSE 0 END AS new_grp
+  FROM rem
+),
+grps AS (
+  SELECT doc_id, pos,
+    sum(new_grp) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {k - 1} AS e
+  FROM grps GROUP BY doc_id, grp
+),
+gaps AS (
+  SELECT doc_id,
+    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1) AS seg_s,
+    s - 1 AS seg_e
+  FROM spans
+  UNION ALL
+  SELECT doc_id, max(e) + 1 AS seg_s, NULL AS seg_e FROM spans GROUP BY doc_id
+),
+segs AS (
+  SELECT g.doc_id, g.seg_s,
+    substr(n.t, CAST(g.seg_s AS INT),
+           CAST(least(coalesce(g.seg_e, length(n.t)), length(n.t))
+                - g.seg_s + 1 AS INT)) AS sub
+  FROM gaps g JOIN n USING (doc_id)
+  WHERE g.seg_s <= least(coalesce(g.seg_e, length(n.t)), length(n.t))
+),
+asm AS (
+  SELECT doc_id, string_agg(sub, '' ORDER BY seg_s) AS clean FROM segs
+  GROUP BY doc_id
+),
+st AS (
+  SELECT s.doc_id,
+    sum(least(s.e, length(n.t)) - s.s + 1) AS removed_chars,
+    count(*) AS n_spans
+  FROM spans s JOIN n USING (doc_id) GROUP BY s.doc_id
+)
+SELECT n.doc_id,
+  CASE WHEN st.doc_id IS NOT NULL THEN coalesce(asm.clean, '') ELSE n.t END
+    AS clean_text,
+  CAST(coalesce(st.removed_chars, 0) AS BIGINT) AS removed_chars,
+  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans_removed
+FROM n
+LEFT JOIN asm USING (doc_id)
+LEFT JOIN st ON n.doc_id = st.doc_id
+"""
+
+
+SQL_DEDUP_SPAN_REMOVE = _sql_span_remove()
+
+
 def q_dedup_verified_lsh(spark, sf_dir):
     """The composed 100-TB near-dup pipeline: MinHash-LSH candidates
     (bucketed band join) → exact n-gram Jaccard verification restricted
@@ -6810,6 +6904,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_embedding_cos": (q_dedup_embedding_cos, SQL_DEDUP_EMBEDDING_COS),
     "dedup_verified_lsh": (q_dedup_verified_lsh, SQL_DEDUP_VERIFIED_LSH),
     "dedup_dup_spans": (q_dedup_dup_spans, SQL_DEDUP_DUP_SPANS),
+    "dedup_span_remove": (q_dedup_span_remove, SQL_DEDUP_SPAN_REMOVE),
     "dedup_paragraphs": (q_dedup_paragraphs, SQL_DEDUP_PARAGRAPHS),
     "strip_boilerplate": (q_strip_boilerplate, SQL_STRIP_BOILERPLATE),
     "dedup_embedding_bucketed": (

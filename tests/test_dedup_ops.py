@@ -128,6 +128,67 @@ def test_duplicate_spans_windowed_exactsubstr(spark):
     assert spans[4] == spans[5]
 
 
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    """ExactSubstr APPLY: the lowest-(doc_id,pos) occurrence of each
+    duplicated window survives, later occurrences are cut; untouched
+    docs pass through byte-identical; lengths reconcile."""
+    shared = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "crawler extracts byte identical text from every mirror"
+    )
+    rows = [
+        (1, f"unique preamble alpha. {shared} unique tail alpha."),
+        (2, f"different opening beta beta. {shared} other ending beta."),
+        (3, "entirely unique document gamma with no repeated passage at "
+            "all, nothing shared with any sibling row whatsoever here"),
+        (4, "duplicated doc delta " * 8),
+        (5, "duplicated doc delta " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.remove_duplicate_spans(docs, k=40, stride=10).collect()}
+    norm = {r[0]: " ".join(r[1].split()).strip().lower() for r in rows}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # unique doc untouched
+    assert out[3]["clean_text"] == norm[3]
+    assert out[3]["removed_chars"] == 0 and out[3]["n_spans_removed"] == 0
+    # doc 1 is the corpus-first holder of the shared passage: keeps it
+    assert shared in out[1]["clean_text"]
+    assert out[1]["removed_chars"] == 0
+    # doc 2 loses (most of) the shared passage
+    assert shared not in out[2]["clean_text"]
+    assert out[2]["n_spans_removed"] >= 1
+    # exact twins: 4 keeps (it's corpus-first), 5 is gutted
+    assert out[4]["removed_chars"] == 0 or out[4]["removed_chars"] < out[5]["removed_chars"]
+    assert out[5]["removed_chars"] > 0
+    # length reconciliation on every doc
+    for i, r in out.items():
+        assert len(r["clean_text"]) == len(norm[i]) - r["removed_chars"], i
+        # removal marks only ever delete text that was present
+        assert r["removed_chars"] <= len(norm[i])
+
+
+def test_remove_duplicate_spans_whole_doc_removal(spark):
+    """A doc whose entire body duplicates an earlier doc collapses to
+    the empty string (clean_text=''), not a missing row."""
+    body = (
+        "shared full body text carried verbatim across sibling documents "
+        "with every clause unique inside the page so only the cross doc "
+        "copy triggers removal of the complete later occurrence"
+    )
+    docs = spark.createDataFrame(
+        [(1, body), (2, body)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in D.remove_duplicate_spans(docs, k=40, stride=10).collect()}
+    assert out[1]["removed_chars"] == 0
+    norm_len = len(" ".join(body.split()).strip())
+    # doc 2: everything except content-anchor edge slack is removed
+    # (anchors land ~every stride chars but gaps are geometric, so the
+    # honest per-edge bound is k + a few strides, not stride itself)
+    assert out[2]["removed_chars"] >= norm_len - 2 * (40 + 10)
+    assert len(out[2]["clean_text"]) == norm_len - out[2]["removed_chars"]
+    assert out[2]["n_spans_removed"] >= 1
+
+
 def test_dedup_apply_verdicts(spark):
     docs = spark.createDataFrame(
         [(1, "aa"), (2, "aaaa"), (3, "b"), (9, "solo")],
