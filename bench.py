@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "sink_wat_export",
     "bpe_pair_counts",
     "unigram_seed_counts",
+    "wordpiece_pair_scores",
     "crawl_budget",
     "page_freshness",
     "crawl_cycle",

@@ -3887,6 +3887,107 @@ LIMIT 50
 """
 
 
+def q_wordpiece_vocab(spark, sf_dir):
+    """Distributed WordPiece tokenizer TRAINING (Schuster & Nakajima
+    2012; the BERT tokenizer — likelihood merge criterion freq(pair) /
+    (freq(l)·freq(r)) as a BIGINT-exact 10^12-quantized ratio) over the
+    deterministic fixture corpus: per round, codegen'd pair + symbol
+    explodes over the compact weighted vocab, broadcast denominator
+    joins, TakeOrdered(1) winner, greedy fold rewrite.  Oracle = the
+    INDEPENDENT pure-python trainer frozen by
+    tools/freeze_wordpiece_golden.py (value hash pins every piece)."""
+    from pdf_ocr_spark.operators import wordpiece as WP
+
+    corpus = spark.createDataFrame(WP.fixture_corpus(), "doc_id long, text string")
+    _, vocab = WP.wordpiece_train(WP.word_freq_table(corpus), n_merges=8)
+    return spark.createDataFrame(vocab, "piece string, freq long")
+
+
+SQL_WORDPIECE_VOCAB = f"""
+SELECT piece, freq FROM read_parquet('{{golden}}')
+""".format(golden=_golden("wordpiece_vocab"))
+
+
+def q_wordpiece_encode(spark, sf_dir):
+    """WordPiece ENCODING (BERT-runtime greedy longest-prefix MaxMatch,
+    ## continuation, whole-word [UNK] fallback) with the learned piece
+    table: ONE Arrow-batched mapInPandas stage (broadcast vocab set,
+    per-word memoization — O(1) plan depth at any vocabulary size).
+    The eval corpus extends the training fixture with rows the
+    vocabulary can only partially cover or not at all, so both the
+    backoff and the [UNK] paths are value-hash-pinned by the frozen
+    independent twin."""
+    from pdf_ocr_spark.operators import wordpiece as WP
+
+    train_corpus = spark.createDataFrame(
+        WP.fixture_corpus(), "doc_id long, text string"
+    )
+    _, vocab = WP.wordpiece_train(WP.word_freq_table(train_corpus), n_merges=8)
+    eval_docs = spark.createDataFrame(WP.eval_corpus(), "doc_id long, text string")
+    enc = WP.wordpiece_encode(eval_docs, vocab)
+    return enc.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "tokens"
+    )
+
+
+SQL_WORDPIECE_ENCODE = f"""
+SELECT doc_id, n_tokens, tokens FROM read_parquet('{{golden}}')
+""".format(golden=_golden("wordpiece_encode"))
+
+
+def q_wordpiece_pair_scores(spark, sf_dir):
+    """Round-1 WordPiece pair-likelihood statistics over the DOCUMENTS
+    table (the bpe_pair_counts analogue for the likelihood criterion):
+    top-50 adjacent symbol pairs by the BIGINT-exact quantized score
+    freq·10^12 div (freq_l·freq_r).  Fully SQL-expressible, so this one
+    gets a live DuckDB replay — it pins the ##-prefixed symbol
+    construction, the weighted pair/symbol statistics, and the integer
+    score arithmetic against an independent engine."""
+    from pdf_ocr_spark.operators import wordpiece as WP
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = WP.word_freq_table(docs)
+    return (
+        WP.wordpiece_pair_scores(wf)
+        .orderBy(F.desc("score_q"), F.desc("freq"), F.asc("l"), F.asc("r"))
+        .limit(50)
+    )
+
+
+SQL_WORDPIECE_PAIR_SCORES = f"""
+WITH wf AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+    FROM documents) t
+  WHERE w <> '' GROUP BY w
+),
+pairs AS (
+  SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+              ELSE '##' || substr(w, CAST(i AS INT), 1) END AS l,
+         '##' || substr(w, CAST(i + 1 AS INT), 1) AS r,
+         cnt
+  FROM wf, unnest(range(1, length(w))) AS t(i)
+  WHERE length(w) > 1
+),
+pf AS (SELECT l, r, sum(cnt) AS freq FROM pairs GROUP BY l, r),
+syms AS (
+  SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+              ELSE '##' || substr(w, CAST(i AS INT), 1) END AS sym,
+         cnt
+  FROM wf, unnest(range(1, length(w) + 1)) AS t(i)
+),
+sf AS (SELECT sym, sum(cnt) AS freq FROM syms GROUP BY sym)
+SELECT pf.l, pf.r, CAST(pf.freq AS BIGINT) AS freq,
+       CAST(pf.freq AS BIGINT) * 1000000000000
+         // (CAST(fl.freq AS BIGINT) * CAST(fr.freq AS BIGINT)) AS score_q
+FROM pf
+JOIN sf fl ON pf.l = fl.sym
+JOIN sf fr ON pf.r = fr.sym
+ORDER BY score_q DESC, freq DESC, l, r
+LIMIT 50
+"""
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-document TF-IDF keywords (top-3, df ≥ 2): one words fan-out
     feeds the (doc, term) tf groupBy and the term df groupBy; the df
@@ -6971,6 +7072,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "unigram_vocab": (q_unigram_vocab, SQL_UNIGRAM_VOCAB),
     "unigram_encode": (q_unigram_encode, SQL_UNIGRAM_ENCODE),
     "unigram_seed_counts": (q_unigram_seed_counts, SQL_UNIGRAM_SEED_COUNTS),
+    "wordpiece_vocab": (q_wordpiece_vocab, SQL_WORDPIECE_VOCAB),
+    "wordpiece_encode": (q_wordpiece_encode, SQL_WORDPIECE_ENCODE),
+    "wordpiece_pair_scores": (q_wordpiece_pair_scores, SQL_WORDPIECE_PAIR_SCORES),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "export_shards": (q_export_shards, SQL_EXPORT_SHARDS),
     "chunk_passages": (q_chunk_passages, SQL_CHUNK_PASSAGES),
