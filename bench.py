@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "unigram_seed_counts",
     "wordpiece_pair_scores",
+    "quality_nb_score",
     "crawl_budget",
     "page_freshness",
     "crawl_cycle",

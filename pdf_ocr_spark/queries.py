@@ -3686,6 +3686,122 @@ GROUP BY grp
 """
 
 
+_NB_LABEL_SQL = "CASE WHEN source IN ('src1','src2','src3') THEN 1 ELSE 0 END"
+
+_SQL_NB_MODEL = f"""
+d AS (
+  SELECT doc_id, text, {_NB_LABEL_SQL} AS y FROM documents
+),
+nbw AS (
+  SELECT y, w FROM (
+    SELECT y, unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w FROM d)
+  WHERE w <> ''
+),
+cnts AS (
+  SELECT {_sql_h64('w', 'nbq')} % 4096 AS bucket,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos_cnt,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg_cnt
+  FROM nbw GROUP BY 1
+),
+nbtot AS (SELECT sum(pos_cnt) AS tot_pos, sum(neg_cnt) AS tot_neg FROM cnts),
+model AS (
+  SELECT bucket, CAST(pos_cnt AS BIGINT) AS pos_cnt,
+         CAST(neg_cnt AS BIGINT) AS neg_cnt,
+         CAST(round(ln((pos_cnt + 1) / (tot_pos + 4096))
+                    - ln((neg_cnt + 1) / (tot_neg + 4096)), 6)
+              AS DECIMAL(18,6)) AS weight
+  FROM cnts CROSS JOIN nbtot
+  UNION ALL
+  SELECT -1, 0, 0,
+         CAST(round(ln(1.0 / (tot_pos + 4096))
+                    - ln(1.0 / (tot_neg + 4096)), 6) AS DECIMAL(18,6))
+  FROM nbtot
+  UNION ALL
+  SELECT -2,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END),
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END),
+         CAST(round(ln(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)), 6)
+              AS DECIMAL(18,6))
+  FROM d
+)"""
+
+
+def _nb_labeled_docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("source").isin("src1", "src2", "src3"), 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+
+
+def q_quality_nb_weights(spark, sf_dir):
+    """TRAINED quality classifier, training half: closed-form hashed-
+    bag-of-words Naive Bayes (the relational stand-in for CCNet/DCLM/
+    FineWeb-edu's fastText quality models; the weak label here is a
+    curated-source-vs-rest split, the CCNet framing).  The whole model
+    is one broadcastable weight table: per-bucket Laplace log-odds at
+    6-dp DECIMAL (engine-reproducible), plus the unseen-bucket default
+    (bucket -1) and the class prior (bucket -2).  Oracle replays the
+    identical counts + log arithmetic in DuckDB."""
+    from pdf_ocr_spark.operators import quality as Q
+
+    model = Q.nb_train(_nb_labeled_docs(spark, sf_dir), buckets=4096)
+    return model.select(
+        "bucket", "pos_cnt", "neg_cnt", F.col("weight").cast("double").alias("weight")
+    )
+
+
+SQL_QUALITY_NB_WEIGHTS = f"""
+WITH {_SQL_NB_MODEL}
+SELECT bucket, pos_cnt, neg_cnt, CAST(weight AS DOUBLE) AS weight FROM model
+"""
+
+
+def q_quality_nb_score(spark, sf_dir):
+    """TRAINED quality classifier, scoring half: word explode →
+    broadcast LEFT join on the hashed bucket (unseen buckets take the
+    Laplace default row) → one EXACT per-doc DECIMAL(18,6) sum + the
+    class prior; pred is the exact-decimal sign test, nb_score the
+    4-dp rounded log-odds.  Train + score in one plan over the
+    documents table — the shape a 100-TB fastText-style scorer runs."""
+    from pdf_ocr_spark.operators import quality as Q
+
+    docs = _nb_labeled_docs(spark, sf_dir)
+    model = Q.nb_train(docs, buckets=4096)
+    return Q.nb_score(docs, model, buckets=4096)
+
+
+SQL_QUALITY_NB_SCORE = f"""
+WITH {_SQL_NB_MODEL},
+obs AS (SELECT bucket, weight FROM model WHERE bucket >= 0),
+dflt AS (SELECT weight AS dw FROM model WHERE bucket = -1),
+prior AS (SELECT weight AS pw FROM model WHERE bucket = -2),
+docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+db AS (
+  SELECT doc_id, {_sql_h64('w', 'nbq')} % 4096 AS bucket FROM docw
+),
+per_doc AS (
+  SELECT db.doc_id, sum(coalesce(obs.weight, dflt.dw)) AS s
+  FROM db LEFT JOIN obs USING (bucket) CROSS JOIN dflt
+  GROUP BY db.doc_id
+)
+SELECT d.doc_id,
+  round(CAST(coalesce(per_doc.s, 0) + prior.pw AS DOUBLE), 4) AS nb_score,
+  CAST(CASE WHEN coalesce(per_doc.s, 0) + prior.pw > 0 THEN 1 ELSE 0 END
+       AS INT) AS pred
+FROM documents d LEFT JOIN per_doc USING (doc_id) CROSS JOIN prior
+"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) over
     the deterministic fixture corpus: one corpus-sized word groupBy,
@@ -7065,6 +7181,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "source_lang_entropy": (q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
     "domain_kl_drift": (q_domain_kl_drift, SQL_DOMAIN_KL_DRIFT),
+    "quality_nb_weights": (q_quality_nb_weights, SQL_QUALITY_NB_WEIGHTS),
+    "quality_nb_score": (q_quality_nb_score, SQL_QUALITY_NB_SCORE),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "bpe_encode_arrow": (q_bpe_encode_arrow, SQL_BPE_ENCODE_ARROW),

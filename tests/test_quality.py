@@ -1,0 +1,89 @@
+"""Trained NB quality classifier — hand-computed log-odds parity,
+the unseen-bucket default path, the class prior, and empty docs."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pdf_ocr_spark.operators.quality import (
+    DEFAULT_BUCKET,
+    PRIOR_BUCKET,
+    nb_score,
+    nb_train,
+)
+
+
+def _bucket(word: str, buckets: int) -> int:
+    h = int(hashlib.md5((word + ":nbq").encode()).hexdigest()[:15], 16)
+    return h % buckets
+
+
+def _r6(x: float) -> float:
+    return round(x, 6)
+
+
+def test_nb_train_matches_hand_computation(spark):
+    B = 64
+    docs = spark.createDataFrame(
+        [(1, "good good fine", 1), (2, "bad bad awful", 0), (3, "good bad", 1)],
+        "doc_id long, text string, label int",
+    )
+    model = {r["bucket"]: r for r in nb_train(docs, buckets=B).collect()}
+    # occurrence counts per word: pos: good x3, fine x1, bad x1 (doc 3)
+    #                             neg: bad x2, awful x1
+    tot_pos, tot_neg = 5, 3
+    for word, pc, nc in [("good", 3, 0), ("fine", 1, 0), ("bad", 1, 2),
+                         ("awful", 0, 1)]:
+        row = model[_bucket(word, B)]
+        assert (row["pos_cnt"], row["neg_cnt"]) == (pc, nc), word
+        expected = _r6(
+            math.log((pc + 1) / (tot_pos + B)) - math.log((nc + 1) / (tot_neg + B))
+        )
+        assert float(row["weight"]) == expected, word
+    dflt = model[DEFAULT_BUCKET]
+    assert float(dflt["weight"]) == _r6(
+        math.log(1.0 / (tot_pos + B)) - math.log(1.0 / (tot_neg + B))
+    )
+    prior = model[PRIOR_BUCKET]
+    assert (prior["pos_cnt"], prior["neg_cnt"]) == (2, 1)
+    assert float(prior["weight"]) == _r6(math.log(2 / 1))
+
+
+def test_nb_score_signs_and_empty_doc(spark):
+    B = 64
+    train = spark.createDataFrame(
+        [(1, "good good fine", 1), (2, "bad bad awful", 0)],
+        "doc_id long, text string, label int",
+    )
+    model = nb_train(train, buckets=B)
+    eval_docs = spark.createDataFrame(
+        [(10, "good fine good"), (11, "bad awful"), (12, ""), (13, "zzz")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in nb_score(eval_docs, model, buckets=B).collect()}
+    assert out[10]["pred"] == 1 and out[10]["nb_score"] > 0
+    assert out[11]["pred"] == 0 and out[11]["nb_score"] < 0
+    # empty doc: the bare prior (balanced classes -> log(1) = 0 -> pred 0)
+    assert out[12]["nb_score"] == 0.0 and out[12]["pred"] == 0
+    # unseen word: default Laplace weight, symmetric totals here
+    tot_pos, tot_neg = 3, 3
+    d = _r6(math.log(1.0 / (tot_pos + B)) - math.log(1.0 / (tot_neg + B)))
+    assert out[13]["nb_score"] == round(d, 4)
+
+
+def test_nb_score_is_sum_of_occurrence_weights(spark):
+    B = 64
+    train = spark.createDataFrame(
+        [(1, "alpha alpha beta", 1), (2, "beta gamma gamma gamma", 0)],
+        "doc_id long, text string, label int",
+    )
+    model_rows = nb_train(train, buckets=B).collect()
+    w = {r["bucket"]: float(r["weight"]) for r in model_rows}
+    prior = w[PRIOR_BUCKET]
+    docs = spark.createDataFrame(
+        [(20, "alpha beta beta gamma")], "doc_id long, text string"
+    )
+    got = nb_score(docs, nb_train(train, buckets=B), buckets=B).collect()[0]
+    expected = prior + w[_bucket("alpha", B)] + 2 * w[_bucket("beta", B)] + w[_bucket("gamma", B)]
+    assert got["nb_score"] == round(expected, 4)
