@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "unigram_seed_counts",
     "wordpiece_pair_scores",
     "quality_nb_score",
+    "sim_pq_topk",
     "crawl_budget",
     "page_freshness",
     "crawl_cycle",

@@ -525,3 +525,159 @@ def bitext_margin_pairs(
             "x_id", "y_id", F.round(F.col("c6"), 4).alias("cosine"), "margin"
         )
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011 — the
+    compressed-index scale path beyond IVF): the vector space splits
+    into ``m`` contiguous subspaces of dim/m dimensions and each gets
+    its own Lloyd k-means codebook of ``ksub`` centroids, trained with
+    the SAME deterministic seeded-init + fixed-iteration protocol as
+    :func:`kmeans_centroids` (exact-decimal per-dimension means), so
+    the full trained model stays value-hash verifiable by the DuckDB
+    oracle.  Output: (sub_id, cent_id, cvec) — m×ksub rows, driver/
+    broadcast scale.
+
+    At 100 TB: train on a sample (plan identical); the per-subspace
+    passes share the corpus scan via Spark's cache if materialized —
+    the fixture-scale m scans are irrelevant next to the sample cost."""
+    dsub = dim // m
+    parts = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
+        )
+        cents = kmeans_centroids(
+            sliced, n_centroids=ksub, iters=iters,
+            id_col=id_col, vec_col=vec_col, dim=dsub,
+        )
+        parts.append(cents.select(F.lit(s).alias("sub_id"), "cent_id", "cvec"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _collect_codebooks(codebooks: DataFrame) -> list:
+    """[(sub_id, cent_id, [floats])] sorted — m×ksub rows, driver-scale."""
+    return sorted(
+        (int(r["sub_id"]), int(r["cent_id"]), list(r["cvec"]))
+        for r in codebooks.select("sub_id", "cent_id", "cvec").collect()
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ encoding: every vector compresses to ``m`` small codes — the
+    per-subspace argmin against the broadcast codebooks, as a PURE
+    MAP-SIDE PROJECTION (the ivf_assign discipline: literal centroid
+    arrays, one codegen'd array_min per subspace, zero shuffle, zero
+    Python).  Output: (id, codes array<int>) — at 100 TB this is the
+    8-32x index compression that lets the ANN index live in memory."""
+    rows = _collect_codebooks(codebooks)
+    m = max(s for s, _, _ in rows) + 1
+    dsub = dim // m
+    code_cols = []
+    for s in range(m):
+        cent_rows = [(cid, cv) for (sid, cid, cv) in rows if sid == s]
+        code_cols.append(
+            _assign_col(
+                F.slice(F.col(vec_col), s * dsub + 1, dsub), cent_rows
+            ).cast("int")
+        )
+    return corpus.select(id_col, F.array(*code_cols).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    query_filter: Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-coded corpus: the
+    query keeps its exact vector, every coded vector's distance is the
+    sum of per-subspace table lookups — the classic PQ search plan made
+    relational:
+
+      1. the distance TABLE is queries × codebooks (Q × m × ksub rows —
+         broadcast-shaped for any sane query batch), each entry the
+         round-6 squared L2 between the query's subspace slice and a
+         codebook centroid, cast DECIMAL(18,6) so the m-term sums are
+         exact and order-independent;
+      2. the coded corpus posexplodes to (vec, sub, code) and
+         equi-joins the BROADCAST table on (sub, code) — the lookup;
+      3. one map-side-combined groupBy sums the m partial distances
+         per (query, vec); row_number under (adc ASC, neighbor ASC)
+         takes k.
+
+    Output: (query_id, neighbor_id, adc_dist, rank) — adc_dist is the
+    QUANTIZED distance (PQ's accuracy/size trade), not the exact one;
+    ``sim_recall``-style gates measure what that trade costs."""
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col, dim=dim)
+    rows = _collect_codebooks(codebooks)
+    m = max(s for s, _, _ in rows) + 1
+    dsub = dim // m
+    q = corpus.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    dtab = (
+        q.crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id",
+            "sub_id",
+            "cent_id",
+            F.round(
+                l2sq_expr(
+                    F.slice(
+                        F.col("qv"), F.col("sub_id") * dsub + 1, F.lit(dsub)
+                    ),
+                    F.col("cvec"),
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("d"),
+        )
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub_id", "code"),
+    )
+    scored = (
+        exploded.join(
+            F.broadcast(dtab),
+            (exploded["sub_id"] == dtab["sub_id"])
+            & (exploded["code"] == dtab["cent_id"]),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("adc").cast("double").alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -1971,6 +1971,148 @@ c2 AS (SELECT cent_id, [{mean}] AS cvec FROM a2 GROUP BY cent_id)
 """
 
 
+def _sql_pq_cte(m: int = 4, ksub: int = 8, dim: int = 64) -> str:
+    """CTE chain replaying pq_train + pq_encode exactly: per subspace a
+    seeded init + two unrolled Lloyd iterations over the embedding
+    SLICE (same round-6 assign, same exact-decimal per-dimension
+    means), codebooks unioned with sub_id tags, then the per-(vec, sub)
+    argmin encode."""
+    dsub = dim // m
+    parts = []
+    for s in range(m):
+        off = s * dsub
+        sl = f"list_slice(e.embedding, {off + 1}, {off + dsub})"
+        mean = ", ".join(
+            f"round(CAST(sum(CAST(CAST(embedding[{off + i + 1}] AS DOUBLE)"
+            f" AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)"
+            for i in range(dsub)
+        )
+
+        def assign(csrc: str) -> str:
+            return f"""
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round({_SQL_L2SQ.format(a=sl, b='c.cvec')}, 6), c.cent_id
+      ) AS rn
+    FROM embeddings e CROSS JOIN {csrc} c) WHERE rn = 1
+"""
+
+        parts.append(f"""
+p{s}c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cent_id,
+         list_slice(embedding, {off + 1}, {off + dsub}) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {ksub})
+),
+p{s}a1 AS ({assign(f'p{s}c0')}),
+p{s}c1 AS (SELECT cent_id, [{mean}] AS cvec FROM p{s}a1 GROUP BY cent_id),
+p{s}a2 AS ({assign(f'p{s}c1')}),
+p{s}c2 AS (SELECT cent_id, [{mean}] AS cvec FROM p{s}a2 GROUP BY cent_id)""")
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT {s} AS sub_id, cent_id, cvec FROM p{s}c2" for s in range(m)
+    )
+    slc = f"list_slice(e.embedding, cb.sub_id * {dsub} + 1, cb.sub_id * {dsub} + {dsub})"
+    return f"""{','.join(parts)},
+pqcb AS (
+{union}
+),
+pqcodes AS (
+  SELECT vec_id, sub_id, cent_id AS code FROM (
+    SELECT e.vec_id, cb.sub_id, cb.cent_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id, cb.sub_id
+        ORDER BY round({_SQL_L2SQ.format(a=slc, b='cb.cvec')}, 6), cb.cent_id
+      ) AS rn
+    FROM embeddings e CROSS JOIN pqcb cb) WHERE rn = 1
+)"""
+
+
+def q_sim_pq_codebooks(spark, sf_dir):
+    """The trained product-quantization model itself (Jégou et al.
+    2011): per-subspace Lloyd codebooks (4 subspaces × 8 centroids ×
+    16 dims) under the same deterministic seeded-init + exact-decimal-
+    mean protocol as the IVF quantizer, exploded per dimension so the
+    gate value-hashes the full model."""
+    cb = S.pq_train(_t(spark, sf_dir, "embeddings"), m=4, ksub=8, iters=2)
+    return cb.select(
+        "sub_id", "cent_id", F.posexplode("cvec").alias("dim_idx", "value")
+    )
+
+
+SQL_SIM_PQ_CODEBOOKS = f"""
+WITH {_sql_pq_cte()}
+SELECT sub_id, cent_id, CAST(i - 1 AS INT) AS dim_idx,
+       cvec[CAST(i AS INT)] AS value
+FROM pqcb, range(1, 17) t(i)
+"""
+
+
+def q_sim_pq_codes(spark, sf_dir):
+    """PQ ENCODING of the whole corpus: every 64-dim float vector
+    compresses to 4 small codes via per-subspace argmin against the
+    broadcast codebooks — a pure map-side projection, zero shuffle
+    (the 8-32x index compression that keeps a 100-TB ANN index in
+    memory).  Exploded to (vec_id, sub_id, code) so the oracle pins
+    every single code."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = S.pq_train(emb, m=4, ksub=8, iters=2)
+    codes = S.pq_encode(emb, cb)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("sub_id", "code")
+    ).select("vec_id", "sub_id", F.col("code").cast("long").alias("code"))
+
+
+SQL_SIM_PQ_CODES = f"""
+WITH {_sql_pq_cte()}
+SELECT vec_id, CAST(sub_id AS INT) AS sub_id, CAST(code AS BIGINT) AS code
+FROM pqcodes
+"""
+
+
+def q_sim_pq_topk(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-k over the PQ-coded corpus — the
+    classic PQ search made relational: a queries × codebooks distance
+    TABLE (broadcast-shaped), the coded corpus posexplodes and joins
+    the table on (sub, code), one map-side-combined groupBy sums the
+    exact-DECIMAL partial distances, row_number takes k=3 under the
+    total (adc ASC, neighbor ASC) order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = S.pq_train(emb, m=4, ksub=8, iters=2)
+    return S.pq_adc_topk(emb, cb, F.col("vec_id") % 100 == 0, k=3)
+
+
+SQL_SIM_PQ_TOPK = f"""
+WITH {_sql_pq_cte()},
+qrys AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+dtab AS (
+  SELECT q.query_id, cb.sub_id, cb.cent_id,
+    CAST(round({_SQL_L2SQ.format(
+        a='list_slice(q.qv, cb.sub_id * 16 + 1, cb.sub_id * 16 + 16)',
+        b='cb.cvec')}, 6) AS DECIMAL(18,6)) AS d
+  FROM qrys q CROSS JOIN pqcb cb
+),
+adc AS (
+  SELECT dt.query_id, c.vec_id AS neighbor_id, sum(dt.d) AS adc
+  FROM pqcodes c
+  JOIN dtab dt ON dt.sub_id = c.sub_id AND dt.cent_id = c.code
+  WHERE dt.query_id <> c.vec_id
+  GROUP BY dt.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc,
+    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id)
+      AS rank
+  FROM adc)
+WHERE rank <= 3
+"""
+
+
 def q_sim_kmeans_centroids(spark, sf_dir):
     """The trained IVF quantizer itself: 2 Lloyd iterations from the
     seeded init, centroids exploded per dimension so the gate value-
@@ -7145,6 +7287,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_topk_ivf": (q_sim_topk_ivf, SQL_SIM_TOPK_IVF),
     "sim_kmeans_centroids": (q_sim_kmeans_centroids, SQL_SIM_KMEANS_CENTROIDS),
     "sim_topk_ivf_kmeans": (q_sim_topk_ivf_kmeans, SQL_SIM_TOPK_IVF_KMEANS),
+    "sim_pq_codebooks": (q_sim_pq_codebooks, SQL_SIM_PQ_CODEBOOKS),
+    "sim_pq_codes": (q_sim_pq_codes, SQL_SIM_PQ_CODES),
+    "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_PQ_TOPK),
     "sim_topk_ivf_probe2": (q_sim_topk_ivf_probe2, SQL_SIM_TOPK_IVF_PROBE2),
     "sim_recall": (q_sim_recall, SQL_SIM_RECALL),
     # text analysis
