@@ -180,6 +180,40 @@ def c4_filters(
     )
 
 
+def c4_line_apply(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4's ACTUAL cleanup granularity (Raffel et al. 2020 §2.2 removes
+    LINES, not just pages): per-line keep rules — ends in a terminal
+    punctuation mark, holds ≥3 words, does not mention javascript —
+    applied and the survivors stitched back, plus the page-level
+    ≥5-retained-lines decision.
+
+    The whole operator is higher-order functions over the split line
+    array (filter + array_join) — ZERO shuffle, zero explode, pure
+    per-row codegen, so it composes map-side into any gate stack at any
+    scale.  Output: (id, clean_text, n_lines, n_kept, keep_doc)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _keep(l):
+        lt = F.trim(l)
+        return (
+            lt.rlike('[.!?"]$')
+            & (F.size(F.split(lt, " +")) >= 3)
+            & ~F.lower(lt).contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(kept) >= 5).alias("keep_doc"),
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

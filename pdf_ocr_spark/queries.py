@@ -3275,6 +3275,81 @@ FROM documents WHERE doc_id < 300
 """
 
 
+def _c4_line_fixture():
+    """Deterministic lined pages exercising every C4 line rule: terminal
+    punctuation pass/fail, the 3-word minimum, the javascript mention,
+    and both sides of the page-level 5-surviving-lines gate.  The
+    synthetic documents table has no line/punctuation structure, so the
+    apply gate gets its own universe (the _docs_with_variants
+    pattern)."""
+    keepers = [
+        "this sentence ends with a period.",
+        "does this line survive the gate?",
+        "an exclamation also counts here!",
+        'a line ending in a quote"',
+        "five good lines make the page keepable.",
+        "a sixth keeper for good measure.",
+    ]
+    rows = [
+        # page 1: all six keepers + assorted failures -> keep_doc
+        (1, "\n".join(keepers + [
+            "no terminal punctuation here",
+            "too short.",
+            "the javascript toolkit renders this page.",
+            "   ",
+        ])),
+        # page 2: four keepers only -> dropped by the page gate
+        (2, "\n".join(keepers[:4] + ["trailing fragment without an end"])),
+        # page 3: nothing survives
+        (3, "just one bare fragment\nand another\nok."),
+        # page 4: single-line page that is itself a keeper
+        (4, "a single well formed sentence stands alone."),
+    ]
+    return rows
+
+
+def q_text_c4_line_apply(spark, sf_dir):
+    """C4's ACTUAL cleanup granularity — the line-removal APPLY (Raffel
+    et al. 2020 §2.2 drops LINES: no terminal punctuation, <3 words, or
+    a javascript mention — then pages with <5 surviving lines): pure
+    higher-order functions over the split line array (filter +
+    array_join), ZERO shuffle, zero explode — composes map-side into
+    any gate stack at any scale.  Oracle replays the identical rules
+    over the same lined fixture pages."""
+    docs = spark.createDataFrame(_c4_line_fixture(), "doc_id long, text string")
+    return T.c4_line_apply(docs)
+
+
+def _sql_c4_line_fixture() -> str:
+    vals = []
+    for doc_id, text in _c4_line_fixture():
+        parts = " || chr(10) || ".join(
+            "'" + ln.replace("'", "''") + "'" for ln in text.split("\n")
+        )
+        vals.append(f"({doc_id}, {parts})")
+    return "SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(doc_id, text)"
+
+
+SQL_TEXT_C4_LINE_APPLY = f"""
+WITH d AS ({_sql_c4_line_fixture()}),
+f AS (
+  SELECT doc_id,
+    str_split(text, chr(10)) AS lines,
+    list_filter(str_split(text, chr(10)), l ->
+      regexp_matches(trim(l), '[.!?"]$')
+      AND len(str_split_regex(trim(l), ' +')) >= 3
+      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+  FROM d
+)
+SELECT doc_id,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  len(kept) >= 5 AS keep_doc
+FROM f
+"""
+
+
 # -- encoding hygiene: mojibake repair + NFC normalization -------------------
 
 # unicode-rich suffixes appended to the (mostly-ASCII) synthetic docs so
@@ -7305,6 +7380,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "text_c4": (q_text_c4, SQL_TEXT_C4),
+    "text_c4_line_apply": (q_text_c4_line_apply, SQL_TEXT_C4_LINE_APPLY),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_mojibake": (q_text_mojibake, SQL_TEXT_MOJIBAKE),
     "text_nfc": (q_text_nfc, SQL_TEXT_NFC),

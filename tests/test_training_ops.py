@@ -618,3 +618,24 @@ def test_url_spam_features_malformed_urls_flagged_not_scored(spark):
         assert r.url_suspect is False and r.has_userinfo_or_port is False
     good = out["https://ok.example.com/fine"]
     assert good.is_valid_url and good.sub_depth == 1 and good.url_suspect is False
+
+
+def test_c4_line_apply_rules_and_page_gate(spark):
+    from pdf_ocr_spark.operators.text_analysis import c4_line_apply
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a good long sentence.\nno terminal punct\nshort.\n"
+                "uses javascript everywhere.\nanother proper line!"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_line_apply(docs).collect()}
+    r = out[1]
+    # keepers: terminal punct + >=3 words + no javascript
+    assert r.clean_text == "a good long sentence.\nanother proper line!"
+    assert (r.n_lines, r.n_kept) == (5, 2)
+    assert r.keep_doc is False  # fewer than 5 survivors
+    # empty doc: one empty line, nothing kept, empty clean text
+    assert out[2].clean_text == "" and out[2].n_kept == 0
