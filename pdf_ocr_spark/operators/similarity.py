@@ -546,25 +546,78 @@ def pq_train(
     oracle.  Output: (sub_id, cent_id, cvec) — m×ksub rows, driver/
     broadcast scale.
 
-    At 100 TB: train on a sample (plan identical); the per-subspace
-    passes share the corpus scan via Spark's cache if materialized —
-    the fixture-scale m scans are irrelevant next to the sample cost."""
+    All m subspaces train FUSED: each Lloyd iteration is ONE corpus
+    pass — every vector's m codes are computed in a single projection
+    (literal centroid arrays, the ivf_assign discipline), the embedding
+    posexplodes once, and a single (sub, cent, dim) decimal-mean
+    groupBy updates every codebook together.  At 100 TB that is iters
+    corpus passes total instead of m·iters (train on a sample — the
+    plan is identical); per-cell math is bit-identical to running
+    kmeans_centroids per slice, which is what the DuckDB oracle
+    replays."""
     dsub = dim // m
-    parts = []
-    for s in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
+    seed = sorted(
+        (int(r[id_col]), list(r[vec_col]))
+        for r in corpus.orderBy(id_col).limit(ksub).select(id_col, vec_col).collect()
+    )
+    cents = {
+        s: [
+            (i + 1, [float(x) for x in vec[s * dsub:(s + 1) * dsub]])
+            for i, (_, vec) in enumerate(seed)
+        ]
+        for s in range(m)
+    }
+    for _ in range(iters):
+        codes = F.array(*[
+            _assign_col(
+                F.slice(F.col(vec_col), s * dsub + 1, dsub), cents[s]
+            ).cast("int")
+            for s in range(m)
+        ])
+        # two selects: resolving the HOF-struct assign in the same
+        # projection as a generator (posexplode) trips a Spark analyzer
+        # quirk that drops the struct-field aliases inside the lambda
+        stats = (
+            corpus.select(codes.alias("_codes"), F.col(vec_col).alias("_v"))
+            .select("_codes", F.posexplode("_v").alias("di", "v"))
+            .select(
+                (F.col("di") / dsub).cast("int").alias("sub_id"),
+                F.element_at(
+                    "_codes", (F.col("di") / dsub).cast("int") + 1
+                ).alias("cent_id"),
+                "di",
+                "v",
+            )
+            .groupBy("sub_id", "cent_id", "di")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("v").cast("double").cast("decimal(18,6)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    4,
+                ).alias("mval")
+            )
+            .collect()
         )
-        cents = kmeans_centroids(
-            sliced, n_centroids=ksub, iters=iters,
-            id_col=id_col, vec_col=vec_col, dim=dsub,
-        )
-        parts.append(cents.select(F.lit(s).alias("sub_id"), "cent_id", "cvec"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        by_cell: dict = {}
+        for r in stats:
+            by_cell.setdefault(
+                (int(r["sub_id"]), int(r["cent_id"])), {}
+            )[int(r["di"])] = float(r["mval"])
+        cents = {
+            s: [
+                (cid, [dims[s * dsub + i] for i in range(dsub)])
+                for (sid, cid), dims in sorted(by_cell.items())
+                if sid == s
+            ]
+            for s in range(m)
+        }
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(s, cid, cv) for s in range(m) for cid, cv in cents[s]],
+        schema="sub_id int, cent_id bigint, cvec array<double>",
+    )
 
 
 def _collect_codebooks(codebooks: DataFrame) -> list:
