@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "wordpiece_pair_scores",
     "quality_nb_score",
     "sim_pq_topk",
+    "filter_funnel_v2",
     "crawl_budget",
     "page_freshness",
     "crawl_cycle",

@@ -3256,6 +3256,205 @@ FROM packed GROUP BY lang
 """
 
 
+_NB_LABEL_SQL = "CASE WHEN source IN ('src1','src2','src3') THEN 1 ELSE 0 END"
+
+_SQL_NB_MODEL = f"""
+d AS (
+  SELECT doc_id, text, {_NB_LABEL_SQL} AS y FROM documents
+),
+nbw AS (
+  SELECT y, w FROM (
+    SELECT y, unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w FROM d)
+  WHERE w <> ''
+),
+cnts AS (
+  SELECT {_sql_h64('w', 'nbq')} % 4096 AS bucket,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos_cnt,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg_cnt
+  FROM nbw GROUP BY 1
+),
+nbtot AS (SELECT sum(pos_cnt) AS tot_pos, sum(neg_cnt) AS tot_neg FROM cnts),
+model AS (
+  SELECT bucket, CAST(pos_cnt AS BIGINT) AS pos_cnt,
+         CAST(neg_cnt AS BIGINT) AS neg_cnt,
+         CAST(round(ln((pos_cnt + 1) / (tot_pos + 4096))
+                    - ln((neg_cnt + 1) / (tot_neg + 4096)), 6)
+              AS DECIMAL(18,6)) AS weight
+  FROM cnts CROSS JOIN nbtot
+  UNION ALL
+  SELECT -1, 0, 0,
+         CAST(round(ln(1.0 / (tot_pos + 4096))
+                    - ln(1.0 / (tot_neg + 4096)), 6) AS DECIMAL(18,6))
+  FROM nbtot
+  UNION ALL
+  SELECT -2,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END),
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END),
+         CAST(round(ln(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)), 6)
+              AS DECIMAL(18,6))
+  FROM d
+)"""
+
+
+def _nb_labeled_docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("source").isin("src1", "src2", "src3"), 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+
+
+def q_filter_funnel_v2(spark, sf_dir):
+    """The MODERN filter funnel (FineWeb/DCLM-shape): rule gate →
+    TRAINED-classifier gate → dedup, with per-stage kill accounting —
+    the v2 of ``filter_funnel`` where the LM-tercile heuristic is
+    replaced by the trained NB quality classifier (weak-labeled on the
+    curated sources, trained on the BASE corpus only, applied to the
+    funnel universe).  The classifier gates by QUOTA, not sign — keep
+    scores strictly above the survivors' median, exactly how
+    FineWeb-edu applies its quality model (a threshold picked for a
+    target kill rate, here 50%) — a weak-label sign test over an
+    imbalanced prior keeps ~nothing.  Universe = corpus + exact-copy
+    bait so the dedup stage does visible work.  Same semi-join pushdown
+    discipline: the classifier scores only gopher survivors, the dedup
+    window sees only classifier survivors; counts unstack from one
+    crossJoined aggregate row — one action."""
+    from pyspark.sql.window import Window
+
+    from pdf_ocr_spark.operators import quality as Q
+    from pdf_ocr_spark.operators.dedup import normalized
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 20000).alias("doc_id"), F.col("text")
+        )
+    ).persist()
+    d1 = docs.join(
+        T.gopher_quality(docs).filter(F.col("passes_gopher")).select("doc_id"),
+        "doc_id",
+    ).persist()
+    model = Q.nb_train(_nb_labeled_docs(spark, sf_dir), buckets=4096)
+    scores = Q.nb_score(d1, model, buckets=4096).select("doc_id", "nb_score")
+    cut = scores.agg(
+        F.round(F.percentile("nb_score", F.lit(0.5)), 6).alias("c")
+    )
+    d2 = d1.join(
+        scores.crossJoin(F.broadcast(cut))
+        .filter(F.col("nb_score") > F.col("c"))
+        .select("doc_id"),
+        "doc_id",
+    ).persist()
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    d3 = (
+        d2.select("doc_id", F.md5(normalized(F.col("text"))).alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    one = (
+        docs.agg(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(d1.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(d2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(d3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+
+    def stage(name, a, b):
+        return one.select(
+            F.lit(name).alias("stage"),
+            F.col(a).alias("n_in"),
+            (F.col(a) - F.col(b)).alias("n_dropped"),
+            F.col(b).alias("n_out"),
+        )
+
+    return (
+        stage("1_gopher_gate", "n0", "n1")
+        .unionByName(stage("2_nb_quality_gate", "n1", "n2"))
+        .unionByName(stage("3_exact_dedup", "n2", "n3"))
+    )
+
+
+SQL_FILTER_FUNNEL_V2 = f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0
+),
+f AS (
+  SELECT doc_id,
+    {_C_WORDS} AS words,
+    {_C_WCHARS} AS word_chars,
+    {_C_BULLET} AS bullet_lines,
+    {_C_ELLIP} AS ellipsis_lines,
+    {_C_SYM} AS symbols,
+    {_C_ALPHAW} AS alpha_words,
+    {_C_NL} + 1 AS n_lines
+  FROM u
+),
+v AS (
+  SELECT doc_id,
+    (words >= 50 AND words <= 100000
+     AND word_chars / greatest(words, 1) >= 3.0
+     AND word_chars / greatest(words, 1) <= 10.0
+     AND symbols / greatest(words, 1) <= 0.1
+     AND bullet_lines / n_lines <= 0.9
+     AND ellipsis_lines / n_lines <= 0.3
+     AND alpha_words / greatest(words, 1) >= 0.8) AS s1
+  FROM f
+),
+s1d AS (SELECT u.doc_id, u.text FROM u JOIN v USING (doc_id) WHERE v.s1),
+{_SQL_NB_MODEL.lstrip()},
+obs AS (SELECT bucket, weight FROM model WHERE bucket >= 0),
+dflt AS (SELECT weight AS dw FROM model WHERE bucket = -1),
+prior AS (SELECT weight AS pw FROM model WHERE bucket = -2),
+docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+    FROM s1d)
+  WHERE w <> ''
+),
+db AS (
+  SELECT doc_id, {_sql_h64('w', 'nbq')} % 4096 AS bucket FROM docw
+),
+per_doc AS (
+  SELECT db.doc_id, sum(coalesce(obs.weight, dflt.dw)) AS s
+  FROM db LEFT JOIN obs USING (bucket) CROSS JOIN dflt
+  GROUP BY db.doc_id
+),
+nbsc AS (
+  SELECT s1d.doc_id,
+    round(CAST(coalesce(per_doc.s, 0) + prior.pw AS DOUBLE), 4) AS nb_score
+  FROM s1d LEFT JOIN per_doc USING (doc_id) CROSS JOIN prior
+),
+cut AS (SELECT round(quantile_cont(nb_score, 0.5), 6) AS c FROM nbsc),
+s2d AS (
+  SELECT s1d.doc_id, s1d.text
+  FROM s1d JOIN nbsc USING (doc_id) CROSS JOIN cut
+  WHERE nbsc.nb_score > cut.c
+),
+s3d AS (
+  SELECT doc_id,
+    row_number() OVER (
+      PARTITION BY md5({_NORM_SQL.format(c='text')}) ORDER BY doc_id) AS rn
+  FROM s2d
+),
+one AS (
+  SELECT (SELECT count(*) FROM u) AS n0,
+         (SELECT count(*) FROM s1d) AS n1,
+         (SELECT count(*) FROM s2d) AS n2,
+         (SELECT count(*) FROM s3d WHERE rn = 1) AS n3
+)
+SELECT '1_gopher_gate' AS stage, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM one
+UNION ALL
+SELECT '2_nb_quality_gate', n1, n1 - n2, n2 FROM one
+UNION ALL
+SELECT '3_exact_dedup', n2, n2 - n3, n3 FROM one
+"""
+
+
 def q_text_c4(spark, sf_dir):
     """C4-style cleanup signals + keep decision."""
     return T.c4_filters(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
@@ -3901,57 +4100,6 @@ SELECT grp AS source,
 FROM gw JOIN gtot USING (grp) CROSS JOIN tot
 GROUP BY grp
 """
-
-
-_NB_LABEL_SQL = "CASE WHEN source IN ('src1','src2','src3') THEN 1 ELSE 0 END"
-
-_SQL_NB_MODEL = f"""
-d AS (
-  SELECT doc_id, text, {_NB_LABEL_SQL} AS y FROM documents
-),
-nbw AS (
-  SELECT y, w FROM (
-    SELECT y, unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w FROM d)
-  WHERE w <> ''
-),
-cnts AS (
-  SELECT {_sql_h64('w', 'nbq')} % 4096 AS bucket,
-         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS pos_cnt,
-         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS neg_cnt
-  FROM nbw GROUP BY 1
-),
-nbtot AS (SELECT sum(pos_cnt) AS tot_pos, sum(neg_cnt) AS tot_neg FROM cnts),
-model AS (
-  SELECT bucket, CAST(pos_cnt AS BIGINT) AS pos_cnt,
-         CAST(neg_cnt AS BIGINT) AS neg_cnt,
-         CAST(round(ln((pos_cnt + 1) / (tot_pos + 4096))
-                    - ln((neg_cnt + 1) / (tot_neg + 4096)), 6)
-              AS DECIMAL(18,6)) AS weight
-  FROM cnts CROSS JOIN nbtot
-  UNION ALL
-  SELECT -1, 0, 0,
-         CAST(round(ln(1.0 / (tot_pos + 4096))
-                    - ln(1.0 / (tot_neg + 4096)), 6) AS DECIMAL(18,6))
-  FROM nbtot
-  UNION ALL
-  SELECT -2,
-         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END),
-         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END),
-         CAST(round(ln(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                       / sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)), 6)
-              AS DECIMAL(18,6))
-  FROM d
-)"""
-
-
-def _nb_labeled_docs(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "text",
-        F.when(F.col("source").isin("src1", "src2", "src3"), 1)
-        .otherwise(0)
-        .alias("label"),
-    )
 
 
 def q_quality_nb_weights(spark, sf_dir):
@@ -7448,6 +7596,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pages_table": (q_pages_table, SQL_PAGES_TABLE),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "filter_funnel": (q_filter_funnel, SQL_FILTER_FUNNEL),
+    "filter_funnel_v2": (q_filter_funnel_v2, SQL_FILTER_FUNNEL_V2),
     "pipeline_end_to_end": (q_pipeline_end_to_end, SQL_PIPELINE_E2E),
     "link_edges": (q_link_edges, SQL_LINK_EDGES),
     "link_host_graph": (q_link_host_graph, SQL_LINK_HOST_GRAPH),
