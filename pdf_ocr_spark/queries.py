@@ -2082,8 +2082,13 @@ def q_sim_pq_topk(spark, sf_dir):
     return S.pq_adc_topk(emb, cb, F.col("vec_id") % 100 == 0, k=3)
 
 
-SQL_SIM_PQ_TOPK = f"""
-WITH {_sql_pq_cte()},
+def _sql_pq_topk(m: int = 4, ksub: int = 8, dim: int = 64) -> str:
+    """Standalone (WITH-included) ADC top-3 SQL for the given PQ shape —
+    embeddable as a derived table, so recall arms with different
+    codebook sizes can coexist in one query."""
+    dsub = dim // m
+    return f"""
+WITH {_sql_pq_cte(m=m, ksub=ksub, dim=dim)},
 qrys AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
   WHERE vec_id % 100 = 0
@@ -2091,7 +2096,7 @@ qrys AS (
 dtab AS (
   SELECT q.query_id, cb.sub_id, cb.cent_id,
     CAST(round({_SQL_L2SQ.format(
-        a='list_slice(q.qv, cb.sub_id * 16 + 1, cb.sub_id * 16 + 16)',
+        a=f'list_slice(q.qv, cb.sub_id * {dsub} + 1, cb.sub_id * {dsub} + {dsub})',
         b='cb.cvec')}, 6) AS DECIMAL(18,6)) AS d
   FROM qrys q CROSS JOIN pqcb cb
 ),
@@ -2110,6 +2115,87 @@ FROM (
       AS rank
   FROM adc)
 WHERE rank <= 3
+"""
+
+
+SQL_SIM_PQ_TOPK = _sql_pq_topk()
+
+
+def q_sim_pq_recall(spark, sf_dir):
+    """PQ quality observability ("measure, don't guess", the sim_recall
+    twin for the compressed index): recall@3 of ADC search against the
+    EXACT squared-L2 top-3 — isolating pure quantization error (ADC
+    approximates L2, so L2 truth is the apples-to-apples ground truth).
+    On these near-uniform synthetic embeddings a 12-bit code CANNOT
+    rank neighbors (recall@3 ~0.13, and sweeping m/ksub/iters moves it
+    only within noise) — which is precisely what the dashboard row is
+    for: it says the compressed path is NOT safe on this distribution,
+    where the same row on clustered real embeddings (where PQ earns its
+    keep) clears the bar before anyone ships the index."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(S.l2sq_expr(F.col("qv"), F.col("cv")), 6).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    truth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    cb = S.pq_train(emb, m=4, ksub=8, iters=2)
+    adc = S.pq_adc_topk(emb, cb, F.col("vec_id") % 100 == 0, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(adc, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_truth"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+        )
+        .select(F.lit("pq_adc_m4k8").alias("method"), "n_hits", "n_truth", "recall")
+    )
+
+
+def _sql_pq_recall_arm(name: str, ksub: int) -> str:
+    return f"""
+SELECT '{name}' AS method,
+  count(l.neighbor_id) AS n_hits, count(*) AS n_truth,
+  round(count(l.neighbor_id) / count(*), 4) AS recall
+FROM bf b
+LEFT JOIN (SELECT query_id, neighbor_id FROM ({_sql_pq_topk(ksub=ksub)})) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+"""
+
+
+SQL_SIM_PQ_RECALL = f"""
+WITH tq AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT tq.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY tq.query_id
+        ORDER BY round({_SQL_L2SQ.format(a='tq.qv', b='e.embedding')}, 6),
+                 e.vec_id) AS rn
+    FROM tq CROSS JOIN embeddings e WHERE e.vec_id <> tq.query_id)
+  WHERE rn <= 3
+)
+{_sql_pq_recall_arm('pq_adc_m4k8', 8)}
 """
 
 
@@ -7513,6 +7599,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_pq_codebooks": (q_sim_pq_codebooks, SQL_SIM_PQ_CODEBOOKS),
     "sim_pq_codes": (q_sim_pq_codes, SQL_SIM_PQ_CODES),
     "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_PQ_TOPK),
+    "sim_pq_recall": (q_sim_pq_recall, SQL_SIM_PQ_RECALL),
     "sim_topk_ivf_probe2": (q_sim_topk_ivf_probe2, SQL_SIM_TOPK_IVF_PROBE2),
     "sim_recall": (q_sim_recall, SQL_SIM_RECALL),
     # text analysis
