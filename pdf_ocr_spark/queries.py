@@ -2574,6 +2574,64 @@ _LANGID_WEIGHTS = _os.path.join(
 )
 
 
+def q_lang_id_confusion(spark, sf_dir):
+    """Language-ID quality observability (the sim_recall/dedup_recall
+    pattern for the lang gate): the confusion matrix of the script-ratio
+    guesser vs the declared page language, plus per-cell share of the
+    declared language's rows — the dashboard that says which shards the
+    cheap script heuristic can route and which need the trained
+    trigram model (text_lang_id2).  One groupBy over codegen'd
+    expressions; a window per declared language for the shares."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", T.lang_guess_expr(F.col("text")).alias("lang_guess")
+    )
+    cells = docs.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias("share"),
+        (F.col("lang") == F.col("lang_guess")).alias("agree"),
+    )
+
+
+SQL_LANG_ID_CONFUSION = f"""
+WITH c AS (
+  SELECT lang,
+    {_SQL_CNT.format(p='[぀-ゟ]')} AS hira,
+    {_SQL_CNT.format(p='[゠-ヿ]')} AS kata,
+    {_SQL_CNT.format(p='[一-鿿]')} AS cjk,
+    {_SQL_CNT.format(p='[가-힯]')} AS hang,
+    {_SQL_CNT.format(p='[Ѐ-ӿ]')} AS cyr,
+    {_SQL_CNT.format(p='[A-Za-z]')} AS lat
+  FROM documents
+),
+g AS (
+  SELECT lang,
+    CASE WHEN hira + kata + cjk + hang + cyr + lat = 0 THEN 'unknown'
+         WHEN (hira + kata) > 0.05 * (hira + kata + cjk + hang + cyr + lat) THEN 'ja'
+         WHEN hang > 0.3 * (hira + kata + cjk + hang + cyr + lat) THEN 'ko'
+         WHEN cjk > 0.3 * (hira + kata + cjk + hang + cyr + lat) THEN 'zh'
+         WHEN cyr > 0.3 * (hira + kata + cjk + hang + cyr + lat) THEN 'ru'
+         WHEN lat > 0 THEN 'en'
+         ELSE 'unknown' END AS lang_guess
+  FROM c
+),
+cells AS (
+  SELECT lang, lang_guess, count(*) AS n_docs FROM g GROUP BY lang, lang_guess
+)
+SELECT lang, lang_guess, n_docs,
+  round(n_docs / sum(n_docs) OVER (PARTITION BY lang), 4) AS share,
+  lang = lang_guess AS agree
+FROM cells
+"""
+
+
 def q_text_lang_id2(spark, sf_dir):
     """fastText-style language ID (operators/langid.py): hashed
     char-trigram naive-Bayes scorer with frozen deterministic weights —
@@ -7604,6 +7662,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "sim_recall": (q_sim_recall, SQL_SIM_RECALL),
     # text analysis
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "lang_id_confusion": (q_lang_id_confusion, SQL_LANG_ID_CONFUSION),
     "text_lang_id2": (q_text_lang_id2, SQL_TEXT_LANG_ID2),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),

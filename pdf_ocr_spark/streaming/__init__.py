@@ -4,6 +4,7 @@ from pdf_ocr_spark.streaming.stream_job import (  # noqa: F401
     stream_dedup_exact,
     stream_extract,
     stream_incremental_dedup,
+    stream_quality_gate,
     stream_wet_export,
     windowed_event_counts,
 )

@@ -410,3 +410,74 @@ def stream_wet_export(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    model_rows,
+    threshold: float,
+    buckets: int = 4096,
+    num_partitions: Optional[int] = None,
+):
+    """Streaming quality gate — the continuous twin of the batch
+    ``quality_nb_score`` + quota cut (the FineWeb-edu deployment shape:
+    the classifier trains OFFLINE on the curated reference, then gates
+    every newly crawled page online): each micro-batch of landed pages
+    runs the fused extractor, the extracted text is scored with the
+    frozen NB weight table (``model_rows`` — the collected broadcast
+    model, rebuilt per batch so the stream carries no JVM state), and
+    only rows with ``nb_score > threshold`` land.
+
+    The threshold is a FIXED offline-calibrated constant, not a
+    per-batch quantile — a per-batch cut would make row fate depend on
+    micro-batch boundaries, breaking the retry-idempotence contract.
+    ``foreachBatch`` + per-batch ``batch=<id>`` overwrite directories
+    give exactly-once output exactly like ``stream_wet_export``.
+    Returns the started query."""
+    import os as _os
+
+    from pdf_ocr_spark.operators.quality import nb_score
+
+    reader = spark.readStream.schema(PAGES_SCHEMA).option(
+        "ignoreCorruptFiles", "true"
+    )
+    pages = reader.parquet(input_path)
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 8)
+    docs = (
+        pages.select("url", "html")
+        .repartition(num_partitions, F.xxhash64("url"))
+        .mapInArrow(extract_docs_arrow, schema=DOC_SCHEMA)
+    )
+    model_local = [
+        (int(r[0]), int(r[1]), int(r[2]), r[3]) for r in model_rows
+    ]
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        model = sess.createDataFrame(
+            model_local,
+            schema="bucket int, pos_cnt long, neg_cnt long, weight decimal(18,6)",
+        )
+        scored = nb_score(
+            batch_df, model, text_col="extracted_text", id_col="url",
+            buckets=buckets,
+        )
+        kept = (
+            batch_df.join(scored, "url")
+            .filter(F.col("nb_score") > threshold)
+            .select("url", "extracted_text", "nb_score")
+        )
+        kept.write.mode("overwrite").parquet(
+            _os.path.join(output_path, f"batch={batch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

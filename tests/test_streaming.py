@@ -383,3 +383,57 @@ def test_stream_wet_export_incremental_and_idempotent(spark, corpus_rows, tmp_pa
     assert sorted(
         d for d in os.listdir(out) if d.startswith("batch=")
     ) == dirs
+
+
+def test_stream_quality_gate_filters_by_frozen_threshold(spark, corpus_rows, tmp_path):
+    """Streaming NB quality gate: an offline-trained model + fixed
+    threshold gates each micro-batch; output rows are exactly the batch
+    extractor's rows whose batch-computed score clears the cut."""
+    from pdf_ocr_spark.operators.quality import nb_score, nb_train
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+    from pdf_ocr_spark.streaming import stream_quality_gate
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "gated_out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = corpus_rows[:60]
+    _write_chunk(rows, os.path.join(src, "chunk-a.parquet"))
+
+    # offline: train on the batch-extracted corpus with a weak label
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        "url string, html binary",
+    )
+    extracted = extract_documents(pages).select("url", "extracted_text")
+    labeled = extracted.select(
+        "url",
+        F.col("extracted_text").alias("text"),
+        (F.length("extracted_text") % 2 == 0).cast("int").alias("label"),
+    )
+    model = nb_train(labeled, buckets=256)
+    model_rows = [
+        (r["bucket"], r["pos_cnt"], r["neg_cnt"], r["weight"])
+        for r in model.collect()
+    ]
+    # expected: batch scores over the same extracted text, same threshold
+    batch_scores = {
+        r["url"]: r["nb_score"]
+        for r in nb_score(
+            extracted, model, text_col="extracted_text", id_col="url",
+            buckets=256,
+        ).collect()
+    }
+    threshold = sorted(batch_scores.values())[len(batch_scores) // 2]
+
+    q = stream_quality_gate(
+        spark, src, out, ckpt, model_rows, threshold, buckets=256,
+        num_partitions=4,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["url"]: r["nb_score"] for r in spark.read.parquet(out).collect()
+    }
+    expected = {u: s for u, s in batch_scores.items() if s > threshold}
+    assert got == expected
+    assert 0 < len(got) < len(batch_scores)  # the gate did real work
