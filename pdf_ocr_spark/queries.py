@@ -4512,6 +4512,96 @@ LIMIT 50
 """
 
 
+def q_bpe_byte_alphabet(spark, sf_dir):
+    """The GPT-2 byte→printable-unicode alphabet itself (Radford et al.
+    2019 bytes_to_unicode — what lets byte-level BPE cover EVERY byte
+    web text can contain while the merge loop sees clean strings):
+    all 256 rows value-hash-pinned.  The oracle derives the table
+    INDEPENDENTLY from the published rule (printable ranges map to
+    themselves, the 68 others shift to 256+k in byte order) — two
+    implementations of the spec, not a replay."""
+    from pdf_ocr_spark.operators import bytebpe as BB
+
+    return spark.createDataFrame(
+        BB.byte_alphabet_rows(), "byte long, mapped string"
+    )
+
+
+SQL_BPE_BYTE_ALPHABET = """
+WITH b AS (
+  SELECT unnest(range(0, 256)) AS byte
+),
+cls AS (
+  SELECT byte,
+    (byte BETWEEN 33 AND 126 OR byte BETWEEN 161 AND 172
+     OR byte BETWEEN 174 AND 255) AS keep
+  FROM b
+),
+shifted AS (
+  SELECT byte, keep,
+    row_number() OVER (PARTITION BY keep ORDER BY byte) - 1 AS k
+  FROM cls
+)
+SELECT byte,
+  CASE WHEN keep THEN chr(CAST(byte AS INT))
+       ELSE chr(CAST(256 + k AS INT)) END AS mapped
+FROM shifted
+"""
+
+
+def q_bpe_byte_pretokens(spark, sf_dir):
+    """Byte-level BPE front end over the DOCUMENTS table: GPT-2-style
+    pre-tokens (leading space kept — the byte map renders it Ġ; no
+    lowercasing, byte-level sees text as-is) in the byte alphabet, as
+    the weighted (pretoken, cnt) table the merge loop consumes — top 50.
+    Hex-pair chunking + one map-literal lookup per byte, all codegen;
+    the oracle rebuilds every mapped pre-token relationally (256-row
+    VALUES join on hex pairs, string_agg by position)."""
+    from pdf_ocr_spark.operators import bytebpe as BB
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        BB.byte_pretoken_freqs(docs)
+        .orderBy(F.desc("cnt"), F.asc("pretoken"))
+        .limit(50)
+    )
+
+
+def _sql_byte_map_values() -> str:
+    from pdf_ocr_spark.operators.bytebpe import bytes_to_unicode
+
+    rows = ", ".join(
+        "('{h}', '{c}')".format(h=f"{b:02X}", c=ch.replace("'", "''"))
+        for b, ch in sorted(bytes_to_unicode().items())
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS bm(hp, ch)"
+
+
+SQL_BPE_BYTE_PRETOKENS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, ' ?\\S+')) AS tok FROM documents
+),
+tokc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+bmap AS ({_sql_byte_map_values()}),
+chunks AS (
+  SELECT tok, i,
+         substr(hex(encode(tok)), CAST(i * 2 - 1 AS INT), 2) AS hp
+  FROM tokc,
+       unnest(range(1, CAST(length(hex(encode(tok))) / 2 AS INT) + 1)) AS t(i)
+),
+mapped AS (
+  SELECT c.tok, string_agg(bm.ch, '' ORDER BY c.i) AS pretoken
+  FROM chunks c JOIN bmap bm ON c.hp = bm.hp
+  GROUP BY c.tok
+)
+SELECT m.pretoken, CAST(sum(tokc.cnt) AS BIGINT) AS cnt
+FROM mapped m JOIN tokc ON m.tok = tokc.tok
+GROUP BY m.pretoken
+ORDER BY cnt DESC, pretoken ASC
+LIMIT 50
+"""
+
+
 def q_wordpiece_vocab(spark, sf_dir):
     """Distributed WordPiece tokenizer TRAINING (Schuster & Nakajima
     2012; the BERT tokenizer — likelihood merge criterion freq(pair) /
@@ -7705,6 +7795,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "unigram_vocab": (q_unigram_vocab, SQL_UNIGRAM_VOCAB),
     "unigram_encode": (q_unigram_encode, SQL_UNIGRAM_ENCODE),
     "unigram_seed_counts": (q_unigram_seed_counts, SQL_UNIGRAM_SEED_COUNTS),
+    "bpe_byte_alphabet": (q_bpe_byte_alphabet, SQL_BPE_BYTE_ALPHABET),
+    "bpe_byte_pretokens": (q_bpe_byte_pretokens, SQL_BPE_BYTE_PRETOKENS),
     "wordpiece_vocab": (q_wordpiece_vocab, SQL_WORDPIECE_VOCAB),
     "wordpiece_encode": (q_wordpiece_encode, SQL_WORDPIECE_ENCODE),
     "wordpiece_pair_scores": (q_wordpiece_pair_scores, SQL_WORDPIECE_PAIR_SCORES),
