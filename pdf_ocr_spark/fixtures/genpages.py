@@ -635,6 +635,61 @@ def make_scan_pdf(page_texts: List[str]) -> bytes:
     return w.build(catalog)
 
 
+def make_scan_pdf_inline(page_texts: List[str]) -> bytes:
+    """Pages whose ONLY content is an INLINE image (``BI … ID … EI``,
+    PDF 32000-1 §8.9.7) — the scanner-PDF shape where the page scan is
+    embedded directly in the content stream, not as an XObject (the
+    reference renders these for free via fitz,
+    pdf_ocr_with_boxes_v2.py:200-209).  The image is a REAL 8-bit-gray
+    raster, Flate-compressed with the ABBREVIATED dict keys the spec
+    mandates inline (``/W /H /CS /G /BPC /F /Fl``); the stub ground
+    truth rides in the decoded pixels, so the page only reaches OCR if
+    the kernel expands the abbreviations, inflates the payload, and
+    emits real P5."""
+    import re as _re
+
+    media = (612.0, 792.0)
+    w = _PdfWriter()
+    catalog = w.reserve()
+    pages_num = w.reserve()
+    page_nums = []
+    width = 64
+    # an accidental whitespace-EI-delimiter sequence inside the deflate
+    # bytes would truncate the payload at a fake end marker
+    ei_re = _re.compile(rb"(?:^|[\x00\t\n\x0c\r ])EI(?:$|[\x00\t\n\x0c\r /\[<(])")
+    for text in page_texts:
+        body = STUB_MARKER + text.encode("utf-8") + b"\x00"
+        height = max(2, (len(body) + width - 1) // width)
+        filler = 0xFF
+        while True:
+            pixels = body + bytes([filler]) * (width * height - len(body))
+            enc = zlib.compress(pixels, 9)
+            if not ei_re.search(enc):
+                break
+            filler -= 1  # different fill → different deflate stream
+        content = (
+            b"q\n612 0 0 792 0 0 cm\n"
+            b"BI /W %d /H %d /CS /G /BPC 8 /F /Fl ID\n" % (width, height)
+            + enc
+            + b"\nEI\nQ\n"
+        )
+        content_num = w.add_stream(b"", content)
+        page_nums.append(
+            w.add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R >>"
+                % (pages_num, content_num)
+            )
+        )
+    w.fill(catalog, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    w.fill(
+        pages_num,
+        b"<< /Type /Pages /Kids [%s] /Count %d /MediaBox [0 0 %.2f %.2f] >>"
+        % (kids, len(page_nums), media[0], media[1]),
+    )
+    return w.build(catalog)
+
+
 def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0,
                        coding: str = "baseline") -> bytes:
     """Image-only pages whose XObject is a REAL JPEG
@@ -1655,7 +1710,13 @@ def gen_rows(n: int, seed: int = 42, include_ref_pdf: bool = True) -> List[dict]
                 "\n".join(_sentence(rng, lang) for _ in range(rng.randint(2, 5)))
                 for _ in range(n_pages)
             ]
-            payload = make_scan_pdf(texts)
+            # half the scan slots (i % 20 == 10) embed the scan as an
+            # INLINE image instead of an XObject — both shapes exist in
+            # real crawled scanner output and both must reach OCR
+            if i % 20 == 10:
+                payload = make_scan_pdf_inline(texts)
+            else:
+                payload = make_scan_pdf(texts)
             hint = " ".join(texts)[:200]
         elif kind == "html_page":
             payload, hint = make_html_page(rng, lang)

@@ -48,11 +48,13 @@ def image_ocr_payload(doc: PDFDocument, xo: Stream) -> bytes:
     try:
         filters = doc.resolve(xo.dict.get("Filter"))
         if filters is None:
-            return xo.raw
+            # unfiltered: emit P5 when the bytes match the declared
+            # geometry exactly (stub fixtures are undersized → raw)
+            return _plain_pixels_or_raw(doc, xo)
         flist = filters if isinstance(filters, list) else [filters]
         names = [str(doc.resolve(f)) for f in flist]
         if not names:
-            return xo.raw
+            return _plain_pixels_or_raw(doc, xo)
         if names[-1] == "JPXDecode":
             # JPEG 2000: decode to real pixels with the from-scratch
             # codec (kernels/pdf/jp2.py) after applying any preceding
@@ -69,7 +71,9 @@ def image_ocr_payload(doc: PDFDocument, xo: Stream) -> bytes:
             w, h, luma = jbig2.decode_bilevel(xo.decode(doc))
             return b"P5\n%d %d\n255\n" % (w, h) + luma
         if names[-1] not in ("CCITTFaxDecode", "CCF"):
-            return xo.raw
+            if names[-1] in ("DCTDecode", "DCT"):
+                return xo.raw  # JPEG: decoded downstream (kernels/pdf/jpeg.py)
+            return _plain_pixels_or_raw(doc, xo)
         from pdf_ocr_spark.kernels.pdf import ccitt
 
         data = xo.decode(doc)             # pre-filters applied; CCITT raw
@@ -89,6 +93,99 @@ def image_ocr_payload(doc: PDFDocument, xo: Stream) -> bytes:
         return b"P5\n%d %d\n255\n" % (w, h) + luma
     except Exception:  # noqa: BLE001 — capture must never fail the page
         return xo.raw
+
+
+def _plain_pixels_or_raw(doc: PDFDocument, xo: Stream) -> bytes:
+    """Fully-decoded (non-codec-filtered) image data → P5 luma when the
+    byte count matches the declared geometry EXACTLY: 8-bit gray, 8-bit
+    RGB (integer BT.601 luma), and 1-bit gray/ImageMask (bit 0 paints
+    black under both the DeviceGray and default-Decode mask
+    conventions).  A size mismatch falls back to the raw bytes — which
+    also keeps synthetic stub payloads (deliberately undersized) on the
+    opaque path."""
+    data = xo.decode(doc)
+    d = xo.dict
+    w = int(doc.resolve(d.get("Width", 0)) or 0)
+    h = int(doc.resolve(d.get("Height", 0)) or 0)
+    if w <= 0 or h <= 0:
+        return xo.raw
+    cs = doc.resolve(d.get("ColorSpace"))
+    cs_name = str(cs) if cs is not None else ""
+    mask = bool(doc.resolve(d.get("ImageMask", False)))
+    # an ImageMask is implicitly 1-bit (PDF 32000-1 §8.9.6.2)
+    bpc = 1 if mask else int(doc.resolve(d.get("BitsPerComponent", 8)) or 8)
+    hdr = b"P5\n%d %d\n255\n" % (w, h)
+    if bpc == 8 and cs_name in ("DeviceGray", "G") and len(data) == w * h:
+        return hdr + data
+    if bpc == 8 and cs_name in ("DeviceRGB", "RGB") and len(data) == 3 * w * h:
+        luma = bytes(
+            (data[i] * 299 + data[i + 1] * 587 + data[i + 2] * 114) // 1000
+            for i in range(0, len(data), 3)
+        )
+        return hdr + luma
+    if bpc == 1 and (mask or cs_name in ("DeviceGray", "G", "")):
+        stride = (w + 7) // 8
+        if len(data) == stride * h:
+            out = bytearray(w * h)
+            for row in range(h):
+                base = row * stride
+                orow = row * w
+                for col in range(w):
+                    bit = (data[base + (col >> 3)] >> (7 - (col & 7))) & 1
+                    out[orow + col] = 255 if bit else 0
+            return hdr + bytes(out)
+    return xo.raw
+
+
+_INLINE_KEY_MAP = {
+    "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+    "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+    "IM": "ImageMask", "D": "Decode", "I": "Interpolate",
+}
+_INLINE_FILTER_MAP = {
+    "AHx": "ASCIIHexDecode", "A85": "ASCII85Decode", "LZW": "LZWDecode",
+    "Fl": "FlateDecode", "RL": "RunLengthDecode", "CCF": "CCITTFaxDecode",
+    "DCT": "DCTDecode",
+}
+_INLINE_CS_MAP = {"G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK",
+                  "I": "Indexed"}
+
+
+def inline_image_payload(doc: PDFDocument, dict_bytes: bytes, payload: bytes) -> bytes:
+    """OCR-branch payload for an INLINE image (BI…ID…EI): parse the
+    abbreviated-key dict (PDF 32000-1 §8.9.7, Table 93), expand the
+    key/filter/colorspace abbreviations to their stream-dict spellings,
+    and route through :func:`image_ocr_payload` — so inline scans reach
+    OCR/raster as REAL pixels through exactly the same codec paths as
+    image XObjects (the reference gets this for free from fitz
+    rendering, pdf_ocr_with_boxes_v2.py:200-209).  Never raises: any
+    parse/decode failure falls back to the raw payload (the
+    pre-existing opaque path)."""
+    try:
+        d = Lexer(b"<<" + dict_bytes + b">>").parse_object()
+        if not isinstance(d, dict):
+            return payload
+        full: Dict[str, Any] = {}
+        for k, v in d.items():
+            full[_INLINE_KEY_MAP.get(str(k), str(k))] = v
+        f = full.get("Filter")
+        if f is not None:
+            if isinstance(f, list):
+                full["Filter"] = [
+                    _INLINE_FILTER_MAP.get(str(doc.resolve(x)), str(doc.resolve(x)))
+                    for x in f
+                ]
+            else:
+                full["Filter"] = _INLINE_FILTER_MAP.get(
+                    str(doc.resolve(f)), str(doc.resolve(f))
+                )
+        cs = full.get("ColorSpace")
+        if cs is not None and not isinstance(cs, list):
+            cs_s = str(doc.resolve(cs))
+            full["ColorSpace"] = _INLINE_CS_MAP.get(cs_s, cs_s)
+        return image_ocr_payload(doc, Stream(full, payload))
+    except Exception:  # noqa: BLE001 — capture must never fail the page
+        return payload
 
 
 def mat_mul(a: Matrix, b: Matrix) -> Matrix:
@@ -339,7 +436,12 @@ def _tokenize_content(data: bytes):
                     # the single whitespace before EI is delimiter, not data
                     if pend > id_m.end() and data[pend - 1] in WS_BYTES:
                         pend -= 1
-                    yield [data[id_m.end() : pend]], b"__inline_image__"
+                    # dict text between BI and ID rides along so the
+                    # consumer can expand the abbreviated image dict
+                    yield [
+                        data[pos : id_m.start()],
+                        data[id_m.end() : pend],
+                    ], b"__inline_image__"
                 pos = end
                 operands.clear()
                 cur = operands
@@ -599,10 +701,12 @@ class ContentInterpreter:
                     tm = self._show(operands[-1], ts, tlm, ctm)
                 elif op == b"Do" and operands:
                     self._do_xobject(operands[-1], resources, ctm, fonts)
-                elif op == b"__inline_image__" and operands:
-                    payload = operands[-1]
+                elif op == b"__inline_image__" and len(operands) >= 2:
+                    dict_bytes, payload = operands[-2], operands[-1]
                     if isinstance(payload, bytes) and payload.strip():
-                        self.images.append(payload)
+                        self.images.append(
+                            inline_image_payload(self.doc, dict_bytes, payload)
+                        )
                         self.image_draws.append(unit_square_bbox(ctm))
                 elif op == b"re" and len(operands) >= 4:
                     x, y, w, h = (num(v) for v in operands[-4:])

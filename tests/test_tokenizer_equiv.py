@@ -85,7 +85,10 @@ def reference_tokenize(data):
                     pend = end - 2
                     if pend > id_m.end() and data[pend - 1] in _WS:
                         pend -= 1
-                    yield [data[id_m.end() : pend]], b"__inline_image__"
+                    yield [
+                        data[pos : id_m.start()],
+                        data[id_m.end() : pend],
+                    ], b"__inline_image__"
                 pos = end
                 operands = []
                 cur = operands
