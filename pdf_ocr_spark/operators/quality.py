@@ -108,11 +108,17 @@ def nb_train(
         F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("n_neg"),
     )
+    # a single-class corpus must not crash the trainer (ANSI mode turns
+    # n_pos/0 into DIVIDE_BY_ZERO): degenerate priors pin to 0
     prior = ndocs.select(
         F.lit(PRIOR_BUCKET).alias("bucket"),
         F.col("n_pos").cast("long").alias("pos_cnt"),
         F.col("n_neg").cast("long").alias("neg_cnt"),
-        F.round(F.log(F.col("n_pos") / F.col("n_neg")), 6)
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(F.log(F.col("n_pos") / F.col("n_neg")), 6),
+        )
+        .otherwise(F.lit(0.0))
         .cast("decimal(18,6)")
         .alias("weight"),
     )

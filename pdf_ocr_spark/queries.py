@@ -3434,9 +3434,11 @@ model AS (
   SELECT -2,
          sum(CASE WHEN y = 1 THEN 1 ELSE 0 END),
          sum(CASE WHEN y = 0 THEN 1 ELSE 0 END),
-         CAST(round(ln(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                       / sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)), 6)
-              AS DECIMAL(18,6))
+         CAST(CASE WHEN sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) > 0
+                    AND sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) > 0
+              THEN round(ln(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                            / sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)), 6)
+              ELSE 0.0 END AS DECIMAL(18,6))
   FROM d
 )"""
 

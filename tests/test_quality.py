@@ -107,3 +107,20 @@ def test_registry_count_matches_docs():
     rd = open("README.md").read()
     m2 = re.search(r"registry: (\d+) queries, (\d+) with DuckDB", rd)
     assert m2 and (int(m2.group(1)), int(m2.group(2))) == (n, n_oracled)
+
+
+def test_nb_train_single_class_corpus_does_not_crash(spark):
+    """ANSI mode turns n_pos/0 into DIVIDE_BY_ZERO — a single-class
+    weak-label corpus must train (degenerate prior 0), not fail."""
+    docs = spark.createDataFrame(
+        [(1, "only positives here", 1), (2, "more positives", 1)],
+        "doc_id long, text string, label int",
+    )
+    model = {r["bucket"]: r for r in nb_train(docs, buckets=32).collect()}
+    assert float(model[PRIOR_BUCKET]["weight"]) == 0.0
+    out = nb_score(
+        spark.createDataFrame([(9, "only positives")], "doc_id long, text string"),
+        nb_train(docs, buckets=32),
+        buckets=32,
+    ).collect()
+    assert len(out) == 1  # scoring with the degenerate model works too
