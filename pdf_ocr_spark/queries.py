@@ -5661,6 +5661,111 @@ FROM read_parquet('{_golden("sink_overlay")}')
 # ---------------------------------------------------------------------------
 
 
+def q_extract_quality(spark, sf_dir):
+    """Extraction-quality observability ("measure, don't guess" for the
+    boilerplate stripper itself): token precision/recall/F1 of the
+    extracted main text against the article ground truth, per page, on
+    the frozen self-contained HTML fixture.  The Spark side re-runs the
+    DISTRIBUTED extractor on the frozen html bytes; the oracle replays
+    the metric arithmetic over the frozen in-process extraction
+    (tools/freeze_extract_quality_golden.py) — so the gate pins kernel
+    determinism AND the metric math cross-engine.  Multiset token
+    matching (per-(url, token) count minimums), 6-dp rounded ratios."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_documents
+
+    g = spark.read.parquet(_golden("extract_quality"))
+    pages = g.select(
+        "url",
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "html",
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    docs = extract_documents(pages).select("url", "extracted_text")
+
+    def tok_counts(df, col, cname):
+        return (
+            df.select("url", F.explode(T.norm_words_expr(F.col(col))).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("url", "w")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    tw = tok_counts(g, "true_text", "ct")
+    ew = tok_counts(docs, "extracted_text", "ce")
+    j = tw.join(ew, ["url", "w"], "full_outer")
+    per = j.groupBy("url").agg(
+        F.sum(
+            F.least(F.coalesce("ct", F.lit(0)), F.coalesce("ce", F.lit(0)))
+        ).cast("long").alias("tp"),
+        F.sum(F.coalesce("ct", F.lit(0))).cast("long").alias("n_true"),
+        F.sum(F.coalesce("ce", F.lit(0))).cast("long").alias("n_extracted"),
+    )
+    p = F.round(
+        F.when(F.col("n_extracted") > 0, F.col("tp") / F.col("n_extracted"))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    r = F.round(
+        F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true"))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    scored = per.select("url", "tp", "n_true", "n_extracted",
+                        p.alias("prec"), r.alias("rec"))
+    f1 = F.round(
+        F.when(
+            F.col("prec") + F.col("rec") > 0,
+            2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec")),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return scored.select("url", "tp", "n_true", "n_extracted", "prec", "rec",
+                         f1.alias("f1"))
+
+
+SQL_EXTRACT_QUALITY = f"""
+WITH g AS (
+  SELECT url, true_text, extracted_text
+  FROM read_parquet('{{golden}}')
+),
+tw AS (
+  SELECT url, w, count(*) AS ct FROM (
+    SELECT url, unnest(str_split({_NORM_SQL.format(c='true_text')}, ' ')) AS w
+    FROM g) WHERE w <> '' GROUP BY url, w
+),
+ew AS (
+  SELECT url, w, count(*) AS ce FROM (
+    SELECT url,
+           unnest(str_split({_NORM_SQL.format(c='extracted_text')}, ' ')) AS w
+    FROM g) WHERE w <> '' GROUP BY url, w
+),
+j AS (
+  SELECT coalesce(tw.url, ew.url) AS url,
+         least(coalesce(ct, 0), coalesce(ce, 0)) AS tp,
+         coalesce(ct, 0) AS ct, coalesce(ce, 0) AS ce
+  FROM tw FULL OUTER JOIN ew ON tw.url = ew.url AND tw.w = ew.w
+),
+per AS (
+  SELECT url, CAST(sum(tp) AS BIGINT) AS tp,
+         CAST(sum(ct) AS BIGINT) AS n_true,
+         CAST(sum(ce) AS BIGINT) AS n_extracted
+  FROM j GROUP BY url
+),
+pr AS (
+  SELECT url, tp, n_true, n_extracted,
+    round(CASE WHEN n_extracted > 0 THEN tp * 1.0 / n_extracted
+               ELSE 0 END, 6) AS prec,
+    round(CASE WHEN n_true > 0 THEN tp * 1.0 / n_true ELSE 0 END, 6) AS rec
+  FROM per
+)
+SELECT url, tp, n_true, n_extracted, prec, rec,
+  round(CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
+             ELSE 0 END, 6) AS f1
+FROM pr
+""".format(golden=_golden("extract_quality"))
+
+
 def q_extract_corpus(spark, sf_dir):
     """The flagship operator: full extraction pipeline over the
     deterministic synthetic pages corpus (PDF glyph/simple/scan + HTML +
@@ -7832,6 +7937,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     ),
     "sink_overlay_svg": (q_sink_overlay_svg, SQL_SINK_OVERLAY_SVG),
     "extract_corpus": (q_extract_corpus, SQL_EXTRACT_CORPUS),
+    "extract_quality": (q_extract_quality, SQL_EXTRACT_QUALITY),
     "resume_canonical": (q_resume_canonical, SQL_RESUME_CANONICAL),
     "pages_table": (q_pages_table, SQL_PAGES_TABLE),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
