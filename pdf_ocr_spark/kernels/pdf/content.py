@@ -283,7 +283,11 @@ _OPERATOR_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
 # indirect refs, so numbers need no "<n> <g> R" lookahead — this regex
 # replaces the char-at-a-time Lexer on the hot path (~45% of kernel time)
 _CONTENT_TOK = re.compile(
-    rb"""(?P<showtj><[0-9A-Fa-f]*>[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9*'"]))
+    rb"""(?P<showtd>(?P<sthex><[0-9A-Fa-f]*>)[\x00\t\n\x0c\r ]*Tj[\x00\t\n\x0c\r ]+
+                  (?P<stx>[+-]?(?:\d+(?:\.\d*)?|\.\d+))[\x00\t\n\x0c\r ]+
+                  (?P<sty>[+-]?(?:\d+(?:\.\d*)?|\.\d+))[\x00\t\n\x0c\r ]+
+                  T[Dd](?![A-Za-z0-9*'"]))
+       | (?P<showtj><[0-9A-Fa-f]*>[\x00\t\n\x0c\r ]*Tj(?![A-Za-z0-9*'"]))
        | (?P<tdxy>(?P<tdx>[+-]?(?:\d+(?:\.\d*)?|\.\d+))[\x00\t\n\x0c\r ]+
                   (?P<tdy>[+-]?(?:\d+(?:\.\d*)?|\.\d+))[\x00\t\n\x0c\r ]+
                   (?P<tdop>T[Dd])(?![A-Za-z0-9*'"]))
@@ -299,12 +303,19 @@ _CONTENT_TOK = re.compile(
     """,
     re.X,
 )
-# the two fused fast paths above collapse the dominant per-glyph token
-# sequences — "<CID> Tj" and "tx ty Td/TD" (WPS-style streams emit both
-# once PER GLYPH) — into ONE match + dispatch each instead of 2-3; they
-# only fire on byte-clean shapes (pure hex, strict numbers, token
-# boundary after the operator), everything else falls through to the
-# general alternatives with identical semantics
+# the fused fast paths above collapse the dominant per-glyph token
+# sequences — the full "<CID> Tj tx ty Td/TD" glyph step (ONE match +
+# dispatch instead of 4-5), then "<CID> Tj" and "tx ty Td/TD" alone
+# (WPS-style streams emit both once PER GLYPH) — they only fire on
+# byte-clean shapes (pure hex, strict numbers, token boundary after the
+# operator), everything else falls through to the general alternatives
+# with identical semantics.  Fusing Tj with the FOLLOWING Td/TD is
+# exact: Td rebuilds the text matrix from the line matrix, so the show
+# advance the standalone Tj would have returned is provably discarded.
+_TOK_SHOWTD = _CONTENT_TOK.groupindex["showtd"]  # lastindex when showtd fires
+_TOK_STHEX = _CONTENT_TOK.groupindex["sthex"]
+_TOK_STX = _CONTENT_TOK.groupindex["stx"]
+_TOK_STY = _CONTENT_TOK.groupindex["sty"]
 _TOK_SHOWTJ = _CONTENT_TOK.groupindex["showtj"]  # lastindex when showtj fires
 # lastindex reports the group that CLOSED last — for nested groups that
 # is the OUTER one (verified: b"12.5 0 TD" → lastindex == tdxy, not tdop)
@@ -375,7 +386,45 @@ def _tokenize_content(data: bytes):
         if m is None:
             break
         g = m.lastindex  # _TOK_* constants (highest matched group index)
-        if g == _TOK_SHOWTJ:  # fused "<hex> Tj" — one dispatch per glyph
+        if g == _TOK_SHOWTD:  # fused "<hex> Tj tx ty Td/TD" — one per glyph
+            body = m.group(_TOK_STHEX)
+            hb = hex_cache.get(body)
+            if hb is None:
+                hx = body[1 : body.index(b">")]
+                if len(hx) % 2:
+                    hx += b"0"
+                hb = hex_cache[body] = bytes.fromhex(hx.decode("ascii"))
+            cur.append(hb)
+            tok = m.group(_TOK_STX)
+            vx = num_cache.get(tok)
+            if vx is None:
+                vx = num_cache[tok] = float(tok) if b"." in tok else int(tok)
+            tok = m.group(_TOK_STY)
+            vy = num_cache.get(tok)
+            if vy is None:
+                vy = num_cache[tok] = float(tok) if b"." in tok else int(tok)
+            pos = m.end()
+            # last matched byte distinguishes TD (0x44 'D') from Td
+            tdop = b"TD" if data[pos - 1] == 0x44 else b"Td"
+            if stack:
+                # show inside an unterminated array: the unfused stream
+                # appends the hex INTO the array, recovers on Tj, then
+                # yields the Td with just the two numbers — replay that
+                # exactly instead of fusing
+                stack = []
+                cur = operands
+                yield operands, b"Tj"
+                operands.clear()
+                operands.append(vx)
+                operands.append(vy)
+                yield operands, tdop
+            else:
+                cur.append(vx)
+                cur.append(vy)
+                yield operands, (b"TjTD" if tdop == b"TD" else b"TjTd")
+            operands.clear()
+            cur = operands
+        elif g == _TOK_SHOWTJ:  # fused "<hex> Tj" — one dispatch per glyph
             body = m.group()
             hb = hex_cache.get(body)
             if hb is None:
@@ -619,7 +668,26 @@ class ContentInterpreter:
             if len(self.glyphs) >= self.MAX_GLYPHS:
                 return
             try:
-                if op == b"Tj" and operands:
+                if (op == b"TjTD" or op == b"TjTd") and len(operands) >= 3:
+                    # fused glyph step: show, then Td/TD.  The show's
+                    # returned advance is discarded on purpose — Td
+                    # rebuilds tm from tlm, exactly as the unfused
+                    # sequence would.  A show failure must not skip the
+                    # Td (parity with the unfused stream), hence the
+                    # inner guard.  Stray operands before the fused run
+                    # ride ahead of the triple, so index from the end.
+                    try:
+                        self._show(operands[-3], ts, tm, ctm)
+                    except PDFError:
+                        pass
+                    tx, ty = operands[-2], operands[-1]
+                    if op == b"TjTD":
+                        ts.leading = -ty
+                    tlm = (tlm[0], tlm[1], tlm[2], tlm[3],
+                           tx * tlm[0] + ty * tlm[2] + tlm[4],
+                           tx * tlm[1] + ty * tlm[3] + tlm[5])
+                    tm = tlm
+                elif op == b"Tj" and operands:
                     tm = self._show(operands[-1], ts, tm, ctm)
                 elif op == b"Td" and len(operands) >= 2:
                     # num() inlined: Td/TD run once per glyph in WPS-style

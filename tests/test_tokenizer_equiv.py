@@ -151,8 +151,26 @@ def reference_tokenize(data):
                 pos = m.end()
 
 
+def _expand_fused(toks):
+    """Expand the whole-glyph-step fused tokens back into the unfused
+    (Tj, Td/TD) pair they are defined to be equivalent to: the show
+    string plus any stray leading operands go to the Tj, the two
+    trailing numbers to the Td/TD — exactly how ``_execute`` consumes
+    them."""
+    out = []
+    for o, op in toks:
+        if op in (b"TjTD", b"TjTd") and len(o) >= 3:
+            out.append((o[:-2], b"Tj"))
+            out.append((o[-2:], b"TD" if op == b"TjTD" else b"Td"))
+        else:
+            out.append((o, op))
+    return out
+
+
 def _both(data):
-    got = [(list(o), op) for o, op in _tokenize_content(data)]
+    got = _expand_fused(
+        [(list(o), op) for o, op in _tokenize_content(data)]
+    )
     ref = [(list(o), op) for o, op in reference_tokenize(data)]
     return got, ref
 
@@ -183,6 +201,16 @@ _EDGES = [
     b"% <41>Tj\n1 2 Td",          # fused shapes inside a comment
     b"BI /W 1 ID \x00\x01 EI <41>Tj",  # inline image then fused show
     b"BT /F1 12 Tf <0041>Tj 5 0 TD <0042>Tj ET",
+    # whole-glyph-step fusion (<hex> Tj tx ty Td/TD as ONE token)
+    b"<0041>Tj 5 0 TD",
+    b"<0041> Tj -1.5 .5 Td",
+    b"(a) <41> Tj 5 0 Td",        # stray operand rides ahead of the triple
+    b"1 2 <41> Tj 5 0 TD",        # stray numbers ahead of the triple
+    b"[<41> Tj 5 0 Td",           # inside unterminated array: must unfuse
+    b"[(x) <41> Tj 5 0 TD",       # array + string, then the glyph step
+    b"<41> Tj 5 0",               # no trailing op: falls back to showtj
+    b"<41> Tj 5 0 TDx",           # op boundary: must NOT fuse the triple
+    b"<41>Tj 5 0 TD <42>Tj 6 0 TD <43>Tj",  # a run of fused glyph steps
 ]
 
 
