@@ -664,11 +664,31 @@ class ContentInterpreter:
         pending: List[Tuple[float, float, float, float]] = []
         pt: Optional[Tuple[float, float]] = None
 
+        # hot-run cache for streaks of fused glyph steps: every value
+        # _show derives from (tm rotation, ctm, text state) is constant
+        # across consecutive fused tokens — the ONLY ops that run inside
+        # a streak are the fused steps themselves, which change just the
+        # matrix translations — so it is hoisted once per streak and
+        # invalidated by ANY other operator (conservative, hence exact).
+        # The per-glyph float formulas below are copied verbatim from
+        # _show so the emitted Glyph tuples are bit-identical.
+        hot = None
+        a = b = c0 = c1 = c2 = c3 = c4 = c5 = rx = ry = sy = ab = 0.0
+        size = char_sp = hscale = wsp = 0.0
+        decode = fname = None
+        vidx = 0
+        glyphs_append = self.glyphs.append
+        new_glyph = tuple.__new__
+        votes = self._rot_votes
+
         for operands, op in _tokenize_content(content):
             if len(self.glyphs) >= self.MAX_GLYPHS:
                 return
+            fused = (op == b"TjTD" or op == b"TjTd") and len(operands) >= 3
+            if not fused:
+                hot = None
             try:
-                if (op == b"TjTD" or op == b"TjTd") and len(operands) >= 3:
+                if fused:
                     # fused glyph step: show, then Td/TD.  The show's
                     # returned advance is discarded on purpose — Td
                     # rebuilds tm from tlm, exactly as the unfused
@@ -676,10 +696,56 @@ class ContentInterpreter:
                     # Td (parity with the unfused stream), hence the
                     # inner guard.  Stray operands before the fused run
                     # ride ahead of the triple, so index from the end.
-                    try:
-                        self._show(operands[-3], ts, tm, ctm)
-                    except PDFError:
-                        pass
+                    raw = operands[-3]
+                    font = ts.font
+                    if isinstance(raw, bytes) and font is not None \
+                            and ts.size != 0:
+                        if hot is None:
+                            t0_, t1_, t2_, t3_ = tm[0], tm[1], tm[2], tm[3]
+                            c0, c1, c2, c3, c4, c5 = ctm
+                            a = t0_ * c0 + t1_ * c2
+                            b = t0_ * c1 + t1_ * c3
+                            c_ = t2_ * c0 + t3_ * c2
+                            d_ = t2_ * c1 + t3_ * c3
+                            size = ts.size
+                            sy = (c_ * c_ + d_ * d_) ** 0.5 * size
+                            ab = (a * a + b * b) ** 0.5
+                            rise = ts.rise
+                            rx = c_ * rise - self.origin_x
+                            ry = d_ * rise - self.origin_y
+                            char_sp, hscale = ts.char_sp, ts.hscale
+                            wsp = 0.0 if font.two_byte else ts.word_sp
+                            decode, fname = font.decode, font.name
+                            if abs(a) >= abs(b):
+                                vidx = 0 if a >= 0 else 2
+                            else:
+                                vidx = 1 if b > 0 else 3
+                            hot = True
+                        self.n_text_ops += 1
+                        seq = self._seq
+                        try:
+                            t4, t5 = tm[4], tm[5]
+                            e = t4 * c0 + t5 * c2 + c4
+                            f = t4 * c1 + t5 * c3 + c5
+                            for code, uni, w1000 in decode(raw):
+                                extra = char_sp
+                                if wsp and code == 32:
+                                    extra += wsp
+                                gtx = (w1000 * 0.001 * size + extra) * hscale
+                                glyphs_append(new_glyph(
+                                    Glyph,
+                                    (uni, e + rx, f + ry, abs(gtx) * ab, sy,
+                                     fname, seq),
+                                ))
+                                seq += 1
+                                e += gtx * a
+                                f += gtx * b
+                            n_run = seq - self._seq
+                            if n_run:
+                                votes[vidx] += n_run
+                            self._seq = seq
+                        except PDFError:
+                            pass
                     tx, ty = operands[-2], operands[-1]
                     if op == b"TjTD":
                         ts.leading = -ty
