@@ -1303,3 +1303,100 @@ def snapshot_delta(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("url", verdict.alias("verdict"))
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup detection (Broder's c(A,B) =
+    |S(A)∩S(B)| / |S(A)|): catches fragments, quotes, and aggregator
+    inclusions — a short doc living inside a long one — where symmetric
+    Jaccard sits far below any dedup threshold (a 40% prefix copy has
+    c ≈ 1.0 but J ≈ 0.4, invisible to MinHash-LSH tuned for J ≥ 0.5).
+
+    Candidate generation is the PREFIX-FILTER join of the set-similarity-
+    join literature (Chaudhuri et al. ICDE'06; Vernica et al. SIGMOD'10),
+    not an all-pairs scan: order each doc's shingles by global document
+    frequency (rare first — fewest candidates), take the prefix of
+    length |S| − ⌈t·|S|⌉ + 1, and equi-join PREFIX tokens against FULL
+    postings.  Any pair with max-containment ≥ t shares ≥ ⌈t·|S_small|⌉
+    shingles, and a set's required overlap cannot dodge a prefix that
+    long — zero false negatives by the prefix-filter theorem; exact
+    array_intersect verification on the candidates removes the false
+    positives.  Shingles travel as 40-bit BIGINT hashes (same md5
+    formula as the LSH path, oracle-replayable).
+
+    ``max_df`` optionally drops ultra-hot shingles (boilerplate) from
+    the candidate join — the standard stop-token trade: bounded bucket
+    fan-out for documented recall loss on pairs connected ONLY by hot
+    shingles.  Default None = exact.
+
+    Scale shape: df groupBy (map-side combined), per-doc window for the
+    prefix ranks (bounded by |S(doc)|), prefix⋈postings equi-join
+    bounded by Σ df(prefix shingle) — the inverted-index join, linear-
+    ish in practice; the verify stage touches candidates only.
+
+    Output: (doc_a, doc_b, n_inter, containment_a, containment_b,
+    jaccard) for pairs whose max containment ≥ threshold; containment_a
+    = share of A's shingles found in B."""
+    release_candidate_cache()  # same cache-ownership protocol as
+    sh_arr = docs.select(      # jaccard_on_candidates: at most ONE live
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), _hbase40)
+        ).alias("sh_arr"),
+    ).persist()
+    _live_candidate_caches.append(sh_arr)
+    sh = sh_arr.select("doc_id", F.explode("sh_arr").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    ranked = sh.join(dfreq, "sh").select(
+        "doc_id",
+        "sh",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(F.col("df"), F.col("sh"))
+        )
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_sh"),
+    )
+    # prefix length for containment t: |S| - ceil(t*|S|) + 1
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "sh")
+    cand = (
+        prefix.alias("p")
+        .join(sh.alias("q"), "sh")
+        .filter(F.col("p.doc_id") != F.col("q.doc_id"))
+        .select(
+            F.least(F.col("p.doc_id"), F.col("q.doc_id")).alias("doc_a"),
+            F.greatest(F.col("p.doc_id"), F.col("q.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    c_a = inter / F.size("sh_a")
+    c_b = inter / F.size("sh_b")
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        # threshold the UNROUNDED max-containment, like the oracle
+        .filter(F.greatest(c_a, c_b) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            F.round(c_a, 4).alias("containment_a"),
+            F.round(c_b, 4).alias("containment_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

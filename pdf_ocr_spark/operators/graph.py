@@ -252,3 +252,158 @@ def host_graph(
             F.countDistinct("_page").alias("n_pages"),
         )
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    prec: int = 10,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): biased
+    PageRank whose teleport mass lands ONLY on a curated trusted seed
+    set, so trust decays with link distance from the seeds — the
+    classic web-spam demotion signal a crawl scheduler runs next to
+    plain PageRank (spam farms can manufacture in-links, but not
+    in-links reachable from trusted seeds).
+
+    t₀ = 1/|S| on seeds (0 elsewhere);
+    tᵢ₊₁(v) = round(d · Σ_{u→v} tᵢ(u)/deg(u) + (1−d) · [v∈S]/|S|).
+
+    Same exactness contract as :func:`pagerank`: every iteration's mass
+    moves through DECIMAL(28,14) sums and rounds to ``prec``, so the
+    run value-hashes against an unrolled SQL oracle.  The only driver
+    scalar is |S| (seed count), the TrustRank analogue of PageRank's N.
+
+    Output: (node, trust, is_seed).  Nodes unreachable from the seed
+    set score exactly 0.0 — that zero IS the spam signal.
+
+    Scale: identical join/groupBy shape to :func:`pagerank` (the seed
+    indicator joins broadcast — curated seed lists are thousands of
+    rows); dangling-node leak matches pagerank's simplified
+    formulation.  Reference pipeline has no graph stage
+    (pdf_ocr_with_boxes_v2.py stops at link emission); this extends the
+    crawl-analytics surface."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    s = F.broadcast(
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    ).withColumn("_seed", F.lit(1))
+    n_seeds = s.count()
+    seeded = nodes.join(s, "node", "left").select(
+        "node", F.col("_seed").isNotNull().alias("is_seed")
+    ).persist()
+    base = (1.0 - damping) / n_seeds
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    tr = seeded.select(
+        "node",
+        "is_seed",
+        F.round(
+            F.when(F.col("is_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)),
+            prec,
+        ).alias("trust"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(
+                tr.select(F.col("node").alias("src"), "trust"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("trust") / F.col("deg")).alias("c"),
+            )
+        )
+        mass = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(28,14)")).cast("double").alias("mass")
+        )
+        tr = seeded.join(mass, "node", "left").select(
+            "node",
+            "is_seed",
+            F.round(
+                F.coalesce(F.col("mass"), F.lit(0.0)) * damping
+                + F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0.0)),
+                prec,
+            ).alias("trust"),
+        )
+    return tr.select("node", "trust", "is_seed")
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    radius: int = 3,
+    prec: int = 10,
+) -> DataFrame:
+    """Bounded-radius harmonic centrality over a (host) graph:
+    H_R(v) = Σ_{u≠v, d(u→v)≤R} 1/d(u→v) — the metric Common Crawl
+    actually ranks hosts by in its published host-level webgraph
+    rankings (Boldi & Vigna, "Axioms for centrality": harmonic
+    centrality is the principled in-degree generalization; CC computes
+    it with HyperBall).
+
+    This is the EXACT truncated variant: distances materialize as a
+    (u, v, d) min-distance table built by ``radius−1`` unrolled
+    relational min-plus steps (d₁ = distinct edges; dᵢ₊₁ = min(dᵢ,
+    dᵢ ⋈ d₁ + 1)), then one groupBy on v DECIMAL-sums 1/d.  Every
+    step is a join + min-groupBy — partial-agg friendly, value-hash
+    reproducible against an unrolled SQL oracle (1/d for d ≤ 8 is
+    IEEE-exact or identically rounded in both engines; sums go through
+    DECIMAL(28,14)).
+
+    Scale honesty: the pair table is Σ_v |ball_R(v)| rows.  On host
+    graphs (CC: ~10⁸ hosts) small R keeps balls bounded; at full web
+    scale or unbounded R the production path is HyperBall — one HLL
+    register set per node per iteration, unions along edges — which
+    replaces the exact distinct-pair table with mergeable sketches.
+    Self-distances (cycles back to u) are excluded, matching the
+    u≠v term of the definition.
+
+    Output: (node, harmonic, n_reached) — n_reached = |{u : d(u→v)≤R}|
+    makes truncation VISIBLE (a node whose ball kept growing at the
+    radius boundary has understated centrality)."""
+    e1 = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e1.select(F.col("src").alias("node"))
+        .unionByName(e1.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = e1.select("src", "dst", F.lit(1).alias("d"))
+    for _ in range(radius - 1):
+        step = (
+            dist.join(
+                e1.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
+                "dst",
+            )
+            .select("src", F.col("nxt").alias("dst"), (F.col("d") + 1).alias("d"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("src", "dst")
+            .agg(F.min("d").alias("d"))
+        )
+    h = dist.groupBy(F.col("dst").alias("node")).agg(
+        F.sum((F.lit(1.0) / F.col("d")).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("hsum"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
+    return nodes.join(h, "node", "left").select(
+        "node",
+        F.round(F.coalesce(F.col("hsum"), F.lit(0.0)), prec).alias("harmonic"),
+        F.coalesce(F.col("n_reached"), F.lit(0)).alias("n_reached"),
+    )

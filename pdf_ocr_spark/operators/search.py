@@ -160,3 +160,65 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def positional_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional inverted index: (term, doc, pos) — the structure
+    phrase and proximity queries need that document-level postings
+    can't answer.  One posexplode over the normalized word sequence,
+    ZERO shuffle (the explode inherits the corpus partitioning); at
+    crawl scale the materialized index is written bucketed BY term so
+    phrase joins below co-locate without a shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(norm_words_expr(F.col(text_col))).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase query over positional postings: the classic IR
+    adjacency join — filter the postings to the phrase's terms (the
+    index-scan step: nothing else leaves the scan), then chain
+    equi-joins on (doc, pos + offset) so surviving rows are exactly the
+    phrase occurrences.  Output: (doc, n_occurrences, first_pos),
+    n_occurrences counting every start position.
+
+    Plan at 100 TB: each join side is the postings of ONE term
+    (df(term) rows, not the corpus); joins key on (doc, pos) so with a
+    term-bucketed index the per-term slices arrive pre-pruned, and the
+    adjacency joins shuffle only the phrase terms' postings.  Catalyst
+    pushes the `term = w_i` filters into the scan.  The rare-term-first
+    heuristic (join the smallest postings list first) is AQE's job —
+    declared joins are reorderable.
+
+    Complements `bm25_topk` (bag-of-words relevance): phrase match is
+    the precision tool for corpus audit queries ("find this exact
+    quote"), decontamination spot checks, and boilerplate hunting."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    post = positional_postings(docs, text_col, id_col)
+    out = post.filter(F.col("term") == phrase[0]).select(
+        "doc", F.col("pos").alias("first_pos")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = post.filter(F.col("term") == term).select(
+            "doc", (F.col("pos") - i).alias("first_pos")
+        )
+        out = out.join(nxt, ["doc", "first_pos"])
+    return (
+        out.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("first_pos").alias("first_pos"),
+        )
+        .select(F.col("doc").alias("doc_id"), "n_occurrences", "first_pos")
+    )

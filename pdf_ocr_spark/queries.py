@@ -1157,6 +1157,66 @@ FROM t CROSS JOIN c CROSS JOIN h
 )
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric CONTAINMENT dedup (Broder c(A,B) = |A∩B|/|A|) on a
+    fragment universe: each doc < 80 plus its 40%-prefix fragment
+    (id + 200000).  Fragments sit at containment 1.0 but Jaccard ≈ 0.4
+    — invisible to the symmetric MinHash path; this is the operator
+    that catches quotes and aggregator inclusions.  Candidates come
+    from the prefix-filter join (rare-first global shingle order,
+    prefix length |S|−⌈t·|S|⌉+1 vs full postings — the set-similarity-
+    join literature's index, zero false negatives), then exact
+    array_intersect verification.  The ORACLE is an independent
+    all-pairs exact containment over raw (unhashed) shingles — a
+    different algorithm AND a different shingle representation
+    arriving at the same verified pairs."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    words = T.norm_words_expr(F.col("text"))
+    frag = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.ceil(F.size(words) * 0.4).cast("int")), " "
+        ).alias("text"),
+    )
+    u = d.select("doc_id", "text").unionByName(frag)
+    return D.containment_pairs(u, k=8, threshold=0.8)
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 80
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+    array_to_string(
+      (str_split({_NORM_SQL.format(c='text')}, ' '))
+        [1:CAST(ceil(0.4 * len(str_split({_NORM_SQL.format(c='text')}, ' ')))
+            AS INT)], ' ') AS text
+  FROM documents WHERE doc_id < 80
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(n, i, 8) AS sh
+  FROM (SELECT doc_id, {_NORM_SQL.format(c='text')} AS n FROM u),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(n) - 7, 1)))
+                AS i) _s
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+  round(CAST(n_inter AS DOUBLE) / na.n_sh, 4) AS containment_a,
+  round(CAST(n_inter AS DOUBLE) / nb.n_sh, 4) AS containment_b,
+  round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE greatest(CAST(n_inter AS DOUBLE) / na.n_sh,
+               CAST(n_inter AS DOUBLE) / nb.n_sh) >= 0.8
+"""
+
+
 def q_dedup_lsh_overflow(spark, sf_dir):
     """LSH hot-bucket overflow accounting: buckets whose membership
     exceeds the cap (here 2, so the dup-variant fixture actually
@@ -4828,6 +4888,50 @@ FROM w GROUP BY w HAVING count(*) >= 5
 """
 
 
+_PHRASE = ("fast", "table")
+
+
+def q_search_phrase(spark, sf_dir):
+    """Exact phrase query ('fast table') over positional postings — the
+    classic IR adjacency join beside bag-of-words BM25: postings filter
+    to the phrase terms (pushed into the scan), chained equi-joins on
+    (doc, pos+offset) keep exactly the occurrences.  The corpus-audit
+    precision tool: find-this-exact-quote, decontamination spot checks,
+    boilerplate hunting.  Oracle replays postings via DuckDB
+    generate_subscripts and the same adjacency join."""
+    from pdf_ocr_spark.operators.search import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), _PHRASE)
+
+
+def _sql_phrase(phrase) -> str:
+    norm = _NORM_SQL.format(c="text")
+    joins = "\n  ".join(
+        f"JOIN p p{i} ON p{i}.doc = p0.doc AND p{i}.pos = p0.pos + {i}"
+        f" AND p{i}.term = '{t}'"
+        for i, t in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc, pos, term FROM (
+    SELECT doc_id AS doc,
+           generate_subscripts(arr, 1) - 1 AS pos,
+           unnest(arr) AS term
+    FROM (SELECT doc_id, str_split({norm}, ' ') AS arr FROM documents)
+  ) WHERE term <> ''
+)
+SELECT p0.doc AS doc_id, count(*) AS n_occurrences,
+       min(p0.pos) AS first_pos
+FROM p p0
+  {joins}
+WHERE p0.term = '{phrase[0]}'
+GROUP BY p0.doc
+"""
+
+
+SQL_SEARCH_PHRASE = _sql_phrase(_PHRASE)
+
+
 def q_fetch_schedule(spark, sf_dir):
     """Politeness fetch scheduler: per-domain slots × crawl-delay →
     fetch offsets.  Frontier = one synthetic URL per document across 7
@@ -7203,6 +7307,189 @@ FROM c LEFT JOIN s ON c.dst = s.dst
 """
 
 
+def q_link_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi et al., VLDB 2004) over the extracted link
+    graph: PageRank whose teleport mass lands only on a trusted seed
+    set, so trust decays with link distance from the seeds — the web-
+    spam demotion signal beside plain PageRank.  Seeds here are picked
+    deterministically (top-2 nodes by indegree, node-id tie-break), the
+    relational stand-in for a curated whitelist; unreachable nodes
+    score exactly 0.0 — that zero IS the spam flag.  Same DECIMAL-sum /
+    round-10 contract as `link_pagerank`, replayed by an unrolled CTE
+    oracle including the seed selection."""
+    from pdf_ocr_spark.operators.graph import trustrank
+    from pyspark.sql import Window
+
+    edges = spark.read.parquet(_golden("link_edges")).select(
+        F.col("url").alias("src"), F.col("link").alias("dst")
+    )
+    indeg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+    seeds = (
+        indeg.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("indeg").desc(), F.col("node"))
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("node")
+    )
+    return trustrank(edges, seeds, iters=3, damping=0.85, prec=10)
+
+
+def _sql_trustrank(iters: int = 3, damping: float = 0.85, prec: int = 10) -> str:
+    # (1.0 - d) as the explicit IEEE DOUBLE subtraction, like _sql_pagerank
+    base = (
+        f"(CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE))"
+        " / (SELECT n FROM ns)"
+    )
+
+    def it(prev: str, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT n.node, n.is_seed,
+    round(coalesce(s.mass, 0) * CAST({damping} AS DOUBLE)
+          + CASE WHEN n.is_seed THEN {base} ELSE 0.0 END, {prec}) AS trust
+  FROM seeded n LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(sum(CAST(p.trust / d.deg AS DECIMAL(28,14))) AS DOUBLE) AS mass
+    FROM e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)"""
+
+    its = ",".join(it(f"t{i}" if i else "t0", f"t{i + 1}") for i in range(iters))
+    return f"""
+WITH e AS (
+  SELECT url AS src, link AS dst FROM read_parquet('{_golden("link_edges")}')
+),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+indeg AS (SELECT dst AS node, count(*) AS indeg FROM e GROUP BY dst),
+seeds AS (
+  SELECT node FROM (
+    SELECT node, row_number() OVER (ORDER BY indeg DESC, node) AS rn
+    FROM indeg) WHERE rn <= 2
+),
+seeded AS (
+  SELECT n.node, (s.node IS NOT NULL) AS is_seed
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+t0 AS (
+  SELECT node, is_seed,
+    round(CASE WHEN is_seed THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END,
+          {prec}) AS trust
+  FROM seeded
+),
+{its}
+SELECT node, trust, is_seed FROM t{iters}
+"""
+
+
+SQL_LINK_TRUSTRANK = _sql_trustrank()
+
+
+def q_link_harmonic(spark, sf_dir):
+    """Bounded-radius harmonic centrality over the HOST graph — the
+    metric Common Crawl ranks hosts by in its published webgraph
+    (computed there with HyperBall; here the exact R=3 truncation over
+    the bounded host universe, with n_reached making the truncation
+    visible).  Input = the same composed link_edges + synthetic multi-
+    host universe as `link_host_graph`, rolled up to distinct host
+    edges; distances by two unrolled relational min-plus steps; 1/d
+    through DECIMAL sums.  The oracle replays host rollup, min-plus,
+    and the harmonic sum in one nested CTE."""
+    from pdf_ocr_spark.operators.graph import harmonic_centrality, host_graph
+
+    extracted = spark.read.parquet(_golden("link_edges")).select(
+        "url", "link", "nofollow"
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    i = F.col("doc_id")
+    src = F.concat(
+        F.lit("https://site"), (i % 11).cast("string"),
+        F.lit(".example.org/page/"), i.cast("string"),
+    )
+    m = i % 5
+    link = (
+        F.when(m == 0, F.concat(
+            F.lit("https://site"), ((i * 3) % 11).cast("string"),
+            F.lit(".example.org/x/"), i.cast("string")))
+        .when(m == 1, F.concat(F.lit("/local/"), (i % 7).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("mailto:user"), i.cast("string"), F.lit("@example.org")))
+        .when(m == 3, F.concat(
+            F.lit("HTTPS://CDN.Example.NET:8080/asset?id="),
+            (i % 13).cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://u:p@site"), (i % 4).cast("string"),
+            F.lit(".example.org/auth")))
+    )
+    synth = d.select(
+        src.alias("url"), link.alias("link"), (i % 3 == 0).alias("nofollow")
+    )
+    hg = host_graph(extracted.unionByName(synth)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return harmonic_centrality(hg, radius=3, prec=10)
+
+
+def _sql_harmonic(radius: int = 3, prec: int = 10) -> str:
+    steps, prev = [], "e1"
+    for i in range(2, radius + 1):
+        steps.append(f"""
+d{i} AS (
+  SELECT src, dst, min(d) AS d FROM (
+    SELECT src, dst, d FROM {prev}
+    UNION ALL
+    SELECT p.src, e.dst, p.d + 1 AS d
+    FROM {prev} p JOIN e1 e ON p.dst = e.src
+    WHERE p.src <> e.dst
+  ) GROUP BY src, dst
+)""")
+        prev = f"d{i}"
+    return f"""
+WITH raw AS (
+  SELECT url, link, nofollow
+  FROM read_parquet('{_golden("link_edges")}')
+  UNION ALL
+  {_EDGE_SYNTH_SQL}
+), we AS (
+  SELECT url, link FROM raw
+  WHERE lower(link) LIKE 'http://%' OR lower(link) LIKE 'https://%'
+     OR link LIKE '/%'
+), hosts AS (
+  SELECT regexp_extract(lower(url), '{_HOST_SQL_RE}', 1) AS src,
+         coalesce(
+           nullif(regexp_extract(lower(link), '{_HOST_SQL_RE}', 1), ''),
+           regexp_extract(lower(url), '{_HOST_SQL_RE}', 1)
+         ) AS dst
+  FROM we
+), e1 AS (
+  SELECT DISTINCT src, dst, 1 AS d FROM hosts
+  WHERE src <> '' AND src <> dst
+),
+{",".join(steps)}{"," if steps else ""}
+nodes AS (SELECT DISTINCT src AS node FROM e1
+          UNION SELECT DISTINCT dst FROM e1),
+h AS (
+  SELECT dst AS node,
+    CAST(sum(CAST(1.0 / d AS DECIMAL(28,14))) AS DOUBLE) AS hsum,
+    count(*) AS n_reached
+  FROM {prev} GROUP BY dst
+)
+SELECT n.node,
+  round(coalesce(h.hsum, 0.0), {prec}) AS harmonic,
+  coalesce(h.n_reached, 0) AS n_reached
+FROM nodes n LEFT JOIN h ON n.node = h.node
+"""
+
+
+SQL_LINK_HARMONIC = _sql_harmonic()
+
+
 def q_feed_items(spark, sf_dir):
     """RSS/Atom feed parsing through the distributed route: item links
     with titles (entities + CDATA decoded) and raw dates; Atom
@@ -7836,6 +8123,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     ),
     "dedup_lsh_overflow": (q_dedup_lsh_overflow, SQL_DEDUP_LSH_OVERFLOW),
     "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_embedding_overflow": (
         q_dedup_embedding_overflow,
         SQL_DEDUP_EMBEDDING_OVERFLOW,
@@ -7890,6 +8178,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
     "search_postings": (q_search_postings, SQL_SEARCH_POSTINGS),
+    "search_phrase": (q_search_phrase, SQL_SEARCH_PHRASE),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "source_lang_entropy": (q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
     "domain_kl_drift": (q_domain_kl_drift, SQL_DOMAIN_KL_DRIFT),
@@ -7948,6 +8237,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "link_host_graph": (q_link_host_graph, SQL_LINK_HOST_GRAPH),
     "link_hits": (q_link_hits, SQL_LINK_HITS),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
+    "link_trustrank": (q_link_trustrank, SQL_LINK_TRUSTRANK),
+    "link_harmonic": (q_link_harmonic, SQL_LINK_HARMONIC),
     "anchor_text_profile": (q_anchor_text_profile, SQL_ANCHOR_TEXT_PROFILE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "lang_mix_rates": (q_lang_mix_rates, SQL_LANG_MIX_RATES),

@@ -547,3 +547,61 @@ def test_snapshot_delta_verdicts(spark):
         "u3": "removed",
         "u4": "added",
     }
+
+
+def test_containment_catches_fragment_jaccard_misses(spark):
+    """A 40%-ish fragment of a long doc: containment ≈ 1.0 (caught at
+    t=0.8) while Jaccard sits well below 0.8 — the asymmetric case the
+    symmetric near-dup path is blind to.  Unrelated docs don't pair."""
+    from pdf_ocr_spark.operators.dedup import containment_pairs
+
+    base = " ".join(f"tok{i:03d}" for i in range(60))
+    frag = " ".join(f"tok{i:03d}" for i in range(22))
+    other = " ".join(f"zzz{i:03d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, frag), (3, other)], "doc_id long, text string"
+    )
+    rows = containment_pairs(docs, k=8, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment_b"] == 1.0          # all of the fragment is in base
+    assert r["jaccard"] < 0.8                 # symmetric metric misses it
+    assert r["containment_a"] < 0.8           # asymmetry is visible
+
+
+def test_containment_prefix_filter_no_false_negatives(spark):
+    """Prefix-filter candidates == brute-force verified pairs on a mixed
+    universe (exact copy, fragment, disjoint): every pair with max
+    containment ≥ t survives to the verified output."""
+    from pdf_ocr_spark.operators.dedup import containment_pairs, shingles, _hbase40
+    from pyspark.sql import functions as F
+    from itertools import combinations
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(40)),
+        2: " ".join(f"w{i}" for i in range(40)),            # exact copy
+        3: " ".join(f"w{i}" for i in range(15)),            # fragment
+        4: " ".join(f"q{i}" for i in range(40)),            # disjoint
+        5: " ".join(f"w{i}" for i in range(20, 55)),        # suffix overlap
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(docs, k=8, threshold=0.8).collect()
+    }
+    # brute force over raw shingle sets
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id", F.transform(shingles(F.col("text"), 8), _hbase40).alias("sh")
+        ).collect()
+    }
+    want = set()
+    for a, b in combinations(sorted(sh), 2):
+        ni = len(sh[a] & sh[b])
+        if ni and max(ni / len(sh[a]), ni / len(sh[b])) >= 0.8:
+            want.add((a, b))
+    assert got == want and (1, 2) in got and (1, 3) in got

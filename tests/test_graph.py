@@ -134,3 +134,78 @@ def test_host_graph_host_normalization_and_scoping(spark):
     assert (aa.n_links, aa.n_nofollow, aa.n_pages) == (1, 1, 1)
     ca = rows[("c.test", "a.test")]
     assert (ca.n_links, ca.n_nofollow, ca.n_pages) == (1, 1, 1)
+
+
+def test_trustrank_decays_from_seeds_and_zeroes_unreachable(spark):
+    """TrustRank semantics on a pinned graph: seed gets the teleport
+    mass, its direct target inherits damped trust, a 2-hop target less,
+    and a disconnected spam island scores exactly 0.0."""
+    from pdf_ocr_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame(
+        [
+            ("seed", "child"), ("child", "grand"),
+            # spam island: links among themselves, unreachable from seed
+            ("spam1", "spam2"), ("spam2", "spam1"),
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "node string")
+    got = {r["node"]: r for r in trustrank(edges, seeds, iters=3).collect()}
+    assert got["seed"]["is_seed"] and not got["child"]["is_seed"]
+    assert got["seed"]["trust"] > 0
+    assert got["child"]["trust"] > got["grand"]["trust"] > 0
+    assert got["spam1"]["trust"] == 0.0 == got["spam2"]["trust"]
+
+
+def test_trustrank_deterministic_across_partitionings(spark):
+    from pdf_ocr_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 23}") for i in range(200)],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("n0",), ("n1",)], "node string")
+    a = {
+        r["node"]: r["trust"]
+        for r in trustrank(edges.repartition(2), seeds, iters=3).collect()
+    }
+    b = {
+        r["node"]: r["trust"]
+        for r in trustrank(edges.repartition(17), seeds, iters=3).collect()
+    }
+    assert a == b
+
+
+def test_harmonic_centrality_path_graph_pinned(spark):
+    """Exact harmonic values on a directed path a→b→c→d at radius 3:
+    H(a)=0, H(b)=1, H(c)=1+1/2, H(d)=1+1/2+1/3; n_reached counts the
+    in-ball; radius truncation drops d(a→d) when radius=2."""
+    from pdf_ocr_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r["node"]: r for r in harmonic_centrality(edges, radius=3).collect()}
+    assert got["a"]["harmonic"] == 0.0 and got["a"]["n_reached"] == 0
+    assert got["b"]["harmonic"] == 1.0
+    assert abs(got["c"]["harmonic"] - 1.5) < 1e-9
+    assert abs(got["d"]["harmonic"] - (1 + 0.5 + 1 / 3)) < 1e-9
+    assert got["d"]["n_reached"] == 3
+
+    r2 = {r["node"]: r for r in harmonic_centrality(edges, radius=2).collect()}
+    assert abs(r2["d"]["harmonic"] - 1.5) < 1e-9  # a→d (d=3) truncated
+    assert r2["d"]["n_reached"] == 2
+
+
+def test_harmonic_centrality_cycle_excludes_self(spark):
+    """On a 3-cycle every node reaches the other two (d=1, d=2) but not
+    itself: H = 1 + 1/2 for all, n_reached = 2."""
+    from pdf_ocr_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x")], "src string, dst string"
+    )
+    for r in harmonic_centrality(edges, radius=3).collect():
+        assert abs(r["harmonic"] - 1.5) < 1e-9
+        assert r["n_reached"] == 2

@@ -55,3 +55,41 @@ def test_build_postings(spark):
     assert rows == {"a": (1, [1]), "b": (3, [1, 2, 3]), "c": (1, [2])}
     trimmed = {r.term for r in build_postings(docs, min_df=2).collect()}
     assert trimmed == {"b"}
+
+
+def test_phrase_search_adjacency_and_counts(spark):
+    """Phrase occurrences are counted per start position, overlapping
+    allowed; near-miss word orders and gap-separated terms don't match."""
+    from pdf_ocr_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the quick brown cat"),
+            (2, "quick the brown"),        # order wrong
+            (3, "the quick x brown"),      # gap
+            (4, "THE   Quick Brown"),      # case + whitespace normalize
+            (5, "quick brown quick brown quick brown"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in phrase_search(docs, ("quick", "brown")).collect()
+    }
+    assert set(out) == {1, 4, 5}
+    assert out[1]["n_occurrences"] == 2 and out[1]["first_pos"] == 1
+    assert out[4]["n_occurrences"] == 1 and out[4]["first_pos"] == 1
+    assert out[5]["n_occurrences"] == 3 and out[5]["first_pos"] == 0
+
+
+def test_phrase_search_three_terms_and_empty(spark):
+    from pdf_ocr_spark.operators.search import phrase_search
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c"), (2, "a b x c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in phrase_search(docs, ("a", "b", "c")).collect()}
+    assert set(out) == {1} and out[1]["n_occurrences"] == 2
+    with pytest.raises(ValueError):
+        phrase_search(docs, ())
