@@ -470,3 +470,69 @@ def crawl_budget(
             .alias("budget"),
         )
     )
+
+
+def change_rate(
+    captures: DataFrame,
+    url_col: str = "url",
+    snap_col: str = "snapshot_id",
+    fp_col: str = "fingerprint",
+    prec: int = 6,
+) -> DataFrame:
+    """Per-URL change-frequency estimation from repeated crawl captures
+    (Cho & Garcia-Molina, "Estimating frequency of change", TOIT 2003)
+    — the signal that decides each page's recrawl interval, one level
+    below `page_freshness` (declared metadata) and `crawl_budget`
+    (per-host quotas).
+
+    Input: one row per (url, snapshot_id, content fingerprint).  For
+    each url the consecutive-snapshot pairs where the fingerprint
+    differs are detected changes X out of n observation intervals; the
+    bias-corrected Poisson-rate estimator is
+
+        r̂ = −ln((n − X + 0.5) / (n + 0.5))   changes per interval,
+
+    which stays finite when X = n (a page that changed every time we
+    looked) and near-0 when X = 0.  The recrawl verdict buckets r̂:
+    'hot' ≥ ln(2) (changes most intervals → fetch every cycle), 'warm'
+    ≥ 0.1, else 'cold'.
+
+    Exactness: ln of the same IEEE double is identically rounded in
+    Spark and DuckDB (same libm contract the BM25 idf relies on);
+    the rate rounds to ``prec``.  Scale shape: ONE window per url
+    ordered by snapshot (lag fingerprint — bounded by snapshots/url,
+    typically < 100) + one groupBy(url); no global sort, no driver
+    state.  Urls seen once have n = 0 and emit rate NULL / 'unknown'
+    — visible, not silently dropped."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy("snap")
+    marked = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(snap_col).alias("snap"),
+        F.col(fp_col).alias("fp"),
+    ).withColumn("prev_fp", F.lag("fp").over(w))
+    per_url = marked.groupBy("url").agg(
+        (F.count(F.lit(1)) - 1).alias("n_intervals"),
+        F.sum(
+            F.when(
+                F.col("prev_fp").isNotNull()
+                & (F.col("fp") != F.col("prev_fp")),
+                1,
+            ).otherwise(0)
+        ).alias("n_changes"),
+    )
+    n = F.col("n_intervals").cast("double")
+    x = F.col("n_changes").cast("double")
+    rate = F.round(-F.log((n - x + 0.5) / (n + 0.5)), prec)
+    return per_url.select(
+        "url",
+        "n_intervals",
+        "n_changes",
+        F.when(n > 0, rate).alias("change_rate"),
+        F.when(n == 0, F.lit("unknown"))
+        .when(rate >= 0.6931471805599453, F.lit("hot"))
+        .when(rate >= 0.1, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+        .alias("recrawl"),
+    )

@@ -2999,6 +2999,92 @@ FROM a
 """
 
 
+def q_crawl_change_rate(spark, sf_dir):
+    """Per-URL change-frequency estimation (Cho & Garcia-Molina, TOIT
+    2003) over 6 synthetic crawl snapshots: pages change with period
+    p ∈ {1,2,3,6} by doc id, one singleton URL exercises the n=0
+    'unknown' lane; detected changes feed the bias-corrected Poisson
+    estimator r̂ = −ln((n−X+0.5)/(n+0.5)) and the hot/warm/cold recrawl
+    verdict — the page-level signal below `page_freshness` (declared
+    dates) and `crawl_budget` (host quotas).  One per-url lag window +
+    one groupBy; oracle replays the window and the estimator."""
+    from pdf_ocr_spark.operators.frontier import change_rate
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    p = (
+        F.when(F.col("doc_id") % 4 == 0, 1)
+        .when(F.col("doc_id") % 4 == 1, 2)
+        .when(F.col("doc_id") % 4 == 2, 3)
+        .otherwise(6)
+    )
+    caps = d.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("https://s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("snapshot_id"),
+        p.alias("_p"),
+    ).filter(
+        # singleton lane: every 50th doc is captured once only
+        (F.col("doc_id") % 50 != 7) | (F.col("snapshot_id") == 0)
+    )
+    caps = caps.select(
+        "url",
+        "snapshot_id",
+        F.md5(
+            F.concat(
+                F.col("url"),
+                F.lit(":v"),
+                F.floor(F.col("snapshot_id") / F.col("_p")).cast("string"),
+            )
+        ).alias("fingerprint"),
+    )
+    return change_rate(caps)
+
+
+SQL_CRAWL_CHANGE_RATE = """
+WITH caps AS (
+  SELECT
+    'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/'
+      || CAST(doc_id AS VARCHAR) AS url,
+    s.snapshot_id,
+    md5('https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/'
+        || CAST(doc_id AS VARCHAR) || ':v'
+        || CAST(CAST(floor(s.snapshot_id / (CASE doc_id % 4
+             WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 6 END))
+           AS BIGINT) AS VARCHAR)) AS fingerprint
+  FROM documents, (SELECT unnest(generate_series(0, 5)) AS snapshot_id) s
+  WHERE doc_id < 200
+    AND (doc_id % 50 <> 7 OR s.snapshot_id = 0)
+),
+marked AS (
+  SELECT url, snapshot_id, fingerprint,
+    lag(fingerprint) OVER (PARTITION BY url ORDER BY snapshot_id) AS prev_fp
+  FROM caps
+),
+per_url AS (
+  SELECT url, count(*) - 1 AS n_intervals,
+    CAST(sum(CASE WHEN prev_fp IS NOT NULL AND fingerprint <> prev_fp
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+  FROM marked GROUP BY url
+)
+SELECT url, n_intervals, n_changes,
+  CASE WHEN n_intervals > 0 THEN
+    round(-ln((CAST(n_intervals AS DOUBLE) - n_changes + 0.5)
+              / (n_intervals + 0.5)), 6) END AS change_rate,
+  CASE WHEN n_intervals = 0 THEN 'unknown'
+       WHEN round(-ln((CAST(n_intervals AS DOUBLE) - n_changes + 0.5)
+                      / (n_intervals + 0.5)), 6) >= 0.6931471805599453
+         THEN 'hot'
+       WHEN round(-ln((CAST(n_intervals AS DOUBLE) - n_changes + 0.5)
+                      / (n_intervals + 0.5)), 6) >= 0.1
+         THEN 'warm'
+       ELSE 'cold' END AS recrawl
+FROM per_url
+"""
+
+
 def q_crawl_budget(spark, sf_dir):
     """Per-host crawl-budget allocation (frontier shaping above the
     politeness scheduler): each site's fetch quota for the next cycle
@@ -4417,6 +4503,52 @@ SELECT doc_id, n_tokens, tokens FROM read_parquet('{{golden}}')
 """.format(golden=_golden("bpe_encode"))
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-quality dashboard (the metric every production
+    tokenizer eval reports): per-doc FERTILITY (tokens per word) and
+    chars-per-token of the live BPE encode — fertility near 1.0 means
+    the vocab covers the corpus in whole words, high fertility means
+    over-fragmentation.  Both denominators derive from the token
+    stream itself (words = tokens carrying the '</w>' end marker), so
+    the metric needs no side channel to the raw text.  Spark runs the
+    LIVE train+encode; the oracle replays the identical derivation
+    over the frozen encode golden — pinning live-encode determinism
+    AND the metric math (the extract_quality protocol)."""
+    from pdf_ocr_spark.operators import tokenizer as TK
+
+    corpus = spark.createDataFrame(TK.fixture_corpus(), "doc_id long, text string")
+    merges = TK.bpe_train(TK.word_freq_table(corpus), n_merges=12)
+    enc = TK.bpe_encode_arrow(corpus, merges)
+    toks = F.split(F.col("tokens"), " ")
+    n_words = F.size(F.filter(toks, lambda t: t.endswith("</w>")))
+    n_chars = F.length(
+        F.regexp_replace(F.replace(F.col("tokens"), F.lit("</w>"), F.lit("")), " ", "")
+    )
+    n_tokens = F.col("n_tokens").cast("long")
+    return enc.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_words.alias("n_words"),
+        F.round(n_tokens / n_words, 6).alias("fertility"),
+        F.round(n_chars / n_tokens, 6).alias("chars_per_token"),
+    )
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH g AS (SELECT * FROM read_parquet('{_golden("bpe_encode")}')),
+d AS (
+  SELECT doc_id, n_tokens,
+    len(list_filter(str_split(tokens, ' '), t -> t LIKE '%</w>')) AS n_words,
+    length(replace(replace(tokens, '</w>', ''), ' ', '')) AS n_chars
+  FROM g
+)
+SELECT doc_id, n_tokens, n_words,
+  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+  round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+FROM d
+"""
+
+
 def q_bpe_encode_arrow(spark, sf_dir):
     """The PRODUCTION-VOCAB encode path (operators/tokenizer.py
     bpe_encode_arrow): the frozen merge table applied in ONE
@@ -5335,6 +5467,71 @@ def q_sink_warc_roundtrip(spark, sf_dir):
         F.md5(F.col("html")).alias("body_md5"),
         F.length(F.col("html")).cast("long").alias("n_bytes"),
     )
+
+
+def q_sink_warc_revisit(spark, sf_dir):
+    """WARC REVISIT records — dedup AT THE SINK, the way Common Crawl's
+    own archives encode URL-level duplicates (WARC-Profile
+    identical-payload-digest): each of 150 pages carries the payload of
+    doc (id % 50), so every payload appears at three urls; the earliest
+    capture stores the full response (with its sha256 payload digest),
+    the two later ones store revisit records whose WARC-Refers-To{,
+    -Target-URI, -Date} point at the keeper.  One digest groupBy (only
+    (digest, ts, url) shuffles — never bodies) + per-partition archive
+    map + parse-back in ONE plan; the oracle recomputes keeper
+    selection, digests, dates, and even the md5-derived refers-to
+    record ids relationally."""
+    from pdf_ocr_spark.sources.warc import pages_to_warc_deduped, warc_revisit_rows
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 150).select("doc_id")
+    b = d.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("_src"), F.col("text")
+    )
+    pages = a.join(b, a["doc_id"] % 50 == b["_src"]).select(
+        F.concat(
+            F.lit("https://w"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+    )
+    archives = pages_to_warc_deduped(pages.repartition(4, "url"))
+    return warc_revisit_rows(archives)
+
+
+SQL_SINK_WARC_REVISIT = """
+WITH pages AS (
+  SELECT a.doc_id,
+    'https://w' || CAST(a.doc_id % 5 AS VARCHAR)
+      || '.example.com/p/' || CAST(a.doc_id AS VARCHAR) AS url,
+    strftime(make_timestamp((1735689600 + a.doc_id) * 1000000),
+             '%Y-%m-%dT%H:%M:%SZ') AS date,
+    b.text AS content
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 50
+  WHERE a.doc_id < 150
+),
+keyed AS (
+  SELECT *, sha256(content) AS digest,
+    row_number() OVER (PARTITION BY sha256(content)
+                       ORDER BY date, url) AS rn
+  FROM pages
+),
+keepers AS (SELECT digest, url AS k_url, date AS k_date FROM keyed WHERE rn = 1)
+SELECT
+  CASE WHEN k.rn = 1 THEN 'response' ELSE 'revisit' END AS warc_type,
+  k.url, k.date, 'sha256:' || k.digest AS digest,
+  CASE WHEN k.rn = 1 THEN NULL ELSE kp.k_url END AS refers_uri,
+  CASE WHEN k.rn = 1 THEN NULL ELSE kp.k_date END AS refers_date,
+  CASE WHEN k.rn = 1 THEN NULL ELSE
+    '<urn:uuid:' || substr(h.h, 1, 8) || '-' || substr(h.h, 9, 4) || '-'
+      || substr(h.h, 13, 4) || '-' || substr(h.h, 17, 4) || '-'
+      || substr(h.h, 21, 12) || '>' END AS refers_id,
+  CASE WHEN k.rn = 1 THEN md5(k.content) END AS body_md5
+FROM keyed k
+JOIN keepers kp ON k.digest = kp.digest,
+LATERAL (SELECT md5(kp.k_url || chr(10) || kp.k_date) AS h) h
+"""
 
 
 def q_warc_cdx(spark, sf_dir):
@@ -8157,6 +8354,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
     "domain_reputation": (q_domain_reputation, SQL_DOMAIN_REPUTATION),
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
+    "crawl_change_rate": (q_crawl_change_rate, SQL_CRAWL_CHANGE_RATE),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "text_c4": (q_text_c4, SQL_TEXT_C4),
     "text_c4_line_apply": (q_text_c4_line_apply, SQL_TEXT_C4_LINE_APPLY),
@@ -8187,6 +8385,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "bpe_encode_arrow": (q_bpe_encode_arrow, SQL_BPE_ENCODE_ARROW),
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "unigram_vocab": (q_unigram_vocab, SQL_UNIGRAM_VOCAB),
     "unigram_encode": (q_unigram_encode, SQL_UNIGRAM_ENCODE),
@@ -8205,6 +8404,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "url_spam_features": (q_url_spam_features, SQL_URL_SPAM_FEATURES),
     "ingest_validate": (q_ingest_validate, SQL_INGEST_VALIDATE),
     "sink_warc_roundtrip": (q_sink_warc_roundtrip, SQL_SINK_WARC_ROUNDTRIP),
+    "sink_warc_revisit": (q_sink_warc_revisit, SQL_SINK_WARC_REVISIT),
     "warc_cdx": (q_warc_cdx, SQL_WARC_CDX),
     "warc_redirects": (q_warc_redirects, SQL_WARC_REDIRECTS),
     "wet_cdx": (q_wet_cdx, SQL_WET_CDX),

@@ -201,13 +201,15 @@ def write_warc_record(
     http_status: str = "200 OK",
     http_content_type: str = "text/html",
     extra_http_headers: Optional[List[Tuple[str, str]]] = None,
+    extra_warc_headers: Optional[List[Tuple[str, str]]] = None,
 ) -> bytes:
     """One WARC/1.0 record as bytes.  ``response`` records wrap the body
     in a minimal HTTP/1.1 envelope (what the reader's ``_http_body``
     strips back off); ``conversion`` records (WET extracted text) and
     ``resource`` records carry the bare body.  ``extra_http_headers``
     appends (name, value) lines to the HTTP envelope (e.g. a redirect's
-    ``Location``)."""
+    ``Location``); ``extra_warc_headers`` appends WARC header lines
+    (e.g. a revisit record's WARC-Profile / WARC-Refers-To*)."""
     if warc_type == "response":
         extra = "".join(
             f"{k}: {v}\r\n" for k, v in (extra_http_headers or [])
@@ -222,12 +224,16 @@ def write_warc_record(
         payload = body
         if warc_type == "conversion":
             content_type = "text/plain"
+    extra_warc = "".join(
+        f"{k}: {v}\r\n" for k, v in (extra_warc_headers or [])
+    )
     headers = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
         f"WARC-Target-URI: {uri}\r\n"
         f"WARC-Date: {date}\r\n"
         f"WARC-Record-ID: {_record_id(uri, date)}\r\n"
+        f"{extra_warc}"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(payload)}\r\n\r\n"
     ).encode("latin-1")
@@ -794,3 +800,176 @@ def wat_rows_batch(batches):
 def wat_to_rows(wats):
     """(wat binary) rows → the parsed WAT metadata table."""
     return wats.select("wat").mapInPandas(wat_rows_batch, schema=WAT_ROW_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Revisit records — WARC's own representation of URL-level duplicates.
+# Common Crawl and every Heritrix-lineage crawler write a `revisit` record
+# (WARC-Profile identical-payload-digest) instead of storing a payload it
+# already holds: the record carries the payload digest plus WARC-Refers-To*
+# pointers at the original capture.  This is dedup AT THE SINK — the
+# archive itself encodes the duplicate structure, so downstream consumers
+# never re-download or re-store identical bodies.
+
+_REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def pages_to_warc_revisit_batch(batches):
+    """mapInPandas body: marked page rows → ONE archive per partition.
+    Keeper rows write full ``response`` records (with their payload
+    digest header, as Common Crawl does); duplicate rows write
+    ``revisit`` records — empty payload, WARC-Profile
+    identical-payload-digest, WARC-Refers-To{,-Target-URI,-Date}
+    pointing at the keeper capture (deterministic, because record ids
+    derive from (uri, date))."""
+    import pandas as pd
+
+    recs: List[bytes] = []
+    n_rev = 0
+
+    def iso(ts) -> str:
+        return (
+            pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+            if not pd.isna(ts)
+            else "1970-01-01T00:00:00Z"
+        )
+
+    for b in batches:
+        for url, ts, html, digest, is_rev, r_url, r_ts in zip(
+            b["url"], b["warc_ts"], b["html"], b["digest"],
+            b["is_revisit"], b["refers_url"], b["refers_ts"],
+        ):
+            date = iso(ts)
+            if not is_rev:
+                recs.append(
+                    write_warc_record(
+                        str(url), date, bytes(html),
+                        extra_warc_headers=[
+                            ("WARC-Payload-Digest", f"sha256:{digest}")
+                        ],
+                    )
+                )
+            else:
+                r_date = iso(r_ts)
+                n_rev += 1
+                recs.append(
+                    write_warc_record(
+                        str(url), date, b"",
+                        warc_type="revisit",
+                        content_type="message/http",
+                        extra_warc_headers=[
+                            ("WARC-Profile", _REVISIT_PROFILE),
+                            ("WARC-Payload-Digest", f"sha256:{digest}"),
+                            ("WARC-Refers-To", _record_id(str(r_url), r_date)),
+                            ("WARC-Refers-To-Target-URI", str(r_url)),
+                            ("WARC-Refers-To-Date", r_date),
+                        ],
+                    )
+                )
+    yield pd.DataFrame(
+        {
+            "n_records": [len(recs)],
+            "n_revisit": [n_rev],
+            "warc": [b"".join(recs)],
+        }
+    )
+
+
+def pages_to_warc_deduped(pages):
+    """Pages → WARC archives with payload-level dedup AT THE SINK: the
+    first capture of each distinct payload (earliest warc_ts, url as a
+    total tie-break) stores the full ``response`` record; every later
+    identical-payload capture stores a ``revisit`` record pointing at
+    it.  Digest = sha256 over the raw body, computed JVM-side.
+
+    Scale shape: ONE groupBy on the digest (map-side combined min
+    struct — only (digest, ts, url) shuffle, never bodies) + one
+    digest-keyed join back, then the per-partition archive map.  The
+    keeper table is distinct-payload-sized; at crawl scale this is the
+    same shuffle the exact-dedup stage already pays, and the archives
+    shrink by the duplicate payload bytes."""
+    from pyspark.sql import functions as F
+
+    keyed = pages.select("url", "warc_ts", "html").withColumn(
+        "_digest", F.sha2(F.col("html"), 256)
+    )
+    keepers = keyed.groupBy("_digest").agg(
+        F.min(F.struct("warc_ts", "url")).alias("_k")
+    )
+    marked = keyed.join(keepers, "_digest").select(
+        "url",
+        "warc_ts",
+        "html",
+        F.col("_digest").alias("digest"),
+        (
+            ~(
+                (F.col("warc_ts") == F.col("_k.warc_ts"))
+                & (F.col("url") == F.col("_k.url"))
+            )
+        ).alias("is_revisit"),
+        F.col("_k.url").alias("refers_url"),
+        F.col("_k.warc_ts").alias("refers_ts"),
+    )
+    return marked.mapInPandas(
+        pages_to_warc_revisit_batch,
+        schema="n_records long, n_revisit long, warc binary",
+    )
+
+
+REVISIT_ROWS_DDL = (
+    "warc_type string, url string, date string, digest string,"
+    " refers_uri string, refers_date string, refers_id string,"
+    " body_md5 string"
+)
+
+
+def revisit_rows(data: bytes) -> List[tuple]:
+    """Parse response/revisit structure back out of an archive:
+    (warc_type, url, date, digest, refers_uri, refers_date, refers_id,
+    body_md5) — body_md5 of the HTTP-stripped payload for responses,
+    None for revisits (they carry no payload by design)."""
+    import hashlib
+
+    rows = []
+    for _off, _ln, headers, payload in _iter_records_meta(data):
+        rtype = headers.get("warc-type", "")
+        if rtype not in ("response", "revisit"):
+            continue
+        rows.append(
+            (
+                rtype,
+                headers.get("warc-target-uri", ""),
+                headers.get("warc-date", ""),
+                headers.get("warc-payload-digest", ""),
+                headers.get("warc-refers-to-target-uri"),
+                headers.get("warc-refers-to-date"),
+                headers.get("warc-refers-to"),
+                hashlib.md5(_http_body(payload)).hexdigest()
+                if rtype == "response"
+                else None,
+            )
+        )
+    return rows
+
+
+def warc_revisit_rows(archives):
+    """Archives → revisit-structure rows (see ``revisit_rows``);
+    per-archive map, no shuffle."""
+    import pandas as pd
+
+    def _batch(batches):
+        for b in batches:
+            out = []
+            for blob in b["warc"]:
+                out.extend(revisit_rows(bytes(blob)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "warc_type", "url", "date", "digest", "refers_uri",
+                    "refers_date", "refers_id", "body_md5",
+                ],
+            )
+
+    return archives.select("warc").mapInPandas(_batch, schema=REVISIT_ROWS_DDL)

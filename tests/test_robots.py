@@ -275,3 +275,32 @@ def test_crawl_budget_all_zero_scores_no_divide_by_zero(spark):
     )
     out2 = {r.domain: r.budget for r in crawl_budget(tiny, 50).collect()}
     assert out2 == {"a.test": 0, "b.test": 0}
+
+
+def test_change_rate_estimator_and_buckets(spark):
+    """Cho & Garcia-Molina estimator on pinned capture histories:
+    always-changing page → hot with the X=n finite estimate; never-
+    changing → cold at rate 0; half-changing → warm; single capture →
+    n=0 'unknown' with NULL rate."""
+    import math
+    from pdf_ocr_spark.operators.frontier import change_rate
+
+    rows = []
+    for s in range(6):
+        rows.append(("hot", s, f"v{s}"))          # changes every interval
+        rows.append(("cold", s, "same"))           # never changes
+        rows.append(("warm", s, f"v{s // 2}"))     # changes every 2nd
+    rows.append(("single", 0, "x"))
+    caps = spark.createDataFrame(
+        rows, "url string, snapshot_id int, fingerprint string"
+    )
+    got = {r["url"]: r for r in change_rate(caps).collect()}
+    assert got["hot"]["recrawl"] == "hot"
+    assert abs(got["hot"]["change_rate"] - round(-math.log(0.5 / 5.5), 6)) < 1e-9
+    assert got["cold"]["recrawl"] == "cold"
+    assert got["cold"]["change_rate"] == round(-math.log(5.5 / 5.5), 6) == 0.0
+    assert got["warm"]["recrawl"] == "warm"
+    assert got["warm"]["n_changes"] == 2
+    assert got["single"]["recrawl"] == "unknown"
+    assert got["single"]["change_rate"] is None
+    assert got["single"]["n_intervals"] == 0

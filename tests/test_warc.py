@@ -457,3 +457,58 @@ def test_wat_malformed_inputs_never_raise():
     _, wat = warc_to_wat_bytes(arc)
     bad = wat.replace(b'"Envelope"', b'"Envelop@"', 1)
     assert len(wat_rows(bad)) == 1  # second record still parses
+
+
+def test_revisit_sink_structure_and_refers_to(spark):
+    """Duplicate payloads at different urls: exactly one response per
+    distinct payload (the earliest capture), revisits carry the profile
+    digest and refers-to pointers that resolve to the keeper's actual
+    record id in the archive bytes."""
+    from pdf_ocr_spark.sources.warc import (
+        _record_id,
+        pages_to_warc_deduped,
+        revisit_rows,
+    )
+
+    rows = [
+        ("https://a.test/1", 1000, b"same body"),
+        ("https://b.test/2", 2000, b"same body"),   # dup, later ts
+        ("https://c.test/3", 1500, b"same body"),   # dup, middle ts
+        ("https://d.test/4", 1200, b"unique"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, t, bytearray(b)) for u, t, b in rows],
+        "url string, warc_ts_epoch long, html binary",
+    ).selectExpr("url", "timestamp_seconds(warc_ts_epoch) AS warc_ts", "html")
+    arch = pages_to_warc_deduped(pages.repartition(1)).collect()
+    assert len(arch) == 1 and arch[0]["n_revisit"] == 2
+    blob = bytes(arch[0]["warc"])
+    parsed = revisit_rows(blob)
+    by_url = {r[1]: r for r in parsed}
+    assert by_url["https://a.test/1"][0] == "response"   # earliest keeper
+    assert by_url["https://d.test/4"][0] == "response"
+    for dup in ("https://b.test/2", "https://c.test/3"):
+        t, _u, _d, digest, ref_uri, ref_date, ref_id, body_md5 = by_url[dup]
+        assert t == "revisit" and body_md5 is None
+        assert digest.startswith("sha256:")
+        assert ref_uri == "https://a.test/1"
+        assert ref_id == _record_id(ref_uri, ref_date)
+        assert ref_id.encode() in blob                   # keeper really exists
+    # revisit records carry no payload; responses share one digest
+    assert by_url["https://b.test/2"][3] == by_url["https://a.test/1"][3]
+
+
+def test_revisit_sink_deterministic_bytes(spark):
+    """Same input, different partitioning → identical per-keeper
+    structure and identical archive bytes within one partition layout
+    (the resume/diff promise the response writer already makes)."""
+    from pdf_ocr_spark.sources.warc import pages_to_warc_deduped
+
+    pages = spark.createDataFrame(
+        [(f"https://s.test/{i}", 1000 + i, bytearray(f"body{i % 3}".encode()))
+         for i in range(9)],
+        "url string, e long, html binary",
+    ).selectExpr("url", "timestamp_seconds(e) AS warc_ts", "html")
+    a = bytes(pages_to_warc_deduped(pages.repartition(1)).collect()[0]["warc"])
+    b = bytes(pages_to_warc_deduped(pages.repartition(1)).collect()[0]["warc"])
+    assert a == b
