@@ -1,0 +1,253 @@
+"""Mergeable sketches, relationally: HyperLogLog distinct counting and
+Count-Min frequency estimation — the bounded-memory structures that
+replace exact groupBys when 100 TB won't fit one (HLL is what
+`approx_count_distinct` runs inside Spark; Common Crawl's host ranking
+runs HLL registers along edges as HyperBall).  Implemented HERE as
+plain DataFrame ops so the sketch state is an inspectable TABLE:
+
+  * every hash derives from md5 via conv(hex,16,10) — JVM-side codegen
+    AND bit-for-bit reproducible in DuckDB, the dedup-module protocol
+  * register widths are chosen so every arithmetic step is EXACT:
+    48-bit hashes (< 2^53, double-safe), rho from length(bin(w)) —
+    integer string ops, no float log2 — and the HLL harmonic sum adds
+    ≤ m exact powers of two spanning < 53 bits, so even the double
+    accumulation is order-independent and bit-reproducible
+  * sketch state per key is ≤ m rows (HLL) / d·w rows (CMS) NO MATTER
+    the input cardinality — that bound is what makes the state
+    broadcastable and mergeable across partitions/snapshots (merge =
+    groupBy max / groupBy sum, both partial-agg friendly)
+
+Estimates are deliberately IMPRECISE — every query that ships one also
+ships the exact value, so the error is a visible dashboard column, not
+a hidden assumption (the sim_recall / dedup_recall protocol).
+
+Reference pipeline has no sketch surface (five eager OCR scripts);
+this extends the crawl-analytics layer like operators/graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 48-bit hash: 12 hex chars.  bucket = low b bits; w = remaining
+# (48 - b) bits; rho = leading-zero count of w within its fixed width
+# + 1 = W - bit_length(w) + 1, bit_length via length(bin(w)).
+_HASH_HEX = 12
+_HASH_BITS = 4 * _HASH_HEX
+
+# Flajolet et al. 2007 alpha constants for small m
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def lc_table(m: int):
+    """Linear-counting lookup m·ln(m/V) for V = 1..m−1, precomputed in
+    ONE canonical libm (CPython's math.log) and shipped to BOTH engines
+    as literals — JVM Math.log and DuckDB ln differ by 1 ulp on some
+    inputs, which crosses 4dp rounding boundaries; a 63-entry literal
+    table removes the transcendental from the plan entirely."""
+    import math
+
+    return [m * math.log(m / v) for v in range(1, m)]
+
+
+def _h48(col: Column, salt: str) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(":" + salt))), 1, _HASH_HEX),
+        16,
+        10,
+    ).cast("long")
+
+
+def hll_registers(
+    df: DataFrame,
+    key_cols,
+    item_col: str,
+    b: int = 4,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-key HLL register table: (key…, bucket, rho) with rho = the
+    max leading-1 position seen in any item hashing to that bucket.
+    ≤ 2^b rows per key regardless of item cardinality; merging two
+    sketches (cross-partition, cross-snapshot) is groupBy max."""
+    m = 1 << b
+    wbits = _HASH_BITS - b
+    h = _h48(F.col(item_col), salt)
+    # h >> b as explicit floor — Spark's cast(double as long) truncates
+    # but DuckDB's CAST rounds, so the oracle mirrors floor()/intdiv
+    w = F.floor(h / m).cast("long")
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return (
+        df.select(*keys, (h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, key_cols, b: int = 4) -> DataFrame:
+    """Registers → per-key cardinality estimate (key…, est).
+
+    Raw = α_m·m² / Σ_j 2^(−M_j) (absent buckets contribute 2^0); the
+    small-range linear-counting correction (raw ≤ 2.5m and zero
+    registers exist) is m·ln(m/V) per the published algorithm — drawn
+    from the precomputed :func:`lc_table` literals so no engine libm
+    participates.  Both branches round to 4dp; every remaining step is
+    exact arithmetic, so estimates value-hash against the oracle."""
+    m = 1 << b
+    alpha = _ALPHA[m]
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    agg = registers.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    denom = F.col("_s") + (F.lit(m) - F.col("_nb"))  # absent buckets: 2^0
+    raw = F.lit(alpha * m * m) / denom
+    v = F.lit(m) - F.col("_nb")  # zero registers (rho never < 1 when seen)
+    lc = F.element_at(F.array(*[F.lit(x) for x in lc_table(m)]), v.cast("int"))
+    est = F.when((raw <= 2.5 * m) & (v > 0), lc).otherwise(raw)
+    return agg.select(*keys, F.round(est, 4).alias("est"))
+
+
+def cms_counts(
+    df: DataFrame,
+    item_col: str,
+    weight_col: str = None,
+    d: int = 3,
+    w: int = 64,
+) -> DataFrame:
+    """Count-Min sketch as a (row, pos, cnt) table: d salted hash rows
+    × w counters; build = ONE groupBy over d fanned-out rows (map-side
+    combined), merge across shards = groupBy sum.  d·w rows total —
+    broadcastable at any input size."""
+    weight = F.col(weight_col) if weight_col else F.lit(1)
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                (_h48(F.col(item_col), f"cms{i}") % w).alias("pos"),
+            )
+            for i in range(d)
+        ])
+    ).alias("rp")
+    return (
+        df.select(rows, weight.alias("_w"))
+        .select(F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"), "_w")
+        .groupBy("row", "pos")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    item_col: str,
+    d: int = 3,
+    w: int = 64,
+) -> DataFrame:
+    """Point-query the sketch for each item row: est = min over the d
+    rows of the addressed counter — never an undercount (the CMS
+    guarantee); join is d broadcast lookups against the ≤ d·w-row
+    sketch."""
+    probes = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (_h48(F.col(item_col), f"cms{i}") % w).alias("pos"),
+                )
+                for i in range(d)
+            ])
+        ).alias("rp"),
+    ).select("item", F.col("rp.row").alias("row"), F.col("rp.pos").alias("pos"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "pos"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    radius: int = 3,
+    b: int = 6,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-core computation of geometric
+    centralities with HyperBall", 2013): harmonic centrality ESTIMATED
+    by HyperLogLog counters propagated along edges — the algorithm
+    Common Crawl actually runs for its host rankings, and the scale
+    path `graph.harmonic_centrality`'s docstring promises.
+
+    Each node holds one HLL register set; round r merges every
+    in-neighbour's round-(r−1) set into the node's own (groupBy max —
+    the HLL merge), so after r rounds the set sketches ball_r(v) =
+    {u : d(u→v) ≤ r} ∪ {v}.  The harmonic sum accumulates the ball
+    GROWTH per round: H ≈ Σ_r (|ball_r| − |ball_{r−1}|)/r.
+
+    State per node is 2^b registers NO MATTER the graph — at 10⁸ hosts
+    × b=6 that's a few GB total, where the exact min-plus pair table
+    (Σ ball sizes) is unbounded; per round the work is ONE edge join +
+    ONE groupBy max + ONE estimate aggregate, all partial-agg friendly.
+
+    Output: (node, hb_harmonic, hb_reached) — the estimates.  Pair
+    with `harmonic_centrality` for the error dashboard (estimates are
+    deliberately imprecise; ship the exact value next to them where
+    the graph allows it, the sim_recall protocol)."""
+    e1 = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()  # referenced by every round + the register init
+    )
+    nodes = (
+        e1.select(F.col("src").alias("node"))
+        .unionByName(e1.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    reg = hll_registers(
+        nodes.select("node", F.col("node").alias("item")), "node", "item", b
+    ).localCheckpoint()
+    est = hll_estimate(reg, "node", b).withColumnRenamed("est", "e0")
+    for r in range(1, radius + 1):
+        prop = reg.join(
+            e1.withColumnRenamed("src", "node"), "node"
+        ).select(F.col("dst").alias("node"), "bucket", "rho")
+        # localCheckpoint per round: the est chain references EVERY
+        # round's registers, and without lineage truncation round r
+        # re-plans rounds 1..r-1 inside each estimate (the BPE-trainer
+        # per-round protocol; state is ≤ |V|·2^b rows)
+        reg = (
+            reg.unionByName(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+        est = est.join(
+            hll_estimate(reg, "node", b).withColumnRenamed("est", f"e{r}"),
+            "node",
+        )
+    # 1/r as 10dp literals, NOT a division — and EXPLICIT half-up
+    # rounding (floor(x·10⁴+0.5)/10⁴): est differences are exact 4dp
+    # decimals, so Σ terms/r lands exactly on 4dp half-boundaries,
+    # where Spark's round() (BigDecimal over the SHORTEST string repr)
+    # and DuckDB's (binary value) disagree; floor over the identical
+    # IEEE products is deterministic in both engines for ANY input
+    growth = sum(
+        (
+            F.lit(round(1.0 / r, 10)) * (F.col(f"e{r}") - F.col(f"e{r - 1}"))
+            for r in range(1, radius + 1)
+        ),
+        F.lit(0.0),
+    )
+    return est.select(
+        "node",
+        (F.floor(growth * 10000 + 0.5) / 10000).alias("hb_harmonic"),
+        (
+            F.floor((F.col(f"e{radius}") - F.col("e0")) * 10000 + 0.5) / 10000
+        ).alias("hb_reached"),
+    )

@@ -7633,22 +7633,7 @@ def q_link_harmonic(spark, sf_dir):
     return harmonic_centrality(hg, radius=3, prec=10)
 
 
-def _sql_harmonic(radius: int = 3, prec: int = 10) -> str:
-    steps, prev = [], "e1"
-    for i in range(2, radius + 1):
-        steps.append(f"""
-d{i} AS (
-  SELECT src, dst, min(d) AS d FROM (
-    SELECT src, dst, d FROM {prev}
-    UNION ALL
-    SELECT p.src, e.dst, p.d + 1 AS d
-    FROM {prev} p JOIN e1 e ON p.dst = e.src
-    WHERE p.src <> e.dst
-  ) GROUP BY src, dst
-)""")
-        prev = f"d{i}"
-    return f"""
-WITH raw AS (
+_SQL_HOST_E1 = f"""raw AS (
   SELECT url, link, nofollow
   FROM read_parquet('{_golden("link_edges")}')
   UNION ALL
@@ -7668,23 +7653,290 @@ WITH raw AS (
   SELECT DISTINCT src, dst, 1 AS d FROM hosts
   WHERE src <> '' AND src <> dst
 ),
-{",".join(steps)}{"," if steps else ""}
 nodes AS (SELECT DISTINCT src AS node FROM e1
-          UNION SELECT DISTINCT dst FROM e1),
-h AS (
+          UNION SELECT DISTINCT dst FROM e1)"""
+
+
+def _sql_harmonic_ctes(radius: int = 3, prec: int = 10) -> str:
+    """The exact bounded-radius harmonic computation as CTE text
+    (min-plus steps + final select pieces), shared by the exact oracle
+    and the HyperBall error-dashboard oracle."""
+    steps, prev = [], "e1"
+    for i in range(2, radius + 1):
+        steps.append(f"""
+d{i} AS (
+  SELECT src, dst, min(d) AS d FROM (
+    SELECT src, dst, d FROM {prev}
+    UNION ALL
+    SELECT p.src, e.dst, p.d + 1 AS d
+    FROM {prev} p JOIN e1 e ON p.dst = e.src
+    WHERE p.src <> e.dst
+  ) GROUP BY src, dst
+)""")
+        prev = f"d{i}"
+    return f"""{",".join(steps)}{"," if steps else ""}
+hx AS (
   SELECT dst AS node,
     CAST(sum(CAST(1.0 / d AS DECIMAL(28,14))) AS DOUBLE) AS hsum,
     count(*) AS n_reached
   FROM {prev} GROUP BY dst
-)
-SELECT n.node,
-  round(coalesce(h.hsum, 0.0), {prec}) AS harmonic,
-  coalesce(h.n_reached, 0) AS n_reached
-FROM nodes n LEFT JOIN h ON n.node = h.node
+),
+exact AS (
+  SELECT n.node,
+    round(coalesce(hx.hsum, 0.0), {prec}) AS harmonic,
+    coalesce(hx.n_reached, 0) AS n_reached
+  FROM nodes n LEFT JOIN hx ON n.node = hx.node
+)"""
+
+
+def _sql_harmonic(radius: int = 3, prec: int = 10) -> str:
+    return f"""
+WITH {_SQL_HOST_E1},
+{_sql_harmonic_ctes(radius, prec)}
+SELECT node, harmonic, n_reached FROM exact
 """
 
 
 SQL_LINK_HARMONIC = _sql_harmonic()
+
+
+# -- sketches: relational HLL / CMS / HyperBall (operators/sketches.py) ----
+
+def _sql_h48(expr: str, salt: str) -> str:
+    """DuckDB twin of sketches._h48: 48-bit md5-derived hash."""
+    return f"CAST('0x' || substr(md5({expr} || ':{salt}'), 1, 12) AS BIGINT)"
+
+
+def _sql_hll_reg(src: str, key: str, item: str, salt: str = "hll") -> str:
+    """Register rows (key, bucket, rho) for b=6 (m=64, wbits=42)."""
+    return f"""(
+  SELECT {key} AS hkey, hh % 64 AS bucket,
+    max(CASE WHEN hh // 64 = 0 THEN 43
+        ELSE 42 - length(bin(hh // 64)) + 1 END) AS rho
+  FROM (SELECT {key}, {_sql_h48(item, salt)} AS hh FROM {src})
+  GROUP BY 1, 2
+)"""
+
+
+def _sql_hll_est(reg: str) -> str:
+    """Per-key estimate from a register CTE (b=6), mirroring
+    sketches.hll_estimate's literals bit-for-bit — including the
+    linear-counting lookup table, so no engine libm participates."""
+    from pdf_ocr_spark.operators.sketches import _ALPHA, lc_table
+
+    alpha_m2 = repr(_ALPHA[64] * 64 * 64)
+    lc = " ".join(
+        f"WHEN {v} THEN {x!r}" for v, x in enumerate(lc_table(64), start=1)
+    )
+    return f"""(
+  SELECT hkey,
+    round(CASE WHEN {alpha_m2} / (s + (64 - nb)) <= 160.0 AND 64 - nb > 0
+          THEN (CASE 64 - nb {lc} END)
+          ELSE {alpha_m2} / (s + (64 - nb)) END, 4) AS est
+  FROM (SELECT hkey, sum(pow(2.0, -rho)) AS s, count(*) AS nb
+        FROM {reg} GROUP BY hkey)
+)"""
+
+
+def q_sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-URL counting per host — the mergeable
+    bounded-state alternative to exact countDistinct at 100 TB (merge =
+    groupBy max over ≤64 register rows per host, cross-snapshot and
+    cross-shard).  Relational HLL: md5-derived 48-bit hashes, rho from
+    length(bin(w)) (no float log2), linear-counting small-range branch;
+    the EXACT distinct count ships next to the estimate so the sketch
+    error is a visible dashboard column.  Oracle replays registers and
+    the estimator formula bit-for-bit."""
+    from pdf_ocr_spark.operators import sketches as SK
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pages = d.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        F.concat(
+            F.lit("https://s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    reg = SK.hll_registers(pages, "host", "url", b=6)
+    est = SK.hll_estimate(reg, "host", b=6)
+    exact = pages.groupBy("host").agg(F.countDistinct("url").alias("exact"))
+    return est.join(exact, "host").select(
+        "host",
+        "exact",
+        "est",
+        F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+SQL_SKETCH_HLL_DISTINCT = f"""
+WITH pages AS (
+  SELECT 's' || CAST(doc_id % 7 AS VARCHAR) AS host,
+    'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+      || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 500
+),
+reg AS {_sql_hll_reg("pages", "host", "url")},
+est AS {_sql_hll_est("reg")},
+exact AS (SELECT host, count(DISTINCT url) AS exact FROM pages GROUP BY host)
+SELECT x.host, x.exact, e.est,
+  round(abs(e.est - x.exact) / x.exact, 4) AS rel_err
+FROM exact x JOIN est e ON e.hkey = x.host
+"""
+
+
+def q_sketch_cms_freq(spark, sf_dir):
+    """Count-Min frequency estimation: 150 distinct items hashed into a
+    3×64-counter sketch (d·w = 192 rows total — broadcastable at ANY
+    input size; merge across shards = groupBy sum), point-queried for
+    every item.  est ≥ exact ALWAYS (the CMS one-sided guarantee);
+    the overcount column makes collision noise visible next to the
+    exact count.  Oracle replays the counters and min-probe."""
+    from pdf_ocr_spark.operators import sketches as SK
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    items = d.select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 150).cast("string")).alias("item")
+    )
+    sketch = SK.cms_counts(items, "item", d=3, w=64)
+    est = SK.cms_estimate(items.distinct(), sketch, "item", d=3, w=64)
+    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("exact"))
+    return est.join(exact, "item").select(
+        "item", "exact", "est", (F.col("est") - F.col("exact")).alias("overcount")
+    )
+
+
+def _sql_cms(d: int = 3, w: int = 64) -> str:
+    probe = " UNION ALL ".join(
+        f"SELECT item, {i} AS rw, {_sql_h48('item', f'cms{i}')} % {w} AS pos"
+        " FROM {src}"
+        for i in range(d)
+    )
+    return f"""
+WITH items AS (
+  SELECT 'u' || CAST(doc_id % 150 AS VARCHAR) AS item
+  FROM documents WHERE doc_id < 500
+),
+probes AS ({probe.format(src="items")}),
+counters AS (SELECT rw, pos, count(*) AS cnt FROM probes GROUP BY rw, pos),
+di AS (SELECT DISTINCT item FROM items),
+dprobes AS ({probe.format(src="di")}),
+est AS (
+  SELECT d.item, min(c.cnt) AS est
+  FROM dprobes d JOIN counters c ON d.rw = c.rw AND d.pos = c.pos
+  GROUP BY d.item
+),
+exact AS (SELECT item, count(*) AS exact FROM items GROUP BY item)
+SELECT x.item, x.exact, e.est, e.est - x.exact AS overcount
+FROM exact x JOIN est e ON e.item = x.item
+"""
+
+
+SQL_SKETCH_CMS_FREQ = _sql_cms()
+
+
+def q_link_harmonic_hyperball(spark, sf_dir):
+    """HyperBall (Boldi & Vigna 2013) — the algorithm Common Crawl
+    actually runs for its harmonic host rankings, and the scale path
+    `link_harmonic`'s exact min-plus cannot take past bounded radii:
+    per-node HLL registers merged along in-edges each round, harmonic
+    sum accumulated from ball growth.  Runs on the SAME composed host
+    universe as `link_harmonic` and joins the exact values so the
+    sketch error is a visible column (abs_err) — the go/no-go row for
+    replacing the exact pair table with 2^b registers per node at
+    10⁸ hosts.  Oracle replays register init, three merge rounds, the
+    estimator, the growth sum, AND the exact min-plus."""
+    from pdf_ocr_spark.operators.graph import harmonic_centrality, host_graph
+    from pdf_ocr_spark.operators import sketches as SK
+
+    extracted = spark.read.parquet(_golden("link_edges")).select(
+        "url", "link", "nofollow"
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    i = F.col("doc_id")
+    src = F.concat(
+        F.lit("https://site"), (i % 11).cast("string"),
+        F.lit(".example.org/page/"), i.cast("string"),
+    )
+    m = i % 5
+    link = (
+        F.when(m == 0, F.concat(
+            F.lit("https://site"), ((i * 3) % 11).cast("string"),
+            F.lit(".example.org/x/"), i.cast("string")))
+        .when(m == 1, F.concat(F.lit("/local/"), (i % 7).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("mailto:user"), i.cast("string"), F.lit("@example.org")))
+        .when(m == 3, F.concat(
+            F.lit("HTTPS://CDN.Example.NET:8080/asset?id="),
+            (i % 13).cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://u:p@site"), (i % 4).cast("string"),
+            F.lit(".example.org/auth")))
+    )
+    synth = d.select(
+        src.alias("url"), link.alias("link"), (i % 3 == 0).alias("nofollow")
+    )
+    hg = host_graph(extracted.unionByName(synth)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    hb = SK.hyperball_harmonic(hg, radius=3, b=6)
+    ex = harmonic_centrality(hg, radius=3)
+    return hb.join(ex, "node").select(
+        "node",
+        "harmonic",
+        "hb_harmonic",
+        "n_reached",
+        "hb_reached",
+        (
+            F.floor(F.abs(F.col("hb_harmonic") - F.col("harmonic")) * 10000 + 0.5)
+            / 10000
+        ).alias("abs_err"),
+    )
+
+
+def _sql_hyperball(radius: int = 3) -> str:
+    rounds = []
+    for r in range(1, radius + 1):
+        rounds.append(f"""
+r{r} AS (
+  SELECT node AS hkey, bucket, max(rho) AS rho FROM (
+    SELECT hkey AS node, bucket, rho FROM r{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.bucket, p.rho
+    FROM r{r - 1} p JOIN e1 e ON p.hkey = e.src
+  ) GROUP BY 1, 2
+),
+est{r} AS {_sql_hll_est(f"r{r}")}""")
+    growth = " + ".join(
+        f"{round(1.0 / r, 10)!r} * (est{r}.est - est{r - 1}.est)"
+        for r in range(1, radius + 1)
+    )  # half-up via floor(x*1e4+0.5)/1e4 — see sketches.hyperball_harmonic
+    est_joins = "\n  ".join(
+        f"JOIN est{r} ON est{r}.hkey = est0.hkey" for r in range(1, radius + 1)
+    )
+    return f"""
+WITH {_SQL_HOST_E1},
+r0 AS (
+  SELECT hkey, bucket, rho FROM {_sql_hll_reg("nodes", "node", "node")}
+),
+est0 AS {_sql_hll_est("r0")},
+{",".join(rounds)},
+{_sql_harmonic_ctes(radius)},
+hb AS (
+  SELECT est0.hkey AS node,
+    floor((0.0 + {growth}) * 10000 + 0.5) / 10000 AS hb_harmonic,
+    floor((est{radius}.est - est0.est) * 10000 + 0.5) / 10000 AS hb_reached
+  FROM est0
+  {est_joins}
+)
+SELECT x.node, x.harmonic, hb.hb_harmonic, x.n_reached, hb.hb_reached,
+  floor(abs(hb.hb_harmonic - x.harmonic) * 10000 + 0.5) / 10000 AS abs_err
+FROM exact x JOIN hb ON hb.node = x.node
+"""
+
+
+SQL_LINK_HARMONIC_HYPERBALL = _sql_hyperball()
 
 
 def q_feed_items(spark, sf_dir):
@@ -8439,6 +8691,12 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     "link_trustrank": (q_link_trustrank, SQL_LINK_TRUSTRANK),
     "link_harmonic": (q_link_harmonic, SQL_LINK_HARMONIC),
+    "link_harmonic_hyperball": (
+        q_link_harmonic_hyperball,
+        SQL_LINK_HARMONIC_HYPERBALL,
+    ),
+    "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL_DISTINCT),
+    "sketch_cms_freq": (q_sketch_cms_freq, SQL_SKETCH_CMS_FREQ),
     "anchor_text_profile": (q_anchor_text_profile, SQL_ANCHOR_TEXT_PROFILE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "lang_mix_rates": (q_lang_mix_rates, SQL_LANG_MIX_RATES),

@@ -1,0 +1,108 @@
+"""Sketch operators: relational HLL / CMS / HyperBall semantics."""
+
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.operators.sketches import (
+    cms_counts,
+    cms_estimate,
+    hll_estimate,
+    hll_registers,
+    hyperball_harmonic,
+)
+
+
+def test_hll_estimate_tracks_cardinality(spark):
+    """b=6 HLL estimates land within 30% of truth across two decades of
+    cardinality (one m=64 sketch sample — σ ≈ 13%, and the linear-
+    counting/raw transition zone around n ≈ 1.5m is the noisiest spot),
+    stay ordered by true cardinality, and the register table never
+    exceeds m rows per key."""
+    rows = [(f"k{n}", f"item{i}") for n in (10, 100, 400) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, item string")
+    reg = hll_registers(df, "key", "item", b=6)
+    assert reg.groupBy("key").count().agg(F.max("count")).first()[0] <= 64
+    est = {r["key"]: r["est"] for r in hll_estimate(reg, "key", b=6).collect()}
+    for n in (10, 100, 400):
+        assert abs(est[f"k{n}"] - n) / n < 0.30, (n, est[f"k{n}"])
+    assert est["k10"] < est["k100"] < est["k400"]
+
+
+def test_hll_merge_is_groupby_max(spark):
+    """Sketch of A ∪ B == max-merge of sketch(A) and sketch(B) — the
+    mergeability that makes HLL state shippable across shards and
+    snapshots."""
+    a = spark.createDataFrame(
+        [("k", f"x{i}") for i in range(50)], "key string, item string"
+    )
+    b = spark.createDataFrame(
+        [("k", f"x{i}") for i in range(25, 75)], "key string, item string"
+    )
+    whole = hll_registers(a.unionByName(b), "key", "item", b=6)
+    merged = (
+        hll_registers(a, "key", "item", b=6)
+        .unionByName(hll_registers(b, "key", "item", b=6))
+        .groupBy("key", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_registers_partition_independent(spark):
+    df = spark.createDataFrame(
+        [("k", f"i{i}") for i in range(300)], "key string, item string"
+    )
+    a = sorted(map(tuple, hll_registers(df.repartition(2), "key", "item", b=4).collect()))
+    b = sorted(map(tuple, hll_registers(df.repartition(13), "key", "item", b=4).collect()))
+    assert a == b
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    """est ≥ exact for every item (the CMS guarantee); with far fewer
+    items than counters the estimates are exact."""
+    rows = [(f"u{i % 150}",) for i in range(600)]
+    df = spark.createDataFrame(rows, "item string")
+    sk = cms_counts(df, "item", d=3, w=64)
+    est = {
+        r["item"]: r["est"]
+        for r in cms_estimate(df.distinct(), sk, "item", d=3, w=64).collect()
+    }
+    exact = {r["item"]: r["count"] for r in df.groupBy("item").count().collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+
+    sparse = spark.createDataFrame([(f"v{i}",) for i in range(5)], "item string")
+    sk2 = cms_counts(sparse, "item", d=3, w=64)
+    est2 = cms_estimate(sparse, sk2, "item", d=3, w=64).collect()
+    assert all(r["est"] == 1 for r in est2)
+
+
+def test_cms_sketch_is_bounded_and_mergeable(spark):
+    big = spark.createDataFrame([(f"z{i}",) for i in range(2000)], "item string")
+    sk = cms_counts(big, "item", d=3, w=64)
+    assert sk.count() <= 3 * 64
+    # merge across two shards = groupBy sum
+    h1, h2 = big.filter(F.length("item") <= 2), big.filter(F.length("item") > 2)
+    merged = (
+        cms_counts(h1, "item", d=3, w=64)
+        .unionByName(cms_counts(h2, "item", d=3, w=64))
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, sk.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hyperball_tracks_exact_harmonic_on_path(spark):
+    """Directed path a→b→c→d: tiny balls sit deep in the linear-counting
+    regime, so HyperBall estimates stay within 0.25 of the exact
+    harmonic values (0, 1, 1.5, 1.8333)."""
+    from pdf_ocr_spark.operators.graph import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    hb = {r["node"]: r for r in hyperball_harmonic(edges, radius=3, b=6).collect()}
+    ex = {r["node"]: r for r in harmonic_centrality(edges, radius=3).collect()}
+    for n in "abcd":
+        assert abs(hb[n]["hb_harmonic"] - ex[n]["harmonic"]) < 0.25, (
+            n, hb[n], ex[n],
+        )
+    assert hb["a"]["hb_harmonic"] == 0.0  # empty ball estimates exactly 0
