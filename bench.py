@@ -110,6 +110,12 @@ BENCH_QUERIES = [
     "page_freshness",
     "crawl_cycle",
     "url_spam_features",
+    "link_trustrank",
+    "link_harmonic_hyperball",
+    "dedup_containment",
+    "search_phrase",
+    "sketch_hll_distinct",
+    "sink_warc_revisit",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

@@ -2999,17 +2999,10 @@ FROM a
 """
 
 
-def q_crawl_change_rate(spark, sf_dir):
-    """Per-URL change-frequency estimation (Cho & Garcia-Molina, TOIT
-    2003) over 6 synthetic crawl snapshots: pages change with period
-    p ∈ {1,2,3,6} by doc id, one singleton URL exercises the n=0
-    'unknown' lane; detected changes feed the bias-corrected Poisson
-    estimator r̂ = −ln((n−X+0.5)/(n+0.5)) and the hot/warm/cold recrawl
-    verdict — the page-level signal below `page_freshness` (declared
-    dates) and `crawl_budget` (host quotas).  One per-url lag window +
-    one groupBy; oracle replays the window and the estimator."""
-    from pdf_ocr_spark.operators.frontier import change_rate
-
+def _change_caps(spark, sf_dir):
+    """Shared 6-snapshot capture fixture for the change-rate family:
+    pages change with period p ∈ {1,2,3,6} by doc id; every 50th doc is
+    captured once only (the n=0 'unknown' lane)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     p = (
         F.when(F.col("doc_id") % 4 == 0, 1)
@@ -3025,11 +3018,8 @@ def q_crawl_change_rate(spark, sf_dir):
         ).alias("url"),
         F.explode(F.sequence(F.lit(0), F.lit(5))).alias("snapshot_id"),
         p.alias("_p"),
-    ).filter(
-        # singleton lane: every 50th doc is captured once only
-        (F.col("doc_id") % 50 != 7) | (F.col("snapshot_id") == 0)
-    )
-    caps = caps.select(
+    ).filter((F.col("doc_id") % 50 != 7) | (F.col("snapshot_id") == 0))
+    return caps.select(
         "url",
         "snapshot_id",
         F.md5(
@@ -3040,11 +3030,23 @@ def q_crawl_change_rate(spark, sf_dir):
             )
         ).alias("fingerprint"),
     )
-    return change_rate(caps)
 
 
-SQL_CRAWL_CHANGE_RATE = """
-WITH caps AS (
+def q_crawl_change_rate(spark, sf_dir):
+    """Per-URL change-frequency estimation (Cho & Garcia-Molina, TOIT
+    2003) over 6 synthetic crawl snapshots: pages change with period
+    p ∈ {1,2,3,6} by doc id, one singleton URL exercises the n=0
+    'unknown' lane; detected changes feed the bias-corrected Poisson
+    estimator r̂ = −ln((n−X+0.5)/(n+0.5)) and the hot/warm/cold recrawl
+    verdict — the page-level signal below `page_freshness` (declared
+    dates) and `crawl_budget` (host quotas).  One per-url lag window +
+    one groupBy; oracle replays the window and the estimator."""
+    from pdf_ocr_spark.operators.frontier import change_rate
+
+    return change_rate(_change_caps(spark, sf_dir))
+
+
+_SQL_CHANGE_PER_URL = """caps AS (
   SELECT
     'https://s' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/'
       || CAST(doc_id AS VARCHAR) AS url,
@@ -3068,7 +3070,11 @@ per_url AS (
     CAST(sum(CASE WHEN prev_fp IS NOT NULL AND fingerprint <> prev_fp
              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
   FROM marked GROUP BY url
-)
+)"""
+
+
+SQL_CRAWL_CHANGE_RATE = f"""
+WITH {_SQL_CHANGE_PER_URL}
 SELECT url, n_intervals, n_changes,
   CASE WHEN n_intervals > 0 THEN
     round(-ln((CAST(n_intervals AS DOUBLE) - n_changes + 0.5)
@@ -3082,6 +3088,54 @@ SELECT url, n_intervals, n_changes,
          THEN 'warm'
        ELSE 'cold' END AS recrawl
 FROM per_url
+"""
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """The RECRAWL loop as one composed plan (the maintenance twin of
+    `crawl_cycle`'s discovery loop): measure change (6-snapshot capture
+    history → per-url detected-change counts) → prioritize (priority =
+    n_changes, BIGINT-exact — on a fixed observation window the count
+    orders identically to the Poisson rate, with none of the float
+    quantization) → politeness-schedule (per-domain slots × crawl-delay
+    → fetch offsets, broadcast delays, windows only per domain).
+    Frequently-changing pages fetch first in each domain's queue;
+    never-changing and singleton pages sink to the tail."""
+    from pdf_ocr_spark.operators.frontier import change_rate, fetch_schedule
+
+    rates = change_rate(_change_caps(spark, sf_dir))
+    frontier = rates.select(
+        "url", F.col("n_changes").cast("long").alias("priority")
+    )
+    delays = spark.createDataFrame(
+        [("s0.example.com", 2.0), ("s3.example.com", 0.5),
+         ("s5.example.com", 4.0)],
+        "domain string, crawl_delay double",
+    )
+    return fetch_schedule(frontier, delays)
+
+
+SQL_RECRAWL_SCHEDULE = f"""
+WITH {_SQL_CHANGE_PER_URL},
+delays AS (
+  SELECT * FROM (VALUES ('s0.example.com', 2.0), ('s3.example.com', 0.5),
+                        ('s5.example.com', 4.0))
+    AS t(domain, crawl_delay)
+),
+slotted AS (
+  SELECT url,
+    lower(regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1))
+      AS domain,
+    n_changes AS priority,
+    CAST(row_number() OVER (
+      PARTITION BY
+        lower(regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)', 1))
+      ORDER BY n_changes DESC, url) - 1 AS INT) AS slot
+  FROM per_url
+)
+SELECT url, domain, slot,
+       slot * coalesce(crawl_delay, 1.0) AS fetch_offset
+FROM slotted LEFT JOIN delays USING (domain)
 """
 
 
@@ -8607,6 +8661,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "domain_reputation": (q_domain_reputation, SQL_DOMAIN_REPUTATION),
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
     "crawl_change_rate": (q_crawl_change_rate, SQL_CRAWL_CHANGE_RATE),
+    "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "text_c4": (q_text_c4, SQL_TEXT_C4),
     "text_c4_line_apply": (q_text_c4_line_apply, SQL_TEXT_C4_LINE_APPLY),

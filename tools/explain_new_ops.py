@@ -34,6 +34,16 @@ def main() -> None:
         "sim_pq_codes",
         "sim_pq_topk",
         "text_c4_line_apply",
+        # round-4 session-4 additions
+        "link_trustrank",
+        "link_harmonic",
+        "link_harmonic_hyperball",
+        "search_phrase",
+        "dedup_containment",
+        "crawl_change_rate",
+        "sketch_hll_distinct",
+        "sketch_cms_freq",
+        "sink_warc_revisit",
     ]:
         fn, _ = REGISTRY[name]
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
