@@ -251,3 +251,87 @@ def hyperball_harmonic(
             F.floor((F.col(f"e{radius}") - F.col("e0")) * 10000 + 0.5) / 10000
         ).alias("hb_reached"),
     )
+
+
+def kmv_bottom_k(
+    df: DataFrame,
+    key_cols,
+    item_col: str,
+    k: int = 128,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV / bottom-k sketch (Bar-Yossef et al. 2002; the theta-sketch
+    family): per key, the k SMALLEST 48-bit item hashes — the sketch
+    that, unlike HLL, supports SET OPERATIONS (union = bottom-k of the
+    merged sketches; intersection membership is testable hash by hash),
+    which is what crawl-overlap questions need.
+
+    Output: (key…, h, rn) with rn = 1..k in hash order.  One distinct
+    + one per-key sort-window (state k rows per key downstream); at
+    100 TB the window is the textbook top-k shuffle — map-side
+    partial top-k via AQE, never a global sort."""
+    from pyspark.sql.window import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    hashed = df.select(
+        *keys, _h48(F.col(item_col), salt).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, key_cols, k: int = 128) -> DataFrame:
+    """Bottom-k sketch → per-key distinct-count estimate: when the key
+    holds fewer than k hashes the sketch IS the set (exact count);
+    otherwise (k−1) · 2^48 / h_k — the classic KMV estimator over the
+    k-th minimum.  Division of exact integers; round 4dp."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << _HASH_BITS)) / F.col("_hk")
+    )
+    return agg.select(*keys, F.round(est, 4).alias("est"))
+
+
+def kmv_jaccard(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 128
+) -> DataFrame:
+    """Jaccard similarity of two sets from their bottom-k sketches
+    (single-key sketches: columns (h, rn)): take the union's bottom-k
+    (the union sketch — a uniform sample of A ∪ B), and count how many
+    of those hashes appear in BOTH input sketches.  J ≈ matched / |U|.
+    Returns one row (n_union_sample, n_matched, jaccard_est).
+
+    This is the crawl-to-crawl overlap dashboard at sketch cost: the
+    full url sets never co-locate — only two k-row sketches meet."""
+    a = sketch_a.select(F.col("h").alias("h")).withColumn("_a", F.lit(1))
+    b = sketch_b.select(F.col("h").alias("h")).withColumn("_b", F.lit(1))
+    u = (
+        a.select("h")
+        .unionByName(b.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    marked = (
+        u.join(a, "h", "left")
+        .join(b, "h", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_union_sample"),
+            F.sum(
+                (F.col("_a").isNotNull() & F.col("_b").isNotNull()).cast("int")
+            ).alias("n_matched"),
+        )
+    )
+    return marked.select(
+        "n_union_sample",
+        "n_matched",
+        F.round(F.col("n_matched") / F.col("n_union_sample"), 4).alias(
+            "jaccard_est"
+        ),
+    )

@@ -7890,6 +7890,111 @@ FROM exact x JOIN est e ON e.item = x.item
 SQL_SKETCH_CMS_FREQ = _sql_cms()
 
 
+def q_sketch_kmv_overlap(spark, sf_dir):
+    """Crawl-to-crawl overlap from KMV/bottom-k sketches (the theta-
+    sketch family — the SET-OPERATION sketch HLL can't be): two
+    snapshot url sets (docs <400 vs 100–499, true Jaccard 0.6) reduce
+    to k=128 smallest-hash samples; the union's bottom-k is a uniform
+    sample of A ∪ B, and the fraction present in BOTH sketches
+    estimates the Jaccard.  Distinct-count estimates ((k−1)·2⁴⁸/h_k)
+    and EXACT counts/overlap ship side by side, so sketch error is a
+    visible column.  At 100 TB only two k-row sketches ever meet —
+    the full url sets never co-locate."""
+    from pdf_ocr_spark.operators import sketches as SK
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://s"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/"), F.col("doc_id").cast("string"),
+    ).alias("url")
+    a = d.filter(F.col("doc_id") < 400).select(url)
+    b = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 500)).select(url)
+    sk_a = SK.kmv_bottom_k(a, [], "url", k=128)
+    sk_b = SK.kmv_bottom_k(b, [], "url", k=128)
+    est_a = SK.kmv_estimate(sk_a, [], k=128).withColumnRenamed("est", "est_a")
+    est_b = SK.kmv_estimate(sk_b, [], k=128).withColumnRenamed("est", "est_b")
+    jac = SK.kmv_jaccard(sk_a, sk_b, k=128)
+    exact = (
+        a.withColumn("_a", F.lit(1))
+        .join(b.withColumn("_b", F.lit(1)), "url", "full")
+        .agg(
+            F.sum(F.col("_a").cast("int")).alias("exact_a"),
+            F.sum(F.col("_b").cast("int")).alias("exact_b"),
+            F.sum(
+                (F.col("_a").isNotNull() & F.col("_b").isNotNull()).cast("int")
+            ).alias("exact_inter"),
+            F.count(F.lit(1)).alias("exact_union"),
+        )
+    )
+    return (
+        jac.crossJoin(est_a)
+        .crossJoin(est_b)
+        .crossJoin(exact)
+        .select(
+            "exact_a", "est_a", "exact_b", "est_b",
+            "exact_inter", "exact_union",
+            F.round(F.col("exact_inter") / F.col("exact_union"), 4).alias(
+                "jaccard_exact"
+            ),
+            "n_union_sample", "n_matched", "jaccard_est",
+        )
+    )
+
+
+SQL_SKETCH_KMV_OVERLAP = f"""
+WITH a AS (
+  SELECT DISTINCT 'https://s' || CAST(doc_id % 7 AS VARCHAR)
+    || '.example.com/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 400
+),
+b AS (
+  SELECT DISTINCT 'https://s' || CAST(doc_id % 7 AS VARCHAR)
+    || '.example.com/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id >= 100 AND doc_id < 500
+),
+ha AS (SELECT {_sql_h48('url', 'kmv')} AS h FROM a),
+hb AS (SELECT {_sql_h48('url', 'kmv')} AS h FROM b),
+ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM ha)) WHERE rn <= 128),
+skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM hb)) WHERE rn <= 128),
+ea AS (SELECT round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+         ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / max(h)
+         END, 4) AS est_a FROM ska),
+eb AS (SELECT round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+         ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / max(h)
+         END, 4) AS est_b FROM skb),
+u AS (SELECT h FROM (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn
+  FROM (SELECT h FROM ska UNION SELECT h FROM skb)) WHERE rn <= 128),
+m AS (
+  SELECT count(*) AS n_union_sample,
+    CAST(sum(CASE WHEN h IN (SELECT h FROM ska)
+              AND h IN (SELECT h FROM skb) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_matched
+  FROM u
+),
+x AS (
+  SELECT
+    CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+    CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS exact_b,
+    CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
+    count(*) AS exact_union
+  FROM (
+    SELECT coalesce(a.url, b.url) AS url,
+           a.url IS NOT NULL AS ia, b.url IS NOT NULL AS ib
+    FROM a FULL OUTER JOIN b ON a.url = b.url
+  )
+)
+SELECT x.exact_a, ea.est_a, x.exact_b, eb.est_b,
+  x.exact_inter, x.exact_union,
+  round(CAST(x.exact_inter AS DOUBLE) / x.exact_union, 4) AS jaccard_exact,
+  m.n_union_sample, m.n_matched,
+  round(CAST(m.n_matched AS DOUBLE) / m.n_union_sample, 4) AS jaccard_est
+FROM x, ea, eb, m
+"""
+
+
 def q_link_harmonic_hyperball(spark, sf_dir):
     """HyperBall (Boldi & Vigna 2013) — the algorithm Common Crawl
     actually runs for its harmonic host rankings, and the scale path
@@ -8752,6 +8857,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     ),
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL_DISTINCT),
     "sketch_cms_freq": (q_sketch_cms_freq, SQL_SKETCH_CMS_FREQ),
+    "sketch_kmv_overlap": (q_sketch_kmv_overlap, SQL_SKETCH_KMV_OVERLAP),
     "anchor_text_profile": (q_anchor_text_profile, SQL_ANCHOR_TEXT_PROFILE),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "lang_mix_rates": (q_lang_mix_rates, SQL_LANG_MIX_RATES),

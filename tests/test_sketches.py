@@ -106,3 +106,39 @@ def test_hyperball_tracks_exact_harmonic_on_path(spark):
             n, hb[n], ex[n],
         )
     assert hb["a"]["hb_harmonic"] == 0.0  # empty ball estimates exactly 0
+
+
+def test_kmv_estimate_and_exact_small_sets(spark):
+    """Below k the sketch IS the set (exact count); above k the
+    (k−1)·2⁴⁸/h_k estimator lands within 25% at n≈4k."""
+    from pdf_ocr_spark.operators.sketches import kmv_bottom_k, kmv_estimate
+
+    small = spark.createDataFrame([(f"s{i}",) for i in range(40)], "url string")
+    sk = kmv_bottom_k(small, [], "url", k=128)
+    assert kmv_estimate(sk, [], k=128).first()["est"] == 40.0
+
+    big = spark.createDataFrame([(f"b{i}",) for i in range(500)], "url string")
+    skb = kmv_bottom_k(big, [], "url", k=128)
+    assert skb.count() == 128
+    est = kmv_estimate(skb, [], k=128).first()["est"]
+    assert abs(est - 500) / 500 < 0.25, est
+
+
+def test_kmv_jaccard_tracks_true_overlap(spark):
+    """Two 60%-overlapping url sets: the union-sample match fraction
+    estimates J = 0.6 within sketch noise; disjoint sets estimate 0."""
+    from pdf_ocr_spark.operators.sketches import kmv_bottom_k, kmv_jaccard
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(400)], "url string")
+    b = spark.createDataFrame(
+        [(f"u{i}",) for i in range(100, 500)], "url string"
+    )
+    sk_a, sk_b = (kmv_bottom_k(x, [], "url", k=128) for x in (a, b))
+    j = kmv_jaccard(sk_a, sk_b, k=128).first()
+    true_j = 300 / 500
+    assert abs(j["jaccard_est"] - true_j) < 0.15, j
+    assert j["n_union_sample"] == 128
+
+    c = spark.createDataFrame([(f"zz{i}",) for i in range(200)], "url string")
+    sk_c = kmv_bottom_k(c, [], "url", k=128)
+    assert kmv_jaccard(sk_a, sk_c, k=128).first()["jaccard_est"] == 0.0
