@@ -8651,6 +8651,69 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_hot_hosts(spark, sf_dir):
+    """Batch twin of `streaming.stream_hot_hosts` (the foreachBatch
+    exactly-once execution runs in tests/test_streaming.py): the corpus
+    splits into three shards standing in for micro-batches, each builds
+    its own CMS counter table, and the read-side groupBy-sum merge is
+    point-queried for every host next to the exact counts.  The ORACLE
+    computes the counters in ONE pass — the gate therefore PROVES the
+    CMS merge property (sharded-merge ≡ single-pass), which is what
+    makes per-batch sketch directories a sound streaming accumulator."""
+    from pdf_ocr_spark.operators import sketches as SK
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    hosts = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 29).cast("string")).alias("item"),
+        (F.col("doc_id") % 3).alias("_shard"),
+    )
+    shards = [
+        SK.cms_counts(hosts.filter(F.col("_shard") == s).select("item"), "item")
+        for s in range(3)
+    ]
+    merged = (
+        shards[0]
+        .unionByName(shards[1])
+        .unionByName(shards[2])
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    est = SK.cms_estimate(hosts.select("item").distinct(), merged, "item")
+    exact = hosts.groupBy("item").agg(F.count(F.lit(1)).alias("exact"))
+    return est.join(exact, "item").select(
+        "item", "exact", "est", (F.col("est") - F.col("exact")).alias("overcount")
+    )
+
+
+def _sql_stream_hot_hosts(d: int = 3, w: int = 64) -> str:
+    probe = " UNION ALL ".join(
+        f"SELECT item, {i} AS rw, {_sql_h48('item', f'cms{i}')} % {w} AS pos"
+        " FROM {src}"
+        for i in range(d)
+    )
+    return f"""
+WITH items AS (
+  SELECT 'h' || CAST(doc_id % 29 AS VARCHAR) AS item
+  FROM documents WHERE doc_id < 500
+),
+probes AS ({probe.format(src="items")}),
+counters AS (SELECT rw, pos, count(*) AS cnt FROM probes GROUP BY rw, pos),
+di AS (SELECT DISTINCT item FROM items),
+dprobes AS ({probe.format(src="di")}),
+est AS (
+  SELECT d.item, min(c.cnt) AS est
+  FROM dprobes d JOIN counters c ON d.rw = c.rw AND d.pos = c.pos
+  GROUP BY d.item
+),
+exact AS (SELECT item, count(*) AS exact FROM items GROUP BY item)
+SELECT x.item, x.exact, e.est, e.est - x.exact AS overcount
+FROM exact x JOIN est e ON e.item = x.item
+"""
+
+
+SQL_STREAM_HOT_HOSTS = _sql_stream_hot_hosts()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8690,6 +8753,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # streaming (same operator runs under Structured Streaming, see
     # pdf_ocr_spark/streaming/ and tests/test_streaming.py)
     "stream_windowed_counts": (q_stream_windowed_counts, SQL_STREAM_WINDOWED),
+    "stream_hot_hosts": (q_stream_hot_hosts, SQL_STREAM_HOT_HOSTS),
     # §2 second wave
     "p5_bbox_validity": (q_p5_bbox_validity, SQL_P5),
     "p9_content_sniff": (q_p9_content_sniff, SQL_P9),

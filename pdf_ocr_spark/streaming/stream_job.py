@@ -481,3 +481,65 @@ def stream_quality_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_hot_hosts(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    d: int = 3,
+    w: int = 64,
+):
+    """Streaming heavy-hitter sketch over arriving pages: every
+    micro-batch builds its own Count-Min counter table for the batch's
+    HOSTS (bounded: ≤ d·w rows per batch no matter the traffic) and
+    writes it into a ``batch=<id>`` subdirectory with mode=overwrite —
+    the ``stream_wet_export`` exactly-once pattern: a retried
+    micro-batch overwrites its own output instead of double-counting,
+    which is precisely the failure mode a naive streaming counter
+    accumulator has (at-least-once replay inflates counts; a FIXED
+    per-batch sketch directory cannot).
+
+    The live "who is hot right now" view is :func:`merged_host_sketch`
+    — CMS mergeability (groupBy sum over the batch dirs) means the
+    sketch state is an append-only directory tree, never a mutable
+    aggregate.  Returns the started query."""
+    from pdf_ocr_spark.operators.graph import host_expr
+    from pdf_ocr_spark.operators.sketches import cms_counts
+
+    reader = spark.readStream.schema(PAGES_SCHEMA).option(
+        "ignoreCorruptFiles", "true"
+    )
+    pages = reader.parquet(input_path)
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        sk = cms_counts(
+            batch_df.select(host_expr(F.col("url")).alias("item")).filter(
+                F.col("item") != ""
+            ),
+            "item",
+            d=d,
+            w=w,
+        )
+        sk.coalesce(1).write.mode("overwrite").parquet(
+            f"{output_path}/batch={batch_id}"
+        )
+
+    return (
+        pages.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_host_sketch(spark: SparkSession, output_path: str) -> DataFrame:
+    """The read-side merge of :func:`stream_hot_hosts` batch dirs: one
+    groupBy sum over ≤ d·w rows per batch — the CMS merge property.
+    Point-query it with :func:`sketches.cms_estimate`."""
+    return (
+        spark.read.parquet(output_path)
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -437,3 +437,78 @@ def test_stream_quality_gate_filters_by_frozen_threshold(spark, corpus_rows, tmp
     expected = {u: s for u, s in batch_scores.items() if s > threshold}
     assert got == expected
     assert 0 < len(got) < len(batch_scores)  # the gate did real work
+
+
+def test_stream_hot_hosts_sketch_exactly_once(spark, tmp_path):
+    """Streaming CMS heavy hitters: two micro-batches of pages produce
+    per-batch sketch dirs whose merged counters equal the single-pass
+    CMS over all pages (mergeability), estimates never undercount the
+    true per-host counts, and a full re-run from a FRESH checkpoint
+    overwrites the same batch dirs without double-counting (the
+    exactly-once promise of batch=<id> + overwrite)."""
+    import datetime as dt
+
+    from pdf_ocr_spark.operators.graph import host_expr
+    from pdf_ocr_spark.operators.sketches import cms_counts, cms_estimate
+    from pdf_ocr_spark.streaming.stream_job import (
+        merged_host_sketch,
+        stream_hot_hosts,
+    )
+
+    inp, out, cp = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "cp")
+    ts = dt.datetime(2025, 1, 1)
+
+    def rows(lo, hi):
+        return [
+            {
+                "url": f"https://h{i % 5}.test/p/{i}",
+                "warc_ts": ts,
+                "html": None,
+                "text": "x",
+                "lang": "en",
+            }
+            for i in range(lo, hi)
+        ]
+
+    _write_chunk(rows(0, 60), f"{inp}/part-0.parquet")
+    q = stream_hot_hosts(spark, inp, out, cp)
+    q.awaitTermination(120)
+    _write_chunk(rows(60, 100), f"{inp}/part-1.parquet")
+    q2 = stream_hot_hosts(spark, inp, out, cp)
+    q2.awaitTermination(120)
+
+    merged = merged_host_sketch(spark, out)
+    all_pages = spark.createDataFrame(
+        [(r["url"],) for r in rows(0, 100)], "url string"
+    ).select(host_expr(F.col("url")).alias("item"))
+    single_pass = cms_counts(all_pages, "item")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single_pass.collect())
+    )
+
+    est = {
+        r["item"]: r["est"]
+        for r in cms_estimate(
+            all_pages.distinct(), merged, "item"
+        ).collect()
+    }
+    exact = {
+        r["item"]: r["count"]
+        for r in all_pages.groupBy("item").count().collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+
+    # simulate a RETRIED micro-batch: re-emit batch 0's sketch into its
+    # own batch=<id> dir (what foreachBatch does on replay after a
+    # failure) — overwrite means the merged counters are unchanged,
+    # where an appending accumulator would double-count
+    batch0 = spark.createDataFrame(
+        [(r["url"],) for r in rows(0, 60)], "url string"
+    ).select(host_expr(F.col("url")).alias("item"))
+    cms_counts(batch0, "item").coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/batch=0"
+    )
+    again = merged_host_sketch(spark, out)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, single_pass.collect())
+    )
