@@ -222,3 +222,54 @@ def phrase_search(
         )
         .select(F.col("doc").alias("doc_id"), "n_occurrences", "first_pos")
     )
+
+
+def proximity_search(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    slop: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ordered proximity query (Lucene's sloppy phrase, simplified to
+    the ordered case): the phrase terms must appear in order with at
+    most ``slop`` extra words between consecutive terms.  Same
+    index-scan shape as :func:`phrase_search` — per-term postings
+    filters pushed into the scan — but the adjacency equi-joins widen
+    into BOUNDED range joins (pos in (prev, prev+slop+1]): each probe
+    row fans out to at most slop+1 candidates, so the join stays
+    linear in the postings, never a cross product.
+
+    A single start position can chain to several intermediate
+    placements; occurrences are counted per DISTINCT start anchor
+    (countDistinct first_pos) so the result is well-defined.
+
+    Output: (doc_id, n_occurrences, first_pos).  slop=0 degenerates to
+    the exact phrase semantics."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    post = positional_postings(docs, text_col, id_col)
+    out = post.filter(F.col("term") == phrase[0]).select(
+        "doc", F.col("pos").alias("first_pos"), F.col("pos").alias("_prev")
+    )
+    for term in phrase[1:]:
+        nxt = post.filter(F.col("term") == term).select(
+            F.col("doc").alias("_d"), F.col("pos").alias("_next")
+        )
+        out = (
+            out.join(
+                nxt,
+                (F.col("doc") == F.col("_d"))
+                & (F.col("_next") > F.col("_prev"))
+                & (F.col("_next") <= F.col("_prev") + 1 + slop),
+            )
+            .select("doc", "first_pos", F.col("_next").alias("_prev"))
+        )
+    return (
+        out.groupBy("doc")
+        .agg(
+            F.countDistinct("first_pos").alias("n_occurrences"),
+            F.min("first_pos").alias("first_pos"),
+        )
+        .select(F.col("doc").alias("doc_id"), "n_occurrences", "first_pos")
+    )

@@ -5118,6 +5118,48 @@ GROUP BY p0.doc
 SQL_SEARCH_PHRASE = _sql_phrase(_PHRASE)
 
 
+def q_search_proximity(spark, sf_dir):
+    """Ordered proximity query ('fast … table' within slop 2 — Lucene's
+    sloppy phrase, ordered case): the adjacency equi-joins of
+    `search_phrase` widen into BOUNDED range joins (≤ slop+1 fan-out
+    per probe row), occurrences counted per distinct start anchor.
+    Matches everything the exact phrase matches plus gap variants —
+    the recall dial of the corpus-audit tool."""
+    from pdf_ocr_spark.operators.search import proximity_search
+
+    return proximity_search(_t(spark, sf_dir, "documents"), _PHRASE, slop=2)
+
+
+def _sql_proximity(phrase, slop: int) -> str:
+    norm = _NORM_SQL.format(c="text")
+    joins = "\n  ".join(
+        f"JOIN p p{i} ON p{i}.doc = p{i - 1}.doc"
+        f" AND p{i}.pos > p{i - 1}.pos"
+        f" AND p{i}.pos <= p{i - 1}.pos + {1 + slop}"
+        f" AND p{i}.term = '{t}'"
+        for i, t in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc, pos, term FROM (
+    SELECT doc_id AS doc,
+           generate_subscripts(arr, 1) - 1 AS pos,
+           unnest(arr) AS term
+    FROM (SELECT doc_id, str_split({norm}, ' ') AS arr FROM documents)
+  ) WHERE term <> ''
+)
+SELECT p0.doc AS doc_id, count(DISTINCT p0.pos) AS n_occurrences,
+       min(p0.pos) AS first_pos
+FROM p p0
+  {joins}
+WHERE p0.term = '{phrase[0]}'
+GROUP BY p0.doc
+"""
+
+
+SQL_SEARCH_PROXIMITY = _sql_proximity(_PHRASE, 2)
+
+
 def q_fetch_schedule(spark, sf_dir):
     """Politeness fetch scheduler: per-domain slots × crawl-delay →
     fetch offsets.  Frontier = one synthetic URL per document across 7
@@ -8853,6 +8895,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
     "search_postings": (q_search_postings, SQL_SEARCH_POSTINGS),
     "search_phrase": (q_search_phrase, SQL_SEARCH_PHRASE),
+    "search_proximity": (q_search_proximity, SQL_SEARCH_PROXIMITY),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "source_lang_entropy": (q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
     "domain_kl_drift": (q_domain_kl_drift, SQL_DOMAIN_KL_DRIFT),

@@ -93,3 +93,36 @@ def test_phrase_search_three_terms_and_empty(spark):
     assert set(out) == {1} and out[1]["n_occurrences"] == 2
     with pytest.raises(ValueError):
         phrase_search(docs, ())
+
+
+def test_proximity_search_slop_semantics(spark):
+    """slop=2 matches in-order terms with ≤2 intervening words; order
+    still matters; slop=0 degenerates to the exact phrase; occurrences
+    count distinct start anchors even when one start has several valid
+    chains."""
+    from pdf_ocr_spark.operators.search import phrase_search, proximity_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown"),            # adjacent
+            (2, "quick x brown"),          # gap 1
+            (3, "quick x y brown"),        # gap 2
+            (4, "quick x y z brown"),      # gap 3: beyond slop
+            (5, "brown quick"),            # wrong order
+            (6, "quick x brown brown"),    # one start, two chains
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in proximity_search(docs, ("quick", "brown"), slop=2).collect()
+    }
+    assert set(got) == {1, 2, 3, 6}
+    assert got[6]["n_occurrences"] == 1  # distinct anchors, not chains
+
+    exact = {r["doc_id"] for r in phrase_search(docs, ("quick", "brown")).collect()}
+    slop0 = {
+        r["doc_id"]
+        for r in proximity_search(docs, ("quick", "brown"), slop=0).collect()
+    }
+    assert exact == slop0 == {1}  # doc 6's pairs all have a gap
