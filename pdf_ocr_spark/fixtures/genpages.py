@@ -2016,3 +2016,74 @@ def gen_jbig2_scan_rows(n_docs: int = 11) -> List[dict]:
             )
         )
     return rows
+
+
+def gen_microdata_rows(n: int, seed: int = 31) -> List[dict]:
+    """Deterministic corpus for the html_microdata query: every
+    microdata shape real schema.org pages use — nested items (Product→
+    Offer), every WHATWG value channel (meta content, a href, img src,
+    time datetime with and without the attribute, plain text with
+    inline markup + entities), bare vs valued itemscope attributes,
+    uppercase attribute names, orphan itemprops (must be skipped), an
+    itemscope decoy inside a quoted attribute value, truncated pages
+    (unclosed text prop must still emit), and microdata-free pages."""
+    rows: List[dict] = []
+    for i in range(n):
+        rng = random.Random((seed << 18) ^ i)
+        body = f"<p>{_paragraph(rng, 'en')}</p>"
+        kind = i % 8
+        if kind == 0:  # product with nested offer — the classic tree
+            md = (
+                '<div itemscope itemtype="https://schema.org/Product">'
+                f'<span itemprop="name">Widget <b>{i}</b></span>'
+                f'<meta itemprop="sku" content="SKU-{i:04d}">'
+                f'<img itemprop="image" src="/img/{i}.png">'
+                '<div itemprop="offers" itemscope '
+                'itemtype="https://schema.org/Offer">'
+                f'<span itemprop="price">{i % 90}.99</span>'
+                '<meta itemprop="priceCurrency" content="USD">'
+                "</div></div>"
+            )
+        elif kind == 1:  # article with time datetime + link href
+            md = (
+                '<article itemscope itemtype="https://schema.org/Article">'
+                f'<h1 itemprop="headline">Head {i} &amp; tail</h1>'
+                f'<time itemprop="datePublished" datetime="2024-0{1 + i % 9}-01">'
+                "January</time>"
+                f'<a itemprop="url" href="https://example.test/a/{i}">self</a>'
+                "</article>"
+            )
+        elif kind == 2:  # itemscope="" valued form + uppercase attrs
+            md = (
+                '<div ITEMSCOPE="" ITEMTYPE="https://schema.org/Person">'
+                f'<span ITEMPROP="name">Person {i % 7}</span></div>'
+            )
+        elif kind == 3:  # time WITHOUT datetime: falls back to text
+            md = (
+                '<div itemscope itemtype="https://schema.org/Event">'
+                f'<time itemprop="startDate">March {1 + i % 28}</time></div>'
+            )
+        elif kind == 4:  # orphan itemprop + decoy in attribute value
+            md = (
+                f'<span itemprop="orphan">ignored {i}</span>'
+                '<div content="itemscope itemprop=decoy">'
+                f'<span itemprop="also_orphan">no {i}</span></div>'
+            )
+        elif kind == 5:  # typeless item, entity + whitespace collapse
+            md = (
+                "<p itemscope>"
+                f'<span itemprop="note">  a&amp;b   c{i}  </span></p>'
+            )
+        elif kind == 6:  # truncated page: unclosed text prop still emits
+            md = (
+                '<div itemscope itemtype="https://schema.org/Recipe">'
+                f'<span itemprop="name">Soup {i}'
+            )
+        else:  # no microdata at all
+            md = ""
+        html = f"<html><body>{md}{body}</body></html>".encode("utf-8")
+        rows.append(
+            dict(url=f"https://example.test/micro/{i:05d}", html=html,
+                 kind=kind)
+        )
+    return rows

@@ -651,3 +651,159 @@ def extract_jsonld(data: bytes) -> List[JsonLdBlock]:
             )
         bi += 1
     return out
+
+
+class MicrodataProp(NamedTuple):
+    """One microdata property row: flat relational form of the page's
+    schema.org microdata trees (itemscope/itemtype/itemprop)."""
+
+    item_index: int       # document order of the owning itemscope
+    item_type: str        # owning item's itemtype ('' when absent)
+    prop: str             # itemprop name
+    value: str            # resolved value (see extract_microdata)
+    source: str           # content|href|src|datetime|text|item
+
+
+# tag → attribute that carries a microdata property's value
+# (WHATWG microdata §5.2.4: "the property value of a name-value pair")
+_MD_VALUE_ATTR = {
+    "meta": "content",
+    "a": "href", "link": "href", "area": "href",
+    "img": "src", "audio": "src", "video": "src", "embed": "src",
+    "iframe": "src", "source": "src", "track": "src",
+    "data": "value", "meter": "value",
+    "time": "datetime",
+}
+
+
+def extract_microdata(data: bytes) -> List[MicrodataProp]:
+    """bytes → the page's schema.org MICRODATA properties — the second
+    structured-data channel next to :func:`extract_jsonld` (microdata
+    is the attribute-based encoding older pages and many product/
+    recipe pages use; the reference stops at text emission,
+    pdf_ocr_with_boxes_v2.py — crawl-analytics surface on top).
+
+    Tolerant single-pass tag scan (the :data:`_TAG_RE` machinery):
+    ``itemscope`` opens an item (indexed in document order, its
+    ``itemtype`` captured); each ``itemprop`` inside attaches to the
+    NEAREST enclosing item.  Property values follow the WHATWG rules:
+    the tag-specific value attribute when the spec defines one
+    (meta→content, a/link→href, img→src, time→datetime falling back to
+    text, …), a nested-item reference (``#item<N>``) when the element
+    is itself an itemscope, else the element's whitespace-collapsed
+    text (entity-decoded, 200-char cap).  Orphan itemprops outside any
+    itemscope are skipped, mirroring the spec's item-tree model.
+    Deterministic, never raises."""
+    try:
+        text = decode_html_bytes(data)
+    except Exception:  # noqa: BLE001 — bytes-ish inputs only
+        return []
+    out: List[MicrodataProp] = []
+    # stack entries: [tag, item_idx_or_None, prop_capture_or_None]
+    # prop_capture: [owner_item, itemtype, prop, buf_list] for text props
+    stack: List[list] = []
+    captures: List[list] = []  # active text-prop buffers (nested allowed)
+    n_items = 0
+    item_types: dict = {}
+    pos = 0
+    n = len(text)
+
+    def nearest_item() -> Optional[int]:
+        for fr in reversed(stack):
+            if fr[1] is not None:
+                return fr[1]
+        return None
+
+    def emit_text_prop(cap: list) -> None:
+        val = _WS_RE.sub(" ", _htmllib.unescape("".join(cap[3]))).strip()[:200]
+        out.append(
+            MicrodataProp(cap[0], item_types.get(cap[0], ""), cap[2], val, "text")
+        )
+
+    while pos < n:
+        lt = text.find("<", pos)
+        if lt < 0:
+            for cap in captures:
+                cap[3].append(text[pos:])
+            break
+        if lt > pos:
+            for cap in captures:
+                cap[3].append(text[pos:lt])
+        if text.startswith("<!--", lt):
+            end = text.find("-->", lt + 4)
+            pos = n if end < 0 else end + 3
+            continue
+        if text.startswith("<!", lt) or text.startswith("<?", lt):
+            end = text.find(">", lt + 2)
+            pos = n if end < 0 else end + 1
+            continue
+        m = _TAG_RE.match(text, lt)
+        if not m:
+            for cap in captures:
+                cap[3].append("<")
+            pos = lt + 1
+            continue
+        closing, tag, attrs, self_close = m.groups()
+        tag = tag.lower()
+        pos = m.end()
+        if closing:
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i][0] == tag:
+                    for fr in stack[i:]:
+                        if fr[2] is not None and fr[2] in captures:
+                            emit_text_prop(fr[2])
+                            captures.remove(fr[2])
+                    del stack[i:]
+                    break
+            continue
+        if tag in _RAW_SKIP:
+            close = re.search(rf"</{re.escape(tag)}\s*>", text[pos:], re.I)
+            pos = n if close is None else pos + close.end()
+            continue
+        # bare boolean attribute: scan with quoted values blanked so
+        # content="... itemscope ..." can't false-positive
+        _bare = re.sub(r"\"[^\"]*\"|'[^']*'", '""', attrs)
+        has_scope = bool(
+            re.search(r"(?i)(?:^|\s)itemscope(?=[\s=/]|$)", _bare)
+        )
+        prop = _attr(attrs, "itemprop")
+        owner = nearest_item()
+        item_idx = None
+        if has_scope:
+            item_idx = n_items
+            n_items += 1
+            item_types[item_idx] = (_attr(attrs, "itemtype") or "").strip()
+        cap = None
+        if prop:
+            prop = prop.strip()
+            if owner is None and not has_scope:
+                pass  # orphan itemprop: no item tree to attach to
+            elif has_scope:
+                if owner is not None:
+                    out.append(
+                        MicrodataProp(
+                            owner, item_types.get(owner, ""), prop,
+                            f"#item{item_idx}", "item",
+                        )
+                    )
+            else:
+                vattr = _MD_VALUE_ATTR.get(tag)
+                val = _attr(attrs, vattr) if vattr else None
+                if val is not None:
+                    out.append(
+                        MicrodataProp(
+                            owner, item_types.get(owner, ""), prop,
+                            _htmllib.unescape(val).strip()[:200], vattr,
+                        )
+                    )
+                elif tag not in _VOID and not self_close:
+                    cap = [owner, item_types.get(owner, ""), prop, []]
+                    captures.append(cap)
+        if self_close or tag in _VOID:
+            continue
+        if len(stack) < 200:
+            stack.append([tag, item_idx, cap])
+    # unclosed text props at EOF still emit (truncated pages are routine)
+    for cap in captures:
+        emit_text_prop(cap)
+    return out

@@ -790,6 +790,52 @@ def extract_structured_data(
     )
 
 
+MICRODATA_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("item_index", IntegerType()),
+        StructField("item_type", StringType()),
+        StructField("prop", StringType()),
+        StructField("value", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def extract_microdata_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Microdata extractor (runs on executors): one row per itemprop
+    in the page's schema.org microdata trees — the attribute-based
+    structured-data channel next to JSON-LD.  Non-HTML and
+    microdata-free pages emit nothing."""
+    from pdf_ocr_spark.kernels.html_extract import extract_microdata
+
+    _tune_worker_gc()
+    cols = [f.name for f in MICRODATA_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not data or looks_like_pdf(data):
+                continue
+            for p in extract_microdata(data):
+                rows.append((url, *p))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_microdata_rows(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages(url, html, …) → microdata property rows (url, item_index,
+    item_type, prop, value, source) — same single-shuffle route shape
+    as :func:`extract_structured_data`."""
+    return kernel_route(
+        pages_df, extract_microdata_batch, MICRODATA_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
 FORM_SCHEMA = StructType(
     [
         StructField("url", StringType()),

@@ -1054,6 +1054,86 @@ FROM sh GROUP BY doc_id
 """
 
 
+def q_dedup_lsh_scurve(spark, sf_dir):
+    """The LSH DESIGN row: capture probability 1 − (1 − s^r)^b over a
+    Jaccard grid s = g/20 for the four (bands × rows) splits of an
+    8-permutation signature — the S-curve that justifies the engine's
+    4×2 default (threshold ≈ (1/b)^(1/r) ≈ 0.5) and shows what moving
+    to 8×1 (recall-heavy) or 1×8 (precision-heavy) would do.  Every
+    power is an EXACT integer (g^r as BIGINT) or an explicit multiply
+    chain (q², q⁴ = (q²)², …) — no libm pow, so both engines compute
+    bit-identical doubles; rounding is the explicit half-up floor
+    (the hyperball protocol)."""
+    cfg = spark.createDataFrame(
+        [(8, 1, 0.125), (4, 2, 0.5), (2, 4, 0.840896), (1, 8, 1.0)],
+        "bands int, rows_per_band int, threshold double",
+    )
+    g = spark.range(1, 20).select(F.col("id").cast("int").alias("g"))
+    gi = F.col("g").cast("long")
+    g_pow = (
+        F.when(F.col("rows_per_band") == 1, gi)
+        .when(F.col("rows_per_band") == 2, gi * gi)
+        .when(F.col("rows_per_band") == 4, (gi * gi) * (gi * gi))
+        .otherwise(((gi * gi) * (gi * gi)) * ((gi * gi) * (gi * gi)))
+    )
+    den = (
+        F.when(F.col("rows_per_band") == 1, F.lit(20).cast("long"))
+        .when(F.col("rows_per_band") == 2, F.lit(400).cast("long"))
+        .when(F.col("rows_per_band") == 4, F.lit(160000).cast("long"))
+        .otherwise(F.lit(25600000000).cast("long"))
+    )
+    q = F.lit(1.0) - g_pow.cast("double") / den.cast("double")
+    q2 = q * q
+    q4 = q2 * q2
+    q_pow = (
+        F.when(F.col("bands") == 1, q)
+        .when(F.col("bands") == 2, q2)
+        .when(F.col("bands") == 4, q4)
+        .otherwise(q4 * q4)
+    )
+    cap = F.lit(1.0) - q_pow
+    return g.crossJoin(F.broadcast(cfg)).select(
+        "bands",
+        "rows_per_band",
+        "threshold",
+        (gi.cast("double") / 20).alias("s"),
+        (F.floor(cap * 1000000 + 0.5) / 1000000).alias("p_capture"),
+    )
+
+
+SQL_DEDUP_LSH_SCURVE = """
+WITH cfg AS (
+  SELECT * FROM (VALUES (8, 1, 0.125), (4, 2, 0.5), (2, 4, 0.840896),
+                        (1, 8, 1.0))
+    AS t(bands, rows_per_band, threshold)
+),
+grid AS (SELECT unnest(generate_series(1, 19)) AS g),
+e AS (
+  SELECT bands, rows_per_band, threshold, CAST(g AS BIGINT) AS g,
+    CASE rows_per_band WHEN 1 THEN CAST(g AS BIGINT)
+      WHEN 2 THEN CAST(g AS BIGINT) * g
+      WHEN 4 THEN (CAST(g AS BIGINT) * g) * (CAST(g AS BIGINT) * g)
+      ELSE ((CAST(g AS BIGINT) * g) * (CAST(g AS BIGINT) * g))
+           * ((CAST(g AS BIGINT) * g) * (CAST(g AS BIGINT) * g)) END AS gp,
+    CASE rows_per_band WHEN 1 THEN 20 WHEN 2 THEN 400
+      WHEN 4 THEN 160000 ELSE 25600000000 END AS den
+  FROM grid CROSS JOIN cfg
+),
+p AS (
+  SELECT bands, rows_per_band, threshold, g,
+    1.0 - CAST(gp AS DOUBLE) / CAST(den AS DOUBLE) AS q
+  FROM e
+)
+SELECT bands, rows_per_band, threshold,
+  CAST(g AS DOUBLE) / 20 AS s,
+  floor((1.0 - CASE bands WHEN 1 THEN q WHEN 2 THEN q * q
+         WHEN 4 THEN (q * q) * (q * q)
+         ELSE ((q * q) * (q * q)) * ((q * q) * (q * q)) END) * 1000000
+        + 0.5) / 1000000 AS p_capture
+FROM p
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash LSH candidate pairs (4 bands × 2 rows) over the
     dup-variant universe: every original must pair with its variant."""
@@ -6953,6 +7033,36 @@ FROM read_parquet('{_golden("jsonld")}')
 """
 
 
+def q_html_microdata(spark, sf_dir):
+    """Schema.org MICRODATA extraction — the attribute-based
+    structured-data channel next to `html_jsonld` (the encoding older
+    pages and many product/recipe pages use): one row per itemprop,
+    attached to the nearest enclosing itemscope, values resolved by
+    the WHATWG tag rules (meta→content, a/link→href, img→src,
+    time→datetime with text fallback, nested items as #item<N>
+    references, else collapsed text).  Exercises nested trees, bare vs
+    valued itemscope, uppercase attributes, orphan itemprops (skipped),
+    a decoy inside a quoted attribute value, truncated pages, and
+    microdata-free pages.  Oracle = frozen kernel golden
+    (tools/freeze_microdata_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_microdata_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_microdata_rows
+
+    rows = gen_microdata_rows(48)  # must match the freeze tool's N_DOCS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_microdata_rows(pages)
+
+
+SQL_HTML_MICRODATA = f"""
+SELECT url, CAST(item_index AS INT) AS item_index, item_type, prop,
+       value, source
+FROM read_parquet('{_golden("microdata")}')
+"""
+
+
 def q_noindex_gate(spark, sf_dir):
     """Page-level robots-directive gate (the indexing twin of
     robots.txt): a page whose <meta name=robots> carries ``noindex`` or
@@ -8838,6 +8948,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_lsh_overflow": (q_dedup_lsh_overflow, SQL_DEDUP_LSH_OVERFLOW),
     "dedup_recall": (q_dedup_recall, SQL_DEDUP_RECALL),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "dedup_lsh_scurve": (q_dedup_lsh_scurve, SQL_DEDUP_LSH_SCURVE),
     "dedup_embedding_overflow": (
         q_dedup_embedding_overflow,
         SQL_DEDUP_EMBEDDING_OVERFLOW,
@@ -8992,6 +9103,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "html_tables": (q_html_tables, SQL_HTML_TABLES),
     "html_meta": (q_html_meta, SQL_HTML_META),
     "html_jsonld": (q_html_jsonld, SQL_HTML_JSONLD),
+    "html_microdata": (q_html_microdata, SQL_HTML_MICRODATA),
     "noindex_gate": (q_noindex_gate, SQL_NOINDEX_GATE),
     "page_freshness": (q_page_freshness, SQL_PAGE_FRESHNESS),
     "pdf_forms": (q_pdf_forms, SQL_PDF_FORMS),

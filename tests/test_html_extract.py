@@ -383,3 +383,63 @@ def test_robots_meta_directives_normalized():
         b"<html><head><meta name=robots content=''></head></html>"
     ).robots is None
     assert extract_metadata(b"<html><head></head></html>").robots is None
+
+
+def test_microdata_value_channels_and_nesting():
+    """Every WHATWG value channel resolves from the right place; nested
+    itemscopes become #item references on the parent AND independent
+    items; orphan itemprops and quoted-attribute decoys are skipped."""
+    from pdf_ocr_spark.kernels.html_extract import extract_microdata
+
+    html = (
+        b'<div itemscope itemtype="https://schema.org/Product">'
+        b'<span itemprop="name">Acme <b>Anvil</b></span>'
+        b'<meta itemprop="sku" content="A-1">'
+        b'<img itemprop="image" src="/i.png">'
+        b'<a itemprop="url" href="https://s.test/a">buy</a>'
+        b'<time itemprop="d1" datetime="2024-05-01">May</time>'
+        b'<time itemprop="d2">June 9</time>'
+        b'<div itemprop="offers" itemscope itemtype="https://schema.org/Offer">'
+        b'<span itemprop="price">9.99</span></div></div>'
+        b'<span itemprop="orphan">skip</span>'
+        b'<div content="itemscope"><span itemprop="x">skip too</span></div>'
+    )
+    rows = {(r.prop, r.item_index): r for r in extract_microdata(html)}
+    assert rows[("name", 0)].value == "Acme Anvil"
+    assert rows[("name", 0)].source == "text"
+    assert rows[("sku", 0)].value == "A-1" and rows[("sku", 0)].source == "content"
+    assert rows[("image", 0)].source == "src"
+    assert rows[("url", 0)].source == "href"
+    assert rows[("d1", 0)].value == "2024-05-01"
+    assert rows[("d2", 0)].value == "June 9"       # datetime fallback: text
+    assert rows[("d2", 0)].source == "text"
+    assert rows[("offers", 0)].value == "#item1"
+    assert rows[("price", 1)].value == "9.99"
+    assert rows[("price", 1)].item_index == 1
+    assert ("orphan", None) not in rows
+    assert not any(r.prop in ("orphan", "x") for r in extract_microdata(html))
+
+
+def test_microdata_tolerance():
+    """Bare vs valued vs uppercase itemscope, entity/whitespace
+    normalization, truncated pages (unclosed prop still emits), and
+    non-HTML bytes (no raise, no rows)."""
+    from pdf_ocr_spark.kernels.html_extract import extract_microdata
+
+    valued = extract_microdata(
+        b'<div ITEMSCOPE="" ITEMTYPE="t"><span ITEMPROP="n">X</span></div>'
+    )
+    assert [(r.prop, r.value, r.item_type) for r in valued] == [("n", "X", "t")]
+
+    norm = extract_microdata(
+        b'<p itemscope><span itemprop="note">  a&amp;b   c  </span></p>'
+    )
+    assert norm[0].value == "a&b c"
+
+    trunc = extract_microdata(
+        b'<div itemscope itemtype="r"><span itemprop="name">Soup'
+    )
+    assert [(r.prop, r.value) for r in trunc] == [("name", "Soup")]
+
+    assert extract_microdata(b"\x00\x01\x02 not html") == []
+    assert extract_microdata(b"<html><p>plain</p></html>") == []
