@@ -15,6 +15,7 @@ as bench.py): this VM's CPU steal swings walls up to 4×, and a fixed
 
 from __future__ import annotations
 
+import gc as _gc
 import os
 import sys
 import time
@@ -92,6 +93,16 @@ def main() -> int:
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
             continue
+        # each query starts clean: ~20 registry queries persist()
+        # fixtures/intermediates, and 200+ queries in ONE session also
+        # accumulate un-GC'd broadcasts/localCheckpoint blocks whose
+        # cleanup (ContextCleaner) only runs on a JVM GC — late
+        # broadcast-heavy queries (observed: link_hits, ~5s alone vs
+        # ~26s mid-suite) stall on driver pauses otherwise.  Python gc
+        # first so py4j refs release, then an explicit JVM GC.
+        spark.catalog.clearCache()
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         try:
             t0 = time.monotonic()
             sdf = fn(spark, sf_dir).toPandas()
