@@ -142,3 +142,54 @@ def test_kmv_jaccard_tracks_true_overlap(spark):
     c = spark.createDataFrame([(f"zz{i}",) for i in range(200)], "url string")
     sk_c = kmv_bottom_k(c, [], "url", k=128)
     assert kmv_jaccard(sk_a, sk_c, k=128).first()["jaccard_est"] == 0.0
+
+
+def _h48_py(item: str, salt: str) -> int:
+    """Independent python twin of sketches._h48."""
+    import hashlib
+
+    return int(hashlib.md5(f"{item}:{salt}".encode()).hexdigest()[:12], 16)
+
+
+def test_hll_registers_match_python_twin(spark):
+    """Register table equals an INDEPENDENT pure-python HLL built from
+    the same published rules (md5-derived 48-bit hash, low-b bucket,
+    leading-1 position of the remaining 42 bits) on seeded random
+    items — two implementations of the spec, like the byte-BPE
+    alphabet gate."""
+    import random
+
+    rng = random.Random(7)
+    items = [f"it{rng.randrange(10**9)}" for _ in range(500)]
+    df = spark.createDataFrame([("k", i) for i in items], "key string, item string")
+    got = {
+        (r["bucket"], ): r["rho"]
+        for r in hll_registers(df, "key", "item", b=6).collect()
+    }
+    want: dict = {}
+    for it in items:
+        h = _h48_py(it, "hll")
+        bucket, w = h % 64, h >> 6
+        rho = 43 if w == 0 else 42 - w.bit_length() + 1
+        want[(bucket,)] = max(want.get((bucket,), 0), rho)
+    assert got == want
+
+
+def test_cms_counts_match_python_twin(spark):
+    """CMS counter table equals the independent python twin (same
+    salted hashes, same d×w addressing) on seeded random multisets."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(11)
+    items = [f"u{rng.randrange(40)}" for _ in range(300)]
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    got = {
+        (r["row"], r["pos"]): r["cnt"]
+        for r in cms_counts(df, "item", d=3, w=64).collect()
+    }
+    want: Counter = Counter()
+    for it in items:
+        for i in range(3):
+            want[(i, _h48_py(it, f"cms{i}") % 64)] += 1
+    assert got == dict(want)
