@@ -298,6 +298,10 @@ def trustrank(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     ).withColumn("_seed", F.lit(1))
     n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError(
+            "trustrank needs a non-empty seed set (teleport mass 1/|S|)"
+        )
     seeded = nodes.join(s, "node", "left").select(
         "node", F.col("_seed").isNotNull().alias("is_seed")
     ).persist()

@@ -292,8 +292,12 @@ def kmv_estimate(sketch: DataFrame, key_cols, k: int = 128) -> DataFrame:
     agg = sketch.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
     )
+    # greatest(h_k, 1): a 48-bit md5 prefix of exactly 0 has
+    # probability 2^-48, but under Spark 4's default ANSI mode that
+    # tail case is a DIVIDE_BY_ZERO job failure, not a bad estimate
     est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
-        F.lit(float(k - 1)) * F.lit(float(1 << _HASH_BITS)) / F.col("_hk")
+        F.lit(float(k - 1)) * F.lit(float(1 << _HASH_BITS))
+        / F.greatest(F.col("_hk"), F.lit(1).cast("long"))
     )
     return agg.select(*keys, F.round(est, 4).alias("est"))
 
@@ -331,7 +335,10 @@ def kmv_jaccard(
     return marked.select(
         "n_union_sample",
         "n_matched",
-        F.round(F.col("n_matched") / F.col("n_union_sample"), 4).alias(
-            "jaccard_est"
-        ),
+        # empty sketches -> 0-row union sample: emit NULL, not an
+        # ANSI DIVIDE_BY_ZERO (visible absence beats a crashed job)
+        F.when(
+            F.col("n_union_sample") > 0,
+            F.round(F.col("n_matched") / F.col("n_union_sample"), 4),
+        ).alias("jaccard_est"),
     )

@@ -4663,8 +4663,12 @@ def q_tokenizer_fertility(spark, sf_dir):
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_words.alias("n_words"),
-        F.round(n_tokens / n_words, 6).alias("fertility"),
-        F.round(n_chars / n_tokens, 6).alias("chars_per_token"),
+        # empty documents have no word markers and no tokens: NULL
+        # metrics, not an ANSI DIVIDE_BY_ZERO job failure
+        F.when(n_words > 0, F.round(n_tokens / n_words, 6)).alias("fertility"),
+        F.when(n_tokens > 0, F.round(n_chars / n_tokens, 6)).alias(
+            "chars_per_token"
+        ),
     )
 
 
@@ -4677,8 +4681,10 @@ d AS (
   FROM g
 )
 SELECT doc_id, n_tokens, n_words,
-  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
-  round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+  CASE WHEN n_words > 0 THEN
+    round(CAST(n_tokens AS DOUBLE) / n_words, 6) END AS fertility,
+  CASE WHEN n_tokens > 0 THEN
+    round(CAST(n_chars AS DOUBLE) / n_tokens, 6) END AS chars_per_token
 FROM d
 """
 
@@ -8111,10 +8117,12 @@ ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
 skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
         FROM (SELECT DISTINCT h FROM hb)) WHERE rn <= 128),
 ea AS (SELECT round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
-         ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / max(h)
+         ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+              / greatest(max(h), 1)
          END, 4) AS est_a FROM ska),
 eb AS (SELECT round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
-         ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / max(h)
+         ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+              / greatest(max(h), 1)
          END, 4) AS est_b FROM skb),
 u AS (SELECT h FROM (
   SELECT h, row_number() OVER (ORDER BY h) AS rn
@@ -8142,7 +8150,8 @@ SELECT x.exact_a, ea.est_a, x.exact_b, eb.est_b,
   x.exact_inter, x.exact_union,
   round(CAST(x.exact_inter AS DOUBLE) / x.exact_union, 4) AS jaccard_exact,
   m.n_union_sample, m.n_matched,
-  round(CAST(m.n_matched AS DOUBLE) / m.n_union_sample, 4) AS jaccard_est
+  CASE WHEN m.n_union_sample > 0 THEN
+    round(CAST(m.n_matched AS DOUBLE) / m.n_union_sample, 4) END AS jaccard_est
 FROM x, ea, eb, m
 """
 

@@ -193,3 +193,24 @@ def test_cms_counts_match_python_twin(spark):
         for i in range(3):
             want[(i, _h48_py(it, f"cms{i}") % 64)] += 1
     assert got == dict(want)
+
+
+def test_kmv_jaccard_empty_sketches_yield_null_not_crash(spark):
+    """ANSI-mode edge: two empty sketches produce a NULL jaccard_est
+    row (visible absence), never a DIVIDE_BY_ZERO job failure."""
+    from pdf_ocr_spark.operators.sketches import kmv_bottom_k, kmv_jaccard
+
+    empty = spark.createDataFrame([], "url string")
+    sk = kmv_bottom_k(empty, [], "url", k=8)
+    r = kmv_jaccard(sk, sk, k=8).first()
+    assert r["n_union_sample"] == 0 and r["jaccard_est"] is None
+
+
+def test_trustrank_rejects_empty_seed_set(spark):
+    import pytest
+    from pdf_ocr_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError, match="non-empty seed"):
+        trustrank(edges, seeds)
