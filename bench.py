@@ -16,6 +16,7 @@ nothing is collected to the driver.
 
 from __future__ import annotations
 
+import gc as _gc
 import json
 import os
 import sys
@@ -218,6 +219,17 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name not in qmap:
             continue
+        # per-query isolation (same block as tools/verify_oracle.py):
+        # ~20 registry queries persist() fixtures/intermediates, and 89
+        # queries in ONE session also accumulate un-GC'd broadcasts /
+        # localCheckpoint blocks whose cleanup (ContextCleaner) only runs
+        # on a JVM GC — without this, late-suite queries measure session
+        # drag (observed r4: 1.2x early-suite -> 2.6x mid-suite on
+        # identical plans), not the engine.  Python gc first so py4j refs
+        # release, then an explicit JVM GC; timing starts AFTER the GC.
+        spark.catalog.clearCache()
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         # best-of-2: a long session occasionally hits a one-off GC/JIT
         # stall on a single query (observed 20x spikes); the repeat gives
         # the steady-state number
@@ -229,6 +241,10 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 
+    # the throughput number gets the same clean-room start as every query
+    spark.catalog.clearCache()
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
     ext_sec, n_docs = bench_extraction(spark, N_BENCH_DOCS)
     timings["extraction_pipeline"] = round(ext_sec, 3)
 

@@ -15,8 +15,38 @@ formulation) — documented, identical in the oracle.
 
 from __future__ import annotations
 
+from typing import List
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# node/seed tables persisted by the iterative solvers below; bounded to the
+# most recent call's (each public entry point releases its predecessor's),
+# so a long-lived driver looping over graphs cannot accumulate cached node
+# tables — the same ownership protocol as dedup.release_candidate_cache().
+_live_graph_caches: List[DataFrame] = []
+
+
+def release_graph_cache() -> None:
+    """Unpersist every node/seed cache owned by this module (at most the
+    latest solver call's).  Results returned by the solvers stay CORRECT
+    after release — the cache is purely a recompute-avoidance for the
+    fixed iteration loops — so callers may release as soon as the result
+    is materialized."""
+    while _live_graph_caches:
+        df = _live_graph_caches.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    """persist() + register for release by the NEXT solver call (or an
+    explicit release_graph_cache())."""
+    df = df.persist()
+    _live_graph_caches.append(df)
+    return df
 
 
 def pagerank(
@@ -31,12 +61,12 @@ def pagerank(
 
     pr₀ = 1/N; prᵢ₊₁(v) = round(d · Σ_{u→v} prᵢ(u)/deg(u) + (1−d)/N).
     One driver-side count (N) — the only scalar the algorithm needs."""
+    release_graph_cache()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
+    nodes = _cache(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes
@@ -142,12 +172,12 @@ def hits(
     both partial-agg friendly; the normalizer reduces to ONE broadcast
     row (no driver collect anywhere).  ``iters`` is a fixed
     hyperparameter, so lineage stays bounded without checkpoints."""
+    release_graph_cache()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
+    nodes = _cache(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     hub = nodes.withColumn("hub", F.lit(1.0))
     auth = None
@@ -287,12 +317,12 @@ def trustrank(
     formulation.  Reference pipeline has no graph stage
     (pdf_ocr_with_boxes_v2.py stops at link emission); this extends the
     crawl-analytics surface."""
+    release_graph_cache()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    nodes = (
+    nodes = _cache(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     s = F.broadcast(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
@@ -302,9 +332,11 @@ def trustrank(
         raise ValueError(
             "trustrank needs a non-empty seed set (teleport mass 1/|S|)"
         )
-    seeded = nodes.join(s, "node", "left").select(
-        "node", F.col("_seed").isNotNull().alias("is_seed")
-    ).persist()
+    seeded = _cache(
+        nodes.join(s, "node", "left").select(
+            "node", F.col("_seed").isNotNull().alias("is_seed")
+        )
+    )
     base = (1.0 - damping) / n_seeds
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     tr = seeded.select(

@@ -209,28 +209,34 @@ def hyperball_harmonic(
         .unionByName(e1.select(F.col("dst").alias("node")))
         .distinct()
     )
-    reg = hll_registers(
-        nodes.select("node", F.col("node").alias("item")), "node", "item", b
-    ).localCheckpoint()
-    est = hll_estimate(reg, "node", b).withColumnRenamed("est", "e0")
-    for r in range(1, radius + 1):
-        prop = reg.join(
-            e1.withColumnRenamed("src", "node"), "node"
-        ).select(F.col("dst").alias("node"), "bucket", "rho")
-        # localCheckpoint per round: the est chain references EVERY
-        # round's registers, and without lineage truncation round r
-        # re-plans rounds 1..r-1 inside each estimate (the BPE-trainer
-        # per-round protocol; state is ≤ |V|·2^b rows)
-        reg = (
-            reg.unionByName(prop)
-            .groupBy("node", "bucket")
-            .agg(F.max("rho").alias("rho"))
-            .localCheckpoint()
-        )
-        est = est.join(
-            hll_estimate(reg, "node", b).withColumnRenamed("est", f"e{r}"),
-            "node",
-        )
+    try:
+        reg = hll_registers(
+            nodes.select("node", F.col("node").alias("item")), "node", "item", b
+        ).localCheckpoint()
+        est = hll_estimate(reg, "node", b).withColumnRenamed("est", "e0")
+        for r in range(1, radius + 1):
+            prop = reg.join(
+                e1.withColumnRenamed("src", "node"), "node"
+            ).select(F.col("dst").alias("node"), "bucket", "rho")
+            # localCheckpoint per round: the est chain references EVERY
+            # round's registers, and without lineage truncation round r
+            # re-plans rounds 1..r-1 inside each estimate (the BPE-trainer
+            # per-round protocol; state is ≤ |V|·2^b rows)
+            reg = (
+                reg.unionByName(prop)
+                .groupBy("node", "bucket")
+                .agg(F.max("rho").alias("rho"))
+                .localCheckpoint()
+            )
+            est = est.join(
+                hll_estimate(reg, "node", b).withColumnRenamed("est", f"e{r}"),
+                "node",
+            )
+    finally:
+        # every round's registers are EAGERLY checkpointed above, so by
+        # here nothing in the returned plan reads e1 — release it instead
+        # of leaking one edge cache per call into a long-lived driver
+        e1.unpersist(blocking=False)
     # 1/r as 10dp literals, NOT a division — and EXPLICIT half-up
     # rounding (floor(x·10⁴+0.5)/10⁴): est differences are exact 4dp
     # decimals, so Σ terms/r lands exactly on 4dp half-boundaries,

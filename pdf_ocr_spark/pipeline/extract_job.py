@@ -77,6 +77,27 @@ DOC_SCHEMA_COLS = [
 
 _GC_TUNED = False
 
+# page-count tables persisted by extract_documents_split (the count pass
+# feeds both the ranges join and the failed-giants join); bounded to the
+# most recent call's — the same cache-ownership protocol as
+# dedup.release_candidate_cache(), so a long-lived driver looping over
+# corpora cannot accumulate cached count tables.
+_live_split_caches: list = []
+
+
+def release_split_cache() -> None:
+    """Unpersist every giant-doc page-count cache owned by this module
+    (at most the latest extract_documents_split call's).  Plans stay
+    correct after release — the cache only avoids re-running the count
+    pass once per consumer."""
+    while _live_split_caches:
+        df = _live_split_caches.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+
+
 # typed TRANSIENT failure: the OCR engine gave up on a page after retries.
 # Distinct from parse failures (permanent) — resume_filter retries these.
 OCR_FAILED_REASON = "ocr_failed: engine error after retries"
@@ -1273,8 +1294,12 @@ def extract_documents_split(
     giants = src.filter(is_giant)
     # counts (url, n_pages — tiny) feeds BOTH the ranges join and the
     # failed-giants join; without a persist the expensive count pass (full
-    # structural parse over every multi-MB giant) executes once per consumer
+    # structural parse over every multi-MB giant) executes once per
+    # consumer.  Registered for release by the NEXT call (or an explicit
+    # release_split_cache()) so repeated runs hold at most one cache.
+    release_split_cache()
     counts = giants.mapInPandas(count_pages_batch, schema=RANGE_SCHEMA).persist()
+    _live_split_caches.append(counts)
     ranges = (
         giants.join(counts, "url")
         .filter(F.col("n_pages") > 0)
@@ -1302,14 +1327,30 @@ def extract_documents_split(
     return normal_docs.unionByName(giant_docs)
 
 
-def lineage_metrics(page_rows: DataFrame) -> DataFrame:
+def lineage_metrics(
+    page_rows: DataFrame, deterministic_buckets: Optional[int] = None
+) -> DataFrame:
     """Per-partition lineage/metrics sidecar rows (north rule): input
     split id, doc & page counts, byte counts, failure-reason histogram.
     Mirrors the reference's summary JSON
     (/root/reference/pdf_ocr_with_boxes_v3.py:413-428) but per partition
-    and queryable."""
+    and queryable.
+
+    ``deterministic_buckets=B`` replaces the physical partition id with a
+    url-content bucket (first 8 hex chars of md5(url) mod B) — the rows
+    then no longer depend on partitioning/AQE at all and value-hash
+    against an engine-independent replay (both Spark and DuckDB compute
+    the identical md5 bucket).  Production jobs keep the default physical
+    id: lineage's job is to name the actual split that produced the rows."""
+    if deterministic_buckets is not None:
+        pid = (
+            F.conv(F.substring(F.md5(F.col("url")), 1, 8), 16, 10)
+            .cast("long") % deterministic_buckets
+        )
+    else:
+        pid = F.spark_partition_id()
     return (
-        page_rows.withColumn("part_id", F.spark_partition_id())
+        page_rows.withColumn("part_id", pid)
         .groupBy("part_id")
         .agg(
             F.countDistinct("url").alias("n_docs"),

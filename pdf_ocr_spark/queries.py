@@ -28,6 +28,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 
+# stage frames persisted by multi-action queries (the filter funnels count
+# every stage, so each stage frame is referenced twice); bounded to the
+# most recent query's — the same cache-ownership protocol as
+# dedup.release_candidate_cache(), so a long-lived driver running the
+# registry in a loop holds at most one query's stage caches.
+_live_query_caches: list = []
+
+
+def release_query_cache() -> None:
+    """Unpersist every stage-frame cache owned by this module (at most
+    the latest funnel query's).  Results stay correct after release —
+    the cache only avoids recomputing shared stage frames."""
+    while _live_query_caches:
+        df = _live_query_caches.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+
+
+def _qcache(df: DataFrame) -> DataFrame:
+    """persist() + register for release by the next funnel query (or an
+    explicit release_query_cache())."""
+    df = df.persist()
+    _live_query_caches.append(df)
+    return df
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -3367,8 +3394,9 @@ def q_filter_funnel(spark, sf_dir):
 
     from pdf_ocr_spark.operators.dedup import normalized
 
+    release_query_cache()
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = (
+    docs = _qcache(
         base.unionByName(
             base.filter(F.col("doc_id") % 5 == 0).select(
                 (F.col("doc_id") + 10000).alias("doc_id"),
@@ -3380,19 +3408,19 @@ def q_filter_funnel(spark, sf_dir):
                 (F.col("doc_id") + 20000).alias("doc_id"), F.col("text")
             )
         )
-    ).persist()
-    d1 = docs.join(
+    )
+    d1 = _qcache(docs.join(
         T.gopher_quality(docs)
         .filter(F.col("passes_gopher"))
         .select("doc_id"),
         "doc_id",
-    ).persist()
-    d2 = d1.join(
+    ))
+    d2 = _qcache(d1.join(
         T.ngram_repetition_stats(d1)
         .filter(F.col("passes_repetition"))
         .select("doc_id"),
         "doc_id",
-    ).persist()
+    ))
     vocab = T.lm_word_counts(docs, min_count=2)  # corpus-general LM
     scores = T.lm_doc_scores(d2, vocab, alpha=1.0).select(
         "doc_id", "avg_logprob"
@@ -3400,12 +3428,12 @@ def q_filter_funnel(spark, sf_dir):
     cut = scores.agg(
         F.round(F.percentile("avg_logprob", F.lit(1.0 / 3)), 6).alias("c1")
     )
-    d3 = d2.join(
+    d3 = _qcache(d2.join(
         scores.crossJoin(F.broadcast(cut))
         .filter(F.col("avg_logprob") > F.col("c1"))
         .select("doc_id"),
         "doc_id",
-    ).persist()
+    ))
     wd = Window.partitionBy(F.md5(normalized(F.col("text")))).orderBy("doc_id")
     n4df = (
         d3.withColumn("_rn", F.row_number().over(wd))
@@ -3753,27 +3781,28 @@ def q_filter_funnel_v2(spark, sf_dir):
     from pdf_ocr_spark.operators import quality as Q
     from pdf_ocr_spark.operators.dedup import normalized
 
+    release_query_cache()
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = base.unionByName(
+    docs = _qcache(base.unionByName(
         base.filter(F.col("doc_id") % 7 == 0).select(
             (F.col("doc_id") + 20000).alias("doc_id"), F.col("text")
         )
-    ).persist()
-    d1 = docs.join(
+    ))
+    d1 = _qcache(docs.join(
         T.gopher_quality(docs).filter(F.col("passes_gopher")).select("doc_id"),
         "doc_id",
-    ).persist()
+    ))
     model = Q.nb_train(_nb_labeled_docs(spark, sf_dir), buckets=4096)
     scores = Q.nb_score(d1, model, buckets=4096).select("doc_id", "nb_score")
     cut = scores.agg(
         F.round(F.percentile("nb_score", F.lit(0.5)), 6).alias("c")
     )
-    d2 = d1.join(
+    d2 = _qcache(d1.join(
         scores.crossJoin(F.broadcast(cut))
         .filter(F.col("nb_score") > F.col("c"))
         .select("doc_id"),
         "doc_id",
-    ).persist()
+    ))
     w = Window.partitionBy("fp").orderBy("doc_id")
     d3 = (
         d2.select("doc_id", F.md5(normalized(F.col("text"))).alias("fp"))
@@ -9134,9 +9163,49 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
 }
 
 
+# Newest-wave operators (rounds 4-5: sketches, trained quality, PQ,
+# TrustRank/HyperBall, phrase search, tokenizer trainers, codec scans,
+# funnel v2, …) — interleaved ahead of the append-ordered REGISTRY so a
+# bounded-sample consumer that takes the first K exported keys sees ~K/2
+# of these alongside ~K/2 §2 basics, instead of only the basics.
+_SAMPLE_PRIORITY = [
+    "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
+    "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",
+    "link_harmonic_hyperball", "sketch_cms_freq", "dedup_containment",
+    "sink_warc_revisit", "stream_hot_hosts", "html_microdata",
+    "search_proximity", "quality_nb_weights", "sketch_kmv_overlap",
+    "sim_pq_recall", "bpe_pair_counts", "unigram_seed_counts",
+    "wordpiece_pair_scores", "text_lang_id2", "bitext_mining_lsh",
+    "dedup_semantic", "text_decontaminate_fuzzy", "dsir_resample",
+    "link_pagerank", "dedup_verified_lsh", "extract_quality",
+    "crawl_budget", "lang_id_confusion", "jpx_scan_ocr",
+    "extract_lineage_totals",
+]
+
+
+def _export_order() -> list:
+    """Deterministic export order: _SAMPLE_PRIORITY names interleaved
+    1:1 with the remaining REGISTRY keys in append order, then the
+    remainder.  Every REGISTRY key appears exactly once."""
+    pri = [n for n in _SAMPLE_PRIORITY if n in REGISTRY]
+    pri_set = set(pri)
+    rest = [n for n in REGISTRY if n not in pri_set]
+    out = []
+    for i, p in enumerate(pri):
+        out.append(p)
+        if i < len(rest):
+            out.append(rest[i])
+    out.extend(rest[len(pri):])
+    return out
+
+
 def queries() -> Dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _export_order()}
 
 
 def oracle_sql() -> Dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1]
+        for name in _export_order()
+        if REGISTRY[name][1] is not None
+    }
