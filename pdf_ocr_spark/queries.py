@@ -8513,8 +8513,8 @@ FROM read_parquet('{_golden("pipeline_e2e")}')
 def q_extract_lineage_totals(spark, sf_dir):
     """Corpus-wide lineage totals: partition-INDEPENDENT aggregation over
     the per-partition sidecar rows — oracle = frozen kernel golden (the
-    per-partition rows themselves stay rows-only since part_id is
-    physical)."""
+    per-bucket rows get their own golden via the deterministic url-md5
+    bucket key, see q_extract_lineage)."""
     from pdf_ocr_spark.fixtures.genpages import gen_rows
     from pdf_ocr_spark.pipeline.extract_job import extract_pages, lineage_metrics
 
@@ -8544,19 +8544,35 @@ FROM read_parquet('{_golden("lineage_totals")}')
 
 
 def q_extract_lineage(spark, sf_dir):
-    """Lineage/metrics sidecar over the same corpus (rows-only)."""
+    """Lineage/metrics sidecar over the same corpus, keyed by the
+    DETERMINISTIC url-md5 bucket (engine- and partitioning-independent),
+    so the per-part rows value-hash against a frozen in-process golden
+    instead of the weaker rows-only check."""
     from pdf_ocr_spark.fixtures.genpages import gen_rows
     from pdf_ocr_spark.pipeline.extract_job import extract_pages, lineage_metrics
 
     rows = gen_rows(150)
     pages = spark.createDataFrame(
-        [(r["url"], bytearray(r["html"])) for r in rows],
+        [(r["url"], bytearray(r["html"]) if r["html"] is not None else None)
+         for r in rows],
         schema="url string, html binary",
     )
-    m = lineage_metrics(extract_pages(pages, num_partitions=8))
+    m = lineage_metrics(
+        extract_pages(pages, num_partitions=8), deterministic_buckets=8
+    )
     return m.select(
         "part_id", "n_docs", "n_pages", "n_failed", "n_ocr_pages", "n_bytes"
     )
+
+
+SQL_EXTRACT_LINEAGE = f"""
+SELECT CAST(part_id AS BIGINT) AS part_id,
+       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_failed AS BIGINT) AS n_failed,
+       CAST(n_ocr_pages AS BIGINT) AS n_ocr_pages,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM read_parquet('{_golden("lineage_parts")}')
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -9127,9 +9143,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "frontier_discover": (q_frontier_discover, SQL_FRONTIER_DISCOVER),
     "fetch_schedule": (q_fetch_schedule, SQL_FETCH_SCHEDULE),
     "crawl_cycle": (q_crawl_cycle, SQL_CRAWL_CYCLE),
-    # lineage rows stay rows-only: part_id depends on physical
-    # partitioning; the partition-independent TOTALS get a full oracle
-    "extract_lineage": (q_extract_lineage, None),
+    # lineage per-part rows use the deterministic url-md5 bucket key, so
+    # they value-hash against a frozen in-process golden like the totals
+    "extract_lineage": (q_extract_lineage, SQL_EXTRACT_LINEAGE),
     "extract_lineage_totals": (
         q_extract_lineage_totals,
         SQL_EXTRACT_LINEAGE_TOTALS,
@@ -9179,7 +9195,7 @@ _SAMPLE_PRIORITY = [
     "dedup_semantic", "text_decontaminate_fuzzy", "dsir_resample",
     "link_pagerank", "dedup_verified_lsh", "extract_quality",
     "crawl_budget", "lang_id_confusion", "jpx_scan_ocr",
-    "extract_lineage_totals",
+    "extract_lineage", "extract_lineage_totals",
 ]
 
 

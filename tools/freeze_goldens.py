@@ -117,6 +117,50 @@ def freeze_lineage_totals() -> pd.DataFrame:
     return golden
 
 
+def freeze_lineage_parts() -> pd.DataFrame:
+    """Per-bucket lineage rows with the DETERMINISTIC part key (first 8
+    hex chars of md5(url) mod 8 — engine-independent, partitioning-
+    independent): the page-level kernel run in-process, grouped with
+    pandas (must match q_extract_lineage)."""
+    from pdf_ocr_spark.pipeline.extract_job import extract_batch, ocr_batch
+
+    rows = gen_rows(150)
+    batch = pd.DataFrame(
+        {"url": [r["url"] for r in rows],
+         "html": [bytes(r["html"]) if r["html"] is not None else None for r in rows]}
+    )
+    pages = pd.concat(list(extract_batch(iter([batch]))), ignore_index=True)
+    pages = pd.concat(list(ocr_batch(iter([pages]))), ignore_index=True)
+    pages["part_id"] = [
+        int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % 8
+        for u in pages["url"]
+    ]
+    golden = (
+        pages.groupby("part_id")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "n_docs": int(g["url"].nunique()),
+                    "n_pages": int(len(g)),
+                    "n_failed": int((g["status"] == "failed").sum()),
+                    "n_ocr_pages": int(
+                        g["needs_ocr"].fillna(False).astype(bool).sum()
+                    ),
+                    "n_bytes": int(g["n_bytes"].sum()),
+                }
+            ),
+            include_groups=False,
+        )
+        .reset_index()
+        .sort_values("part_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    golden.to_parquet(
+        os.path.join(FIXTURES, "lineage_parts_golden.parquet"), index=False
+    )
+    return golden
+
+
 def freeze_pipeline_e2e() -> pd.DataFrame:
     """Golden for the end-to-end composition (extract → Gopher gate →
     exact dedup → per-kind accounting), computed with a THIRD engine:
@@ -503,6 +547,7 @@ if __name__ == "__main__":
         ("extract_corpus", freeze_extract_corpus),
         ("pages_table", freeze_pages_table),
         ("lineage_totals", freeze_lineage_totals),
+        ("lineage_parts", freeze_lineage_parts),
         ("pipeline_e2e", freeze_pipeline_e2e),
         ("link_edges", freeze_link_edges),
         ("multimodal_frames", freeze_multimodal_frames),
