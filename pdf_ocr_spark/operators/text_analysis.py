@@ -253,14 +253,27 @@ DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 def _word_ngrams(words: Column, n: int) -> Column:
     """Space-joined word n-grams; empty array when the doc is shorter
-    than n words (sequence(1, W-n+1) would count BACKWARD for W < n)."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    than n words (negative slice lengths would throw for W < n).
+
+    PUSHDOWN-PROOF SHAPE: zip n length-aligned shifted copies of the
+    word array (all top-level arguments, each evaluated once per row),
+    then concat per struct — the transform lambda references ONLY its
+    own variable.  The obvious alternative — transform(sequence(1,W-n+1),
+    i -> concat_ws(' ', slice(words, i, n))) — closes over ``words``,
+    which is O(W) per ELEMENT (O(W²) per doc) whenever ``words`` is an
+    inlined expression rather than an attribute.  Named intermediate
+    columns do NOT protect against that: Catalyst's predicate pushdown
+    substitutes aliases into filter conditions (e.g. a consumer's
+    .filter('passes_repetition')), re-inlining split(text) into the
+    lambda body — measured 82 s vs 6 s on 4k docs at sf0.1."""
+    length = F.size(words) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(words, k, length) for k in range(1, n + 1)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _top_run(grams: Column) -> Column:
@@ -314,11 +327,18 @@ def ngram_repetition_stats(
     no shuffle, so at 100 TB this is a pure codegen'd scan like the
     other quality gates, not a 9×-corpus n-gram exchange.
 
-    The normalized text and word array are bound as NAMED intermediate
-    columns (separate projections): a raw expression referenced inside
-    a lambda (e.g. slice(split(text), i, n)) is re-evaluated per array
-    element — O(W²) per doc, a hang on long documents.  Attribute
-    references keep every lambda step O(n)."""
+    EVERY multiply-referenced expression is bound as a NAMED column in
+    its own projection layer (norm text → word array → gram arrays →
+    top structs / distinct sizes → fracs → gate).  Two traps live here:
+    (1) a raw expression referenced inside a lambda is re-evaluated per
+    array element — O(W²) per doc; (2) HOF expressions are interpreted
+    (no whole-stage codegen), so codegen's common-subexpression
+    elimination never sees them — a ``top['cnt'] * length(top['gram'])``
+    that inlines ``top`` re-runs the whole sort+fold per reference, and
+    a frac used both as an output column and in the pass gate doubles
+    that again (measured 3.1× end-to-end on sf0.1).  Catalyst's
+    CollapseProject keeps the layers separate because the aliased
+    expressions are non-cheap and multiply referenced."""
     norm_expr = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     prep = docs.select(F.col(id_col), norm_expr.alias("_norm")).select(
         F.col(id_col),
@@ -326,34 +346,58 @@ def ngram_repetition_stats(
         F.split(F.col("_norm"), " ").alias("_words"),
     )
     words = F.col("_words")
+    # layer 1: each n-gram array built exactly once
+    gram_cols = [F.col(id_col), F.col("_nchars")]
+    for n in TOP_NGRAM_THRESHOLDS:
+        gram_cols.append(_word_ngrams(words, n).alias(f"_g{n}"))
+    for n in DUP_NGRAM_THRESHOLDS:
+        gram_cols.append(_word_ngrams(words, n).alias(f"_g{n}"))
+    grams_df = prep.select(*gram_cols)
+    # layer 2: one sort+fold per top family, one array_distinct per dup
+    stat_cols = [F.col(id_col), F.col("_nchars")]
+    for n in TOP_NGRAM_THRESHOLDS:
+        stat_cols.append(_top_run(F.col(f"_g{n}")).alias(f"_top{n}"))
+    for n in DUP_NGRAM_THRESHOLDS:
+        stat_cols.append(F.size(f"_g{n}").alias(f"_sz{n}"))
+        stat_cols.append(
+            F.size(F.array_distinct(F.col(f"_g{n}"))).alias(f"_dsz{n}")
+        )
+    stats_df = grams_df.select(*stat_cols)
+    # layer 3: fracs from named stats
     nchars = F.col("_nchars")
-    cols = [F.col(id_col)]
-    gates = []
-    for n, thr in TOP_NGRAM_THRESHOLDS.items():
-        top = _top_run(_word_ngrams(words, n))
-        frac = F.when(
-            nchars > 0,
-            F.round(top["cnt"] * F.length(top["gram"]) / nchars, 6),
-        ).otherwise(F.lit(0.0))
-        cols.append(frac.alias(f"top{n}_frac"))
-        gates.append(frac <= thr)
-    for n, thr in DUP_NGRAM_THRESHOLDS.items():
-        grams = _word_ngrams(words, n)
-        frac = F.when(
-            F.size(grams) > 0,
-            F.round(
-                (F.size(grams) - F.size(F.array_distinct(grams)))
-                / F.size(grams),
-                6,
-            ),
-        ).otherwise(F.lit(0.0))
-        cols.append(frac.alias(f"dup{n}_frac"))
-        gates.append(frac <= thr)
+    frac_cols = [F.col(id_col)]
+    for n in TOP_NGRAM_THRESHOLDS:
+        top = F.col(f"_top{n}")
+        frac_cols.append(
+            F.when(
+                nchars > 0,
+                F.round(top["cnt"] * F.length(top["gram"]) / nchars, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"top{n}_frac")
+        )
+    for n in DUP_NGRAM_THRESHOLDS:
+        sz = F.col(f"_sz{n}")
+        frac_cols.append(
+            F.when(
+                sz > 0,
+                F.round((sz - F.col(f"_dsz{n}")) / sz, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"dup{n}_frac")
+        )
+    fracs_df = stats_df.select(*frac_cols)
+    # layer 4: gate over named fracs (cheap attribute refs only)
+    gates = [
+        F.col(f"top{n}_frac") <= thr for n, thr in TOP_NGRAM_THRESHOLDS.items()
+    ]
+    gates += [
+        F.col(f"dup{n}_frac") <= thr for n, thr in DUP_NGRAM_THRESHOLDS.items()
+    ]
     passes = gates[0]
     for g in gates[1:]:
         passes = passes & g
-    cols.append(passes.alias("passes_repetition"))
-    return prep.select(*cols)
+    return fracs_df.select("*", passes.alias("passes_repetition"))
 
 
 # PII patterns (RE2-safe, shared verbatim with the oracle): the Dolma-

@@ -3409,18 +3409,31 @@ def q_filter_funnel(spark, sf_dir):
             )
         )
     )
+    # Survivor frames are round-robin repartitioned before caching: AQE
+    # coalesces the tiny join outputs to ~3 partitions locally, which
+    # would serialize the expensive per-doc n-gram stage; at scale the
+    # same repartition is the anti-skew spread of survivors (its shuffle
+    # ships only surviving rows — small next to the stats it feeds).
+    par = spark.sparkContext.defaultParallelism
     d1 = _qcache(docs.join(
         T.gopher_quality(docs)
         .filter(F.col("passes_gopher"))
         .select("doc_id"),
         "doc_id",
-    ))
+    ).repartition(par))
+    # The repetition gate is cached as a (doc_id, flag) projection and
+    # filtered FROM the cache: filtering the raw stats frame would let
+    # predicate pushdown substitute the full 9-family n-gram expression
+    # tree into the filter condition, re-evaluating each family 2-3×
+    # (HOFs are interpreted — codegen CSE never sees them).  The cache
+    # boundary keeps the layered 1×-per-family evaluation.
+    rep_gate = _qcache(
+        T.ngram_repetition_stats(d1).select("doc_id", "passes_repetition")
+    )
     d2 = _qcache(d1.join(
-        T.ngram_repetition_stats(d1)
-        .filter(F.col("passes_repetition"))
-        .select("doc_id"),
+        rep_gate.filter(F.col("passes_repetition")).select("doc_id"),
         "doc_id",
-    ))
+    ).repartition(par))
     vocab = T.lm_word_counts(docs, min_count=2)  # corpus-general LM
     scores = T.lm_doc_scores(d2, vocab, alpha=1.0).select(
         "doc_id", "avg_logprob"
