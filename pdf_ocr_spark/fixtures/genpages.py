@@ -1871,13 +1871,10 @@ def gen_jpx_scan_rows(n_docs: int = 6) -> List[dict]:
     return rows
 
 
-def _marker_to_symbol_page(iw: int, ih: int, px: bytes) -> bytes:
-    """Re-encode a pixel-grid marker bitmap as a JBIG2 symbol-coded
-    page: a 4-glyph dictionary (1–4 consecutive black cells) + a text
-    region placing one instance per run — the symbol-dictionary /
-    text-region coding real scanned-text JBIG2 uses (T.88 §6.4/§6.5).
-    The decoded page is pixel-identical to the generic encoding."""
-    from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page
+def _marker_runs(iw: int, ih: int, px: bytes):
+    """Shared glyph/placement extraction for the JBIG2 symbol coders:
+    a 4-glyph dictionary (1–4 consecutive black cells) + one instance
+    per horizontal run of the pixel-grid marker."""
     from pdf_ocr_spark.kernels.pixelcode import CELL
 
     cols, rows = iw // CELL, ih // CELL
@@ -1896,7 +1893,29 @@ def _marker_to_symbol_page(iw: int, ih: int, px: bytes) -> bytes:
                 c += run
             else:
                 c += 1
+    return symbols, instances
+
+
+def _marker_to_symbol_page(iw: int, ih: int, px: bytes) -> bytes:
+    """Re-encode a pixel-grid marker bitmap as a JBIG2 symbol-coded
+    page: symbol dictionary + text region — the coding real
+    scanned-text JBIG2 uses (T.88 §6.4/§6.5).  The decoded page is
+    pixel-identical to the generic encoding."""
+    from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page
+
+    symbols, instances = _marker_runs(iw, ih, px)
     return encode_symbol_page(iw, ih, symbols, instances)
+
+
+def _marker_to_symbol_page_huffman(iw: int, ih: int, px: bytes,
+                                   mmr: bool) -> bytes:
+    """Huffman twin (SDHUFF/SBHUFF=1, §6.5.9/§7.4.4.5): the same glyph
+    runs coded with Annex B standard tables and collective height-class
+    bitmaps — uncompressed rows, or MMR when ``mmr``."""
+    from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page_huffman
+
+    symbols, instances = _marker_runs(iw, ih, px)
+    return encode_symbol_page_huffman(iw, ih, symbols, instances, mmr=mmr)
 
 
 def make_scan_pdf_jbig2(
@@ -1914,8 +1933,10 @@ def make_scan_pdf_jbig2(
 
     ``coding`` picks the JBIG2 profile: ``generic`` (template-0
     arithmetic + TPGDON typical rows), ``symbol`` (symbol dictionary +
-    text region — what real scanned text uses), or ``mmr`` (MMR=1
-    generic region, a T.6/G4 bitstream).  ``flate_wrap`` zlib-wraps the
+    text region — what real scanned text uses), ``mmr`` (MMR=1 generic
+    region, a T.6/G4 bitstream), ``symbol_huffman`` (SDHUFF/SBHUFF=1
+    with uncompressed collective bitmaps), or ``symbol_huffman_mmr``
+    (Huffman coding with MMR collective bitmaps).  ``flate_wrap`` zlib-wraps the
     stream (``/Filter [/FlateDecode /JBIG2Decode]``); ``corrupt_page``
     (1-based, 0 = none) truncates that page's stream mid-data: the
     decoder must raise cleanly and the payload fall back to opaque
@@ -1937,6 +1958,10 @@ def make_scan_pdf_jbig2(
         iw, ih, px = text_to_pixels(text)
         if coding == "symbol":
             payload = _marker_to_symbol_page(iw, ih, px)
+        elif coding == "symbol_huffman":
+            payload = _marker_to_symbol_page_huffman(iw, ih, px, mmr=False)
+        elif coding == "symbol_huffman_mmr":
+            payload = _marker_to_symbol_page_huffman(iw, ih, px, mmr=True)
         elif coding == "mmr":
             payload = encode_bilevel_mmr(iw, ih, px)
         else:
@@ -1975,15 +2000,17 @@ def make_scan_pdf_jbig2(
     return w.build(catalog)
 
 
-def gen_jbig2_scan_rows(n_docs: int = 11) -> List[dict]:
+def gen_jbig2_scan_rows(n_docs: int = 13) -> List[dict]:
     """Corpus for the JBIG2 scan branch: multi-page PDFs whose pages are
     JBIG2Decode image XObjects carrying pixel-marker ground truth.
     Docs 0-6 are generic-region coded; docs 7-8 are symbol-coded
     (symbol dictionary + text region — the coding real scanned text
-    uses); doc n-2 is MMR (T.6) coded AND zlib-wraps its streams
-    (filter chain over the MMR body); the last doc carries a truncated
-    symbol-coded stream on page 1 (decode must fail loudly, extract
-    must not).  Deterministic — same rows every call."""
+    uses); doc 9 is Huffman-coded (SDHUFF/SBHUFF=1, uncompressed
+    collective bitmaps) and doc 10 Huffman with MMR collective bitmaps;
+    doc n-2 is MMR (T.6) coded AND zlib-wraps its streams (filter chain
+    over the MMR body); the last doc carries a truncated symbol-coded
+    stream on page 1 (decode must fail loudly, extract must not).
+    Deterministic — same rows every call."""
     rng = random.Random(0x1B162)
     rows = []
     for d in range(n_docs):
@@ -1998,6 +2025,10 @@ def gen_jbig2_scan_rows(n_docs: int = 11) -> List[dict]:
         flate = d == n_docs - 2
         if d in (7, 8) or d == n_docs - 1:
             coding = "symbol"
+        elif d == 9:
+            coding = "symbol_huffman"
+        elif d == 10 and d < n_docs - 2:
+            coding = "symbol_huffman_mmr"
         elif d == n_docs - 2:
             coding = "mmr"
         else:

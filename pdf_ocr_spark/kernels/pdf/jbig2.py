@@ -35,10 +35,17 @@ BOTH sides so fixtures are deterministic:
   coder; here every context starts at state 0 / MPS 0 per §6.2.5.3
   (JBIG2 has no preset context table)
 
-Out of scope (→ loud ``JBIG2Error``): Huffman-coded symbol/text
-segments (SDHUFF/SBHUFF=1 — arithmetic coding is what PDF generators
-emit), refinement/aggregate coding, transposed text regions, halftone
-regions, unknown-length regions, JBIG2Globals, retained contexts.
+* Huffman-coded symbol dictionaries and text regions (SDHUFF/SBHUFF=1,
+  §6.5.9 / §7.4.4.5): the T.88 Annex B standard tables B.1–B.15 with
+  the B.3 canonical prefix-code assignment, collective height-class
+  bitmaps (uncompressed rows or MMR via the shared CCITT kernel),
+  runcode-coded symbol-ID tables (codes 32/33/34 repeats), and exact
+  encoder mirrors — the profile fax-oriented JBIG2 encoders emit
+
+Out of scope (→ loud ``JBIG2Error``): custom Huffman table segments
+(type 53 / selector 3), refinement/aggregate coding, transposed text
+regions, halftone regions, unknown-length regions, JBIG2Globals,
+retained contexts.
 
 The 16-bit template context packs the nominal template-0 neighbourhood
 in raster order (sorted by (y, x), MSB first) — the convention of the
@@ -216,6 +223,238 @@ def _symcodelen(nsyms: int) -> int:
     """SBSYMCODELEN = max(1, ⌈log2(SBNUMSYMS)⌉) — the T.88 errata /
     pdf.js convention for arithmetic symbol-ID coding."""
     return max(1, (nsyms - 1).bit_length()) if nsyms > 1 else 1
+
+
+# --------------------------------------------------------------------------
+# Huffman coding (T.88 Annex B) — bit I/O, standard tables, line coders
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over a bytes buffer (§B.4 bit order)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.bitpos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.bitpos >> 3
+            if byte >= len(self.data):
+                raise JBIG2Error("Huffman bitstream overrun")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return v
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def read_bytes(self, n: int) -> bytes:
+        """Aligned raw-byte read (collective bitmaps, MMR bodies)."""
+        self.align()
+        start = self.bitpos >> 3
+        if start + n > len(self.data):
+            raise JBIG2Error("Huffman bitstream overrun")
+        self.bitpos += n * 8
+        return self.data[start:start + n]
+
+
+class _BitWriter:
+    """Exact mirror of :class:`_BitReader`."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            if self.nbits & 7 == 0:
+                self.buf.append(0)
+            if (v >> k) & 1:
+                self.buf[-1] |= 0x80 >> (self.nbits & 7)
+            self.nbits += 1
+
+    def align(self) -> None:
+        self.nbits = (self.nbits + 7) & ~7
+
+    def write_bytes(self, data: bytes) -> None:
+        self.align()
+        self.buf.extend(data)
+        self.nbits = len(self.buf) * 8
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+# Annex B standard tables.  Line kinds: ("n", preflen, rangelen, low) =
+# value in [low, low + 2^rangelen); ("l", preflen, low) = lower range,
+# value = low - HTOFFSET (32 offset bits); ("u", preflen, low) = upper
+# range, value = low + HTOFFSET (32 bits); ("o", preflen) = OOB.
+# Transcribed from T.88 Annex B Tables B.1–B.15; every table's RANGELOW
+# chain is contiguous (low_{i+1} = low_i + 2^rangelen_i), which
+# cross-checks the rangelen/low columns, and prefix-code validity
+# (Kraft sum ≤ 1, canonical assignment collision-free) is asserted at
+# build time.
+_STD_TABLES: Dict[int, Tuple] = {
+    1: (("n", 1, 4, 0), ("n", 2, 8, 16), ("n", 3, 16, 272),
+        ("u", 3, 65808)),
+    2: (("n", 1, 0, 0), ("n", 2, 0, 1), ("n", 3, 0, 2), ("n", 4, 3, 3),
+        ("n", 5, 6, 11), ("u", 6, 75), ("o", 6)),
+    3: (("n", 8, 8, -256), ("n", 1, 0, 0), ("n", 2, 0, 1), ("n", 3, 0, 2),
+        ("n", 4, 3, 3), ("n", 5, 6, 11), ("l", 8, -257), ("u", 7, 75),
+        ("o", 6)),
+    4: (("n", 1, 0, 1), ("n", 2, 0, 2), ("n", 3, 0, 3), ("n", 4, 3, 4),
+        ("n", 5, 6, 12), ("u", 5, 76)),
+    5: (("n", 7, 8, -255), ("n", 1, 0, 1), ("n", 2, 0, 2), ("n", 3, 0, 3),
+        ("n", 4, 3, 4), ("n", 5, 6, 12), ("l", 7, -256), ("u", 6, 76)),
+    6: (("n", 5, 10, -2048), ("n", 4, 9, -1024), ("n", 4, 8, -512),
+        ("n", 4, 7, -256), ("n", 5, 6, -128), ("n", 5, 5, -64),
+        ("n", 4, 5, -32), ("n", 2, 7, 0), ("n", 3, 7, 128),
+        ("n", 3, 8, 256), ("n", 4, 9, 512), ("n", 4, 10, 1024),
+        ("l", 6, -2049), ("u", 6, 2048)),
+    7: (("n", 4, 9, -1024), ("n", 3, 8, -512), ("n", 4, 7, -256),
+        ("n", 5, 6, -128), ("n", 5, 5, -64), ("n", 4, 5, -32),
+        ("n", 4, 5, 0), ("n", 5, 5, 32), ("n", 5, 6, 64),
+        ("n", 4, 7, 128), ("n", 3, 8, 256), ("n", 3, 9, 512),
+        ("n", 3, 10, 1024), ("l", 5, -1025), ("u", 5, 2048)),
+    8: (("n", 8, 3, -15), ("n", 9, 1, -7), ("n", 8, 1, -5),
+        ("n", 9, 0, -3), ("n", 7, 0, -2), ("n", 4, 0, -1),
+        ("n", 2, 1, 0), ("n", 5, 0, 2), ("n", 6, 0, 3), ("n", 3, 4, 4),
+        ("n", 6, 1, 20), ("n", 4, 4, 22), ("n", 4, 5, 38),
+        ("n", 5, 6, 70), ("n", 5, 7, 134), ("n", 6, 7, 262),
+        ("n", 7, 8, 390), ("n", 6, 10, 646), ("l", 9, -16),
+        ("u", 9, 1670), ("o", 2)),
+    9: (("n", 8, 4, -31), ("n", 9, 2, -15), ("n", 8, 2, -11),
+        ("n", 9, 1, -7), ("n", 7, 1, -5), ("n", 4, 1, -3),
+        ("n", 3, 1, -1), ("n", 3, 1, 1), ("n", 5, 1, 3), ("n", 6, 1, 5),
+        ("n", 3, 5, 7), ("n", 6, 2, 39), ("n", 4, 5, 43),
+        ("n", 4, 6, 75), ("n", 5, 7, 139), ("n", 5, 8, 267),
+        ("n", 6, 8, 523), ("n", 7, 9, 779), ("n", 6, 11, 1291),
+        ("l", 9, -32), ("u", 9, 3339), ("o", 2)),
+    10: (("n", 7, 4, -21), ("n", 8, 0, -5), ("n", 7, 0, -4),
+         ("n", 5, 0, -3), ("n", 2, 2, -2), ("n", 5, 0, 2),
+         ("n", 6, 0, 3), ("n", 7, 0, 4), ("n", 8, 0, 5), ("n", 2, 6, 6),
+         ("n", 5, 5, 70), ("n", 6, 5, 102), ("n", 7, 6, 134),
+         ("n", 8, 7, 198), ("n", 8, 8, 326), ("n", 8, 9, 582),
+         ("n", 8, 10, 1094), ("n", 7, 11, 2118), ("l", 8, -22),
+         ("u", 8, 4166), ("o", 2)),
+    11: (("n", 1, 0, 1), ("n", 2, 1, 2), ("n", 4, 0, 4), ("n", 4, 1, 5),
+         ("n", 5, 1, 7), ("n", 5, 2, 9), ("n", 6, 2, 13),
+         ("n", 7, 2, 17), ("n", 7, 3, 21), ("n", 7, 4, 29),
+         ("n", 7, 5, 45), ("n", 7, 6, 77), ("u", 7, 141)),
+    12: (("n", 1, 0, 1), ("n", 2, 0, 2), ("n", 3, 1, 3), ("n", 5, 0, 5),
+         ("n", 5, 1, 6), ("n", 6, 1, 8), ("n", 7, 0, 10),
+         ("n", 7, 1, 11), ("n", 7, 2, 13), ("n", 7, 3, 17),
+         ("n", 7, 4, 25), ("n", 8, 5, 41), ("u", 8, 73)),
+    13: (("n", 1, 0, 1), ("n", 3, 0, 2), ("n", 4, 0, 3), ("n", 5, 0, 4),
+         ("n", 4, 1, 5), ("n", 3, 3, 7), ("n", 6, 1, 15),
+         ("n", 6, 2, 17), ("n", 6, 3, 21), ("n", 6, 4, 29),
+         ("n", 6, 5, 45), ("n", 7, 6, 77), ("u", 7, 141)),
+    14: (("n", 3, 0, -2), ("n", 3, 0, -1), ("n", 1, 0, 0),
+         ("n", 3, 0, 1), ("n", 3, 0, 2)),
+    15: (("n", 7, 4, -24), ("n", 6, 2, -8), ("n", 5, 1, -4),
+         ("n", 4, 0, -2), ("n", 3, 0, -1), ("n", 1, 0, 0),
+         ("n", 3, 0, 1), ("n", 4, 0, 2), ("n", 5, 1, 3), ("n", 6, 2, 5),
+         ("n", 7, 4, 9), ("l", 7, -25), ("u", 7, 25)),
+}
+
+
+class _HuffTable:
+    """Prefix-code table with the B.3 canonical assignment: codes are
+    assigned per length in increasing PREFLEN, in table-line order
+    within a length (PREFLEN 0 lines get no code)."""
+
+    def __init__(self, lines: Sequence[Tuple]) -> None:
+        self.lines = tuple(lines)
+        coded = [ln for ln in self.lines if ln[1] > 0]
+        maxlen = max((ln[1] for ln in coded), default=0)
+        counts = [0] * (maxlen + 1)
+        for ln in coded:
+            counts[ln[1]] += 1
+        firstcode = [0] * (maxlen + 2)
+        for length in range(1, maxlen + 1):
+            firstcode[length + 1] = (firstcode[length] + counts[length]) << 1
+        nextcode = firstcode[1:maxlen + 2]
+        self.decode_map: Dict[Tuple[int, int], Tuple] = {}
+        self.encode_map: Dict[int, Tuple[int, int]] = {}
+        kraft = 0
+        for i, ln in enumerate(self.lines):
+            plen = ln[1]
+            if plen == 0:
+                continue
+            code = nextcode[plen - 1]
+            nextcode[plen - 1] += 1
+            if (plen, code) in self.decode_map or code >= (1 << plen):
+                raise JBIG2Error("invalid Huffman table")
+            self.decode_map[(plen, code)] = ln
+            self.encode_map[i] = (plen, code)
+            kraft += 1 << (maxlen - plen)
+        if kraft > (1 << maxlen):
+            raise JBIG2Error("over-subscribed Huffman table")
+
+    def decode(self, r: _BitReader) -> Optional[int]:
+        code = 0
+        for plen in range(1, 33):
+            code = (code << 1) | r.read(1)
+            ln = self.decode_map.get((plen, code))
+            if ln is None:
+                continue
+            kind = ln[0]
+            if kind == "o":
+                return None
+            if kind == "n":
+                return ln[3] + r.read(ln[2])
+            if kind == "u":
+                return ln[2] + r.read(32)
+            return ln[2] - r.read(32)            # "l": lower range
+        raise JBIG2Error("invalid Huffman code")
+
+    def encode(self, w: _BitWriter, value: Optional[int]) -> None:
+        for i, ln in enumerate(self.lines):
+            kind = ln[0]
+            if kind == "o":
+                if value is None:
+                    plen, code = self.encode_map[i]
+                    w.write(code, plen)
+                    return
+                continue
+            if value is None:
+                continue
+            if kind == "n" and ln[3] <= value < ln[3] + (1 << ln[2]):
+                plen, code = self.encode_map[i]
+                w.write(code, plen)
+                w.write(value - ln[3], ln[2])
+                return
+            if kind == "u" and value >= ln[2]:
+                plen, code = self.encode_map[i]
+                w.write(code, plen)
+                w.write(value - ln[2], 32)
+                return
+            if kind == "l" and value <= ln[2]:
+                plen, code = self.encode_map[i]
+                w.write(code, plen)
+                w.write(ln[2] - value, 32)
+                return
+        raise JBIG2Error(f"value {value} not codable by Huffman table")
+
+
+_STD_BUILT: Dict[int, _HuffTable] = {}
+
+
+def _std_table(n: int) -> _HuffTable:
+    t = _STD_BUILT.get(n)
+    if t is None:
+        t = _STD_BUILT[n] = _HuffTable(_STD_TABLES[n])
+    return t
+
+
+def _sym_id_table(lengths: Sequence[int]) -> _HuffTable:
+    """Symbol-ID prefix table from per-symbol code lengths (§7.4.4.5):
+    line i decodes to symbol index i."""
+    return _HuffTable(tuple(
+        ("n", plen, 0, i) for i, plen in enumerate(lengths)
+    ))
 
 
 # --------------------------------------------------------------------------
@@ -445,7 +684,7 @@ def _decode_symbol_dict(body: bytes,
         raise JBIG2Error("short symbol dictionary segment")
     flags = int.from_bytes(body[0:2], "big")
     if flags & 0x0001:
-        raise JBIG2Error("Huffman symbol dictionaries unsupported")
+        return _decode_symbol_dict_huffman(body, flags, input_syms)
     if flags & 0x0002:
         raise JBIG2Error("refinement/aggregate symbol coding unsupported")
     if (flags >> 10) & 0x03 != 0:
@@ -498,6 +737,187 @@ def _decode_symbol_dict(body: bytes,
     if len(exported) != num_ex:
         raise JBIG2Error("export count mismatch")
     return exported
+
+
+def _split_collective(coll: bytes, widths: Sequence[int], hc_height: int,
+                      totwidth: int) -> List[Tuple[int, int, bytearray]]:
+    """Split a height-class collective bitmap (1 byte per pixel, 0/1)
+    into per-symbol bitmaps left to right (§6.5.9 step 4(c))."""
+    out: List[Tuple[int, int, bytearray]] = []
+    x0 = 0
+    for w in widths:
+        bits = bytearray(w * hc_height)
+        for y in range(hc_height):
+            src = y * totwidth + x0
+            bits[y * w:(y + 1) * w] = coll[src:src + w]
+        out.append((w, hc_height, bits))
+        x0 += w
+    return out
+
+
+def _decode_collective(r: _BitReader, bmsize: int, totwidth: int,
+                       hc_height: int) -> bytes:
+    """Height-class collective bitmap (§6.5.9 step 4(b)): byte-aligned;
+    BMSIZE=0 → uncompressed rows padded to byte boundaries, else an MMR
+    (T.6) bitstream of exactly BMSIZE bytes."""
+    if bmsize == 0:
+        stride = (totwidth + 7) // 8
+        raw = r.read_bytes(stride * hc_height)
+        coll = bytearray(totwidth * hc_height)
+        for y in range(hc_height):
+            for x in range(totwidth):
+                if raw[y * stride + (x >> 3)] & (0x80 >> (x & 7)):
+                    coll[y * totwidth + x] = 1
+        return bytes(coll)
+    from pdf_ocr_spark.kernels.pdf import ccitt
+
+    body = r.read_bytes(bmsize)
+    try:
+        w, h, luma = ccitt.decode(body, columns=totwidth, rows=hc_height,
+                                  k=-1)
+    except ccitt.CcittError as exc:
+        raise JBIG2Error(f"collective bitmap MMR: {exc}") from exc
+    if (w, h) != (totwidth, hc_height):
+        raise JBIG2Error("collective bitmap dimension mismatch")
+    return bytes(1 if b < 128 else 0 for b in luma)
+
+
+def _decode_symbol_dict_huffman(body: bytes, flags: int,
+                                input_syms: List[Tuple[int, int, bytearray]]
+                                ) -> List[Tuple[int, int, bytearray]]:
+    """SDHUFF=1 symbol dictionary (§6.5.5 / §6.5.9): heights and widths
+    via the selected Annex B tables, per-height-class collective
+    bitmaps (uncompressed or MMR), EX runs via Table B.1.  No AT bytes
+    in the header (§7.4.3.1.1: present only when SDHUFF is 0)."""
+    if flags & 0x0002:
+        raise JBIG2Error("refinement/aggregate symbol coding unsupported")
+    if flags & 0x6000:
+        raise JBIG2Error("retained coding contexts unsupported")
+    dh_sel = (flags >> 2) & 0x03
+    dw_sel = (flags >> 4) & 0x03
+    if dh_sel >= 2 or dw_sel >= 2:
+        raise JBIG2Error("custom Huffman tables unsupported")
+    if (flags >> 6) & 0x01 or (flags >> 7) & 0x01:
+        raise JBIG2Error("custom Huffman tables unsupported")
+    dh_tab = _std_table(4 + dh_sel)          # B.4 / B.5
+    dw_tab = _std_table(2 + dw_sel)          # B.2 / B.3
+    bmsize_tab = _std_table(1)               # B.1
+    ex_tab = _std_table(1)                   # B.1 (§6.5.10)
+    num_ex = int.from_bytes(body[2:6], "big")
+    num_new = int.from_bytes(body[6:10], "big")
+    if num_new > _MAX_SYMS or num_ex > len(input_syms) + num_new:
+        raise JBIG2Error("unreasonable symbol counts")
+    r = _BitReader(body[10:])
+    new_syms: List[Tuple[int, int, bytearray]] = []
+    hc_height = 0
+    while len(new_syms) < num_new:
+        dh = dh_tab.decode(r)
+        if dh is None:
+            raise JBIG2Error("OOB height-class delta")
+        hc_height += dh
+        if not 0 < hc_height <= _MAX_SYM_DIM:
+            raise JBIG2Error("unreasonable symbol height")
+        symw = 0
+        totwidth = 0
+        widths: List[int] = []
+        while True:
+            dw = dw_tab.decode(r)
+            if dw is None:
+                break                        # OOB: height class done
+            symw += dw
+            if not 0 < symw <= _MAX_SYM_DIM:
+                raise JBIG2Error("unreasonable symbol width")
+            if len(new_syms) + len(widths) >= num_new:
+                raise JBIG2Error("more symbols than declared")
+            totwidth += symw
+            if totwidth * hc_height > 64 << 20:
+                raise JBIG2Error("unreasonable symbol size")
+            widths.append(symw)
+        bmsize = bmsize_tab.decode(r)
+        if bmsize is None or bmsize < 0:
+            raise JBIG2Error("bad collective bitmap size")
+        if widths:
+            coll = _decode_collective(r, bmsize, totwidth, hc_height)
+            new_syms.extend(
+                _split_collective(coll, widths, hc_height, totwidth))
+    all_syms = list(input_syms) + new_syms
+    exported: List[Tuple[int, int, bytearray]] = []
+    idx = 0
+    cur_flag = 0
+    while idx < len(all_syms):
+        run = ex_tab.decode(r)
+        if run is None or run < 0 or idx + run > len(all_syms):
+            raise JBIG2Error("bad export run")
+        if cur_flag:
+            exported.extend(all_syms[idx:idx + run])
+        idx += run
+        cur_flag ^= 1
+    if len(exported) != num_ex:
+        raise JBIG2Error("export count mismatch")
+    return exported
+
+
+def _encode_symbol_dict_body_huffman(
+        symbols: Sequence[Tuple[int, int, bytearray]],
+        mmr: bool) -> bytes:
+    """Huffman symbol dictionary exporting every symbol.  Requires the
+    caller to present symbols sorted by (height, width): table B.4
+    codes only DH ≥ 1 (strictly ascending height classes) and B.2 only
+    DW ≥ 0 (non-decreasing widths within a class)."""
+    w = _BitWriter()
+    dh_tab = _std_table(4)
+    dw_tab = _std_table(2)
+    b1 = _std_table(1)
+    prev_h = 0
+    i = 0
+    while i < len(symbols):
+        h = symbols[i][1]
+        if h <= prev_h:
+            raise JBIG2Error("Huffman dict needs ascending height classes")
+        dh_tab.encode(w, h - prev_h)
+        prev_h = h
+        symw = 0
+        totwidth = 0
+        cls: List[Tuple[int, int, bytearray]] = []
+        while i < len(symbols) and symbols[i][1] == h:
+            sw = symbols[i][0]
+            if sw < symw:
+                raise JBIG2Error("Huffman class needs ascending widths")
+            dw_tab.encode(w, sw - symw)
+            symw = sw
+            totwidth += sw
+            cls.append(symbols[i])
+            i += 1
+        dw_tab.encode(w, None)               # OOB ends the height class
+        coll = bytearray(totwidth * h)
+        x0 = 0
+        for sw, _, sbits in cls:
+            for y in range(h):
+                coll[y * totwidth + x0:y * totwidth + x0 + sw] = (
+                    sbits[y * sw:(y + 1) * sw])
+            x0 += sw
+        if mmr:
+            from pdf_ocr_spark.kernels.pdf import ccitt
+
+            luma = bytes(0 if b else 255 for b in coll)
+            body = ccitt.encode_g4(luma, totwidth, h)
+            b1.encode(w, len(body))
+            w.write_bytes(body)
+        else:
+            b1.encode(w, 0)
+            stride = (totwidth + 7) // 8
+            raw = bytearray(stride * h)
+            for y in range(h):
+                for x in range(totwidth):
+                    if coll[y * totwidth + x]:
+                        raw[y * stride + (x >> 3)] |= 0x80 >> (x & 7)
+            w.write_bytes(bytes(raw))
+    b1.encode(w, 0)                          # no un-exported prefix
+    b1.encode(w, len(symbols))               # export every symbol
+    flags = 0x0001                           # SDHUFF=1, B.4/B.2/B.1 selectors
+    return (_u16(flags) +
+            _u32(len(symbols)) + _u32(len(symbols)) +
+            w.bytes())
 
 
 # --------------------------------------------------------------------------
@@ -555,6 +975,112 @@ def _encode_text_region_body(
             mq.flush())
 
 
+def _encode_text_region_body_huffman(
+        rw: int, rh: int,
+        symbols: Sequence[Tuple[int, int, bytearray]],
+        instances: Sequence[Tuple[int, int, int]],
+        refcorner: int, logsbstrips: int) -> bytes:
+    """SBHUFF=1 immediate lossless text region: standard tables B.6
+    (FS) / B.8 (DS) / B.11 (DT), uniform-length symbol-ID codes carried
+    via the runcode table (the one coded runcode gets a 1-bit prefix)."""
+    sbstrips = 1 << logsbstrips
+    top_corner = refcorner in (1, 3)
+    strips: Dict[int, List[Tuple[int, int, int, int]]] = {}
+    for sid, x, y in instances:
+        w, h, _ = symbols[sid]
+        t = y if top_corner else y + h - 1
+        strips.setdefault(t // sbstrips, []).append((x, t, sid, w))
+    fs_tab = _std_table(6)
+    ds_tab = _std_table(8)
+    dt_tab = _std_table(11)
+    symlen = _symcodelen(len(symbols))
+    symtab = _sym_id_table([symlen] * len(symbols))
+    w = _BitWriter()
+    runlens = [0] * 35
+    runlens[symlen] = 1
+    for v in runlens:
+        w.write(v, 4)
+    for _ in symbols:                        # every length = the 1-bit code
+        w.write(0, 1)
+    w.align()
+    dt_tab.encode(w, 1)                      # STRIPT init → -SBSTRIPS
+    stript_q = -1
+    firsts = 0
+    for q in sorted(strips):
+        dt_tab.encode(w, q - stript_q)       # ≥ 1, codable by B.11
+        stript_q = q
+        first = True
+        curs = 0
+        for x, t, sid, sw in sorted(strips[q]):
+            if first:
+                fs_tab.encode(w, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                ds_tab.encode(w, x - curs)
+            curs = x
+            if sbstrips > 1:
+                w.write(t - q * sbstrips, logsbstrips)
+            plen, code = symtab.encode_map[sid]
+            w.write(code, plen)
+            curs += sw - 1
+        ds_tab.encode(w, None)               # OOB ends the strip
+    flags = 0x0001 | (logsbstrips << 2) | (refcorner << 4)
+    hflags = 0x0000                          # B.6 / B.8 / B.11 selectors
+    return (_u32(rw) + _u32(rh) + _u32(0) + _u32(0) +
+            bytes([0x00]) +                  # external combination op: OR
+            _u16(flags) + _u16(hflags) +
+            _u32(len(instances)) +
+            w.bytes())
+
+
+def encode_symbol_page_huffman(
+        width: int, height: int,
+        symbols: Sequence[Tuple[int, int, bytes]],
+        instances: Sequence[Tuple[int, int, int]],
+        refcorner: int = 1, logsbstrips: int = 0,
+        mmr: bool = False) -> bytes:
+    """Huffman twin of :func:`encode_symbol_page` (SDHUFF=SBHUFF=1):
+    symbol dictionary with collective height-class bitmaps
+    (uncompressed, or MMR when ``mmr``) + Huffman text region.  The
+    dictionary orders symbols by (height, width) — required by tables
+    B.4/B.2 — and remaps instance indices accordingly, so callers use
+    the same inputs as the arithmetic encoder and decode to the same
+    page."""
+    if width <= 0 or height <= 0:
+        raise JBIG2Error("bad page dimensions")
+    if not symbols:
+        raise JBIG2Error("symbol page needs at least one symbol")
+    if refcorner not in (0, 1, 2, 3) or logsbstrips not in (0, 1, 2, 3):
+        raise JBIG2Error("bad refcorner/logsbstrips")
+    syms: List[Tuple[int, int, bytearray]] = []
+    for w, h, luma in symbols:
+        if w <= 0 or h <= 0 or len(luma) != w * h:
+            raise JBIG2Error("bad symbol dimensions")
+        syms.append((w, h, bytearray(1 if b < 128 else 0 for b in luma)))
+    order = sorted(range(len(syms)), key=lambda i: (syms[i][1], syms[i][0], i))
+    remap = {old: new for new, old in enumerate(order)}
+    sorted_syms = [syms[i] for i in order]
+    # merge equal heights into one class: ascend strictly by DEDUPED
+    # height (B.4 needs DH >= 1), widths ascend within a class (B.2)
+    new_insts: List[Tuple[int, int, int]] = []
+    for sid, x, y in instances:
+        if not 0 <= sid < len(syms):
+            raise JBIG2Error("instance symbol index out of range")
+        if not (0 <= x < width and 0 <= y < height):
+            raise JBIG2Error("instance origin outside page")
+        new_insts.append((remap[sid], x, y))
+    dict_body = _encode_symbol_dict_body_huffman(sorted_syms, mmr)
+    text_body = _encode_text_region_body_huffman(
+        width, height, sorted_syms, new_insts, refcorner, logsbstrips)
+    return (_segment(0, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
+            _segment(1, _SEG_SYMBOL_DICT, 1, dict_body) +
+            _segment(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_body,
+                     refs=(1,)) +
+            _segment(3, _SEG_END_OF_PAGE, 1, b""))
+
+
 def _decode_text_region(body: bytes,
                         syms: List[Tuple[int, int, bytearray]],
                         page: bytearray, pw: int, ph: int) -> None:
@@ -569,8 +1095,7 @@ def _decode_text_region(body: bytes,
     if rw == 0 or rh == 0 or rw * rh > 64 << 20:
         raise JBIG2Error("unreasonable region size")
     flags = int.from_bytes(body[17:19], "big")
-    if flags & 0x0001:
-        raise JBIG2Error("Huffman text regions unsupported")
+    huff = bool(flags & 0x0001)
     if flags & 0x0002:
         raise JBIG2Error("refinement text coding unsupported")
     logsbstrips = (flags >> 2) & 0x03
@@ -585,13 +1110,24 @@ def _decode_text_region(body: bytes,
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32
+    if not syms:
+        raise JBIG2Error("text region with no symbols")
+    top_corner = refcorner in (1, 3)
+    if huff:
+        if len(body) < 25:
+            raise JBIG2Error("short text region segment")
+        num_inst = int.from_bytes(body[21:25], "big")
+        if num_inst > _MAX_INSTANCES:
+            raise JBIG2Error("unreasonable instance count")
+        bits = _decode_text_huffman(
+            body, syms, rw, rh, num_inst, sbstrips, logsbstrips,
+            top_corner, dsoffset)
+        _compose_or(bits, rw, rh, page, pw, rx, ry)
+        return
     num_inst = int.from_bytes(body[19:23], "big")
     if num_inst > _MAX_INSTANCES:
         raise JBIG2Error("unreasonable instance count")
-    if not syms:
-        raise JBIG2Error("text region with no symbols")
     symlen = _symcodelen(len(syms))
-    top_corner = refcorner in (1, 3)
     mq = MQDecoder(body[23:], states=_Ctx())
     dec = _IntDecoder(mq)
     bits = bytearray(rw * rh)
@@ -638,21 +1174,118 @@ def _decode_text_region(body: bytes,
             # for all four (untransposed) corners the drawn top-left x
             # is CURS before advancement, and CURS advances by WS-1
             # (§6.4.5 step 3(c) vi-x collapse to this)
-            x0 = curs
             y0 = tt if top_corner else tt - sh + 1
-            for yy in range(sh):
-                ty = y0 + yy
-                if not 0 <= ty < rh:
-                    continue
-                rowbase = ty * rw
-                sbase = yy * sw
-                for xx in range(sw):
-                    tx = x0 + xx
-                    if 0 <= tx < rw and sbits[sbase + xx]:
-                        bits[rowbase + tx] = 1
+            _draw_symbol(bits, rw, rh, sbits, sw, sh, curs, y0)
             curs += sw - 1
             n += 1
     _compose_or(bits, rw, rh, page, pw, rx, ry)
+
+
+def _draw_symbol(bits: bytearray, rw: int, rh: int, sbits: bytearray,
+                 sw: int, sh: int, x0: int, y0: int) -> None:
+    for yy in range(sh):
+        ty = y0 + yy
+        if not 0 <= ty < rh:
+            continue
+        rowbase = ty * rw
+        sbase = yy * sw
+        for xx in range(sw):
+            tx = x0 + xx
+            if 0 <= tx < rw and sbits[sbase + xx]:
+                bits[rowbase + tx] = 1
+
+
+def _read_sym_id_lengths(r: _BitReader, nsyms: int) -> List[int]:
+    """Symbol-ID code lengths via the runcode scheme (§7.4.4.5): 35
+    four-bit runcode prefix lengths, then runcodes 0..31 = literal
+    length, 32 = repeat previous 3-6×, 33 = 3-10 zeros, 34 = 11-138
+    zeros; byte-aligned afterwards."""
+    runlens = [r.read(4) for _ in range(35)]
+    runtab = _HuffTable(tuple(
+        ("n", plen, 0, i) for i, plen in enumerate(runlens)
+    ))
+    lengths: List[int] = []
+    prev = 0
+    while len(lengths) < nsyms:
+        c = runtab.decode(r)
+        if c is None:
+            raise JBIG2Error("bad symbol-ID runcode")
+        if c < 32:
+            lengths.append(c)
+            prev = c
+        elif c == 32:
+            lengths.extend([prev] * (3 + r.read(2)))
+        elif c == 33:
+            lengths.extend([0] * (3 + r.read(3)))
+        else:
+            lengths.extend([0] * (11 + r.read(7)))
+    if len(lengths) != nsyms:
+        raise JBIG2Error("symbol-ID runcode overshoot")
+    r.align()
+    return lengths
+
+
+def _decode_text_huffman(body: bytes, syms, rw: int, rh: int,
+                         num_inst: int, sbstrips: int, logsbstrips: int,
+                         top_corner: bool, dsoffset: int) -> bytearray:
+    """SBHUFF=1 text region body (§6.4.5 with Huffman reads): DT/FS/DS
+    via the selected Annex B tables, CURT as raw log2(SBSTRIPS) bits,
+    symbol IDs via the per-region runcode-built prefix table."""
+    hflags = int.from_bytes(body[19:21], "big")
+    fs_sel = hflags & 0x03
+    ds_sel = (hflags >> 2) & 0x03
+    dt_sel = (hflags >> 4) & 0x03
+    if fs_sel >= 2 or ds_sel == 3 or dt_sel == 3:
+        raise JBIG2Error("custom Huffman tables unsupported")
+    fs_tab = _std_table(6 + fs_sel)          # B.6 / B.7
+    ds_tab = _std_table(8 + ds_sel)          # B.8 / B.9 / B.10
+    dt_tab = _std_table(11 + dt_sel)         # B.11 / B.12 / B.13
+    r = _BitReader(body[25:])
+    symtab = _sym_id_table(_read_sym_id_lengths(r, len(syms)))
+    bits = bytearray(rw * rh)
+    dt0 = dt_tab.decode(r)
+    if dt0 is None:
+        raise JBIG2Error("OOB STRIPT")
+    stript = -dt0 * sbstrips
+    firsts = 0
+    n = 0
+    guard = 0
+    while n < num_inst:
+        guard += 1
+        if guard > num_inst + 1024:       # empty strips are bounded too
+            raise JBIG2Error("runaway text region")
+        dt = dt_tab.decode(r)
+        if dt is None:
+            raise JBIG2Error("OOB strip delta")
+        stript += dt * sbstrips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = fs_tab.decode(r)
+                if dfs is None:
+                    raise JBIG2Error("OOB first-symbol S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = ds_tab.decode(r)
+                if ids is None:
+                    break                    # OOB: strip done
+                curs += ids + dsoffset
+            if n >= num_inst:
+                raise JBIG2Error("more instances than declared")
+            curt = r.read(logsbstrips) if sbstrips > 1 else 0
+            tt = stript + curt
+            sid = symtab.decode(r)
+            if sid is None or not 0 <= sid < len(syms):
+                raise JBIG2Error(f"symbol id {sid} out of range")
+            sw, sh, sbits = syms[sid]
+            y0 = tt if top_corner else tt - sh + 1
+            _draw_symbol(bits, rw, rh, sbits, sw, sh, curs, y0)
+            curs += sw - 1
+            n += 1
+    return bits
 
 
 def encode_symbol_page(width: int, height: int,

@@ -184,6 +184,159 @@ class TestSymbolText:
                 pass   # wrong pixels are fine; other exceptions are not
 
 
+class TestHuffman:
+    """SDHUFF/SBHUFF=1 coding (§6.5.9 / §7.4.4.5): Annex B standard
+    tables, collective bitmaps (uncompressed + MMR), runcode symbol-ID
+    tables, and equality with the arithmetic coder's decoded pages."""
+
+    SYMS = TestSymbolText.SYMS
+    INSTS = TestSymbolText.INSTS
+
+    def test_standard_tables_build_and_roundtrip_every_line(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            _BitReader, _BitWriter, _std_table)
+
+        for n in range(1, 16):
+            t = _std_table(n)
+            vals = []
+            for ln in t.lines:
+                if ln[0] == "n":
+                    vals += [ln[3], ln[3] + (1 << ln[2]) - 1]
+                elif ln[0] == "u":
+                    vals += [ln[2], ln[2] + 12345]
+                elif ln[0] == "l":
+                    vals += [ln[2], ln[2] - 9999]
+                else:
+                    vals.append(None)
+            w = _BitWriter()
+            for v in vals:
+                t.encode(w, v)
+            r = _BitReader(w.bytes())
+            assert [t.decode(r) for _ in vals] == vals, f"table B.{n}"
+
+    def test_rangelow_chains_are_contiguous(self):
+        """Structural cross-check of the transcribed Annex B tables:
+        within each table the normal lines tile the value axis with no
+        gap (low_{i+1} = low_i + 2^rangelen_i) and the lower/upper
+        range lines continue the tiling outward."""
+        from pdf_ocr_spark.kernels.pdf.jbig2 import _STD_TABLES
+
+        for n, lines in _STD_TABLES.items():
+            norm = sorted((ln for ln in lines if ln[0] == "n"),
+                          key=lambda ln: ln[3])
+            for a, b in zip(norm, norm[1:]):
+                assert a[3] + (1 << a[2]) == b[3], f"B.{n} gap at {b[3]}"
+            lowers = [ln for ln in lines if ln[0] == "l"]
+            uppers = [ln for ln in lines if ln[0] == "u"]
+            if lowers:
+                assert lowers[0][2] == norm[0][3] - 1, f"B.{n} lower"
+            if uppers:
+                last = norm[-1]
+                assert uppers[0][2] == last[3] + (1 << last[2]), f"B.{n} upper"
+
+    @pytest.mark.parametrize("mmr", [False, True])
+    @pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+    @pytest.mark.parametrize("logsbstrips", [0, 1, 2])
+    def test_decodes_identical_to_arithmetic(self, mmr, refcorner,
+                                             logsbstrips):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page_huffman
+
+        exp = _expected_or(96, 48, self.SYMS, self.INSTS)
+        data = encode_symbol_page_huffman(
+            96, 48, self.SYMS, self.INSTS, refcorner=refcorner,
+            logsbstrips=logsbstrips, mmr=mmr)
+        assert decode_bilevel(data) == (96, 48, exp)
+
+    def test_huffman_marker_text(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page_huffman
+        from pdf_ocr_spark.kernels.pixelcode import pixels_to_text, \
+            text_to_pixels
+
+        text = "huffman jbig2\nsymbol fixture"
+        w, h, px = text_to_pixels(text)
+        syms = [(w, h, px)]
+        data = encode_symbol_page_huffman(w, h, syms, [(0, 0, 0)])
+        w2, h2, out = decode_bilevel(data)
+        assert (w2, h2, out) == (w, h, px)
+        assert pixels_to_text(w2, h2, out) == text
+
+    def test_runcode_repeats(self):
+        """Runcodes 32 (repeat prev), 33 and 34 (zero runs) through the
+        symbol-ID length decoder (§7.4.4.5)."""
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            _BitReader, _BitWriter, _HuffTable, _read_sym_id_lengths,
+            _sym_id_table)
+
+        runlens = [0] * 35
+        for idx in (0, 3, 32, 33, 34):
+            runlens[idx] = 3
+        runtab = _HuffTable(tuple(
+            ("n", plen, 0, i) for i, plen in enumerate(runlens)))
+        w = _BitWriter()
+        for v in runlens:
+            w.write(v, 4)
+        codes = {ln[3]: runtab.encode_map[i]
+                 for i, ln in enumerate(runtab.lines) if ln[1] > 0}
+
+        def emit(sym):
+            plen, code = codes[sym]
+            w.write(code, plen)
+
+        emit(3)                  # literal 3          -> [3]
+        emit(32); w.write(1, 2)  # repeat prev 3+1=4x -> [3,3,3,3]
+        emit(33); w.write(0, 3)  # 3 zeros
+        emit(0)                  # literal 0
+        emit(34); w.write(0, 7)  # 11 zeros
+        r = _BitReader(w.bytes())
+        lengths = _read_sym_id_lengths(r, 20)
+        assert lengths == [3] * 5 + [0] * 15
+        symtab = _sym_id_table(lengths)
+        w2 = _BitWriter()
+        w2.write(symtab.encode_map[2][1], symtab.encode_map[2][0])
+        assert symtab.decode(_BitReader(w2.bytes())) == 2
+
+    def test_rejects_unsorted_height_classes(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            _encode_symbol_dict_body_huffman)
+
+        syms = [(4, 8, bytearray(32)), (4, 4, bytearray(16))]
+        with pytest.raises(JBIG2Error):
+            _encode_symbol_dict_body_huffman(syms, mmr=False)
+
+    def test_rejects_custom_table_selectors(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page_huffman
+
+        data = encode_symbol_page_huffman(40, 16, self.SYMS[:1], [(0, 0, 0)])
+        # symbol dict body starts after page-info segment (11+19 bytes)
+        # and its own 11-byte header; flip the SDHUFFDH selector to 3
+        idx = data.index(b"\x00\x01", 30)    # SDHUFF=1 flags u16
+        b = bytearray(data)
+        b[idx + 1] |= 0x0C                   # DH selector -> 3 (custom)
+        with pytest.raises(JBIG2Error):
+            decode_bilevel(bytes(b))
+
+    def test_huffman_fuzz_truncation_and_flips(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page_huffman
+
+        for mmr in (False, True):
+            data = encode_symbol_page_huffman(
+                96, 48, self.SYMS, self.INSTS, mmr=mmr)
+            rng = random.Random(59 + mmr)
+            for _ in range(150):
+                cut = rng.randrange(1, len(data))
+                try:
+                    decode_bilevel(data[:cut])
+                except JBIG2Error:
+                    pass
+            for _ in range(150):
+                b = bytearray(data)
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                try:
+                    decode_bilevel(bytes(b))
+                except JBIG2Error:
+                    pass   # wrong pixels fine; other exceptions are not
+
+
 class TestValidation:
     def test_rejects_bad_dims(self):
         with pytest.raises(JBIG2Error):
