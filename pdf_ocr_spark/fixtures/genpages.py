@@ -702,9 +702,11 @@ def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0,
 
     ``coding`` picks the JPEG flavor: ``baseline`` (SOF0 grayscale),
     ``progressive`` (SOF2 spectral-selection + successive-approximation
-    grayscale — the common web/scan variant), or ``cmyk`` (baseline
+    grayscale — the common web/scan variant), ``cmyk`` (baseline
     4-component with the Adobe APP14 inverted-sample convention of
-    print-origin PDFs; the marker luma rides on the K channel).
+    print-origin PDFs; the marker luma rides on the K channel), or
+    ``gray12`` (12-bit extended sequential SOF1 — the high-bit-depth
+    profile of medical/archival scans; marker luma scaled ×16).
 
     ``corrupt_page`` (1-based, 0 = none) truncates that page's JPEG
     stream mid-entropy-data: the decoder must raise cleanly and the
@@ -714,6 +716,7 @@ def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0,
     from pdf_ocr_spark.kernels.pdf.jpeg import (
         encode_cmyk,
         encode_gray,
+        encode_gray12,
         encode_gray_progressive,
     )
     from pdf_ocr_spark.kernels.pixelcode import text_to_pixels
@@ -726,6 +729,7 @@ def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0,
     for pno, text in enumerate(page_texts, 1):
         iw, ih, px = text_to_pixels(text)
         colorspace = b"/DeviceGray"
+        bpc = 8
         if coding == "progressive":
             payload = encode_gray_progressive(px, iw, ih, quality=90)
         elif coding == "cmyk":
@@ -733,14 +737,19 @@ def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0,
             cmyk[:, :, 3] = 255 - _np.frombuffer(px, _np.uint8).reshape(ih, iw)
             payload = encode_cmyk(cmyk.tobytes(), iw, ih, quality=90)
             colorspace = b"/DeviceCMYK"
+        elif coding == "gray12":
+            px12 = (_np.frombuffer(px, _np.uint8).astype(_np.uint16)
+                    * 16).astype(">u2")
+            payload = encode_gray12(px12.tobytes(), iw, ih, quality=92)
+            bpc = 16      # PDF-legal declaration; precision rides in SOF1
         else:
             payload = encode_gray(px, iw, ih, quality=90)
         if pno == corrupt_page:
             payload = payload[: max(16, len(payload) * 2 // 3)]
         img_num = w.add_stream(
             b"/Type /XObject /Subtype /Image /Width %d /Height %d"
-            b" /ColorSpace %s /BitsPerComponent 8"
-            b" /Filter /DCTDecode" % (iw, ih, colorspace),
+            b" /ColorSpace %s /BitsPerComponent %d"
+            b" /Filter /DCTDecode" % (iw, ih, colorspace, bpc),
             payload,
             compress=False,
         )
@@ -1071,13 +1080,14 @@ def gen_ccitt_scan_rows(n_docs: int = 10) -> List[dict]:
     return rows
 
 
-def gen_jpeg_scan_rows(n_docs: int = 15) -> List[dict]:
+def gen_jpeg_scan_rows(n_docs: int = 16) -> List[dict]:
     """Corpus for the real-pixel scan branch: multi-page PDFs whose pages
     are JPEG images (DCTDecode) carrying pixel-marker ground truth.
     Docs 0-10 are baseline grayscale; docs 11-12 are PROGRESSIVE (SOF2);
-    doc n-2 is Adobe CMYK (4-component, inverted samples); the last doc
-    carries a truncated progressive page 1 (decode must fail loudly,
-    extract must not).  Deterministic — same rows every call."""
+    doc 13 is 12-BIT extended sequential (SOF1 precision 12, 16-bit
+    DQT); doc n-2 is Adobe CMYK (4-component, inverted samples); the
+    last doc carries a truncated progressive page 1 (decode must fail
+    loudly, extract must not).  Deterministic — same rows every call."""
     rng = random.Random(0xDC7)
     rows = []
     for d in range(n_docs):
@@ -1091,6 +1101,8 @@ def gen_jpeg_scan_rows(n_docs: int = 15) -> List[dict]:
         corrupt = 1 if d == n_docs - 1 else 0  # last doc: page 1 truncated
         if d in (11, 12) or d == n_docs - 1:
             coding = "progressive"
+        elif d == 13 and d < n_docs - 2:
+            coding = "gray12"
         elif d == n_docs - 2:
             coding = "cmyk"
         else:

@@ -24,6 +24,9 @@ the scan branch process ACTUAL image content:
 * :func:`encode_cmyk` — baseline 4-component CMYK encoder emitting the
   Adobe APP14 marker with inverted samples (the Photoshop/print
   convention).
+* :func:`encode_gray12` — 12-bit extended sequential (SOF1) grayscale
+  encoder (16-bit DQT, 2^11 level shift) for deterministic fixtures of
+  the high-bit-depth scans medical/archival PDFs carry.
 
 Everything is bounded and no-surprise: malformed/truncated input raises
 :class:`JpegError` (never hangs, never over-allocates — dimensions are
@@ -38,12 +41,13 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 __all__ = ["JpegError", "decode", "decode_gray", "encode_gray",
-           "encode_gray_progressive", "encode_cmyk", "is_jpeg"]
+           "encode_gray_progressive", "encode_cmyk", "encode_gray12",
+           "is_jpeg"]
 
 
 class JpegError(ValueError):
-    """Malformed, truncated, or unsupported (arithmetic/12-bit/
-    hierarchical) JPEG input."""
+    """Malformed, truncated, or unsupported (arithmetic/hierarchical)
+    JPEG input."""
 
 
 MAX_SIDE = 1 << 14          # 16384 px — poison cap, same spirit as raster.py
@@ -279,8 +283,10 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
     pixels is row-major: luma bytes for 1 component, interleaved RGB
     for 3 and 4 components (JFIF YCbCr BT.601 full-range; CMYK/YCCK via
     the Adobe APP14 transform with the inverted-sample convention).
-    Raises JpegError on anything malformed, truncated, arithmetic,
-    hierarchical, or 12-bit."""
+    12-bit extended/progressive streams (SOF1/SOF2 precision 12) decode
+    with the 2^11 level shift and reduce to this 8-bit surface via
+    >> 4 (the PDF-viewer mapping).  Raises JpegError on anything
+    malformed, truncated, arithmetic, or hierarchical."""
     if not is_jpeg(data):
         raise JpegError("no SOI")
     qtables: Dict[int, np.ndarray] = {}
@@ -288,6 +294,7 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
     ac_tables: Dict[int, dict] = {}
     comps: List[_Component] = []
     w = h = 0
+    precision = 8
     progressive = False
     adobe = False
     adobe_transform = -1
@@ -340,8 +347,11 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
             progressive = marker == 0xC2
             if len(body) < 6:
                 raise JpegError("short SOF")
-            if body[0] != 8:
-                raise JpegError("only 8-bit precision supported")
+            precision = body[0]
+            if precision == 12 and marker != 0xC0:
+                pass        # 12-bit legal for extended/progressive (T.81)
+            elif precision != 8:
+                raise JpegError("unsupported sample precision %d" % precision)
             h = (body[1] << 8) | body[2]
             w = (body[3] << 8) | body[4]
             nc = body[5]
@@ -397,7 +407,8 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
                 raise JpegError("SOS before SOF")
             pos = _decode_scan(
                 data, pos, body, comps, dc_tables, ac_tables,
-                progressive, restart_interval, mcux, mcuy)
+                progressive, restart_interval, mcux, mcuy,
+                max_dc=15 if precision == 12 else 11)
             saw_scan = True
             if not progressive:
                 # baseline: single scan; ignore any trailer before EOI
@@ -419,7 +430,12 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
         rasters[:, ZIGZAG] = zz                           # de-zigzag
         coeff = rasters.reshape(-1, 8, 8).astype(np.float64)
         spatial = np.einsum("ux,nuv,vy->nxy", _C, coeff, _C)
-        pix = np.clip(np.round(spatial) + 128.0, 0, 255).astype(np.uint8)
+        # level shift by 2^(P-1), clamp to the P-bit range, and reduce
+        # to the 8-bit output surface (>> (P-8), the PDF-viewer mapping)
+        half = float(1 << (precision - 1))
+        top = float((1 << precision) - 1)
+        pix = np.clip(np.round(spatial) + half, 0, top).astype(np.int64)
+        pix = (pix >> (precision - 8)).astype(np.uint8)
         # blocks are stored row-major over the padded (bhp, bwp) grid
         plane = (pix.reshape(c.bhp, c.bwp, 8, 8)
                  .transpose(0, 2, 1, 3)
@@ -463,7 +479,8 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
 def _decode_scan(data: bytes, pos: int, body: bytes,
                  comps: List[_Component], dc_tables: Dict[int, dict],
                  ac_tables: Dict[int, dict], progressive: bool,
-                 restart_interval: int, mcux: int, mcuy: int) -> int:
+                 restart_interval: int, mcux: int, mcuy: int,
+                 max_dc: int = 11) -> int:
     """Entropy-decode one scan starting at ``pos`` (just past the SOS
     segment).  Returns the position of the next marker's 0xFF."""
     if len(body) < 4:
@@ -509,7 +526,7 @@ def _decode_scan(data: bytes, pos: int, body: bytes,
                     by, bx = divmod(bi, c.h)
                     blk = c.coef[(my * c.v + by) * c.bwp + mx * c.h + bx]
                     t = reader.decode_symbol(c.dc_tbl)
-                    if t > 11:
+                    if t > max_dc:
                         raise JpegError("bad DC category")
                     diff = _extend(reader.get(t), t) if t else 0
                     c.pred += diff
@@ -557,7 +574,7 @@ def _decode_scan(data: bytes, pos: int, body: bytes,
                         by, bx = divmod(bi, c.h)
                         blk = c.coef[(my * c.v + by) * c.bwp
                                      + mx * c.h + bx]
-                        _dc_block(reader, c, blk, ah, al)
+                        _dc_block(reader, c, blk, ah, al, max_dc)
         else:                                    # single-component walk
             c = scan_comps[0]
             for m in range(c.nbh * c.nbw):
@@ -566,7 +583,8 @@ def _decode_scan(data: bytes, pos: int, body: bytes,
                     rst = (rst + 1) & 7
                     c.pred = 0
                 by, bx = divmod(m, c.nbw)
-                _dc_block(reader, c, c.coef[by * c.bwp + bx], ah, al)
+                _dc_block(reader, c, c.coef[by * c.bwp + bx], ah, al,
+                          max_dc)
         return _find_next_marker(data, reader.pos)
 
     # AC scan: single component only (G.1.1.1.1)
@@ -648,10 +666,10 @@ def _decode_scan(data: bytes, pos: int, body: bytes,
 
 
 def _dc_block(reader: "_BitReader", c: _Component, blk: np.ndarray,
-              ah: int, al: int) -> None:
+              ah: int, al: int, max_dc: int = 11) -> None:
     if ah == 0:                                  # first DC pass
         t = reader.decode_symbol(c.dc_tbl)
-        if t > 11:
+        if t > max_dc:
             raise JpegError("bad DC category")
         diff = _extend(reader.get(t), t) if t else 0
         c.pred += diff
@@ -864,6 +882,73 @@ def encode_cmyk(pixels: bytes, width: int, height: int,
     out += _seg(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_gray12(pixels: bytes, width: int, height: int,
+                  quality: int = 90) -> bytes:
+    """Encode big-endian uint16 samples (values 0..4095) as a 12-bit
+    EXTENDED SEQUENTIAL (SOF1) grayscale JPEG — the high-bit-depth
+    profile medical/archival scans embed.  The quantization table is
+    the quality-scaled Annex-K table ×16 (16-bit DQT), which keeps the
+    quantized coefficients in the same magnitude range as the 8-bit
+    path, so the Annex-K Huffman tables apply unchanged; a category
+    overflow (pathological input) raises rather than emitting an
+    out-of-table symbol.  Deterministic: same input → same bytes."""
+    if width <= 0 or height <= 0 or width > MAX_SIDE or height > MAX_SIDE:
+        raise JpegError("bad encode dimensions")
+    if len(pixels) != 2 * width * height:
+        raise JpegError("pixel buffer size mismatch")
+    img = np.frombuffer(pixels, ">u2").reshape(height, width)
+    if int(img.max(initial=0)) > 4095:
+        raise JpegError("12-bit sample out of range")
+    q = _scaled_qtable(quality).astype(np.int64) * 16
+    pw, ph = -(-width // 8) * 8, -(-height // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.int64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]           # edge replication
+    padded[:, width:] = padded[:, width - 1 : width]
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 2048.0
+    )
+    coeff = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+    zz = np.round(coeff.reshape(-1, 64) / q[np.newaxis, :]).astype(np.int64)
+    zz = zz[:, ZIGZAG]
+
+    dc_codes = _build_codes(*STD_DC_LUMA)
+    ac_codes = _build_codes(*STD_AC_LUMA)
+    bw = _BitWriter()
+    pred = 0
+    for blk in zz:
+        if _category(int(blk[0]) - pred) > 11 or (
+                blk[1:].size and int(np.abs(blk[1:]).max()) >= 1 << 10):
+            raise JpegError("coefficient beyond Annex-K table range")
+        pred = _encode_block_sequential(bw, blk, pred, dc_codes, ac_codes)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")                     # SOI
+    dqt = bytes([0x10])                              # pq=1: 16-bit entries
+    for x in q[ZIGZAG]:
+        dqt += int(x).to_bytes(2, "big")
+    out += _seg(0xDB, dqt)
+    out += _seg(
+        0xC1,                                        # SOF1, precision 12
+        bytes([12])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    db, dv = STD_DC_LUMA
+    out += _seg(0xC4, bytes([0x00]) + bytes(db) + bytes(dv))
+    ab, av = STD_AC_LUMA
+    out += _seg(0xC4, bytes([0x10]) + bytes(ab) + bytes(av))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"                               # EOI
     return bytes(out)
 
 

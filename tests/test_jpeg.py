@@ -280,6 +280,68 @@ class TestProgressive:
             decode(bytes(data))
 
 
+class TestGray12:
+    """12-bit extended sequential (SOF1 precision 12): decode reduces to
+    the 8-bit surface via >> 4; SOF0 stays 8-bit-only per T.81."""
+
+    @staticmethod
+    def _to12(px8: bytes) -> bytes:
+        return (np.frombuffer(px8, np.uint8).astype(np.uint16)
+                * 16).astype(">u2").tobytes()
+
+    def test_gradient_bounded_error(self):
+        w, h = 64, 48
+        x = np.linspace(0, 4095, w)
+        img12 = np.tile(x, (h, 1)).astype(">u2")
+        _, _, out = decode_gray(
+            jpeg.encode_gray12(img12.tobytes(), w, h, quality=95))
+        got = np.frombuffer(out, np.uint8).reshape(h, w).astype(np.float64)
+        exp = img12.astype(np.float64) / 16.0
+        assert np.abs(got - exp).max() < 6
+
+    def test_marker_survives(self):
+        w, h, px = text_to_pixels("twelve bit jpeg\nmarker")
+        _, _, out = decode_gray(
+            jpeg.encode_gray12(self._to12(px), w, h, quality=92))
+        assert pixels_to_text(w, h, out) == "twelve bit jpeg\nmarker"
+
+    def test_sof0_precision_12_rejected(self):
+        w, h, px = text_to_pixels("sof0 12bit")
+        data = bytearray(jpeg.encode_gray12(self._to12(px), w, h))
+        i = data.index(b"\xff\xc1")
+        data[i + 1] = 0xC0
+        with pytest.raises(JpegError):
+            jpeg.decode(bytes(data))
+
+    def test_out_of_range_sample_rejected(self):
+        img = np.full((8, 8), 4096, dtype=">u2")
+        with pytest.raises(JpegError):
+            jpeg.encode_gray12(img.tobytes(), 8, 8)
+
+    def test_truncation_sweep_never_hangs(self):
+        w, h, px = text_to_pixels("truncate 12bit")
+        data = jpeg.encode_gray12(self._to12(px), w, h)
+        for cut in range(2, len(data), 13):
+            try:
+                jpeg.decode(data[:cut])
+            except JpegError:
+                pass
+
+    def test_bitflip_fuzz(self):
+        import random as _random
+
+        w, h, px = text_to_pixels("flip 12bit")
+        data = jpeg.encode_gray12(self._to12(px), w, h)
+        rng = _random.Random(77)
+        for _ in range(120):
+            b = bytearray(data)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                jpeg.decode(bytes(b))
+            except JpegError:
+                pass   # wrong pixels fine; other exceptions are not
+
+
 class TestCmyk:
     def _marker_cmyk(self, text="cmyk pixels"):
         w, h, px = text_to_pixels(text)
