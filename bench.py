@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "robots_frontier",
     "text_lm_score",
+    "text_lm_bigram",
     "search_bm25",
     "anchor_text_profile",
     "dedup_apply",

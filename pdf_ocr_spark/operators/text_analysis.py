@@ -745,6 +745,103 @@ def norm_words_expr(col: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
 
 
+LM_BOS = "<s>"
+
+
+def lm_bigram_counts(
+    docs: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Bigram-LM training: (w1, w2, cnt) over BOS-prefixed normalized
+    word sequences, trimmed to ``cnt >= min_count`` so the table stays
+    broadcast-sized (CCNet's pruned-KenLM discipline).  The pair list
+    is built with the pushdown-proof zip shape (two length-aligned
+    slices, no lambda at all) and explodes map-side into ONE groupBy
+    shuffle."""
+    words = norm_words_expr(F.col(text_col))
+    seq = F.concat(F.array(F.lit(LM_BOS)), words)
+    length = F.size(seq) - 1
+    zipped = F.arrays_zip(F.slice(seq, 1, length), F.slice(seq, 2, length))
+    pairs = (
+        docs.select(F.explode(zipped).alias("p"))
+        .select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+        .filter(F.col("w2") != "")
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def lm_bigram_doc_scores(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    lam: float = 0.7,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram LM score (Jelinek-Mercer mixture — the
+    CCNet/KenLM-style fluency filter one order up from
+    :func:`lm_doc_scores`): per-doc mean of
+    ``log(lam * P_bi(w2|w1) + (1-lam) * P_uni(w2))`` where
+    ``P_bi = cnt(w1,w2) / Σ_w cnt(w1,w)`` over the TRIMMED bigram
+    table (its own row sums as the context denominator, so the
+    conditional stays a proper distribution over retained bigrams and
+    BOS contexts need no special case) and ``P_uni`` is the add-alpha
+    unigram of :func:`lm_doc_scores`.  The unigram mixture floor keeps
+    every pair's probability positive.
+
+    Plan at 100 TB: the trimmed bigram table, its context totals (a
+    tiny self-aggregate), the unigram vocab, and the (N, V) totals all
+    BROADCAST; doc bigrams explode map-side into hash joins, so the
+    only shuffle is the per-doc aggregate.  Per-pair log-probs are
+    cast to DECIMAL(18,6) before summing — exact, order-independent
+    addition, bit-reproducible across engines and partitionings."""
+    totals = unigrams.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+    ctx = bigrams.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"))
+    words = norm_words_expr(F.col(text_col))
+    seq = F.concat(F.array(F.lit(LM_BOS)), words)
+    length = F.size(seq) - 1
+    zipped = F.arrays_zip(F.slice(seq, 1, length), F.slice(seq, 2, length))
+    dbg = (
+        docs.select(F.col(id_col), F.explode(zipped).alias("p"))
+        .select(
+            F.col(id_col),
+            F.col("p")["0"].alias("w1"),
+            F.col("p")["1"].alias("w2"),
+        )
+        .filter(F.col("w2") != "")
+    )
+    uni2 = unigrams.select(F.col("w").alias("w2"), F.col("cnt").alias("cnt2"))
+    j = (
+        dbg.join(F.broadcast(bigrams), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(uni2), "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_uni = (F.coalesce(F.col("cnt2"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("n_total") + F.lit(alpha) * (F.col("v_size") + 1)
+    )
+    p_bi = F.when(
+        F.col("cnt").isNotNull() & F.col("ctx_cnt").isNotNull(),
+        F.col("cnt") / F.col("ctx_cnt"),
+    ).otherwise(F.lit(0.0))
+    logp = F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(logp.cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_logprob"),
+    )
+
+
 def lm_word_counts(
     docs: DataFrame, text_col: str = "text", min_count: int = 2
 ) -> DataFrame:

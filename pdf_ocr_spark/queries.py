@@ -4424,6 +4424,66 @@ GROUP BY 1
 """
 
 
+def q_text_lm_bigram(spark, sf_dir):
+    """Interpolated BIGRAM LM fluency score (the order-2 step up from
+    text_lm_score — CCNet-style pruned-LM filtering): corpus-trained
+    trimmed bigram table (BOS-prefixed pairs, min_count=2) mixed
+    Jelinek-Mercer-style with the add-1 unigram floor,
+    log(0.7·P_bi(w2|w1) + 0.3·P_uni(w2)) averaged per doc.  All model
+    tables broadcast (bigrams + context sums + unigrams + totals); doc
+    pairs explode map-side; per-pair logs sum as DECIMAL(18,6) — the
+    only shuffles are the two count groupBys and the per-doc agg."""
+    docs = _t(spark, sf_dir, "documents")
+    uni = T.lm_word_counts(docs, min_count=2)
+    bi = T.lm_bigram_counts(docs, min_count=2)
+    return T.lm_bigram_doc_scores(docs, uni, bi, lam=0.7, alpha=1.0)
+
+
+SQL_TEXT_LM_BIGRAM = f"""
+WITH ws AS (
+  SELECT doc_id, ['<s>'] || str_split({_NORM_SQL.format(c='text')}, ' ') AS seq
+  FROM documents
+),
+prs AS (
+  SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+  FROM (SELECT doc_id,
+               unnest(list_zip(seq[1:len(seq)-1], seq[2:len(seq)])) AS pr
+        FROM ws)
+  WHERE pr[2] <> ''
+),
+uni AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+    FROM documents) t
+  WHERE w <> '' GROUP BY w HAVING count(*) >= 2
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+         CAST(count(*) AS DOUBLE) AS v_size
+  FROM uni
+),
+bi AS (
+  SELECT w1, w2, count(*) AS bcnt FROM prs GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+ctx AS (SELECT w1, sum(bcnt) AS ctx_cnt FROM bi GROUP BY 1)
+SELECT p.doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(CAST(sum(CAST(ln(
+      0.7 * (CASE WHEN b.bcnt IS NOT NULL AND c.ctx_cnt IS NOT NULL
+                  THEN CAST(b.bcnt AS DOUBLE) / c.ctx_cnt ELSE 0.0 END)
+      + (1.0 - 0.7) * (coalesce(u.cnt, 0) + 1.0)
+        / (t.n_total + 1.0 * (t.v_size + 1))
+    ) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_logprob
+FROM prs p
+LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+LEFT JOIN ctx c ON c.w1 = p.w1
+LEFT JOIN uni u ON u.w = p.w2
+CROSS JOIN tot t
+GROUP BY p.doc_id
+"""
+
+
 def q_dsir_logweights(spark, sf_dir):
     """DSIR (Xie et al. 2023) per-document importance log-weights:
     hashed bag-of-words models of the target distribution (here: the
@@ -9078,6 +9138,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         q_text_lm_buckets_approx,
         SQL_TEXT_LM_BUCKETS_APPROX,
     ),
+    "text_lm_bigram": (q_text_lm_bigram, SQL_TEXT_LM_BIGRAM),
     "dsir_logweights": (q_dsir_logweights, SQL_DSIR_LOGWEIGHTS),
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
@@ -9208,6 +9269,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
 # bounded-sample consumer that takes the first K exported keys sees ~K/2
 # of these alongside ~K/2 §2 basics, instead of only the basics.
 _SAMPLE_PRIORITY = [
+    "text_lm_bigram",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",
     "link_harmonic_hyperball", "sketch_cms_freq", "dedup_containment",

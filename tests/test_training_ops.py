@@ -97,6 +97,73 @@ def test_lm_scores_pinned_math(spark):
     assert got == exp
 
 
+def test_lm_bigram_counts_and_interpolated_score(spark):
+    """Pinned math for the interpolated bigram LM: trimmed bigram
+    table with BOS contexts, context-sum denominators, 0.7/0.3
+    Jelinek-Mercer mixture with the add-1 unigram floor, DECIMAL(18,6)
+    per-pair quantization."""
+    import math
+
+    from pdf_ocr_spark.operators.text_analysis import (
+        lm_bigram_counts,
+        lm_bigram_doc_scores,
+        lm_word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog sat")],
+        "doc_id long, text string",
+    )
+    uni = lm_word_counts(docs, min_count=2)
+    assert {(r.w, r.cnt) for r in uni.collect()} == {
+        ("the", 2), ("cat", 2), ("sat", 2)}
+    bi = lm_bigram_counts(docs, min_count=2)
+    assert {(r.w1, r.w2, r.cnt) for r in bi.collect()} == {
+        ("<s>", "the", 2), ("the", "cat", 2)}
+
+    # unigram floor: N=6, V=3 -> denom 6 + 1*(3+1) = 10
+    def p_uni(cnt):
+        return (cnt + 1.0) / 10.0
+
+    # ctx sums over the TRIMMED table: <s> -> 2, the -> 2
+    def lp(p_bi, cnt2):
+        return round(math.log(0.7 * p_bi + (1.0 - 0.7) * p_uni(cnt2)), 6)
+
+    exp = {
+        # doc 1: (<s>,the) pbi=1, (the,cat) pbi=1, (cat,sat) pbi=0
+        1: (3, round((lp(1.0, 2) + lp(1.0, 2) + lp(0.0, 2)) / 3, 4)),
+        # doc 2: same first two, (cat,ran) pbi=0, ran OOV
+        2: (3, round((lp(1.0, 2) + lp(1.0, 2) + lp(0.0, 0)) / 3, 4)),
+        # doc 3: (<s>,a) untrimmed->pbi 0, (a,dog) 0, (dog,sat) 0
+        3: (3, round((lp(0.0, 0) + lp(0.0, 0) + lp(0.0, 2)) / 3, 4)),
+    }
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in lm_bigram_doc_scores(docs, uni, bi).collect()
+    }
+    assert got == exp
+
+
+def test_lm_bigram_empty_and_single_word_docs(spark):
+    from pdf_ocr_spark.operators.text_analysis import (
+        lm_bigram_counts,
+        lm_bigram_doc_scores,
+        lm_word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "word word")], "doc_id long, text string"
+    )
+    uni = lm_word_counts(docs, min_count=1)
+    bi = lm_bigram_counts(docs, min_count=1)
+    # empty doc contributes no pairs; single-word doc contributes (BOS, word)
+    assert {(r.w1, r.w2, r.cnt) for r in bi.collect()} == {
+        ("<s>", "word", 2), ("word", "word", 1)}
+    got = {r.doc_id: r.n_bigrams
+           for r in lm_bigram_doc_scores(docs, uni, bi).collect()}
+    assert got == {2: 1, 3: 2}   # doc 1 (empty) emits no row
+
+
 def test_lm_bucket_counts_terciles(spark):
     from pdf_ocr_spark.operators.text_analysis import lm_bucket_counts
 
