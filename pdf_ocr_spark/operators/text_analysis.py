@@ -434,6 +434,53 @@ def pii_scrub(
     )
 
 
+# Card-shaped digit runs: 13-19 digits with optional single space/hyphen
+# separators, word-boundary anchored so longer digit runs cannot match a
+# prefix (no internal \b between digits).  RE2-safe, shared verbatim
+# with the oracle.
+CC_PATTERN = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def _luhn_valid(cand: Column) -> Column:
+    """Luhn checksum over a card-shaped candidate: strip separators,
+    reverse the digits, double every second digit (subtracting 9 when
+    it overflows), sum % 10 == 0.  Pure HOFs whose lambdas reference
+    only their own variables (the pushdown-proof discipline)."""
+    rev = F.reverse(F.split(F.regexp_replace(cand, "[ -]", ""), ""))
+    contrib = F.transform(
+        rev,
+        lambda d, i: F.when(
+            i % 2 == 1,
+            F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9).otherwise(
+                d.cast("int") * 2
+            ),
+        ).otherwise(d.cast("int")),
+    )
+    return F.aggregate(contrib, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+
+def credit_card_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Credit-card PII pass (the Dolma scrub's highest-risk category):
+    card-shaped candidates (13-19 digits, space/hyphen separators) are
+    ALL redacted — over-redaction is the safe failure mode — while the
+    Luhn checksum splits the count into true positives vs digit-run
+    noise, the precision signal a release datacard publishes.  All
+    codegen'd built-ins + per-row HOFs; no UDF, no extra shuffle."""
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(t, F.lit(CC_PATTERN), 0)
+    valid = F.filter(cands, _luhn_valid)
+    scrubbed = F.regexp_replace(t, CC_PATTERN, "|||CC|||")
+    return docs.select(
+        F.col(id_col),
+        F.size(cands).alias("n_cc_candidates"),
+        F.size(valid).alias("n_cc_luhn_valid"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
 def normalize_url_expr(url: Column) -> Column:
     """Canonical URL for url-level dedup: lowercase scheme+host, strip
     scheme-default ports (http:80 / https:443 ONLY — :80 on https is a

@@ -5482,6 +5482,77 @@ FROM s
 """
 
 
+def q_pii_credit_cards(spark, sf_dir):
+    """Luhn-validated credit-card PII (the Dolma scrub's highest-risk
+    category): card-shaped 13-19-digit runs all redact (over-redaction
+    is the safe failure mode); the Luhn checksum splits candidates into
+    true positives vs digit-run noise — the precision column a release
+    datacard publishes.  The documents table carries no natural card
+    numbers, so both sides inject the same deterministic candidates:
+    every 7th doc a Luhn-VALID Visa test number, every 11th an invalid
+    digit run, every 13th a bare 14-digit run (valid by construction
+    iff its checksum lands on 0)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    synth = F.concat(
+        F.substring("text", 1, 40),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(" pay with 4111-1111-1111-1111 now"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit(" ref 1234 5678 9012 3456 thanks"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" order 555500001111"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return T.credit_card_stats(d.select("doc_id", synth.alias("text")))
+
+
+_CC_SYNTH = """
+  substr(text, 1, 40)
+  || CASE WHEN doc_id % 7 = 0 THEN ' pay with 4111-1111-1111-1111 now'
+          ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' ref 1234 5678 9012 3456 thanks'
+          ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+          THEN ' order 555500001111' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+          ELSE '' END
+""".strip()
+
+_CC_LUHN = (
+    "list_sum(list_transform("
+    "list_reverse(str_split(regexp_replace(c, '[ -]', '', 'g'), '')), "
+    "(d, i) -> CASE WHEN i % 2 = 0 THEN "
+    "CASE WHEN CAST(d AS INT) * 2 > 9 THEN CAST(d AS INT) * 2 - 9 "
+    "ELSE CAST(d AS INT) * 2 END "
+    "ELSE CAST(d AS INT) END)) % 10 = 0"
+)
+
+SQL_PII_CREDIT_CARDS = f"""
+WITH u AS (
+  SELECT doc_id, {_CC_SYNTH} AS text FROM documents WHERE doc_id < 300
+),
+s AS (
+  SELECT doc_id, text,
+    regexp_extract_all(text, '{T.CC_PATTERN}') AS cands,
+    regexp_replace(text, '{T.CC_PATTERN}', '|||CC|||', 'g') AS scrubbed
+  FROM u
+)
+SELECT doc_id,
+  CAST(len(cands) AS INT) AS n_cc_candidates,
+  CAST(len(list_filter(cands, c -> {_CC_LUHN})) AS INT) AS n_cc_luhn_valid,
+  md5(scrubbed) AS scrubbed_md5,
+  CAST(length(scrubbed) AS INT) AS scrubbed_len
+FROM s
+"""
+
+
 _URL_SYNTH = (
     "'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)"
     " || '.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR)"
@@ -9167,6 +9238,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "export_shards": (q_export_shards, SQL_EXPORT_SHARDS),
     "chunk_passages": (q_chunk_passages, SQL_CHUNK_PASSAGES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "pii_credit_cards": (q_pii_credit_cards, SQL_PII_CREDIT_CARDS),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "url_templates": (q_url_templates, SQL_URL_TEMPLATES),
     "url_spam_features": (q_url_spam_features, SQL_URL_SPAM_FEATURES),
@@ -9269,7 +9341,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
 # bounded-sample consumer that takes the first K exported keys sees ~K/2
 # of these alongside ~K/2 §2 basics, instead of only the basics.
 _SAMPLE_PRIORITY = [
-    "text_lm_bigram",
+    "text_lm_bigram", "pii_credit_cards",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",
     "link_harmonic_hyperball", "sketch_cms_freq", "dedup_containment",

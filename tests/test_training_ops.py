@@ -164,6 +164,36 @@ def test_lm_bigram_empty_and_single_word_docs(spark):
     assert got == {2: 1, 3: 2}   # doc 1 (empty) emits no row
 
 
+def test_credit_card_stats_luhn(spark):
+    """Pinned Luhn cases: valid Visa/Master test numbers pass, an
+    off-by-one fails, non-card digit runs (12 or 20 digits) never
+    become candidates, and all candidates redact regardless."""
+    from pdf_ocr_spark.operators.text_analysis import credit_card_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay 4111-1111-1111-1111 now"),          # valid (Visa test)
+            (2, "card 5500 0000 0000 0004 here"),        # valid (MC test)
+            (3, "bad 4111-1111-1111-1112 oops"),         # checksum fails
+            (4, "short 123456789012 and long 12345678901234567890"),
+            (5, "amex 378282246310005"),                 # 15-digit valid
+            (6, "no digits at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_cc_candidates, r.n_cc_luhn_valid)
+        for r in credit_card_stats(docs).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 0), 4: (0, 0),
+                   5: (1, 1), 6: (0, 0)}
+    scrub = {
+        r.doc_id: r.scrubbed_len for r in credit_card_stats(docs).collect()
+    }
+    # doc 3's invalid candidate still redacts (over-redaction is safe)
+    assert scrub[3] == len("bad |||CC||| oops")
+
+
 def test_lm_bucket_counts_terciles(spark):
     from pdf_ocr_spark.operators.text_analysis import lm_bucket_counts
 
