@@ -400,6 +400,58 @@ def ngram_repetition_stats(
     return fracs_df.select("*", passes.alias("passes_repetition"))
 
 
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary — the datacard health
+    check (a natural-language corpus fits log(freq) ≈ a·log(rank) + b
+    with slope a ≈ −1; template spam and boilerplate bend the curve):
+    least-squares line + r² over the top-``top_n`` (count, rank) pairs
+    in log-log space.
+
+    Engine-reproducible by construction: each log coordinate is
+    quantized to DECIMAL(18,6) BEFORE the moment sums, so Σx, Σy, Σxy,
+    Σx², Σy² are exact decimals (order-independent addition, exact
+    decimal products) and the closed-form slope/intercept/r² computed
+    from them is bit-identical across engines and partitionings.  The
+    rank window sorts only the trimmed-and-limited vocabulary (≤ top_n
+    rows — bounded, driver-scale), never the corpus."""
+    from pyspark.sql.window import Window
+
+    vocab = lm_word_counts(docs, text_col, min_count)
+    top = vocab.orderBy(F.desc("cnt"), F.asc("w")).limit(top_n)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(18,6)")
+    y = F.round(F.log(F.col("cnt").cast("double")), 6).cast("decimal(18,6)")
+    pts = ranked.select(x.alias("x"), y.alias("y"))
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    denom = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    r2_denom = F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0))
+    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / r2_denom
+    return agg.select(
+        n.cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept, 4).alias("zipf_intercept"),
+        F.round(r2, 4).alias("r2"),
+    )
+
+
 # PII patterns (RE2-safe, shared verbatim with the oracle): the Dolma-
 # style scrub for web-text pretraining corpora
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

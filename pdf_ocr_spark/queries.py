@@ -4484,6 +4484,54 @@ GROUP BY p.doc_id
 """
 
 
+def q_corpus_zipf(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary (datacard health
+    check: slope ≈ −1 for natural text; template spam bends the
+    curve): least-squares log-log line + r² over the top-1000 ranked
+    word counts.  Log coordinates quantize to DECIMAL(18,6) before the
+    moment sums — exact order-independent addition, so both engines
+    compute the identical closed-form fit; only the ≤1000-row trimmed
+    vocab is ever sorted."""
+    return T.zipf_fit(_t(spark, sf_dir, "documents"), min_count=2,
+                      top_n=1000)
+
+
+SQL_CORPUS_ZIPF = f"""
+WITH vocab AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+    FROM documents) t
+  WHERE w <> '' GROUP BY w HAVING count(*) >= 2
+),
+top AS (SELECT w, cnt FROM vocab ORDER BY cnt DESC, w LIMIT 1000),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM top
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM ranked
+),
+a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 4)
+    AS zipf_slope,
+  round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n,
+        4) AS zipf_intercept,
+  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 4) AS r2
+FROM a
+"""
+
+
 def q_dsir_logweights(spark, sf_dir):
     """DSIR (Xie et al. 2023) per-document importance log-weights:
     hashed bag-of-words models of the target distribution (here: the
@@ -9210,6 +9258,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
         SQL_TEXT_LM_BUCKETS_APPROX,
     ),
     "text_lm_bigram": (q_text_lm_bigram, SQL_TEXT_LM_BIGRAM),
+    "corpus_zipf": (q_corpus_zipf, SQL_CORPUS_ZIPF),
     "dsir_logweights": (q_dsir_logweights, SQL_DSIR_LOGWEIGHTS),
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
@@ -9341,7 +9390,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
 # bounded-sample consumer that takes the first K exported keys sees ~K/2
 # of these alongside ~K/2 §2 basics, instead of only the basics.
 _SAMPLE_PRIORITY = [
-    "text_lm_bigram", "pii_credit_cards",
+    "text_lm_bigram", "pii_credit_cards", "corpus_zipf",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",
     "link_harmonic_hyperball", "sketch_cms_freq", "dedup_containment",

@@ -164,6 +164,35 @@ def test_lm_bigram_empty_and_single_word_docs(spark):
     assert got == {2: 1, 3: 2}   # doc 1 (empty) emits no row
 
 
+def test_zipf_fit_matches_numpy_least_squares(spark):
+    """The DECIMAL-quantized closed-form fit equals numpy's least
+    squares on the same quantized log-log points; a perfect power law
+    gives r² ≈ 1 and recovers its exponent."""
+    import math
+
+    import numpy as np
+
+    from pdf_ocr_spark.operators.text_analysis import zipf_fit
+
+    # corpus where word w_r appears ~ floor(1000 / r) times (Zipf s=1)
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * (1000 // r)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_fit(docs, min_count=2, top_n=50).collect()[0]
+    cnts = sorted((1000 // r for r in range(1, 21)), reverse=True)
+    x = np.array([round(math.log(r), 6) for r in range(1, len(cnts) + 1)])
+    y = np.array([round(math.log(c), 6) for c in cnts])
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.n_points == 20
+    assert abs(row.zipf_slope - round(slope, 4)) <= 1e-4
+    assert abs(row.zipf_intercept - round(intercept, 4)) <= 1e-4
+    assert row.r2 > 0.999
+    assert -1.05 < row.zipf_slope < -0.95
+
+
 def test_credit_card_stats_luhn(spark):
     """Pinned Luhn cases: valid Visa/Master test numbers pass, an
     off-by-one fails, non-card digit runs (12 or 20 digits) never
@@ -228,6 +257,26 @@ def test_lm_bucket_counts_approximate_matches_order_statistic(spark):
         for r in lm_bucket_counts(scores, approximate=True).collect()
     }
     assert out == {"head": 3, "middle": 3, "tail": 3}
+
+
+def test_lm_bigram_plan_broadcasts_all_model_tables(spark):
+    from pdf_ocr_spark.operators.text_analysis import (
+        lm_bigram_counts,
+        lm_bigram_doc_scores,
+        lm_word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "spark rows " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    scores = lm_bigram_doc_scores(
+        docs, lm_word_counts(docs), lm_bigram_counts(docs))
+    plan = scores._jdf.queryExecution().executedPlan().toString()
+    # bigrams + context sums + unigrams all broadcast; the corpus side
+    # never sort-merges and never sorts globally
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
 
 
 def test_lm_plan_broadcasts_vocab_no_global_sort(spark):
