@@ -1908,15 +1908,18 @@ def _marker_runs(iw: int, ih: int, px: bytes):
     return symbols, instances
 
 
-def _marker_to_symbol_page(iw: int, ih: int, px: bytes) -> bytes:
+def _marker_to_symbol_page(iw: int, ih: int, px: bytes,
+                           transposed: bool = False) -> bytes:
     """Re-encode a pixel-grid marker bitmap as a JBIG2 symbol-coded
     page: symbol dictionary + text region — the coding real
     scanned-text JBIG2 uses (T.88 §6.4/§6.5).  The decoded page is
-    pixel-identical to the generic encoding."""
+    pixel-identical to the generic encoding; ``transposed`` transmits
+    the same placements as vertical-text columns (TRANSPOSED=1)."""
     from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page
 
     symbols, instances = _marker_runs(iw, ih, px)
-    return encode_symbol_page(iw, ih, symbols, instances)
+    return encode_symbol_page(iw, ih, symbols, instances,
+                              transposed=transposed)
 
 
 def _marker_to_symbol_page_huffman(iw: int, ih: int, px: bytes,
@@ -1970,6 +1973,8 @@ def make_scan_pdf_jbig2(
         iw, ih, px = text_to_pixels(text)
         if coding == "symbol":
             payload = _marker_to_symbol_page(iw, ih, px)
+        elif coding == "symbol_transposed":
+            payload = _marker_to_symbol_page(iw, ih, px, transposed=True)
         elif coding == "symbol_huffman":
             payload = _marker_to_symbol_page_huffman(iw, ih, px, mmr=False)
         elif coding == "symbol_huffman_mmr":
@@ -2012,7 +2017,7 @@ def make_scan_pdf_jbig2(
     return w.build(catalog)
 
 
-def gen_jbig2_scan_rows(n_docs: int = 13) -> List[dict]:
+def gen_jbig2_scan_rows(n_docs: int = 14) -> List[dict]:
     """Corpus for the JBIG2 scan branch: multi-page PDFs whose pages are
     JBIG2Decode image XObjects carrying pixel-marker ground truth.
     Docs 0-6 are generic-region coded; docs 7-8 are symbol-coded
@@ -2041,6 +2046,8 @@ def gen_jbig2_scan_rows(n_docs: int = 13) -> List[dict]:
             coding = "symbol_huffman"
         elif d == 10 and d < n_docs - 2:
             coding = "symbol_huffman_mmr"
+        elif d == 11 and d < n_docs - 2:
+            coding = "symbol_transposed"
         elif d == n_docs - 2:
             coding = "mmr"
         else:

@@ -43,9 +43,10 @@ BOTH sides so fixtures are deterministic:
   encoder mirrors — the profile fax-oriented JBIG2 encoders emit
 
 Out of scope (→ loud ``JBIG2Error``): custom Huffman table segments
-(type 53 / selector 3), refinement/aggregate coding, transposed text
-regions, halftone regions, unknown-length regions, JBIG2Globals,
-retained contexts.
+(type 53 / selector 3), refinement/aggregate coding, halftone
+regions, unknown-length regions, JBIG2Globals, retained contexts.
+Transposed text regions (vertical text columns) decode in both the
+arithmetic and Huffman paths.
 
 The 16-bit template context packs the nominal template-0 neighbourhood
 in raster order (sorted by (y, x), MSB first) — the convention of the
@@ -927,22 +928,38 @@ def _encode_symbol_dict_body_huffman(
 _REFCORNERS = ("BOTTOMLEFT", "TOPLEFT", "BOTTOMRIGHT", "TOPRIGHT")
 
 
+def _text_strips(symbols, instances, refcorner: int, sbstrips: int,
+                 transposed: bool):
+    """Group instances into strips of (S, T, sid, S-extent): for the
+    normal orientation S runs along x and T is the corner's y edge; a
+    TRANSPOSED region swaps the axes (S along y, T the corner's x
+    edge — vertical text columns)."""
+    strips: Dict[int, List[Tuple[int, int, int, int]]] = {}
+    for sid, x, y in instances:
+        w, h, _ = symbols[sid]
+        if transposed:
+            t = x if refcorner in (0, 1) else x + w - 1
+            strips.setdefault(t // sbstrips, []).append((y, t, sid, h))
+        else:
+            t = y if refcorner in (1, 3) else y + h - 1
+            strips.setdefault(t // sbstrips, []).append((x, t, sid, w))
+    return strips
+
+
 def _encode_text_region_body(
         rw: int, rh: int,
         symbols: Sequence[Tuple[int, int, bytearray]],
         instances: Sequence[Tuple[int, int, int]],
-        refcorner: int, logsbstrips: int) -> bytes:
+        refcorner: int, logsbstrips: int,
+        transposed: bool = False) -> bytes:
     """Immediate lossless text region placing ``instances`` of
     ``(sym_idx, x, y)`` with (x, y) the symbol's TOP-LEFT pixel — the
-    encoder converts to the transmitted T per ``refcorner``."""
+    encoder converts to the transmitted (S, T) per ``refcorner`` and
+    ``transposed``."""
     sbstrips = 1 << logsbstrips
     symlen = _symcodelen(len(symbols))
-    top_corner = refcorner in (1, 3)         # TOPLEFT / TOPRIGHT
-    strips: Dict[int, List[Tuple[int, int, int, int]]] = {}
-    for sid, x, y in instances:
-        w, h, _ = symbols[sid]
-        t = y if top_corner else y + h - 1
-        strips.setdefault(t // sbstrips, []).append((x, t, sid, w))
+    strips = _text_strips(symbols, instances, refcorner, sbstrips,
+                          transposed)
     mq = MQEncoder(states=_Ctx())
     enc = _IntEncoder(mq)
     enc.encode("IADT", 0)                    # STRIPT init → 0
@@ -967,7 +984,7 @@ def _encode_text_region_body(
             enc.encode_id(sid, symlen)
             curs += w - 1
         enc.encode("IADS", None)             # OOB ends the strip
-    flags = (logsbstrips << 2) | (refcorner << 4)
+    flags = (logsbstrips << 2) | (refcorner << 4) | (int(transposed) << 6)
     return (_u32(rw) + _u32(rh) + _u32(0) + _u32(0) +
             bytes([0x00]) +                  # external combination op: OR
             _u16(flags) +
@@ -979,17 +996,14 @@ def _encode_text_region_body_huffman(
         rw: int, rh: int,
         symbols: Sequence[Tuple[int, int, bytearray]],
         instances: Sequence[Tuple[int, int, int]],
-        refcorner: int, logsbstrips: int) -> bytes:
+        refcorner: int, logsbstrips: int,
+        transposed: bool = False) -> bytes:
     """SBHUFF=1 immediate lossless text region: standard tables B.6
     (FS) / B.8 (DS) / B.11 (DT), uniform-length symbol-ID codes carried
     via the runcode table (the one coded runcode gets a 1-bit prefix)."""
     sbstrips = 1 << logsbstrips
-    top_corner = refcorner in (1, 3)
-    strips: Dict[int, List[Tuple[int, int, int, int]]] = {}
-    for sid, x, y in instances:
-        w, h, _ = symbols[sid]
-        t = y if top_corner else y + h - 1
-        strips.setdefault(t // sbstrips, []).append((x, t, sid, w))
+    strips = _text_strips(symbols, instances, refcorner, sbstrips,
+                          transposed)
     fs_tab = _std_table(6)
     ds_tab = _std_table(8)
     dt_tab = _std_table(11)
@@ -1026,7 +1040,8 @@ def _encode_text_region_body_huffman(
             w.write(code, plen)
             curs += sw - 1
         ds_tab.encode(w, None)               # OOB ends the strip
-    flags = 0x0001 | (logsbstrips << 2) | (refcorner << 4)
+    flags = (0x0001 | (logsbstrips << 2) | (refcorner << 4)
+             | (int(transposed) << 6))
     hflags = 0x0000                          # B.6 / B.8 / B.11 selectors
     return (_u32(rw) + _u32(rh) + _u32(0) + _u32(0) +
             bytes([0x00]) +                  # external combination op: OR
@@ -1040,7 +1055,7 @@ def encode_symbol_page_huffman(
         symbols: Sequence[Tuple[int, int, bytes]],
         instances: Sequence[Tuple[int, int, int]],
         refcorner: int = 1, logsbstrips: int = 0,
-        mmr: bool = False) -> bytes:
+        mmr: bool = False, transposed: bool = False) -> bytes:
     """Huffman twin of :func:`encode_symbol_page` (SDHUFF=SBHUFF=1):
     symbol dictionary with collective height-class bitmaps
     (uncompressed, or MMR when ``mmr``) + Huffman text region.  The
@@ -1073,7 +1088,8 @@ def encode_symbol_page_huffman(
         new_insts.append((remap[sid], x, y))
     dict_body = _encode_symbol_dict_body_huffman(sorted_syms, mmr)
     text_body = _encode_text_region_body_huffman(
-        width, height, sorted_syms, new_insts, refcorner, logsbstrips)
+        width, height, sorted_syms, new_insts, refcorner, logsbstrips,
+        transposed)
     return (_segment(0, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
             _segment(1, _SEG_SYMBOL_DICT, 1, dict_body) +
             _segment(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_body,
@@ -1101,8 +1117,7 @@ def _decode_text_region(body: bytes,
     logsbstrips = (flags >> 2) & 0x03
     sbstrips = 1 << logsbstrips
     refcorner = (flags >> 4) & 0x03
-    if (flags >> 6) & 0x01:
-        raise JBIG2Error("transposed text regions unsupported")
+    transposed = bool((flags >> 6) & 0x01)
     if (flags >> 7) & 0x03 != 0:
         raise JBIG2Error("only OR text composition supported")
     if (flags >> 9) & 0x01:
@@ -1121,7 +1136,7 @@ def _decode_text_region(body: bytes,
             raise JBIG2Error("unreasonable instance count")
         bits = _decode_text_huffman(
             body, syms, rw, rh, num_inst, sbstrips, logsbstrips,
-            top_corner, dsoffset)
+            refcorner, dsoffset, transposed)
         _compose_or(bits, rw, rh, page, pw, rx, ry)
         return
     num_inst = int.from_bytes(body[19:23], "big")
@@ -1171,12 +1186,19 @@ def _decode_text_region(body: bytes,
             if not 0 <= sid < len(syms):
                 raise JBIG2Error(f"symbol id {sid} out of range")
             sw, sh, sbits = syms[sid]
-            # for all four (untransposed) corners the drawn top-left x
-            # is CURS before advancement, and CURS advances by WS-1
-            # (§6.4.5 step 3(c) vi-x collapse to this)
-            y0 = tt if top_corner else tt - sh + 1
-            _draw_symbol(bits, rw, rh, sbits, sw, sh, curs, y0)
-            curs += sw - 1
+            # untransposed: CURS runs along x, the drawn top-left x is
+            # CURS and CURS advances by WS-1 (§6.4.5 step 3(c) vi-x
+            # collapse to this).  TRANSPOSED=1 swaps the axes: CURS runs
+            # along y, T is the x coordinate (LEFT corners reference the
+            # left edge, RIGHT corners the right), CURS advances HS-1.
+            if transposed:
+                x0 = tt if refcorner in (0, 1) else tt - sw + 1
+                _draw_symbol(bits, rw, rh, sbits, sw, sh, x0, curs)
+                curs += sh - 1
+            else:
+                y0 = tt if top_corner else tt - sh + 1
+                _draw_symbol(bits, rw, rh, sbits, sw, sh, curs, y0)
+                curs += sw - 1
             n += 1
     _compose_or(bits, rw, rh, page, pw, rx, ry)
 
@@ -1227,7 +1249,8 @@ def _read_sym_id_lengths(r: _BitReader, nsyms: int) -> List[int]:
 
 def _decode_text_huffman(body: bytes, syms, rw: int, rh: int,
                          num_inst: int, sbstrips: int, logsbstrips: int,
-                         top_corner: bool, dsoffset: int) -> bytearray:
+                         refcorner: int, dsoffset: int,
+                         transposed: bool = False) -> bytearray:
     """SBHUFF=1 text region body (§6.4.5 with Huffman reads): DT/FS/DS
     via the selected Annex B tables, CURT as raw log2(SBSTRIPS) bits,
     symbol IDs via the per-region runcode-built prefix table."""
@@ -1281,9 +1304,14 @@ def _decode_text_huffman(body: bytes, syms, rw: int, rh: int,
             if sid is None or not 0 <= sid < len(syms):
                 raise JBIG2Error(f"symbol id {sid} out of range")
             sw, sh, sbits = syms[sid]
-            y0 = tt if top_corner else tt - sh + 1
-            _draw_symbol(bits, rw, rh, sbits, sw, sh, curs, y0)
-            curs += sw - 1
+            if transposed:
+                x0 = tt if refcorner in (0, 1) else tt - sw + 1
+                _draw_symbol(bits, rw, rh, sbits, sw, sh, x0, curs)
+                curs += sh - 1
+            else:
+                y0 = tt if refcorner in (1, 3) else tt - sh + 1
+                _draw_symbol(bits, rw, rh, sbits, sw, sh, curs, y0)
+                curs += sw - 1
             n += 1
     return bits
 
@@ -1291,7 +1319,8 @@ def _decode_text_huffman(body: bytes, syms, rw: int, rh: int,
 def encode_symbol_page(width: int, height: int,
                        symbols: Sequence[Tuple[int, int, bytes]],
                        instances: Sequence[Tuple[int, int, int]],
-                       refcorner: int = 1, logsbstrips: int = 0) -> bytes:
+                       refcorner: int = 1, logsbstrips: int = 0,
+                       transposed: bool = False) -> bytes:
     """Encode a page as symbol dictionary + text region — the coding
     real scanned-text JBIG2 uses.  ``symbols`` are ``(w, h, luma8)``
     glyph bitmaps (dark < 128 = ink); ``instances`` are
@@ -1317,7 +1346,7 @@ def encode_symbol_page(width: int, height: int,
             raise JBIG2Error("instance origin outside page")
     dict_body = _encode_symbol_dict_body(syms)
     text_body = _encode_text_region_body(width, height, syms, instances,
-                                         refcorner, logsbstrips)
+                                         refcorner, logsbstrips, transposed)
     return (_segment(0, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
             _segment(1, _SEG_SYMBOL_DICT, 1, dict_body) +
             _segment(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_body,

@@ -295,6 +295,49 @@ class TestHuffman:
         w2.write(symtab.encode_map[2][1], symtab.encode_map[2][0])
         assert symtab.decode(_BitReader(w2.bytes())) == 2
 
+    def test_transposed_decodes_identical(self):
+        """TRANSPOSED=1 (vertical text columns, §6.4.5): the same
+        instances transmitted with swapped S/T axes decode to the
+        identical page for every corner, strip height, and coding."""
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page_huffman
+
+        exp = _expected_or(96, 48, self.SYMS, self.INSTS)
+        for rc in (0, 1, 2, 3):
+            for ls in (0, 1, 2):
+                a = encode_symbol_page(96, 48, self.SYMS, self.INSTS,
+                                       refcorner=rc, logsbstrips=ls,
+                                       transposed=True)
+                assert decode_bilevel(a) == (96, 48, exp), ("arith", rc, ls)
+                h = encode_symbol_page_huffman(
+                    96, 48, self.SYMS, self.INSTS, refcorner=rc,
+                    logsbstrips=ls, transposed=True)
+                assert decode_bilevel(h) == (96, 48, exp), ("huff", rc, ls)
+
+    def test_transposed_fuzz(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page_huffman
+
+        for maker in (
+            lambda: encode_symbol_page(96, 48, self.SYMS, self.INSTS,
+                                       transposed=True),
+            lambda: encode_symbol_page_huffman(96, 48, self.SYMS,
+                                               self.INSTS, transposed=True),
+        ):
+            data = maker()
+            rng = random.Random(97)
+            for _ in range(100):
+                cut = rng.randrange(1, len(data))
+                try:
+                    decode_bilevel(data[:cut])
+                except JBIG2Error:
+                    pass
+            for _ in range(100):
+                b = bytearray(data)
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                try:
+                    decode_bilevel(bytes(b))
+                except JBIG2Error:
+                    pass
+
     def test_rejects_unsorted_height_classes(self):
         from pdf_ocr_spark.kernels.pdf.jbig2 import (
             _encode_symbol_dict_body_huffman)
