@@ -1981,10 +1981,23 @@ def make_scan_pdf_jbig2(
             payload = _marker_to_symbol_page_huffman(iw, ih, px, mmr=True)
         elif coding == "mmr":
             payload = encode_bilevel_mmr(iw, ih, px)
+        elif coding == "symbol_globals":
+            from pdf_ocr_spark.kernels.pdf.jbig2 import (
+                encode_symbol_page_globals)
+
+            symbols, inst = _marker_runs(iw, ih, px)
+            glob, payload = encode_symbol_page_globals(
+                iw, ih, symbols, inst)
         else:
             payload = encode_bilevel(iw, ih, px)
         if pno == corrupt_page:
             payload = payload[: max(4, len(payload) // 3)]
+        parms = b""
+        if coding == "symbol_globals":
+            # shared symbol dictionary rides in a Flate-compressed
+            # JBIG2Globals stream (ISO 32000-1 7.4.7)
+            glob_num = w.add_stream(b"", glob, compress=True)
+            parms = b" /DecodeParms << /JBIG2Globals %d 0 R >>" % glob_num
         if flate_wrap:
             filt = b"/Filter [/FlateDecode /JBIG2Decode]"
             payload = _zlib.compress(payload)
@@ -1992,8 +2005,8 @@ def make_scan_pdf_jbig2(
             filt = b"/Filter /JBIG2Decode"
         img_num = w.add_stream(
             b"/Type /XObject /Subtype /Image /Width %d /Height %d"
-            b" /ColorSpace /DeviceGray /BitsPerComponent 1 %s"
-            % (iw, ih, filt),
+            b" /ColorSpace /DeviceGray /BitsPerComponent 1 %s%s"
+            % (iw, ih, filt, parms),
             payload,
             compress=False,
         )
@@ -2017,7 +2030,7 @@ def make_scan_pdf_jbig2(
     return w.build(catalog)
 
 
-def gen_jbig2_scan_rows(n_docs: int = 14) -> List[dict]:
+def gen_jbig2_scan_rows(n_docs: int = 15) -> List[dict]:
     """Corpus for the JBIG2 scan branch: multi-page PDFs whose pages are
     JBIG2Decode image XObjects carrying pixel-marker ground truth.
     Docs 0-6 are generic-region coded; docs 7-8 are symbol-coded
@@ -2048,6 +2061,8 @@ def gen_jbig2_scan_rows(n_docs: int = 14) -> List[dict]:
             coding = "symbol_huffman_mmr"
         elif d == 11 and d < n_docs - 2:
             coding = "symbol_transposed"
+        elif d == 12 and d < n_docs - 2:
+            coding = "symbol_globals"
         elif d == n_docs - 2:
             coding = "mmr"
         else:

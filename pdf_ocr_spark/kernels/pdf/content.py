@@ -64,11 +64,23 @@ def image_ocr_payload(doc: PDFDocument, xo: Stream) -> bytes:
             w, h, luma = jp2.decode_gray(xo.decode(doc))
             return b"P5\n%d %d\n255\n" % (w, h) + luma
         if names[-1] == "JBIG2Decode":
-            # JBIG2 (high-compression bi-level scans): generic-region
-            # decode via the from-scratch codec (kernels/pdf/jbig2.py)
+            # JBIG2 (high-compression bi-level scans): decode via the
+            # from-scratch codec (kernels/pdf/jbig2.py); a /DecodeParms
+            # /JBIG2Globals stream (shared symbol dictionaries across
+            # pages, ISO 32000-1 §7.4.7) is resolved, de-filtered, and
+            # processed ahead of the per-image segment stream
             from pdf_ocr_spark.kernels.pdf import jbig2
 
-            w, h, luma = jbig2.decode_bilevel(xo.decode(doc))
+            parms = doc.resolve(xo.dict.get("DecodeParms"))
+            if isinstance(parms, list):
+                parms = doc.resolve(parms[-1]) if parms else None
+            glob = None
+            if isinstance(parms, dict):
+                g = doc.resolve(parms.get("JBIG2Globals"))
+                if isinstance(g, Stream):
+                    glob = g.decode(doc)
+            w, h, luma = jbig2.decode_bilevel(xo.decode(doc),
+                                              globals_data=glob)
             return b"P5\n%d %d\n255\n" % (w, h) + luma
         if names[-1] not in ("CCITTFaxDecode", "CCF"):
             if names[-1] in ("DCTDecode", "DCT"):

@@ -42,11 +42,14 @@ BOTH sides so fixtures are deterministic:
   runcode-coded symbol-ID tables (codes 32/33/34 repeats), and exact
   encoder mirrors — the profile fax-oriented JBIG2 encoders emit
 
+Also supported: transposed text regions (vertical-text columns, both
+coding paths) and /JBIG2Globals shared symbol dictionaries (the PDF
+DecodeParms stream, processed ahead of the per-image segments in one
+shared segment-number space — ISO 32000-1 §7.4.7).
+
 Out of scope (→ loud ``JBIG2Error``): custom Huffman table segments
 (type 53 / selector 3), refinement/aggregate coding, halftone
-regions, unknown-length regions, JBIG2Globals, retained contexts.
-Transposed text regions (vertical text columns) decode in both the
-arithmetic and Huffman paths.
+regions, unknown-length regions, retained contexts.
 
 The 16-bit template context packs the nominal template-0 neighbourhood
 in raster order (sorted by (y, x), MSB first) — the convention of the
@@ -1354,18 +1357,75 @@ def encode_symbol_page(width: int, height: int,
             _segment(3, _SEG_END_OF_PAGE, 1, b""))
 
 
+def encode_symbol_page_globals(
+        width: int, height: int,
+        symbols: Sequence[Tuple[int, int, bytes]],
+        instances: Sequence[Tuple[int, int, int]],
+        refcorner: int = 1, logsbstrips: int = 0,
+        transposed: bool = False) -> Tuple[bytes, bytes]:
+    """→ ``(globals_stream, page_stream)``: the symbol dictionary rides
+    in a shared JBIG2Globals stream (segment 0, page association 0)
+    while the per-image stream carries page info + a text region
+    REFERRING to the global dictionary + end-of-page — the PDF layout
+    real scanner output uses to share one glyph dictionary across all
+    pages (ISO 32000-1 §7.4.7).  Decode by passing the first stream as
+    ``decode_bilevel(page_stream, globals_data=globals_stream)``."""
+    if width <= 0 or height <= 0:
+        raise JBIG2Error("bad page dimensions")
+    if not symbols:
+        raise JBIG2Error("symbol page needs at least one symbol")
+    if refcorner not in (0, 1, 2, 3) or logsbstrips not in (0, 1, 2, 3):
+        raise JBIG2Error("bad refcorner/logsbstrips")
+    syms: List[Tuple[int, int, bytearray]] = []
+    for w, h, luma in symbols:
+        if w <= 0 or h <= 0 or len(luma) != w * h:
+            raise JBIG2Error("bad symbol dimensions")
+        syms.append((w, h, bytearray(1 if b < 128 else 0 for b in luma)))
+    for sid, x, y in instances:
+        if not 0 <= sid < len(syms):
+            raise JBIG2Error("instance symbol index out of range")
+        if not (0 <= x < width and 0 <= y < height):
+            raise JBIG2Error("instance origin outside page")
+    glob = _segment(0, _SEG_SYMBOL_DICT, 0, _encode_symbol_dict_body(syms))
+    text_body = _encode_text_region_body(width, height, syms, instances,
+                                         refcorner, logsbstrips, transposed)
+    page = (_segment(1, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
+            _segment(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_body,
+                     refs=(0,)) +
+            _segment(3, _SEG_END_OF_PAGE, 1, b""))
+    return glob, page
+
+
 # --------------------------------------------------------------------------
 # Top-level decode
 # --------------------------------------------------------------------------
 
-def decode_bilevel(data: bytes) -> Tuple[int, int, bytes]:
-    """Decode an embedded-PDF JBIG2 stream → (w, h, luma 0/255)."""
+def decode_bilevel(data: bytes,
+                   globals_data: Optional[bytes] = None
+                   ) -> Tuple[int, int, bytes]:
+    """Decode an embedded-PDF JBIG2 stream → (w, h, luma 0/255).
+
+    ``globals_data`` is the PDF ``/DecodeParms /JBIG2Globals`` stream
+    (ISO 32000-1 §7.4.7): a segment sequence — typically shared symbol
+    dictionaries — processed BEFORE the per-image stream, with the two
+    streams sharing one segment-number space so the image's text
+    regions can refer to the global dictionaries."""
     data = bytes(data)
-    pos = 0
     pw = ph = None
     page: bytearray = bytearray()
     saw_region = False
     sym_dicts: Dict[int, List[Tuple[int, int, bytearray]]] = {}
+    streams = ([bytes(globals_data)] if globals_data else []) + [data]
+    for data in streams:
+        pw, ph, page, saw_region = _walk_segments(
+            data, pw, ph, page, saw_region, sym_dicts)
+    if pw is None or not saw_region:
+        raise JBIG2Error("no page/region segments")
+    return pw, ph, bytes(0 if b else 255 for b in page)
+
+
+def _walk_segments(data, pw, ph, page, saw_region, sym_dicts):
+    pos = 0
     while pos < len(data):
         seg_type, refs, length, start, nxt = _parse_segment_header(data, pos)
         body = data[start:start + length]
@@ -1403,6 +1463,4 @@ def decode_bilevel(data: bytes) -> Tuple[int, int, bytes]:
         else:
             raise JBIG2Error(f"unsupported segment type {seg_type}")
         pos = nxt
-    if pw is None or not saw_region:
-        raise JBIG2Error("no page/region segments")
-    return pw, ph, bytes(0 if b else 255 for b in page)
+    return pw, ph, page, saw_region

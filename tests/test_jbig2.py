@@ -338,6 +338,29 @@ class TestHuffman:
                 except JBIG2Error:
                     pass
 
+    def test_jbig2globals_shared_dictionary(self):
+        """The PDF /JBIG2Globals layout: symbol dictionary in a shared
+        globals stream, page stream referring to it — decodes identical
+        to the single-stream encoding; without the globals the text
+        region must fail loudly (no symbols), not crash."""
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            encode_symbol_page_globals)
+
+        exp = _expected_or(96, 48, self.SYMS, self.INSTS)
+        glob, page = encode_symbol_page_globals(96, 48, self.SYMS,
+                                                self.INSTS)
+        assert decode_bilevel(page, globals_data=glob) == (96, 48, exp)
+        with pytest.raises(JBIG2Error):
+            decode_bilevel(page)
+        # globals truncation fuzz: must raise, never crash
+        rng = random.Random(131)
+        for _ in range(60):
+            cut = rng.randrange(1, len(glob))
+            try:
+                decode_bilevel(page, globals_data=glob[:cut])
+            except JBIG2Error:
+                pass
+
     def test_rejects_unsorted_height_classes(self):
         from pdf_ocr_spark.kernels.pdf.jbig2 import (
             _encode_symbol_dict_body_huffman)
