@@ -69,18 +69,59 @@ class JBIG2Error(ValueError):
     """Malformed / truncated / unsupported JBIG2 data."""
 
 
-# nominal template-0 neighbourhood: fixed pixels + nominal AT1..AT4,
-# sorted raster order (y, then x); each entry is (dy, dx)
-_TEMPLATE0: Tuple[Tuple[int, int], ...] = tuple(sorted([
-    (-2, -1), (-2, 0), (-2, 1),                    # fixed, row y-2
-    (-2, 2), (-2, -2),                             # AT3, AT4 (nominal)
-    (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2),  # fixed, row y-1
-    (-1, 3), (-1, -3),                             # AT1, AT2 (nominal)
-    (0, -4), (0, -3), (0, -2), (0, -1),            # fixed, current row
-]))
+# Generic-region templates (T.88 §6.2.5.3): fixed neighbourhood pixels
+# per template as (dy, dx); templates 0 has 4 movable AT pixels, 1-3
+# have one.  The context packs the fixed+AT union in sorted raster
+# order (y, then x), MSB first — the convention of the open-source
+# decoders (pdf.js builds the identical reordered template).
+_GB_FIXED: Tuple[Tuple[Tuple[int, int], ...], ...] = (
+    ((-2, -1), (-2, 0), (-2, 1),
+     (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2),
+     (0, -4), (0, -3), (0, -2), (0, -1)),
+    ((-2, -1), (-2, 0), (-2, 1), (-2, 2),
+     (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2),
+     (0, -3), (0, -2), (0, -1)),
+    ((-2, -1), (-2, 0), (-2, 1),
+     (-1, -2), (-1, -1), (-1, 0), (-1, 1),
+     (0, -2), (0, -1)),
+    ((-1, -3), (-1, -2), (-1, -1), (-1, 0), (-1, 1),
+     (0, -4), (0, -3), (0, -2), (0, -1)),
+)
+_GB_AT_COUNT = (4, 1, 1, 1)
+# nominal AT positions per template, as (dy, dx)
+_GB_NOMINAL_AT: Tuple[Tuple[Tuple[int, int], ...], ...] = (
+    ((-1, 3), (-1, -3), (-2, 2), (-2, -2)),
+    ((-1, 3),),
+    ((-1, 2),),
+    ((-1, 2),),
+)
+# TPGDON pseudo-pixel contexts per template (T.88 §6.2.5.7)
+_TPGD_CTX = (0x9B25, 0x0795, 0x00E5, 0x0195)
 
-# TPGDON pseudo-pixel context for template 0 (T.88 §6.2.5.7)
-_TPGD_CTX0 = 0x9B25
+
+def _gb_template(template: int,
+                 at: Sequence[Tuple[int, int]]) -> Tuple[Tuple[int, int], ...]:
+    """Sorted (y, x) raster-order pixel tuple for a generic template
+    with its (possibly non-nominal) AT pixels."""
+    return tuple(sorted(_GB_FIXED[template] + tuple(at)))
+
+
+def _parse_at(raw: bytes, count: int) -> Tuple[Tuple[int, int], ...]:
+    """AT pixel bytes → (dy, dx) pairs (each byte a signed int8; the
+    wire order is (x, y) per §7.4.6.1)."""
+    if len(raw) < 2 * count:
+        raise JBIG2Error("truncated AT pixel list")
+    out = []
+    for i in range(count):
+        dx = raw[2 * i] - 256 if raw[2 * i] > 127 else raw[2 * i]
+        dy = raw[2 * i + 1] - 256 if raw[2 * i + 1] > 127 else raw[2 * i + 1]
+        if dy > 0 or (dy == 0 and dx >= 0):
+            raise JBIG2Error("non-causal AT pixel")
+        out.append((dy, dx))
+    return tuple(out)
+
+
+_TEMPLATE0: Tuple[Tuple[int, int], ...] = _gb_template(0, _GB_NOMINAL_AT[0])
 
 _NOMINAL_AT = bytes([0x03, 0xFF, 0xFD, 0xFF, 0x02, 0xFE, 0xFE, 0xFE])
 
@@ -110,9 +151,10 @@ class _Ctx(dict):
         return v
 
 
-def _context(bits: bytearray, w: int, h: int, x: int, y: int) -> int:
+def _context(bits: bytearray, w: int, h: int, x: int, y: int,
+             pixels: Tuple[Tuple[int, int], ...] = None) -> int:
     cx = 0
-    for dy, dx in _TEMPLATE0:
+    for dy, dx in (pixels or _TEMPLATE0):
         yy = y + dy
         xx = x + dx
         cx <<= 1
@@ -466,7 +508,9 @@ def _sym_id_table(lengths: Sequence[int]) -> _HuffTable:
 # --------------------------------------------------------------------------
 
 def _encode_generic_bitmap(mq: MQEncoder, bits, w: int, h: int,
-                           tpgdon: bool) -> None:
+                           tpgdon: bool,
+                           pixels: Tuple[Tuple[int, int], ...] = None,
+                           tpgd_ctx: int = _TPGD_CTX[0]) -> None:
     ltp = 0
     prev = bytearray(w)          # the virtual all-zero row above row 0
     for y in range(h):
@@ -476,29 +520,31 @@ def _encode_generic_bitmap(mq: MQEncoder, bits, w: int, h: int,
             typical = 1 if row == prev else 0
             # SLTP is the TOGGLE of the typical-prediction state, not
             # the state itself (T.88 §6.2.5.7: LTP ^= SLTP per row)
-            mq.encode(typical ^ ltp, _TPGD_CTX0)
+            mq.encode(typical ^ ltp, tpgd_ctx)
             ltp = typical
             prev = row
             if ltp:
                 continue         # decoder copies the row above
         for x in range(w):
-            mq.encode(bits[base + x], _context(bits, w, h, x, y))
+            mq.encode(bits[base + x], _context(bits, w, h, x, y, pixels))
 
 
 def _decode_generic_bitmap(mq: MQDecoder, w: int, h: int,
-                           tpgdon: bool) -> bytearray:
+                           tpgdon: bool,
+                           pixels: Tuple[Tuple[int, int], ...] = None,
+                           tpgd_ctx: int = _TPGD_CTX[0]) -> bytearray:
     bits = bytearray(w * h)
     ltp = 0
     for y in range(h):
         base = y * w
         if tpgdon:
-            ltp ^= mq.decode(_TPGD_CTX0)
+            ltp ^= mq.decode(tpgd_ctx)
             if ltp:
                 if y:
                     bits[base:base + w] = bits[base - w:base]
                 continue        # row 0: copy of the all-zero virtual row
         for x in range(w):
-            if mq.decode(_context(bits, w, h, x, y)):
+            if mq.decode(_context(bits, w, h, x, y, pixels)):
                 bits[base + x] = 1
     return bits
 
@@ -559,20 +605,33 @@ def _parse_segment_header(
 # Generic region segments (§7.4.6)
 # --------------------------------------------------------------------------
 
-def encode_bilevel(width: int, height: int, luma: bytes) -> bytes:
+def encode_bilevel(width: int, height: int, luma: bytes,
+                   template: int = 0,
+                   at: Optional[Sequence[Tuple[int, int]]] = None) -> bytes:
     """Encode an 8-bit grayscale buffer (thresholded at 128: dark=ink)
     as an embedded-PDF JBIG2 stream: page info + one immediate lossless
-    generic region (template 0, TPGDON) + end-of-page."""
+    generic region (TPGDON) + end-of-page.  ``template`` selects the
+    generic template (0-3); ``at`` overrides the nominal AT pixels with
+    (dy, dx) pairs — the decoder accepts any causal positions."""
     if width <= 0 or height <= 0 or len(luma) != width * height:
         raise JBIG2Error("bad image dimensions")
+    if template not in (0, 1, 2, 3):
+        raise JBIG2Error("bad generic template")
+    at = tuple(at) if at is not None else _GB_NOMINAL_AT[template]
+    if len(at) != _GB_AT_COUNT[template]:
+        raise JBIG2Error("wrong AT pixel count for template")
     bits = bytearray(1 if b < 128 else 0 for b in luma)
     mq = MQEncoder(states=_Ctx())
-    _encode_generic_bitmap(mq, bits, width, height, tpgdon=True)
+    _encode_generic_bitmap(mq, bits, width, height, True,
+                           _gb_template(template, at),
+                           _TPGD_CTX[template])
     data = mq.flush()
+    at_bytes = b"".join(
+        bytes([dx & 0xFF, dy & 0xFF]) for dy, dx in at)
     region = (_u32(width) + _u32(height) + _u32(0) + _u32(0) +
               bytes([0x00]) +          # external combination op: OR
-              bytes([0x08]) +          # MMR=0, template 0, TPGDON=1
-              _NOMINAL_AT + data)
+              bytes([0x08 | (template << 1)]) +  # MMR=0, TPGDON=1
+              at_bytes + data)
     return (_segment(0, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
             _segment(1, _SEG_GENERIC_IMMEDIATE_LOSSLESS, 1, region) +
             _segment(2, _SEG_END_OF_PAGE, 1, b""))
@@ -626,15 +685,16 @@ def _decode_generic(body: bytes, page: bytearray,
             raise JBIG2Error("MMR region dimension mismatch")
         bits = bytearray(1 if b < 128 else 0 for b in luma)
     else:
-        if (gflags >> 1) & 0x03 != 0:
-            raise JBIG2Error("only generic template 0 supported")
+        template = (gflags >> 1) & 0x03
         tpgdon = bool(gflags & 0x08)
-        if len(body) < 26:
+        nat = _GB_AT_COUNT[template]
+        if len(body) < 18 + 2 * nat:
             raise JBIG2Error("short generic region segment")
-        if body[18:26] != _NOMINAL_AT:
-            raise JBIG2Error("non-nominal AT pixels unsupported")
-        mq = MQDecoder(body[26:], states=_Ctx())
-        bits = _decode_generic_bitmap(mq, rw, rh, tpgdon)
+        at = _parse_at(body[18:18 + 2 * nat], nat)
+        mq = MQDecoder(body[18 + 2 * nat:], states=_Ctx())
+        bits = _decode_generic_bitmap(
+            mq, rw, rh, tpgdon, _gb_template(template, at),
+            _TPGD_CTX[template])
     _compose_or(bits, rw, rh, page, pw, rx, ry)
 
 
@@ -691,17 +751,20 @@ def _decode_symbol_dict(body: bytes,
         return _decode_symbol_dict_huffman(body, flags, input_syms)
     if flags & 0x0002:
         raise JBIG2Error("refinement/aggregate symbol coding unsupported")
-    if (flags >> 10) & 0x03 != 0:
-        raise JBIG2Error("only symbol template 0 supported")
+    template = (flags >> 10) & 0x03
     if flags & 0x6000:
         raise JBIG2Error("retained coding contexts unsupported")
-    if body[2:10] != _NOMINAL_AT:
-        raise JBIG2Error("non-nominal AT pixels unsupported")
-    num_ex = int.from_bytes(body[10:14], "big")
-    num_new = int.from_bytes(body[14:18], "big")
+    nat = _GB_AT_COUNT[template]
+    at = _parse_at(body[2:2 + 2 * nat], nat)
+    pixels = _gb_template(template, at)
+    off = 2 + 2 * nat
+    if len(body) < off + 8:
+        raise JBIG2Error("short symbol dictionary segment")
+    num_ex = int.from_bytes(body[off:off + 4], "big")
+    num_new = int.from_bytes(body[off + 4:off + 8], "big")
     if num_new > _MAX_SYMS or num_ex > len(input_syms) + num_new:
         raise JBIG2Error("unreasonable symbol counts")
-    mq = MQDecoder(body[18:], states=_Ctx())
+    mq = MQDecoder(body[off + 8:], states=_Ctx())
     dec = _IntDecoder(mq)
     new_syms: List[Tuple[int, int, bytearray]] = []
     hc_height = 0
@@ -724,7 +787,8 @@ def _decode_symbol_dict(body: bytes,
                 raise JBIG2Error("more symbols than declared")
             if symw * hc_height > 64 << 20:
                 raise JBIG2Error("unreasonable symbol size")
-            bits = _decode_generic_bitmap(mq, symw, hc_height, tpgdon=False)
+            bits = _decode_generic_bitmap(mq, symw, hc_height, False,
+                                          pixels, _TPGD_CTX[template])
             new_syms.append((symw, hc_height, bits))
     all_syms = list(input_syms) + new_syms
     exported: List[Tuple[int, int, bytearray]] = []

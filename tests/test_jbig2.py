@@ -403,6 +403,56 @@ class TestHuffman:
                     pass   # wrong pixels fine; other exceptions are not
 
 
+class TestGenericTemplates:
+    """Generic-region templates 1-3 and movable AT pixels (§6.2.5.3):
+    real encoders pick smaller templates and shift AT pixels; every
+    combination must round-trip losslessly."""
+
+    LUMA = (np.random.RandomState(11).randint(0, 2, size=64 * 48) * 255
+            ).astype(np.uint8).tobytes()
+
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    def test_nominal_round_trip(self, template):
+        data = encode_bilevel(64, 48, self.LUMA, template=template)
+        assert decode_bilevel(data) == (64, 48, self.LUMA)
+
+    @pytest.mark.parametrize("template,at", [
+        (0, [(-1, 2), (-1, -2), (-2, 1), (-2, -1)]),
+        (1, [(-2, -3)]),
+        (2, [(-1, -1)]),
+        (3, [(0, -2)]),
+    ])
+    def test_non_nominal_at_round_trip(self, template, at):
+        data = encode_bilevel(64, 48, self.LUMA, template=template, at=at)
+        assert decode_bilevel(data) == (64, 48, self.LUMA)
+
+    def test_non_causal_at_rejected(self):
+        data = bytearray(encode_bilevel(64, 48, self.LUMA, template=1))
+        i = data.index(bytes([0x08 | (1 << 1)]))
+        data[i + 1] = 1          # dx = +1
+        data[i + 2] = 0          # dy = 0 -> references a future pixel
+        with pytest.raises(JBIG2Error):
+            decode_bilevel(bytes(data))
+
+    def test_template_fuzz(self):
+        for template in (1, 3):
+            data = encode_bilevel(64, 48, self.LUMA, template=template)
+            rng = random.Random(151 + template)
+            for _ in range(80):
+                cut = rng.randrange(1, len(data))
+                try:
+                    decode_bilevel(data[:cut])
+                except JBIG2Error:
+                    pass
+            for _ in range(80):
+                b = bytearray(data)
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                try:
+                    decode_bilevel(bytes(b))
+                except JBIG2Error:
+                    pass
+
+
 class TestValidation:
     def test_rejects_bad_dims(self):
         with pytest.raises(JBIG2Error):
