@@ -47,9 +47,12 @@ coding paths) and /JBIG2Globals shared symbol dictionaries (the PDF
 DecodeParms stream, processed ahead of the per-image segments in one
 shared segment-number space — ISO 32000-1 §7.4.7).
 
-Out of scope (→ loud ``JBIG2Error``): custom Huffman table segments
-(type 53 / selector 3), refinement/aggregate coding, halftone
-regions, unknown-length regions, retained contexts.
+Also: custom Huffman code-table segments (type 53 / selector 3,
+§7.4.13) with an exact encoder mirror, and generic templates 0-3 with
+movable AT pixels.
+
+Out of scope (→ loud ``JBIG2Error``): refinement/aggregate coding,
+halftone regions, unknown-length regions, retained contexts.
 
 The 16-bit template context packs the nominal template-0 neighbourhood
 in raster order (sorted by (y, x), MSB first) — the convention of the
@@ -132,6 +135,7 @@ _SEG_PAGE_INFO = 48
 _SEG_END_OF_PAGE = 49
 _SEG_END_OF_FILE = 51
 _SEG_GENERIC_IMMEDIATE = 38
+_SEG_TABLES = 53
 _SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
 
 _MAX_SYM_DIM = 1 << 14
@@ -485,6 +489,67 @@ class _HuffTable:
         raise JBIG2Error(f"value {value} not codable by Huffman table")
 
 
+def _parse_table_segment(body: bytes) -> _HuffTable:
+    """Custom code-table segment (type 53, §7.4.13 / B.2): flags
+    (HTOOB, HTPS-1, HTRS-1), signed 32-bit HTLOW / HTHIGH, then a
+    bitstream of (PREFLEN, RANGELEN) pairs tiling [HTLOW, HTHIGH),
+    followed by the lower-range, upper-range, and (if HTOOB) OOB
+    prefix lengths."""
+    if len(body) < 9:
+        raise JBIG2Error("short table segment")
+    flags = body[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    low = int.from_bytes(body[1:5], "big", signed=True)
+    high = int.from_bytes(body[5:9], "big", signed=True)
+    if high <= low or high - low > 1 << 24:
+        raise JBIG2Error("unreasonable table range")
+    r = _BitReader(body[9:])
+    lines: List[Tuple] = []
+    cur = low
+    while cur < high:
+        pl = r.read(htps)
+        rl = r.read(htrs)
+        if rl > 32:
+            raise JBIG2Error("unreasonable range length")
+        lines.append(("n", pl, rl, cur))
+        cur += 1 << rl
+    lines.append(("l", r.read(htps), low - 1))
+    lines.append(("u", r.read(htps), high))
+    if htoob:
+        lines.append(("o", r.read(htps)))
+    return _HuffTable(lines)
+
+
+def encode_table_segment_body(lines: Sequence[Tuple], htps: int = 8,
+                              htrs: int = 8) -> bytes:
+    """Exact mirror of :func:`_parse_table_segment` for fixtures: the
+    normal lines must tile a contiguous range and appear in ascending
+    order; lower/upper/OOB lines supply the out-of-range prefixes."""
+    norm = [ln for ln in lines if ln[0] == "n"]
+    lower = [ln for ln in lines if ln[0] == "l"]
+    upper = [ln for ln in lines if ln[0] == "u"]
+    oob = [ln for ln in lines if ln[0] == "o"]
+    if not norm or not lower or not upper:
+        raise JBIG2Error("custom table needs normal+lower+upper lines")
+    low = norm[0][3]
+    high = norm[-1][3] + (1 << norm[-1][2])
+    w = _BitWriter()
+    for ln in norm:
+        w.write(ln[1], htps)
+        w.write(ln[2], htrs)
+    w.write(lower[0][1], htps)
+    w.write(upper[0][1], htps)
+    if oob:
+        w.write(oob[0][1], htps)
+    flags = (1 if oob else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    return (bytes([flags])
+            + low.to_bytes(4, "big", signed=True)
+            + high.to_bytes(4, "big", signed=True)
+            + w.bytes())
+
+
 _STD_BUILT: Dict[int, _HuffTable] = {}
 
 
@@ -742,13 +807,14 @@ def _encode_symbol_dict_body(symbols: Sequence[Tuple[int, int, bytearray]]
 
 
 def _decode_symbol_dict(body: bytes,
-                        input_syms: List[Tuple[int, int, bytearray]]
+                        input_syms: List[Tuple[int, int, bytearray]],
+                        custom: Sequence[_HuffTable] = ()
                         ) -> List[Tuple[int, int, bytearray]]:
     if len(body) < 18:
         raise JBIG2Error("short symbol dictionary segment")
     flags = int.from_bytes(body[0:2], "big")
     if flags & 0x0001:
-        return _decode_symbol_dict_huffman(body, flags, input_syms)
+        return _decode_symbol_dict_huffman(body, flags, input_syms, custom)
     if flags & 0x0002:
         raise JBIG2Error("refinement/aggregate symbol coding unsupported")
     template = (flags >> 10) & 0x03
@@ -851,7 +917,8 @@ def _decode_collective(r: _BitReader, bmsize: int, totwidth: int,
 
 
 def _decode_symbol_dict_huffman(body: bytes, flags: int,
-                                input_syms: List[Tuple[int, int, bytearray]]
+                                input_syms: List[Tuple[int, int, bytearray]],
+                                custom: Sequence[_HuffTable] = ()
                                 ) -> List[Tuple[int, int, bytearray]]:
     """SDHUFF=1 symbol dictionary (§6.5.5 / §6.5.9): heights and widths
     via the selected Annex B tables, per-height-class collective
@@ -863,13 +930,23 @@ def _decode_symbol_dict_huffman(body: bytes, flags: int,
         raise JBIG2Error("retained coding contexts unsupported")
     dh_sel = (flags >> 2) & 0x03
     dw_sel = (flags >> 4) & 0x03
-    if dh_sel >= 2 or dw_sel >= 2:
-        raise JBIG2Error("custom Huffman tables unsupported")
-    if (flags >> 6) & 0x01 or (flags >> 7) & 0x01:
-        raise JBIG2Error("custom Huffman tables unsupported")
-    dh_tab = _std_table(4 + dh_sel)          # B.4 / B.5
-    dw_tab = _std_table(2 + dw_sel)          # B.2 / B.3
-    bmsize_tab = _std_table(1)               # B.1
+    ci = iter(custom)
+
+    def _take() -> _HuffTable:
+        try:
+            return next(ci)
+        except StopIteration:
+            raise JBIG2Error("missing referred custom Huffman table")
+
+    # selector 3 (and the 1-bit BMSIZE/AGGINST selectors) consume the
+    # REFERRED table segments in field order (§7.4.3.1.6)
+    if dh_sel == 2 or dw_sel == 2:
+        raise JBIG2Error("reserved Huffman table selector")
+    dh_tab = _take() if dh_sel == 3 else _std_table(4 + dh_sel)
+    dw_tab = _take() if dw_sel == 3 else _std_table(2 + dw_sel)
+    bmsize_tab = _take() if (flags >> 6) & 0x01 else _std_table(1)
+    if (flags >> 7) & 0x01:
+        _take()                              # AGGINST (unused: REFAGG=0)
     ex_tab = _std_table(1)                   # B.1 (§6.5.10)
     num_ex = int.from_bytes(body[2:6], "big")
     num_new = int.from_bytes(body[6:10], "big")
@@ -1064,16 +1141,19 @@ def _encode_text_region_body_huffman(
         symbols: Sequence[Tuple[int, int, bytearray]],
         instances: Sequence[Tuple[int, int, int]],
         refcorner: int, logsbstrips: int,
-        transposed: bool = False) -> bytes:
+        transposed: bool = False,
+        dt_custom: Optional[_HuffTable] = None) -> bytes:
     """SBHUFF=1 immediate lossless text region: standard tables B.6
-    (FS) / B.8 (DS) / B.11 (DT), uniform-length symbol-ID codes carried
-    via the runcode table (the one coded runcode gets a 1-bit prefix)."""
+    (FS) / B.8 (DS) / B.11 (DT) — or a referred CUSTOM DT table
+    (selector 3) when ``dt_custom`` is given — uniform-length symbol-ID
+    codes carried via the runcode table (the one coded runcode gets a
+    1-bit prefix)."""
     sbstrips = 1 << logsbstrips
     strips = _text_strips(symbols, instances, refcorner, sbstrips,
                           transposed)
     fs_tab = _std_table(6)
     ds_tab = _std_table(8)
-    dt_tab = _std_table(11)
+    dt_tab = dt_custom if dt_custom is not None else _std_table(11)
     symlen = _symcodelen(len(symbols))
     symtab = _sym_id_table([symlen] * len(symbols))
     w = _BitWriter()
@@ -1109,7 +1189,7 @@ def _encode_text_region_body_huffman(
         ds_tab.encode(w, None)               # OOB ends the strip
     flags = (0x0001 | (logsbstrips << 2) | (refcorner << 4)
              | (int(transposed) << 6))
-    hflags = 0x0000                          # B.6 / B.8 / B.11 selectors
+    hflags = 0x0030 if dt_custom is not None else 0x0000  # DT selector 3
     return (_u32(rw) + _u32(rh) + _u32(0) + _u32(0) +
             bytes([0x00]) +                  # external combination op: OR
             _u16(flags) + _u16(hflags) +
@@ -1166,7 +1246,8 @@ def encode_symbol_page_huffman(
 
 def _decode_text_region(body: bytes,
                         syms: List[Tuple[int, int, bytearray]],
-                        page: bytearray, pw: int, ph: int) -> None:
+                        page: bytearray, pw: int, ph: int,
+                        custom: Sequence[_HuffTable] = ()) -> None:
     if len(body) < 23:
         raise JBIG2Error("short text region segment")
     rw = int.from_bytes(body[0:4], "big")
@@ -1203,7 +1284,7 @@ def _decode_text_region(body: bytes,
             raise JBIG2Error("unreasonable instance count")
         bits = _decode_text_huffman(
             body, syms, rw, rh, num_inst, sbstrips, logsbstrips,
-            refcorner, dsoffset, transposed)
+            refcorner, dsoffset, transposed, custom)
         _compose_or(bits, rw, rh, page, pw, rx, ry)
         return
     num_inst = int.from_bytes(body[19:23], "big")
@@ -1317,7 +1398,8 @@ def _read_sym_id_lengths(r: _BitReader, nsyms: int) -> List[int]:
 def _decode_text_huffman(body: bytes, syms, rw: int, rh: int,
                          num_inst: int, sbstrips: int, logsbstrips: int,
                          refcorner: int, dsoffset: int,
-                         transposed: bool = False) -> bytearray:
+                         transposed: bool = False,
+                         custom: Sequence[_HuffTable] = ()) -> bytearray:
     """SBHUFF=1 text region body (§6.4.5 with Huffman reads): DT/FS/DS
     via the selected Annex B tables, CURT as raw log2(SBSTRIPS) bits,
     symbol IDs via the per-region runcode-built prefix table."""
@@ -1325,11 +1407,21 @@ def _decode_text_huffman(body: bytes, syms, rw: int, rh: int,
     fs_sel = hflags & 0x03
     ds_sel = (hflags >> 2) & 0x03
     dt_sel = (hflags >> 4) & 0x03
-    if fs_sel >= 2 or ds_sel == 3 or dt_sel == 3:
-        raise JBIG2Error("custom Huffman tables unsupported")
-    fs_tab = _std_table(6 + fs_sel)          # B.6 / B.7
-    ds_tab = _std_table(8 + ds_sel)          # B.8 / B.9 / B.10
-    dt_tab = _std_table(11 + dt_sel)         # B.11 / B.12 / B.13
+    ci = iter(custom)
+
+    def _take() -> _HuffTable:
+        try:
+            return next(ci)
+        except StopIteration:
+            raise JBIG2Error("missing referred custom Huffman table")
+
+    if fs_sel == 2:
+        raise JBIG2Error("reserved Huffman table selector")
+    fs_tab = _take() if fs_sel == 3 else _std_table(6 + fs_sel)
+    ds_tab = _take() if ds_sel == 3 else _std_table(8 + ds_sel)
+    dt_tab = _take() if dt_sel == 3 else _std_table(11 + dt_sel)
+    # refinement-table selectors (hflags bits 6-14) are never consulted:
+    # REFINE=1 is rejected above, so those tables are never read
     r = _BitReader(body[25:])
     symtab = _sym_id_table(_read_sym_id_lengths(r, len(syms)))
     bits = bytearray(rw * rh)
@@ -1479,16 +1571,17 @@ def decode_bilevel(data: bytes,
     page: bytearray = bytearray()
     saw_region = False
     sym_dicts: Dict[int, List[Tuple[int, int, bytearray]]] = {}
+    tables: Dict[int, _HuffTable] = {}
     streams = ([bytes(globals_data)] if globals_data else []) + [data]
     for data in streams:
         pw, ph, page, saw_region = _walk_segments(
-            data, pw, ph, page, saw_region, sym_dicts)
+            data, pw, ph, page, saw_region, sym_dicts, tables)
     if pw is None or not saw_region:
         raise JBIG2Error("no page/region segments")
     return pw, ph, bytes(0 if b else 255 for b in page)
 
 
-def _walk_segments(data, pw, ph, page, saw_region, sym_dicts):
+def _walk_segments(data, pw, ph, page, saw_region, sym_dicts, tables):
     pos = 0
     while pos < len(data):
         seg_type, refs, length, start, nxt = _parse_segment_header(data, pos)
@@ -1505,8 +1598,13 @@ def _walk_segments(data, pw, ph, page, saw_region, sym_dicts):
             input_syms: List[Tuple[int, int, bytearray]] = []
             for r in refs:
                 input_syms.extend(sym_dicts.get(r, []))
+            custom = [tables[r] for r in refs if r in tables]
             number = int.from_bytes(data[pos:pos + 4], "big")
-            sym_dicts[number] = _decode_symbol_dict(body, input_syms)
+            sym_dicts[number] = _decode_symbol_dict(body, input_syms,
+                                                    custom)
+        elif seg_type == _SEG_TABLES:
+            number = int.from_bytes(data[pos:pos + 4], "big")
+            tables[number] = _parse_table_segment(body)
         elif seg_type in (_SEG_TEXT_IMMEDIATE,
                           _SEG_TEXT_IMMEDIATE_LOSSLESS):
             if pw is None:
@@ -1514,7 +1612,8 @@ def _walk_segments(data, pw, ph, page, saw_region, sym_dicts):
             syms: List[Tuple[int, int, bytearray]] = []
             for r in refs:
                 syms.extend(sym_dicts.get(r, []))
-            _decode_text_region(body, syms, page, pw, ph)
+            custom = [tables[r] for r in refs if r in tables]
+            _decode_text_region(body, syms, page, pw, ph, custom)
             saw_region = True
         elif seg_type in (_SEG_GENERIC_IMMEDIATE,
                           _SEG_GENERIC_IMMEDIATE_LOSSLESS):

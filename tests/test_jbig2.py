@@ -338,6 +338,53 @@ class TestHuffman:
                 except JBIG2Error:
                     pass
 
+    def test_custom_code_table_segment(self):
+        """Custom Huffman table (segment type 53, selector 3): a text
+        region coded with a referred custom DT table decodes identical
+        to the standard-table page; the parsed table round-trips the
+        encoder mirror; a region whose selector is 3 without a referred
+        table segment fails loudly."""
+        from pdf_ocr_spark.kernels.pdf import jbig2
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            _HuffTable, _SEG_END_OF_PAGE, _SEG_PAGE_INFO, _SEG_SYMBOL_DICT,
+            _SEG_TABLES, _SEG_TEXT_IMMEDIATE_LOSSLESS,
+            _encode_symbol_dict_body_huffman,
+            _encode_text_region_body_huffman, _page_info,
+            _parse_table_segment, _segment, encode_table_segment_body)
+
+        lines = (("n", 2, 0, 1), ("n", 2, 0, 2), ("n", 2, 1, 3),
+                 ("n", 3, 2, 5), ("l", 4, 0), ("u", 4, 9))
+        tab = _HuffTable(lines)
+        tbody = encode_table_segment_body(lines, htps=3, htrs=3)
+        assert _parse_table_segment(tbody).lines == tab.lines
+
+        syms = [(w, h, bytearray(1 if b < 128 else 0 for b in luma))
+                for w, h, luma in self.SYMS]
+        order = sorted(range(len(syms)),
+                       key=lambda i: (syms[i][1], syms[i][0], i))
+        remap = {o: n for n, o in enumerate(order)}
+        sorted_syms = [syms[i] for i in order]
+        insts = [(remap[s], x, y) for s, x, y in self.INSTS]
+        dict_body = _encode_symbol_dict_body_huffman(sorted_syms, mmr=False)
+        text_body = _encode_text_region_body_huffman(
+            96, 48, sorted_syms, insts, 1, 0, dt_custom=tab)
+        data = (_segment(0, _SEG_PAGE_INFO, 1, _page_info(96, 48))
+                + _segment(1, _SEG_SYMBOL_DICT, 1, dict_body)
+                + _segment(2, _SEG_TABLES, 1, tbody)
+                + _segment(3, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_body,
+                           refs=(1, 2))
+                + _segment(4, _SEG_END_OF_PAGE, 1, b""))
+        exp = _expected_or(96, 48, self.SYMS, self.INSTS)
+        assert decode_bilevel(data) == (96, 48, exp)
+        # same region WITHOUT the table segment referred: loud error
+        missing = (_segment(0, _SEG_PAGE_INFO, 1, _page_info(96, 48))
+                   + _segment(1, _SEG_SYMBOL_DICT, 1, dict_body)
+                   + _segment(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1,
+                              text_body, refs=(1,))
+                   + _segment(3, _SEG_END_OF_PAGE, 1, b""))
+        with pytest.raises(JBIG2Error):
+            decode_bilevel(missing)
+
     def test_jbig2globals_shared_dictionary(self):
         """The PDF /JBIG2Globals layout: symbol dictionary in a shared
         globals stream, page stream referring to it — decodes identical
