@@ -48,11 +48,15 @@ DecodeParms stream, processed ahead of the per-image segments in one
 shared segment-number space — ISO 32000-1 §7.4.7).
 
 Also: custom Huffman code-table segments (type 53 / selector 3,
-§7.4.13) with an exact encoder mirror, and generic templates 0-3 with
-movable AT pixels.
+§7.4.13) with an exact encoder mirror; generic templates 0-3 with
+movable AT pixels; GENERIC REFINEMENT coding (§6.3: both refinement
+templates, TPGRON typical rows, encoder mirrors) powering REFAGG=1
+symbol dictionaries (single-instance refinement of known symbols) and
+REFINE=1 text-region instances.
 
-Out of scope (→ loud ``JBIG2Error``): refinement/aggregate coding,
-halftone regions, unknown-length regions, retained contexts.
+Out of scope (→ loud ``JBIG2Error``): multi-instance aggregate coding
+(REFAGGNINST > 1), Huffman-coded refinement, halftone regions,
+unknown-length regions, retained contexts.
 
 The 16-bit template context packs the nominal template-0 neighbourhood
 in raster order (sorted by (y, x), MSB first) — the convention of the
@@ -615,6 +619,120 @@ def _decode_generic_bitmap(mq: MQDecoder, w: int, h: int,
 
 
 # --------------------------------------------------------------------------
+# Generic refinement coding (§6.3) — refined symbols / refined instances
+# --------------------------------------------------------------------------
+
+# refinement templates as (dy, dx): pixels read from the bitmap BEING
+# decoded (causal) and from the REFERENCE bitmap (shifted by the
+# GRREFERENCEDX/DY offsets).  Template 0 appends one movable AT pixel
+# to each list (nominal (-1, -1) / (-1, -1)); the context packs coding
+# then reference pixels MSB-first in list order — the open-source
+# decoders' convention.
+_GRR_CODING: Tuple[Tuple[Tuple[int, int], ...], ...] = (
+    ((-1, 0), (-1, 1), (0, -1)),
+    ((-1, -1), (-1, 0), (-1, 1), (0, -1)),
+)
+_GRR_REF: Tuple[Tuple[Tuple[int, int], ...], ...] = (
+    ((-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)),
+    ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0), (1, 1)),
+)
+_GRR_NOMINAL_AT: Tuple[Tuple[int, int], ...] = ((-1, -1), (-1, -1))
+# TPGRON pseudo-pixel contexts per refinement template (§6.3.5.6)
+_GRR_SLTP = (0x0020, 0x0008)
+
+
+def _grr_templates(template: int, at):
+    coding = list(_GRR_CODING[template])
+    refer = list(_GRR_REF[template])
+    if template == 0:
+        coding.append(tuple(at[0]))
+        refer.append(tuple(at[1]))
+    return tuple(coding), tuple(refer)
+
+
+def _bit_at(bits, w: int, h: int, x: int, y: int) -> int:
+    if 0 <= y < h and 0 <= x < w and bits[y * w + x]:
+        return 1
+    return 0
+
+
+def _ref_uniform(ref, rw: int, rh: int, x: int, y: int) -> Optional[int]:
+    """The TPGRON 'typical pixel' rule (§6.3.5.6): if the 3×3 reference
+    neighbourhood of (x, y) is uniform, the pixel takes that value."""
+    total = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            total += _bit_at(ref, rw, rh, x + dx, y + dy)
+    if total == 0:
+        return 0
+    if total == 9:
+        return 1
+    return None
+
+
+def _decode_refinement_bitmap(mq: MQDecoder, w: int, h: int,
+                              ref, rw: int, rh: int, dx: int, dy: int,
+                              template: int, at, tpgron: bool) -> bytearray:
+    coding, refer = _grr_templates(template, at)
+    sltp_ctx = _GRR_SLTP[template]
+    bits = bytearray(w * h)
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            ltp ^= mq.decode(sltp_ctx)
+        for x in range(w):
+            if ltp:
+                forced = _ref_uniform(ref, rw, rh, x - dx, y - dy)
+                if forced is not None:
+                    if forced:
+                        bits[y * w + x] = 1
+                    continue
+            cx = 0
+            for py, px in coding:
+                cx = (cx << 1) | _bit_at(bits, w, h, x + px, y + py)
+            for py, px in refer:
+                cx = (cx << 1) | _bit_at(ref, rw, rh,
+                                         x - dx + px, y - dy + py)
+            if mq.decode(cx):
+                bits[y * w + x] = 1
+    return bits
+
+
+def _encode_refinement_bitmap(mq: MQEncoder, bits, w: int, h: int,
+                              ref, rw: int, rh: int, dx: int, dy: int,
+                              template: int, at, tpgron: bool) -> None:
+    """Exact mirror of :func:`_decode_refinement_bitmap`.  With TPGRON
+    the encoder may mark a row 'typical' only when every pixel with a
+    uniform reference neighbourhood equals the forced value (lossless
+    constraint); other rows keep LTP = 0."""
+    coding, refer = _grr_templates(template, at)
+    sltp_ctx = _GRR_SLTP[template]
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            want = 1
+            for x in range(w):
+                forced = _ref_uniform(ref, rw, rh, x - dx, y - dy)
+                if forced is not None and forced != bits[y * w + x]:
+                    want = 0
+                    break
+            mq.encode(want ^ ltp, sltp_ctx)
+            ltp = want
+        for x in range(w):
+            if ltp:
+                forced = _ref_uniform(ref, rw, rh, x - dx, y - dy)
+                if forced is not None:
+                    continue                 # decoder infers this pixel
+            cx = 0
+            for py, px in coding:
+                cx = (cx << 1) | _bit_at(bits, w, h, x + px, y + py)
+            for py, px in refer:
+                cx = (cx << 1) | _bit_at(ref, rw, rh,
+                                         x - dx + px, y - dy + py)
+            mq.encode(bits[y * w + x], cx)
+
+
+# --------------------------------------------------------------------------
 # Segment framing (§7.2)
 # --------------------------------------------------------------------------
 
@@ -806,6 +924,97 @@ def _encode_symbol_dict_body(symbols: Sequence[Tuple[int, int, bytearray]]
             mq.flush())
 
 
+def _encode_symbol_dict_body_refagg(
+        new_syms: Sequence[Tuple[int, int, bytearray]],
+        ref_specs: Sequence[Tuple[int, int, int]],
+        input_syms: Sequence[Tuple[int, int, bytearray]]) -> bytes:
+    """REFAGG=1 symbol dictionary: every new symbol is coded as a
+    single-instance refinement of an already-known symbol (imported or
+    earlier-in-dict).  ``ref_specs[i] = (ref_index, rdx, rdy)`` indexes
+    the concatenation input_syms + new_syms[:i]."""
+    mq = MQEncoder(states=_Ctx())
+    enc = _IntEncoder(mq)
+    symlen = _symcodelen(len(input_syms) + len(new_syms))
+    prev_h = 0
+    i = 0
+    while i < len(new_syms):
+        h = new_syms[i][1]
+        enc.encode("IADH", h - prev_h)
+        prev_h = h
+        symw = 0
+        while i < len(new_syms) and new_syms[i][1] == h:
+            w, _, bits = new_syms[i]
+            enc.encode("IADW", w - symw)
+            symw = w
+            rid, rdx, rdy = ref_specs[i]
+            avail = list(input_syms) + list(new_syms[:i])
+            if not 0 <= rid < len(avail):
+                raise JBIG2Error("refinement reference out of range")
+            rw0, rh0, rbits = avail[rid]
+            enc.encode("IAAI", 1)
+            enc.encode_id(rid, symlen)
+            enc.encode("IARDX", rdx)
+            enc.encode("IARDY", rdy)
+            _encode_refinement_bitmap(mq, bits, w, h, rbits, rw0, rh0,
+                                      rdx, rdy, 0, _GRR_NOMINAL_AT, False)
+            i += 1
+        enc.encode("IADW", None)             # OOB ends the height class
+    enc.encode("IAEX", len(input_syms))      # imports stay un-exported
+    enc.encode("IAEX", len(new_syms))        # export every new symbol
+    return (_u16(0x0002) +                   # SDHUFF=0 REFAGG=1, templates 0
+            _NOMINAL_AT +
+            b"\xff\xff\xff\xff" +            # nominal SDRAT (-1,-1)x2
+            _u32(len(new_syms)) + _u32(len(new_syms)) +
+            mq.flush())
+
+
+def encode_symbol_page_refined(
+        width: int, height: int,
+        base_symbols: Sequence[Tuple[int, int, bytes]],
+        refined: Sequence[Tuple[int, int, int, int, int, bytes]],
+        instances: Sequence[Tuple[int, int, int]],
+        refcorner: int = 1, logsbstrips: int = 0) -> bytes:
+    """Two-dictionary page exercising REFAGG: dict 1 codes
+    ``base_symbols`` generically; dict 2 (REFAGG=1, importing dict 1)
+    codes each ``refined`` entry ``(ref_idx, rdx, rdy, w, h, luma)`` as
+    a refinement of symbol ``ref_idx`` in the combined list; the text
+    region refers to BOTH dictionaries, so ``instances`` index
+    base + refined symbols — the structure real encoders emit for
+    glyph variants."""
+    if width <= 0 or height <= 0:
+        raise JBIG2Error("bad page dimensions")
+    if not base_symbols or not refined:
+        raise JBIG2Error("refined page needs base and refined symbols")
+    base: List[Tuple[int, int, bytearray]] = []
+    for w, h, luma in base_symbols:
+        if w <= 0 or h <= 0 or len(luma) != w * h:
+            raise JBIG2Error("bad symbol dimensions")
+        base.append((w, h, bytearray(1 if b < 128 else 0 for b in luma)))
+    news: List[Tuple[int, int, bytearray]] = []
+    specs: List[Tuple[int, int, int]] = []
+    for rid, rdx, rdy, w, h, luma in refined:
+        if w <= 0 or h <= 0 or len(luma) != w * h:
+            raise JBIG2Error("bad symbol dimensions")
+        news.append((w, h, bytearray(1 if b < 128 else 0 for b in luma)))
+        specs.append((rid, rdx, rdy))
+    all_syms = base + news
+    for sid, x, y in instances:
+        if not 0 <= sid < len(all_syms):
+            raise JBIG2Error("instance symbol index out of range")
+        if not (0 <= x < width and 0 <= y < height):
+            raise JBIG2Error("instance origin outside page")
+    dict1 = _encode_symbol_dict_body(base)
+    dict2 = _encode_symbol_dict_body_refagg(news, specs, base)
+    text_body = _encode_text_region_body(width, height, all_syms,
+                                         instances, refcorner, logsbstrips)
+    return (_segment(0, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
+            _segment(1, _SEG_SYMBOL_DICT, 1, dict1) +
+            _segment(2, _SEG_SYMBOL_DICT, 1, dict2, refs=(1,)) +
+            _segment(3, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_body,
+                     refs=(1, 2)) +
+            _segment(4, _SEG_END_OF_PAGE, 1, b""))
+
+
 def _decode_symbol_dict(body: bytes,
                         input_syms: List[Tuple[int, int, bytearray]],
                         custom: Sequence[_HuffTable] = ()
@@ -815,21 +1024,26 @@ def _decode_symbol_dict(body: bytes,
     flags = int.from_bytes(body[0:2], "big")
     if flags & 0x0001:
         return _decode_symbol_dict_huffman(body, flags, input_syms, custom)
-    if flags & 0x0002:
-        raise JBIG2Error("refinement/aggregate symbol coding unsupported")
+    refagg = bool(flags & 0x0002)
     template = (flags >> 10) & 0x03
+    rtemplate = (flags >> 12) & 0x01
     if flags & 0x6000:
         raise JBIG2Error("retained coding contexts unsupported")
     nat = _GB_AT_COUNT[template]
     at = _parse_at(body[2:2 + 2 * nat], nat)
     pixels = _gb_template(template, at)
     off = 2 + 2 * nat
+    rat = _GRR_NOMINAL_AT
+    if refagg and rtemplate == 0:
+        rat = _parse_at(body[off:off + 4], 2)
+        off += 4
     if len(body) < off + 8:
         raise JBIG2Error("short symbol dictionary segment")
     num_ex = int.from_bytes(body[off:off + 4], "big")
     num_new = int.from_bytes(body[off + 4:off + 8], "big")
     if num_new > _MAX_SYMS or num_ex > len(input_syms) + num_new:
         raise JBIG2Error("unreasonable symbol counts")
+    symlen = _symcodelen(len(input_syms) + num_new)
     mq = MQDecoder(body[off + 8:], states=_Ctx())
     dec = _IntDecoder(mq)
     new_syms: List[Tuple[int, int, bytearray]] = []
@@ -853,8 +1067,28 @@ def _decode_symbol_dict(body: bytes,
                 raise JBIG2Error("more symbols than declared")
             if symw * hc_height > 64 << 20:
                 raise JBIG2Error("unreasonable symbol size")
-            bits = _decode_generic_bitmap(mq, symw, hc_height, False,
-                                          pixels, _TPGD_CTX[template])
+            if refagg:
+                # §6.5.8.2: refinement/aggregate coding.  The common
+                # single-instance case refines an already-known symbol.
+                ninst = dec.decode("IAAI")
+                if ninst != 1:
+                    raise JBIG2Error(
+                        "multi-instance aggregate coding unsupported")
+                rid = dec.decode_id(symlen)
+                avail = input_syms + new_syms
+                if not 0 <= rid < len(avail):
+                    raise JBIG2Error("refinement reference out of range")
+                rdx = dec.decode("IARDX")
+                rdy = dec.decode("IARDY")
+                if rdx is None or rdy is None:
+                    raise JBIG2Error("OOB refinement offset")
+                rw0, rh0, rbits = avail[rid]
+                bits = _decode_refinement_bitmap(
+                    mq, symw, hc_height, rbits, rw0, rh0, rdx, rdy,
+                    rtemplate, rat, tpgron=False)
+            else:
+                bits = _decode_generic_bitmap(mq, symw, hc_height, False,
+                                              pixels, _TPGD_CTX[template])
             new_syms.append((symw, hc_height, bits))
     all_syms = list(input_syms) + new_syms
     exported: List[Tuple[int, int, bytearray]] = []
@@ -1073,20 +1307,23 @@ _REFCORNERS = ("BOTTOMLEFT", "TOPLEFT", "BOTTOMRIGHT", "TOPRIGHT")
 
 
 def _text_strips(symbols, instances, refcorner: int, sbstrips: int,
-                 transposed: bool):
-    """Group instances into strips of (S, T, sid, S-extent): for the
-    normal orientation S runs along x and T is the corner's y edge; a
-    TRANSPOSED region swaps the axes (S along y, T the corner's x
-    edge — vertical text columns)."""
-    strips: Dict[int, List[Tuple[int, int, int, int]]] = {}
-    for sid, x, y in instances:
+                 transposed: bool, dims=None):
+    """Group instances into strips of (S, T, sid, S-extent, inst_idx):
+    for the normal orientation S runs along x and T is the corner's y
+    edge; a TRANSPOSED region swaps the axes (S along y, T the
+    corner's x edge — vertical text columns).  ``dims`` overrides the
+    per-instance drawn size (refined instances)."""
+    strips: Dict[int, List[Tuple[int, int, int, int, int]]] = {}
+    for idx, (sid, x, y) in enumerate(instances):
         w, h, _ = symbols[sid]
+        if dims is not None:
+            w, h = dims[idx]
         if transposed:
             t = x if refcorner in (0, 1) else x + w - 1
-            strips.setdefault(t // sbstrips, []).append((y, t, sid, h))
+            strips.setdefault(t // sbstrips, []).append((y, t, sid, h, idx))
         else:
             t = y if refcorner in (1, 3) else y + h - 1
-            strips.setdefault(t // sbstrips, []).append((x, t, sid, w))
+            strips.setdefault(t // sbstrips, []).append((x, t, sid, w, idx))
     return strips
 
 
@@ -1095,15 +1332,28 @@ def _encode_text_region_body(
         symbols: Sequence[Tuple[int, int, bytearray]],
         instances: Sequence[Tuple[int, int, int]],
         refcorner: int, logsbstrips: int,
-        transposed: bool = False) -> bytes:
+        transposed: bool = False,
+        refinements: Optional[Dict[int, Tuple]] = None) -> bytes:
     """Immediate lossless text region placing ``instances`` of
     ``(sym_idx, x, y)`` with (x, y) the symbol's TOP-LEFT pixel — the
     encoder converts to the transmitted (S, T) per ``refcorner`` and
-    ``transposed``."""
+    ``transposed``.  ``refinements`` maps instance index →
+    ``(rdw, rdh, rdx, rdy, bits)``: that instance transmits RI=1 and a
+    refinement of its symbol (§6.4.11), drawn at the refined size."""
     sbstrips = 1 << logsbstrips
     symlen = _symcodelen(len(symbols))
+    refine = bool(refinements)
+    dims = None
+    if refine:
+        dims = []
+        for idx, (sid, _x, _y) in enumerate(instances):
+            w, h, _ = symbols[sid]
+            if idx in refinements:
+                rdw, rdh = refinements[idx][0], refinements[idx][1]
+                w, h = w + rdw, h + rdh
+            dims.append((w, h))
     strips = _text_strips(symbols, instances, refcorner, sbstrips,
-                          transposed)
+                          transposed, dims)
     mq = MQEncoder(states=_Ctx())
     enc = _IntEncoder(mq)
     enc.encode("IADT", 0)                    # STRIPT init → 0
@@ -1114,7 +1364,7 @@ def _encode_text_region_body(
         stript_q = q
         first = True
         curs = 0
-        for x, t, sid, w in sorted(strips[q]):
+        for x, t, sid, w, idx in sorted(strips[q]):
             if first:
                 enc.encode("IAFS", x - firsts)
                 firsts = x
@@ -1126,12 +1376,29 @@ def _encode_text_region_body(
             if sbstrips > 1:
                 enc.encode("IAIT", t - stript_q * sbstrips)
             enc.encode_id(sid, symlen)
+            if refine:
+                spec = refinements.get(idx)
+                enc.encode("IARI", 1 if spec else 0)
+                if spec:
+                    rdw, rdh, rdx, rdy, rbits = spec
+                    sw0, sh0, sbits0 = symbols[sid]
+                    enc.encode("IARDW", rdw)
+                    enc.encode("IARDH", rdh)
+                    enc.encode("IARDX", rdx)
+                    enc.encode("IARDY", rdy)
+                    _encode_refinement_bitmap(
+                        mq, rbits, sw0 + rdw, sh0 + rdh, sbits0, sw0,
+                        sh0, (rdw >> 1) + rdx, (rdh >> 1) + rdy, 0,
+                        _GRR_NOMINAL_AT, False)
             curs += w - 1
         enc.encode("IADS", None)             # OOB ends the strip
     flags = (logsbstrips << 2) | (refcorner << 4) | (int(transposed) << 6)
+    if refine:
+        flags |= 0x0002
+    rat_bytes = b"\xff\xff\xff\xff" if refine else b""
     return (_u32(rw) + _u32(rh) + _u32(0) + _u32(0) +
             bytes([0x00]) +                  # external combination op: OR
-            _u16(flags) +
+            _u16(flags) + rat_bytes +
             _u32(len(instances)) +
             mq.flush())
 
@@ -1172,7 +1439,7 @@ def _encode_text_region_body_huffman(
         stript_q = q
         first = True
         curs = 0
-        for x, t, sid, sw in sorted(strips[q]):
+        for x, t, sid, sw, _idx in sorted(strips[q]):
             if first:
                 fs_tab.encode(w, x - firsts)
                 firsts = x
@@ -1260,8 +1527,10 @@ def _decode_text_region(body: bytes,
         raise JBIG2Error("unreasonable region size")
     flags = int.from_bytes(body[17:19], "big")
     huff = bool(flags & 0x0001)
-    if flags & 0x0002:
-        raise JBIG2Error("refinement text coding unsupported")
+    refine = bool(flags & 0x0002)
+    rtemplate = (flags >> 15) & 0x01
+    if refine and huff:
+        raise JBIG2Error("Huffman refinement text coding unsupported")
     logsbstrips = (flags >> 2) & 0x03
     sbstrips = 1 << logsbstrips
     refcorner = (flags >> 4) & 0x03
@@ -1287,11 +1556,18 @@ def _decode_text_region(body: bytes,
             refcorner, dsoffset, transposed, custom)
         _compose_or(bits, rw, rh, page, pw, rx, ry)
         return
-    num_inst = int.from_bytes(body[19:23], "big")
+    off = 19
+    rat = _GRR_NOMINAL_AT
+    if refine and rtemplate == 0:
+        rat = _parse_at(body[off:off + 4], 2)
+        off += 4
+    if len(body) < off + 4:
+        raise JBIG2Error("short text region segment")
+    num_inst = int.from_bytes(body[off:off + 4], "big")
     if num_inst > _MAX_INSTANCES:
         raise JBIG2Error("unreasonable instance count")
     symlen = _symcodelen(len(syms))
-    mq = MQDecoder(body[23:], states=_Ctx())
+    mq = MQDecoder(body[off + 4:], states=_Ctx())
     dec = _IntDecoder(mq)
     bits = bytearray(rw * rh)
     dt0 = dec.decode("IADT")
@@ -1334,6 +1610,24 @@ def _decode_text_region(body: bytes,
             if not 0 <= sid < len(syms):
                 raise JBIG2Error(f"symbol id {sid} out of range")
             sw, sh, sbits = syms[sid]
+            if refine and dec.decode("IARI"):
+                # §6.4.11: refined instance — the drawn bitmap is a
+                # refinement of the symbol, offset by the RDW/RDH
+                # half-deltas plus RDX/RDY
+                rdw = dec.decode("IARDW")
+                rdh = dec.decode("IARDH")
+                rdx = dec.decode("IARDX")
+                rdy = dec.decode("IARDY")
+                if None in (rdw, rdh, rdx, rdy):
+                    raise JBIG2Error("OOB refinement delta")
+                iw, ih = sw + rdw, sh + rdh
+                if not (0 < iw <= _MAX_SYM_DIM and 0 < ih <= _MAX_SYM_DIM):
+                    raise JBIG2Error("unreasonable refined instance size")
+                sbits = _decode_refinement_bitmap(
+                    mq, iw, ih, sbits, sw, sh,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    rtemplate, rat, tpgron=False)
+                sw, sh = iw, ih
             # untransposed: CURS runs along x, the drawn top-left x is
             # CURS and CURS advances by WS-1 (§6.4.5 step 3(c) vi-x
             # collapse to this).  TRANSPOSED=1 swaps the axes: CURS runs
@@ -1479,7 +1773,9 @@ def encode_symbol_page(width: int, height: int,
                        symbols: Sequence[Tuple[int, int, bytes]],
                        instances: Sequence[Tuple[int, int, int]],
                        refcorner: int = 1, logsbstrips: int = 0,
-                       transposed: bool = False) -> bytes:
+                       transposed: bool = False,
+                       refinements: Optional[Dict[int, Tuple]] = None
+                       ) -> bytes:
     """Encode a page as symbol dictionary + text region — the coding
     real scanned-text JBIG2 uses.  ``symbols`` are ``(w, h, luma8)``
     glyph bitmaps (dark < 128 = ink); ``instances`` are
@@ -1504,8 +1800,19 @@ def encode_symbol_page(width: int, height: int,
         if not (0 <= x < width and 0 <= y < height):
             raise JBIG2Error("instance origin outside page")
     dict_body = _encode_symbol_dict_body(syms)
+    refs_conv = None
+    if refinements:
+        refs_conv = {}
+        for idx, (rdw, rdh, rdx, rdy, luma) in refinements.items():
+            sid = instances[idx][0]
+            sw0, sh0, _ = syms[sid]
+            if len(luma) != (sw0 + rdw) * (sh0 + rdh):
+                raise JBIG2Error("bad refined-instance dimensions")
+            refs_conv[idx] = (rdw, rdh, rdx, rdy, bytearray(
+                1 if b < 128 else 0 for b in luma))
     text_body = _encode_text_region_body(width, height, syms, instances,
-                                         refcorner, logsbstrips, transposed)
+                                         refcorner, logsbstrips, transposed,
+                                         refs_conv)
     return (_segment(0, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
             _segment(1, _SEG_SYMBOL_DICT, 1, dict_body) +
             _segment(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, 1, text_body,

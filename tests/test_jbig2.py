@@ -450,6 +450,101 @@ class TestHuffman:
                     pass   # wrong pixels fine; other exceptions are not
 
 
+class TestRefinement:
+    """Generic refinement coding (§6.3): the refinement bitmap coder,
+    REFAGG=1 symbol dictionaries (single-instance refinement of known
+    symbols), and REFINE=1 text-region instances."""
+
+    def test_refinement_coder_round_trips(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            MQDecoder, MQEncoder, _Ctx, _GRR_NOMINAL_AT,
+            _decode_refinement_bitmap, _encode_refinement_bitmap)
+
+        rng = random.Random(3)
+        for template in (0, 1):
+            for tpgron in (False, True):
+                for _ in range(4):
+                    rw, rh = rng.randrange(4, 18), rng.randrange(4, 18)
+                    ref = bytearray(
+                        1 if rng.random() < 0.5 else 0
+                        for _ in range(rw * rh))
+                    w = max(1, rw + rng.randrange(-2, 3))
+                    h = max(1, rh + rng.randrange(-2, 3))
+                    dx, dy = rng.randrange(-2, 3), rng.randrange(-2, 3)
+                    bits = bytearray(w * h)
+                    for y in range(h):
+                        for x in range(w):
+                            sx, sy = x - dx, y - dy
+                            if 0 <= sy < rh and 0 <= sx < rw:
+                                bits[y * w + x] = ref[sy * rw + sx]
+                    for _f in range(3):
+                        bits[rng.randrange(w * h)] ^= 1
+                    enc = MQEncoder(states=_Ctx())
+                    _encode_refinement_bitmap(
+                        enc, bits, w, h, ref, rw, rh, dx, dy, template,
+                        _GRR_NOMINAL_AT, tpgron)
+                    dec = MQDecoder(enc.flush(), states=_Ctx())
+                    got = _decode_refinement_bitmap(
+                        dec, w, h, ref, rw, rh, dx, dy, template,
+                        _GRR_NOMINAL_AT, tpgron)
+                    assert got == bits, (template, tpgron)
+
+    def test_refagg_symbol_dictionary_page(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page_refined
+
+        base = [_rand_glyph(6, 8, 21), _rand_glyph(5, 8, 22)]
+        variant = bytearray(base[0][2])
+        variant[10] ^= 255
+        variant[20] ^= 255
+        refined = [(0, 0, 0, 6, 8, bytes(variant)),
+                   (1, 1, -1) + _rand_glyph(7, 9, 23)]
+        instances = [(0, 0, 0), (2, 10, 0), (1, 20, 0), (3, 30, 5),
+                     (2, 40, 10), (0, 50, 15)]
+        all_syms = base + [(w, h, luma) for _, _, _, w, h, luma in refined]
+        exp = _expected_or(80, 40, all_syms, instances)
+        data = encode_symbol_page_refined(80, 40, base, refined, instances)
+        assert decode_bilevel(data) == (80, 40, exp)
+
+    def test_refined_text_region_instances(self):
+        syms = [_rand_glyph(6, 8, 31), _rand_glyph(5, 7, 32)]
+        instances = [(0, 0, 0), (1, 10, 0), (0, 20, 4), (1, 30, 8),
+                     (0, 40, 12)]
+        bigger = _rand_glyph(7, 8, 33)[2]
+        tweaked = bytearray(syms[1][2])
+        tweaked[3] ^= 255
+        refinements = {2: (1, 0, 0, 0, bigger),
+                       3: (0, 0, 1, -1, bytes(tweaked))}
+        data = encode_symbol_page(80, 40, syms, instances,
+                                  refinements=refinements)
+        exp_syms = list(syms) + [(7, 8, bigger), (5, 7, bytes(tweaked))]
+        exp_inst = [(0, 0, 0), (1, 10, 0), (2, 20, 4), (3, 30, 8),
+                    (0, 40, 12)]
+        exp = _expected_or(80, 40, exp_syms, exp_inst)
+        assert decode_bilevel(data) == (80, 40, exp)
+
+    def test_refinement_fuzz(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page_refined
+
+        base = [_rand_glyph(6, 8, 41)]
+        refined = [(0, 0, 0, 6, 8, _rand_glyph(6, 8, 42)[2])]
+        data = encode_symbol_page_refined(
+            40, 20, base, refined, [(0, 0, 0), (1, 10, 5)])
+        rng = random.Random(173)
+        for _ in range(100):
+            cut = rng.randrange(1, len(data))
+            try:
+                decode_bilevel(data[:cut])
+            except JBIG2Error:
+                pass
+        for _ in range(100):
+            b = bytearray(data)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                decode_bilevel(bytes(b))
+            except JBIG2Error:
+                pass
+
+
 class TestGenericTemplates:
     """Generic-region templates 1-3 and movable AT pixels (§6.2.5.3):
     real encoders pick smaller templates and shift AT pixels; every
