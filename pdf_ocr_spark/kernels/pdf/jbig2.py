@@ -51,12 +51,12 @@ Also: custom Huffman code-table segments (type 53 / selector 3,
 §7.4.13) with an exact encoder mirror; generic templates 0-3 with
 movable AT pixels; GENERIC REFINEMENT coding (§6.3: both refinement
 templates, TPGRON typical rows, encoder mirrors) powering REFAGG=1
-symbol dictionaries (single-instance refinement of known symbols) and
+symbol dictionaries (single-instance refinement AND multi-instance
+aggregates — embedded text regions composing known symbols) and
 REFINE=1 text-region instances.
 
-Out of scope (→ loud ``JBIG2Error``): multi-instance aggregate coding
-(REFAGGNINST > 1), Huffman-coded refinement, halftone regions,
-unknown-length regions, retained contexts.
+Out of scope (→ loud ``JBIG2Error``): Huffman-coded refinement,
+halftone regions, unknown-length regions, retained contexts.
 
 The 16-bit template context packs the nominal template-0 neighbourhood
 in raster order (sorted by (y, x), MSB first) — the convention of the
@@ -946,17 +946,25 @@ def _encode_symbol_dict_body_refagg(
             w, _, bits = new_syms[i]
             enc.encode("IADW", w - symw)
             symw = w
-            rid, rdx, rdy = ref_specs[i]
+            spec = ref_specs[i]
             avail = list(input_syms) + list(new_syms[:i])
-            if not 0 <= rid < len(avail):
-                raise JBIG2Error("refinement reference out of range")
-            rw0, rh0, rbits = avail[rid]
-            enc.encode("IAAI", 1)
-            enc.encode_id(rid, symlen)
-            enc.encode("IARDX", rdx)
-            enc.encode("IARDY", rdy)
-            _encode_refinement_bitmap(mq, bits, w, h, rbits, rw0, rh0,
-                                      rdx, rdy, 0, _GRR_NOMINAL_AT, False)
+            if spec[0] == "agg":
+                insts = spec[1]
+                enc.encode("IAAI", len(insts))
+                _encode_text_arith_core(enc, mq, avail, insts, 1, 1,
+                                        False, {}, True, symlen)
+            else:
+                _tag, rid, rdx, rdy = spec
+                if not 0 <= rid < len(avail):
+                    raise JBIG2Error("refinement reference out of range")
+                rw0, rh0, rbits = avail[rid]
+                enc.encode("IAAI", 1)
+                enc.encode_id(rid, symlen)
+                enc.encode("IARDX", rdx)
+                enc.encode("IARDY", rdy)
+                _encode_refinement_bitmap(mq, bits, w, h, rbits, rw0,
+                                          rh0, rdx, rdy, 0,
+                                          _GRR_NOMINAL_AT, False)
             i += 1
         enc.encode("IADW", None)             # OOB ends the height class
     enc.encode("IAEX", len(input_syms))      # imports stay un-exported
@@ -973,14 +981,18 @@ def encode_symbol_page_refined(
         base_symbols: Sequence[Tuple[int, int, bytes]],
         refined: Sequence[Tuple[int, int, int, int, int, bytes]],
         instances: Sequence[Tuple[int, int, int]],
-        refcorner: int = 1, logsbstrips: int = 0) -> bytes:
+        refcorner: int = 1, logsbstrips: int = 0,
+        aggregates: Sequence[Tuple] = ()) -> bytes:
     """Two-dictionary page exercising REFAGG: dict 1 codes
     ``base_symbols`` generically; dict 2 (REFAGG=1, importing dict 1)
     codes each ``refined`` entry ``(ref_idx, rdx, rdy, w, h, luma)`` as
-    a refinement of symbol ``ref_idx`` in the combined list; the text
-    region refers to BOTH dictionaries, so ``instances`` index
-    base + refined symbols — the structure real encoders emit for
-    glyph variants."""
+    a refinement of symbol ``ref_idx`` in the combined list, and each
+    ``aggregates`` entry ``(instances, w, h)`` as a multi-instance
+    aggregate (embedded text region composing known symbols — e.g. an
+    accented glyph from base + diacritic); the text region refers to
+    BOTH dictionaries, so ``instances`` index base + refined +
+    aggregated symbols — the structures real encoders emit for glyph
+    variants."""
     if width <= 0 or height <= 0:
         raise JBIG2Error("bad page dimensions")
     if not base_symbols or not refined:
@@ -991,12 +1003,24 @@ def encode_symbol_page_refined(
             raise JBIG2Error("bad symbol dimensions")
         base.append((w, h, bytearray(1 if b < 128 else 0 for b in luma)))
     news: List[Tuple[int, int, bytearray]] = []
-    specs: List[Tuple[int, int, int]] = []
+    specs: List[Tuple] = []
     for rid, rdx, rdy, w, h, luma in refined:
         if w <= 0 or h <= 0 or len(luma) != w * h:
             raise JBIG2Error("bad symbol dimensions")
         news.append((w, h, bytearray(1 if b < 128 else 0 for b in luma)))
-        specs.append((rid, rdx, rdy))
+        specs.append(("ref", rid, rdx, rdy))
+    for insts, w, h in aggregates or ():
+        # the aggregate's bitmap IS the drawing of its instances over
+        # the symbols known so far — render it for export/reference
+        avail = base + news
+        bits = bytearray(w * h)
+        for sid, x, y in insts:
+            if not 0 <= sid < len(avail):
+                raise JBIG2Error("aggregate symbol index out of range")
+            sw0, sh0, sbits0 = avail[sid]
+            _draw_symbol(bits, w, h, sbits0, sw0, sh0, x, y)
+        news.append((w, h, bits))
+        specs.append(("agg", list(insts)))
     all_syms = base + news
     for sid, x, y in instances:
         if not 0 <= sid < len(all_syms):
@@ -1071,21 +1095,31 @@ def _decode_symbol_dict(body: bytes,
                 # §6.5.8.2: refinement/aggregate coding.  The common
                 # single-instance case refines an already-known symbol.
                 ninst = dec.decode("IAAI")
-                if ninst != 1:
-                    raise JBIG2Error(
-                        "multi-instance aggregate coding unsupported")
-                rid = dec.decode_id(symlen)
+                if ninst is None or not 1 <= ninst <= _MAX_INSTANCES:
+                    raise JBIG2Error("bad aggregate instance count")
                 avail = input_syms + new_syms
-                if not 0 <= rid < len(avail):
-                    raise JBIG2Error("refinement reference out of range")
-                rdx = dec.decode("IARDX")
-                rdy = dec.decode("IARDY")
-                if rdx is None or rdy is None:
-                    raise JBIG2Error("OOB refinement offset")
-                rw0, rh0, rbits = avail[rid]
-                bits = _decode_refinement_bitmap(
-                    mq, symw, hc_height, rbits, rw0, rh0, rdx, rdy,
-                    rtemplate, rat, tpgron=False)
+                if ninst == 1:
+                    rid = dec.decode_id(symlen)
+                    if not 0 <= rid < len(avail):
+                        raise JBIG2Error(
+                            "refinement reference out of range")
+                    rdx = dec.decode("IARDX")
+                    rdy = dec.decode("IARDY")
+                    if rdx is None or rdy is None:
+                        raise JBIG2Error("OOB refinement offset")
+                    rw0, rh0, rbits = avail[rid]
+                    bits = _decode_refinement_bitmap(
+                        mq, symw, hc_height, rbits, rw0, rh0, rdx, rdy,
+                        rtemplate, rat, tpgron=False)
+                else:
+                    # §6.5.8.2.1: multi-instance aggregate — the new
+                    # symbol is an EMBEDDED TEXT REGION over the known
+                    # symbols (SBSTRIPS=1, TOPLEFT, REFINE on),
+                    # continuing the dictionary's arithmetic stream and
+                    # integer contexts
+                    bits = _decode_text_arith(
+                        dec, mq, avail, symw, hc_height, ninst, 1,
+                        1, 0, False, True, rtemplate, rat, symlen)
             else:
                 bits = _decode_generic_bitmap(mq, symw, hc_height, False,
                                               pixels, _TPGD_CTX[template])
@@ -1327,22 +1361,14 @@ def _text_strips(symbols, instances, refcorner: int, sbstrips: int,
     return strips
 
 
-def _encode_text_region_body(
-        rw: int, rh: int,
-        symbols: Sequence[Tuple[int, int, bytearray]],
-        instances: Sequence[Tuple[int, int, int]],
-        refcorner: int, logsbstrips: int,
-        transposed: bool = False,
-        refinements: Optional[Dict[int, Tuple]] = None) -> bytes:
-    """Immediate lossless text region placing ``instances`` of
-    ``(sym_idx, x, y)`` with (x, y) the symbol's TOP-LEFT pixel — the
-    encoder converts to the transmitted (S, T) per ``refcorner`` and
-    ``transposed``.  ``refinements`` maps instance index →
-    ``(rdw, rdh, rdx, rdy, bits)``: that instance transmits RI=1 and a
-    refinement of its symbol (§6.4.11), drawn at the refined size."""
-    sbstrips = 1 << logsbstrips
-    symlen = _symcodelen(len(symbols))
-    refine = bool(refinements)
+def _encode_text_arith_core(enc: "_IntEncoder", mq: MQEncoder, symbols,
+                            instances, refcorner: int, sbstrips: int,
+                            transposed: bool, refinements: Dict[int, Tuple],
+                            refine: bool, symlen: int) -> None:
+    """Arithmetic text-region instance loop over an EXISTING integer
+    encoder / MQ stream — the exact mirror of :func:`_decode_text_arith`,
+    shared between standalone text regions and the embedded text region
+    of multi-instance aggregate symbol coding (§6.5.8.2.1)."""
     dims = None
     if refine:
         dims = []
@@ -1354,8 +1380,6 @@ def _encode_text_region_body(
             dims.append((w, h))
     strips = _text_strips(symbols, instances, refcorner, sbstrips,
                           transposed, dims)
-    mq = MQEncoder(states=_Ctx())
-    enc = _IntEncoder(mq)
     enc.encode("IADT", 0)                    # STRIPT init → 0
     stript_q = 0
     firsts = 0
@@ -1392,6 +1416,29 @@ def _encode_text_region_body(
                         _GRR_NOMINAL_AT, False)
             curs += w - 1
         enc.encode("IADS", None)             # OOB ends the strip
+
+
+def _encode_text_region_body(
+        rw: int, rh: int,
+        symbols: Sequence[Tuple[int, int, bytearray]],
+        instances: Sequence[Tuple[int, int, int]],
+        refcorner: int, logsbstrips: int,
+        transposed: bool = False,
+        refinements: Optional[Dict[int, Tuple]] = None) -> bytes:
+    """Immediate lossless text region placing ``instances`` of
+    ``(sym_idx, x, y)`` with (x, y) the symbol's TOP-LEFT pixel — the
+    encoder converts to the transmitted (S, T) per ``refcorner`` and
+    ``transposed``.  ``refinements`` maps instance index →
+    ``(rdw, rdh, rdx, rdy, bits)``: that instance transmits RI=1 and a
+    refinement of its symbol (§6.4.11), drawn at the refined size."""
+    sbstrips = 1 << logsbstrips
+    symlen = _symcodelen(len(symbols))
+    refine = bool(refinements)
+    mq = MQEncoder(states=_Ctx())
+    enc = _IntEncoder(mq)
+    _encode_text_arith_core(enc, mq, symbols, instances, refcorner,
+                            sbstrips, transposed, refinements or {},
+                            refine, symlen)
     flags = (logsbstrips << 2) | (refcorner << 4) | (int(transposed) << 6)
     if refine:
         flags |= 0x0002
@@ -1569,6 +1616,23 @@ def _decode_text_region(body: bytes,
     symlen = _symcodelen(len(syms))
     mq = MQDecoder(body[off + 4:], states=_Ctx())
     dec = _IntDecoder(mq)
+    bits = _decode_text_arith(dec, mq, syms, rw, rh, num_inst, sbstrips,
+                              refcorner, dsoffset, transposed, refine,
+                              rtemplate, rat, symlen)
+    _compose_or(bits, rw, rh, page, pw, rx, ry)
+
+
+def _decode_text_arith(dec: "_IntDecoder", mq: MQDecoder, syms,
+                       rw: int, rh: int, num_inst: int, sbstrips: int,
+                       refcorner: int, dsoffset: int, transposed: bool,
+                       refine: bool, rtemplate: int, rat,
+                       symlen: int) -> bytearray:
+    """Arithmetic text-region instance loop (§6.4.5) over an EXISTING
+    integer decoder / MQ stream — shared between standalone text
+    regions and the embedded text region of multi-instance aggregate
+    symbol coding (§6.5.8.2.1, which continues the dictionary's
+    arithmetic stream and contexts)."""
+    top_corner = refcorner in (1, 3)
     bits = bytearray(rw * rh)
     dt0 = dec.decode("IADT")
     if dt0 is None:
@@ -1642,7 +1706,7 @@ def _decode_text_region(body: bytes,
                 _draw_symbol(bits, rw, rh, sbits, sw, sh, curs, y0)
                 curs += sw - 1
             n += 1
-    _compose_or(bits, rw, rh, page, pw, rx, ry)
+    return bits
 
 
 def _draw_symbol(bits: bytearray, rw: int, rh: int, sbits: bytearray,

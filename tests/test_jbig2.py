@@ -522,6 +522,34 @@ class TestRefinement:
         exp = _expected_or(80, 40, exp_syms, exp_inst)
         assert decode_bilevel(data) == (80, 40, exp)
 
+    def test_multi_instance_aggregate_symbol(self):
+        """REFAGGNINST > 1 (§6.5.8.2.1): a new symbol coded as an
+        embedded text region composing known symbols — the accented-
+        glyph structure — decodes to the exact composition."""
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            _draw_symbol, encode_symbol_page_refined)
+
+        base = [_rand_glyph(6, 8, 51), _rand_glyph(4, 3, 52)]
+        variant = bytearray(base[0][2])
+        variant[7] ^= 255
+        refined = [(0, 0, 0, 6, 8, bytes(variant))]
+        agg_insts = [(0, 0, 4), (1, 1, 0)]
+        data = encode_symbol_page_refined(
+            80, 40, base, refined,
+            [(0, 0, 0), (2, 10, 0), (3, 20, 0), (1, 30, 5), (3, 40, 10)],
+            aggregates=[(agg_insts, 7, 12)])
+        agg = bytearray(7 * 12)
+        for sid, x, y in agg_insts:
+            sw, sh, luma = base[sid]
+            bits = bytearray(1 if b < 128 else 0 for b in luma)
+            _draw_symbol(agg, 7, 12, bits, sw, sh, x, y)
+        agg_luma = bytes(0 if b else 255 for b in agg)
+        all_syms = base + [(6, 8, bytes(variant)), (7, 12, agg_luma)]
+        insts = [(0, 0, 0), (2, 10, 0), (3, 20, 0), (1, 30, 5),
+                 (3, 40, 10)]
+        exp = _expected_or(80, 40, all_syms, insts)
+        assert decode_bilevel(data) == (80, 40, exp)
+
     def test_refinement_fuzz(self):
         from pdf_ocr_spark.kernels.pdf.jbig2 import encode_symbol_page_refined
 
