@@ -452,6 +452,91 @@ def zipf_fit(
     )
 
 
+def heaps_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoints: int = 8,
+) -> DataFrame:
+    """Heaps'-law fit — the vocabulary-growth companion to
+    :func:`zipf_fit` (natural corpora grow V(N) ≈ K·N^β with β ≈ 0.5;
+    duplicated or template-generated corpora bend β down): the corpus
+    is cut at ``checkpoints`` doc_id thresholds, V = distinct words
+    first seen by each cut, N = tokens up to each cut, and the log-log
+    least-squares line gives (β, log K, r²).
+
+    ONE corpus pass: each word's FIRST-OCCURRENCE doc id is a single
+    word groupBy (map-side combined); V and N per checkpoint are then
+    ≤``checkpoints``-row cumulative sums — no repeated corpus scans.
+    The same DECIMAL(18,6) quantization before the moment sums as
+    zipf_fit makes the fit bit-identical across engines."""
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        F.col(id_col), F.explode(norm_words_expr(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    maxid = docs.agg(F.max(id_col).cast("double").alias("max_id"))
+    # checkpoint index of a doc id: smallest cut covering it (cuts are
+    # ceil(max_id * (i+1)/K); integer-exact via LEAST over literals is
+    # replaced by the closed form below, identical in both engines)
+    k = F.lit(float(checkpoints))
+    cp = F.greatest(
+        F.least(
+            F.ceil(F.col(id_col).cast("double") * k / F.col("max_id")),
+            F.lit(checkpoints),
+        ),
+        F.lit(1),
+    ).cast("int")
+    first_occ = (
+        words.groupBy("w").agg(F.min(id_col).alias("first_id"))
+        .crossJoin(F.broadcast(maxid))
+        .select(F.col("first_id").alias(id_col), "max_id")
+        .select(cp.alias("cp"))
+        .groupBy("cp").agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    tokens = (
+        words.crossJoin(F.broadcast(maxid))
+        .select(cp.alias("cp"))
+        .groupBy("cp").agg(F.count(F.lit(1)).alias("toks"))
+    )
+    wspec = Window.orderBy("cp").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        first_occ.join(tokens, "cp", "full")
+        .select(
+            F.col("cp"),
+            F.sum(F.coalesce(F.col("new_words"), F.lit(0)))
+            .over(wspec).alias("v"),
+            F.sum(F.coalesce(F.col("toks"), F.lit(0)))
+            .over(wspec).alias("n"),
+        )
+        .filter((F.col("v") > 0) & (F.col("n") > 0))
+    )
+    x = F.round(F.log(F.col("n").cast("double")), 6).cast("decimal(18,6)")
+    y = F.round(F.log(F.col("v").cast("double")), 6).cast("decimal(18,6)")
+    pts = curve.select(x.alias("x"), y.alias("y"))
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    denom = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    beta = (n * sxy - sx * sy) / denom
+    logk = (sy - beta * sx) / n
+    r2_denom = F.nullif((n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0))
+    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / r2_denom
+    return agg.select(
+        n.cast("bigint").alias("n_points"),
+        F.round(beta, 4).alias("heaps_beta"),
+        F.round(logk, 4).alias("heaps_logk"),
+        F.round(r2, 4).alias("r2"),
+    )
+
+
 # PII patterns (RE2-safe, shared verbatim with the oracle): the Dolma-
 # style scrub for web-text pretraining corpora
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -4532,6 +4532,70 @@ FROM a
 """
 
 
+def q_corpus_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (datacard health check: β ≈ 0.5
+    for natural text; heavy duplication bends β down): V(N) at 8
+    doc_id-threshold checkpoints from ONE word pass (first-occurrence
+    groupBy + ≤8-row cumulative sums), log-log least squares with the
+    DECIMAL-quantized moment sums — bit-identical across engines."""
+    return T.heaps_fit(_t(spark, sf_dir, "documents"), checkpoints=8)
+
+
+SQL_CORPUS_HEAPS = f"""
+WITH dwf AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(str_split({_NORM_SQL.format(c='text')}, ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+mx AS (SELECT CAST(max(doc_id) AS DOUBLE) AS max_id FROM documents),
+fo AS (
+  SELECT greatest(least(CAST(ceil(CAST(first_id AS DOUBLE) * 8.0 / max_id)
+                             AS BIGINT), 8), 1) AS cp,
+         count(*) AS new_words
+  FROM (SELECT w, min(doc_id) AS first_id FROM dwf GROUP BY w)
+  CROSS JOIN mx GROUP BY 1
+),
+tk AS (
+  SELECT greatest(least(CAST(ceil(CAST(doc_id AS DOUBLE) * 8.0 / max_id)
+                             AS BIGINT), 8), 1) AS cp,
+         count(*) AS toks
+  FROM dwf CROSS JOIN mx GROUP BY 1
+),
+curve AS (
+  SELECT cp,
+    sum(coalesce(new_words, 0)) OVER (ORDER BY cp
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+    sum(coalesce(toks, 0)) OVER (ORDER BY cp
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+  FROM fo FULL JOIN tk USING (cp)
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+         CAST(round(ln(CAST(v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM curve WHERE v > 0 AND n > 0
+),
+a AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+  round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 4)
+    AS heaps_beta,
+  round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n,
+        4) AS heaps_logk,
+  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 4) AS r2
+FROM a
+"""
+
+
 def q_dsir_logweights(spark, sf_dir):
     """DSIR (Xie et al. 2023) per-document importance log-weights:
     hashed bag-of-words models of the target distribution (here: the
@@ -9259,6 +9323,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     ),
     "text_lm_bigram": (q_text_lm_bigram, SQL_TEXT_LM_BIGRAM),
     "corpus_zipf": (q_corpus_zipf, SQL_CORPUS_ZIPF),
+    "corpus_heaps": (q_corpus_heaps, SQL_CORPUS_HEAPS),
     "dsir_logweights": (q_dsir_logweights, SQL_DSIR_LOGWEIGHTS),
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "search_bm25": (q_search_bm25, SQL_SEARCH_BM25),
@@ -9390,7 +9455,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
 # bounded-sample consumer that takes the first K exported keys sees ~K/2
 # of these alongside ~K/2 §2 basics, instead of only the basics.
 _SAMPLE_PRIORITY = [
-    "text_lm_bigram", "pii_credit_cards", "corpus_zipf",
+    "text_lm_bigram", "pii_credit_cards", "corpus_zipf", "corpus_heaps",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",
     "link_harmonic_hyperball", "sketch_cms_freq", "dedup_containment",

@@ -193,6 +193,29 @@ def test_zipf_fit_matches_numpy_least_squares(spark):
     assert -1.05 < row.zipf_slope < -0.95
 
 
+def test_heaps_fit_detects_vocabulary_growth_regimes(spark):
+    """Fresh-vocabulary corpora fit β ≈ 1 (every doc brings new words);
+    a fully duplicated corpus collapses toward β ≈ 0 — the duplication
+    signal the datacard stat exists for."""
+    from pdf_ocr_spark.operators.text_analysis import heaps_fit
+
+    fresh = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(64)],
+        "doc_id long, text string",
+    )
+    row = heaps_fit(fresh, checkpoints=8).collect()[0]
+    assert row.n_points == 8
+    assert row.r2 > 0.999
+    assert 0.98 < row.heaps_beta <= 1.01
+
+    dup = spark.createDataFrame(
+        [(i, "same words every single time again") for i in range(64)],
+        "doc_id long, text string",
+    )
+    row2 = heaps_fit(dup, checkpoints=8).collect()[0]
+    assert row2.heaps_beta < 0.05
+
+
 def test_credit_card_stats_luhn(spark):
     """Pinned Luhn cases: valid Visa/Master test numbers pass, an
     off-by-one fails, non-card digit runs (12 or 20 digits) never
