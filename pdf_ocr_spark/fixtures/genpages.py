@@ -1950,8 +1950,12 @@ def make_scan_pdf_jbig2(
     arithmetic + TPGDON typical rows), ``symbol`` (symbol dictionary +
     text region — what real scanned text uses), ``mmr`` (MMR=1 generic
     region, a T.6/G4 bitstream), ``symbol_huffman`` (SDHUFF/SBHUFF=1
-    with uncompressed collective bitmaps), or ``symbol_huffman_mmr``
-    (Huffman coding with MMR collective bitmaps).  ``flate_wrap`` zlib-wraps the
+    with uncompressed collective bitmaps), ``symbol_huffman_mmr``
+    (Huffman coding with MMR collective bitmaps), or ``halftone``
+    (pattern dictionary + halftone region, §6.6/§6.7 — odd pages
+    arithmetic-coded patterns, even pages MMR-coded patterns; the
+    marker's 8×8 cells are uniform so the cell-4 clustered-dot
+    halftone reproduces it pixel-exactly).  ``flate_wrap`` zlib-wraps the
     stream (``/Filter [/FlateDecode /JBIG2Decode]``); ``corrupt_page``
     (1-based, 0 = none) truncates that page's stream mid-data: the
     decoder must raise cleanly and the payload fall back to opaque
@@ -1981,6 +1985,11 @@ def make_scan_pdf_jbig2(
             payload = _marker_to_symbol_page_huffman(iw, ih, px, mmr=True)
         elif coding == "mmr":
             payload = encode_bilevel_mmr(iw, ih, px)
+        elif coding == "halftone":
+            from pdf_ocr_spark.kernels.pdf.jbig2 import encode_halftone_page
+
+            payload = encode_halftone_page(iw, ih, px, cell=4,
+                                           mmr_patterns=(pno % 2 == 0))
         elif coding == "symbol_globals":
             from pdf_ocr_spark.kernels.pdf.jbig2 import (
                 encode_symbol_page_globals)
@@ -2030,16 +2039,18 @@ def make_scan_pdf_jbig2(
     return w.build(catalog)
 
 
-def gen_jbig2_scan_rows(n_docs: int = 15) -> List[dict]:
+def gen_jbig2_scan_rows(n_docs: int = 16) -> List[dict]:
     """Corpus for the JBIG2 scan branch: multi-page PDFs whose pages are
     JBIG2Decode image XObjects carrying pixel-marker ground truth.
     Docs 0-6 are generic-region coded; docs 7-8 are symbol-coded
     (symbol dictionary + text region — the coding real scanned text
     uses); doc 9 is Huffman-coded (SDHUFF/SBHUFF=1, uncompressed
     collective bitmaps) and doc 10 Huffman with MMR collective bitmaps;
-    doc n-2 is MMR (T.6) coded AND zlib-wraps its streams (filter chain
-    over the MMR body); the last doc carries a truncated symbol-coded
-    stream on page 1 (decode must fail loudly, extract must not).
+    doc 13 is HALFTONE-coded (pattern dictionary + halftone region,
+    arithmetic and MMR pattern pages); doc n-2 is MMR (T.6) coded AND
+    zlib-wraps its streams (filter chain over the MMR body); the last
+    doc carries a truncated symbol-coded stream on page 1 (decode must
+    fail loudly, extract must not).
     Deterministic — same rows every call."""
     rng = random.Random(0x1B162)
     rows = []
@@ -2063,6 +2074,8 @@ def gen_jbig2_scan_rows(n_docs: int = 15) -> List[dict]:
             coding = "symbol_transposed"
         elif d == 12 and d < n_docs - 2:
             coding = "symbol_globals"
+        elif d == 13 and d < n_docs - 2:
+            coding = "halftone"
         elif d == n_docs - 2:
             coding = "mmr"
         else:

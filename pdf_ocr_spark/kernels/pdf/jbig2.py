@@ -55,8 +55,19 @@ symbol dictionaries (single-instance refinement AND multi-instance
 aggregates — embedded text regions composing known symbols) and
 REFINE=1 text-region instances.
 
+Also: HALFTONE coding (§6.6/§6.7) — pattern dictionaries (type 16,
+arithmetic or MMR collective bitmaps, AT1 = (-HDPW, 0) per §6.7.5)
+and immediate halftone regions (types 22/23): Annex C.5 grayscale
+decoding (Gray-coded bitplanes MSB→LSB through ONE shared arithmetic
+decoder and context table), the §6.6.5.2 skewable grid placement
+((HGX + m·HRY + n·HRX) >> 8 etc., offsets/vectors in 1/256-pixel
+units), HDEFPIXEL, OR composition, and an exact encoder mirror
+(clustered-dot cell²+1 pattern ramp).
+
 Out of scope (→ loud ``JBIG2Error``): Huffman-coded refinement,
-halftone regions, unknown-length regions, retained contexts.
+MMR-coded halftone GRAYSCALE planes (MMR pattern dictionaries are
+supported), HENABLESKIP / non-OR halftone composition, intermediate
+(type 20/36) regions, unknown-length regions, retained contexts.
 
 The 16-bit template context packs the nominal template-0 neighbourhood
 in raster order (sorted by (y, x), MSB first) — the convention of the
@@ -141,6 +152,9 @@ _SEG_END_OF_FILE = 51
 _SEG_GENERIC_IMMEDIATE = 38
 _SEG_TABLES = 53
 _SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
+_SEG_PATTERN_DICT = 16
+_SEG_HALFTONE_IMMEDIATE = 22
+_SEG_HALFTONE_IMMEDIATE_LOSSLESS = 23
 
 _MAX_SYM_DIM = 1 << 14
 _MAX_SYMS = 1 << 16
@@ -1924,6 +1938,257 @@ def encode_symbol_page_globals(
 
 
 # --------------------------------------------------------------------------
+# Pattern dictionaries (§6.7 / type 16) and halftone regions (§6.6 /
+# types 22-23) — the coding scanned PHOTOS inside fax-class JBIG2 use
+# --------------------------------------------------------------------------
+
+def _pattern_at(template: int, hdpw: int) -> Tuple[Tuple[int, int], ...]:
+    """§6.7.5: the collective pattern bitmap is decoded with
+    AT1 = (-HDPW, 0) — one pattern-width left, same row — so each
+    pattern predicts from its neighbour; AT2-AT4 stay nominal."""
+    if template == 0:
+        return ((0, -hdpw), (-1, -3), (-2, 2), (-2, -2))
+    return ((0, -hdpw),)
+
+
+def _decode_pattern_dict(body: bytes) -> List[Tuple[int, int, bytearray]]:
+    """Pattern dictionary segment body (§7.4.4) → GRAYMAX+1 patterns,
+    split out of one collective bitmap of side-by-side cells."""
+    if len(body) < 7:
+        raise JBIG2Error("short pattern dictionary")
+    flags = body[0]
+    hdmmr = flags & 0x01
+    template = (flags >> 1) & 0x03
+    hdpw = body[1]
+    hdph = body[2]
+    graymax = int.from_bytes(body[3:7], "big")
+    if hdpw == 0 or hdph == 0:
+        raise JBIG2Error("bad pattern dimensions")
+    if graymax >= 1 << 12:
+        raise JBIG2Error("unreasonable pattern count")
+    npats = graymax + 1
+    cw = npats * hdpw
+    if cw * hdph > 64 << 20:
+        raise JBIG2Error("unreasonable pattern dictionary size")
+    if hdmmr:
+        from pdf_ocr_spark.kernels.pdf import ccitt
+
+        try:
+            w, h, luma = ccitt.decode(body[7:], columns=cw, rows=hdph, k=-1)
+        except ccitt.CcittError as exc:
+            raise JBIG2Error(f"MMR pattern dictionary: {exc}") from exc
+        if (w, h) != (cw, hdph):
+            raise JBIG2Error("MMR pattern dictionary dimension mismatch")
+        coll = bytearray(1 if b < 128 else 0 for b in luma)
+    else:
+        mq = MQDecoder(body[7:], states=_Ctx())
+        coll = _decode_generic_bitmap(
+            mq, cw, hdph, False,
+            _gb_template(template, _pattern_at(template, hdpw)))
+    pats: List[Tuple[int, int, bytearray]] = []
+    for i in range(npats):
+        bits = bytearray(hdpw * hdph)
+        for y in range(hdph):
+            row = y * cw + i * hdpw
+            bits[y * hdpw:(y + 1) * hdpw] = coll[row:row + hdpw]
+        pats.append((hdpw, hdph, bits))
+    return pats
+
+
+def _decode_halftone_region(body: bytes,
+                            patterns: Sequence[Tuple[int, int, bytearray]],
+                            page: bytearray, pw: int, ph: int) -> None:
+    """Halftone region segment body (§7.4.5): Annex C.5 grayscale
+    decode (Gray-coded bitplanes MSB→LSB, ONE shared arithmetic
+    decoder + context across planes), then §6.6.5.2 grid rendering."""
+    if not patterns:
+        raise JBIG2Error("halftone region without pattern dictionary")
+    if len({(w, h) for w, h, _ in patterns}) != 1:
+        raise JBIG2Error("pattern dimension mismatch")
+    if len(body) < 38:
+        raise JBIG2Error("short halftone region segment")
+    rw = int.from_bytes(body[0:4], "big")
+    rh = int.from_bytes(body[4:8], "big")
+    rx = int.from_bytes(body[8:12], "big")
+    ry = int.from_bytes(body[12:16], "big")
+    if rx + rw > pw or ry + rh > ph:
+        raise JBIG2Error("region exceeds page")
+    if rw == 0 or rh == 0 or rw * rh > 64 << 20:
+        raise JBIG2Error("unreasonable region size")
+    hflags = body[17]
+    if hflags & 0x01:
+        raise JBIG2Error("MMR-coded halftone grayscale unsupported")
+    template = (hflags >> 1) & 0x03
+    if hflags & 0x08:
+        raise JBIG2Error("HENABLESKIP halftone regions unsupported")
+    if (hflags >> 4) & 0x07:
+        raise JBIG2Error("non-OR halftone combination unsupported")
+    defpixel = (hflags >> 7) & 0x01
+    hgw = int.from_bytes(body[18:22], "big")
+    hgh = int.from_bytes(body[22:26], "big")
+    hgx = int.from_bytes(body[26:30], "big", signed=True)
+    hgy = int.from_bytes(body[30:34], "big", signed=True)
+    hrx = int.from_bytes(body[34:36], "big")
+    hry = int.from_bytes(body[36:38], "big")
+    if hgw == 0 or hgh == 0 or hgw * hgh > 16 << 20:
+        raise JBIG2Error("unreasonable halftone grid")
+    npats = len(patterns)
+    nbits = (npats - 1).bit_length()
+    cells = hgw * hgh
+    values = [0] * cells
+    if nbits:
+        mq = MQDecoder(body[38:], states=_Ctx())
+        tmpl = _gb_template(template, _GB_NOMINAL_AT[template])
+        prev: Optional[bytearray] = None
+        for j in range(nbits - 1, -1, -1):
+            plane = _decode_generic_bitmap(mq, hgw, hgh, False, tmpl)
+            if prev is not None:
+                for i in range(cells):
+                    plane[i] ^= prev[i]       # Gray → binary (C.5)
+            bit = 1 << j
+            for i in range(cells):
+                if plane[i]:
+                    values[i] |= bit
+            prev = plane
+    bits = bytearray(b"\x01" * (rw * rh)) if defpixel else bytearray(rw * rh)
+    pat_w, pat_h, _ = patterns[0]
+    for m in range(hgh):
+        for n in range(hgw):
+            v = values[m * hgw + n]
+            if v >= npats:
+                raise JBIG2Error("gray value exceeds pattern count")
+            pbits = patterns[v][2]
+            # §6.6.5.2: offsets and grid vectors are 1/256-pixel units;
+            # the m step uses (HRY, HRX), the n step (HRX, -HRY) — a
+            # rotation-capable grid.  Python's >> is the arithmetic
+            # (floor) shift the spec requires for negative coordinates.
+            x0 = (hgx + m * hry + n * hrx) >> 8
+            y0 = (hgy + m * hrx - n * hry) >> 8
+            for yy in range(pat_h):
+                ty = y0 + yy
+                if not 0 <= ty < rh:
+                    continue
+                src = yy * pat_w
+                dst = ty * rw
+                for xx in range(pat_w):
+                    tx = x0 + xx
+                    if 0 <= tx < rw and pbits[src + xx]:
+                        bits[dst + tx] = 1
+    _compose_or(bits, rw, rh, page, pw, rx, ry)
+
+
+def _dither_order(cell: int) -> List[int]:
+    """Deterministic clustered-dot fill order: pixels sorted by squared
+    distance from the cell centre, ties broken in raster order."""
+    c = (cell - 1) / 2.0
+    idx = list(range(cell * cell))
+    idx.sort(key=lambda i: (((i // cell) - c) ** 2 + ((i % cell) - c) ** 2,
+                            i // cell, i % cell))
+    return idx
+
+
+def halftone_patterns(cell: int) -> List[bytes]:
+    """cell²+1 clustered-dot patterns as luma buffers; pattern k has
+    exactly k ink pixels (luma 0) — the gray ramp the dictionary
+    transmits.  Shared with the tests' independent expected-page twin."""
+    order = _dither_order(cell)
+    pats = []
+    for k in range(cell * cell + 1):
+        luma = bytearray(b"\xff" * (cell * cell))
+        for i in order[:k]:
+            luma[i] = 0
+        pats.append(bytes(luma))
+    return pats
+
+
+def halftone_gray_values(width: int, height: int, luma: bytes,
+                         cell: int) -> Tuple[int, int, List[int]]:
+    """→ (HGW, HGH, per-cell ink counts): the grayscale image the
+    encoder transmits — each grid cell's count of dark (<128) input
+    pixels, edge cells counting only in-page pixels."""
+    hgw = (width + cell - 1) // cell
+    hgh = (height + cell - 1) // cell
+    values = []
+    for m in range(hgh):
+        for n in range(hgw):
+            count = 0
+            for yy in range(m * cell, min((m + 1) * cell, height)):
+                base = yy * width
+                for xx in range(n * cell, min((n + 1) * cell, width)):
+                    if luma[base + xx] < 128:
+                        count += 1
+            values.append(count)
+    return hgw, hgh, values
+
+
+def encode_halftone_page(width: int, height: int, luma: bytes,
+                         cell: int = 4, template: int = 0,
+                         mmr_patterns: bool = False) -> bytes:
+    """Encode 8-bit grayscale as a JBIG2 HALFTONE page: a pattern
+    dictionary of cell²+1 clustered-dot patterns plus one immediate
+    lossless halftone region whose grayscale image is the per-cell ink
+    count of the thresholded input (dark < 128).  The decoded page is
+    the clustered-dot halftone of the input — deterministic, pinned by
+    the tests' independent rendering twin.  ``mmr_patterns`` codes the
+    pattern dictionary's collective bitmap as MMR (T.6) instead of
+    arithmetic; the grayscale planes are always arithmetic."""
+    if width <= 0 or height <= 0 or len(luma) != width * height:
+        raise JBIG2Error("bad image dimensions")
+    if not 2 <= cell <= 15:
+        raise JBIG2Error("bad halftone cell size")
+    if template not in (0, 1, 2, 3):
+        raise JBIG2Error("bad generic template")
+    pats = halftone_patterns(cell)
+    npats = len(pats)
+    cw = npats * cell
+    coll = bytearray(cw * cell)
+    for i, pat in enumerate(pats):
+        for y in range(cell):
+            for x in range(cell):
+                if pat[y * cell + x] < 128:
+                    coll[y * cw + i * cell + x] = 1
+    if mmr_patterns:
+        from pdf_ocr_spark.kernels.pdf import ccitt
+
+        coll_luma = bytes(0 if b else 255 for b in coll)
+        dict_body = (bytes([0x01 | (template << 1), cell, cell]) +
+                     _u32(npats - 1) + ccitt.encode_g4(coll_luma, cw, cell))
+    else:
+        mq = MQEncoder(states=_Ctx())
+        _encode_generic_bitmap(mq, coll, cw, cell, False,
+                               _gb_template(template,
+                                            _pattern_at(template, cell)))
+        dict_body = (bytes([template << 1, cell, cell]) +
+                     _u32(npats - 1) + mq.flush())
+    hgw, hgh, values = halftone_gray_values(width, height, luma, cell)
+    nbits = (npats - 1).bit_length()
+    cells = hgw * hgh
+    # binary → Gray code (C.5 mirror): gray[MSB] = bit[MSB],
+    # gray[j] = bit[j] ^ bit[j+1]
+    mq = MQEncoder(states=_Ctx())
+    tmpl = _gb_template(template, _GB_NOMINAL_AT[template])
+    for j in range(nbits - 1, -1, -1):
+        plane = bytearray(cells)
+        for i in range(cells):
+            bit = (values[i] >> j) & 1
+            if j < nbits - 1:
+                bit ^= (values[i] >> (j + 1)) & 1
+            plane[i] = bit
+        _encode_generic_bitmap(mq, plane, hgw, hgh, False, tmpl)
+    region = (_u32(width) + _u32(height) + _u32(0) + _u32(0) +
+              bytes([0x00]) +               # external combination op: OR
+              bytes([template << 1]) +      # HMMR=0, SKIP=0, OR, DEFPIX=0
+              _u32(hgw) + _u32(hgh) + _u32(0) + _u32(0) +
+              _u16(cell << 8) + _u16(0) +   # axis-aligned cell-size grid
+              (mq.flush() if nbits else b""))
+    return (_segment(0, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
+            _segment(1, _SEG_PATTERN_DICT, 1, dict_body) +
+            _segment(2, _SEG_HALFTONE_IMMEDIATE_LOSSLESS, 1, region,
+                     refs=(1,)) +
+            _segment(3, _SEG_END_OF_PAGE, 1, b""))
+
+
+# --------------------------------------------------------------------------
 # Top-level decode
 # --------------------------------------------------------------------------
 
@@ -1943,16 +2208,18 @@ def decode_bilevel(data: bytes,
     saw_region = False
     sym_dicts: Dict[int, List[Tuple[int, int, bytearray]]] = {}
     tables: Dict[int, _HuffTable] = {}
+    pat_dicts: Dict[int, List[Tuple[int, int, bytearray]]] = {}
     streams = ([bytes(globals_data)] if globals_data else []) + [data]
     for data in streams:
         pw, ph, page, saw_region = _walk_segments(
-            data, pw, ph, page, saw_region, sym_dicts, tables)
+            data, pw, ph, page, saw_region, sym_dicts, tables, pat_dicts)
     if pw is None or not saw_region:
         raise JBIG2Error("no page/region segments")
     return pw, ph, bytes(0 if b else 255 for b in page)
 
 
-def _walk_segments(data, pw, ph, page, saw_region, sym_dicts, tables):
+def _walk_segments(data, pw, ph, page, saw_region, sym_dicts, tables,
+                   pat_dicts):
     pos = 0
     while pos < len(data):
         seg_type, refs, length, start, nxt = _parse_segment_header(data, pos)
@@ -1991,6 +2258,18 @@ def _walk_segments(data, pw, ph, page, saw_region, sym_dicts, tables):
             if pw is None:
                 raise JBIG2Error("generic region before page info")
             _decode_generic(body, page, pw, ph)
+            saw_region = True
+        elif seg_type == _SEG_PATTERN_DICT:
+            number = int.from_bytes(data[pos:pos + 4], "big")
+            pat_dicts[number] = _decode_pattern_dict(body)
+        elif seg_type in (_SEG_HALFTONE_IMMEDIATE,
+                          _SEG_HALFTONE_IMMEDIATE_LOSSLESS):
+            if pw is None:
+                raise JBIG2Error("halftone region before page info")
+            pats: List[Tuple[int, int, bytearray]] = []
+            for r in refs:
+                pats.extend(pat_dicts.get(r, []))
+            _decode_halftone_region(body, pats, page, pw, ph)
             saw_region = True
         elif seg_type in (_SEG_END_OF_PAGE, _SEG_END_OF_FILE, 50, 62):
             pass                        # end-of-stripe/extension: ignore

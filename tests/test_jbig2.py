@@ -695,3 +695,155 @@ class TestPipelineIntegration:
                     assert text.startswith("[unrecognized image ")
                 else:
                     assert text.startswith(f"jbig2 doc {d} page {p}")
+
+
+class TestHalftone:
+    """Pattern dictionaries (§6.7) + halftone regions (§6.6): encoder/
+    decoder mirror pinned by an INDEPENDENT numpy rendering twin."""
+
+    @staticmethod
+    def _expected(width, height, luma, cell):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            halftone_gray_values, halftone_patterns)
+
+        pats = halftone_patterns(cell)
+        hgw, hgh, vals = halftone_gray_values(width, height, luma, cell)
+        page = np.zeros((height, width), dtype=np.uint8)
+        for m in range(hgh):
+            for n in range(hgw):
+                p = (np.frombuffer(pats[vals[m * hgw + n]], dtype=np.uint8)
+                     .reshape(cell, cell) < 128)
+                y0, x0 = m * cell, n * cell
+                h = min(cell, height - y0)
+                w = min(cell, width - x0)
+                page[y0:y0 + h, x0:x0 + w] |= p[:h, :w].astype(np.uint8)
+        return np.where(page, 0, 255).astype(np.uint8).tobytes()
+
+    def _gradient(self, w, h, seed=42):
+        rng = np.random.RandomState(seed)
+        g = (np.linspace(0, 255, w * h).reshape(h, w)
+             + rng.randint(-60, 60, (h, w))).clip(0, 255).astype(np.uint8)
+        return g.tobytes()
+
+    @pytest.mark.parametrize("w,h,cell", [(40, 30, 4), (37, 23, 3),
+                                          (64, 64, 5), (8, 8, 4),
+                                          (16, 12, 2)])
+    def test_round_trip_matches_independent_twin(self, w, h, cell):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_halftone_page
+
+        luma = self._gradient(w, h, seed=w * 100 + h)
+        exp = self._expected(w, h, luma, cell)
+        for mmr in (False, True):
+            stream = encode_halftone_page(w, h, luma, cell=cell,
+                                          mmr_patterns=mmr)
+            assert decode_bilevel(stream) == (w, h, exp)
+
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    def test_all_templates(self, template):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_halftone_page
+
+        luma = self._gradient(48, 36)
+        stream = encode_halftone_page(48, 36, luma, cell=4,
+                                      template=template)
+        assert decode_bilevel(stream)[2] == self._expected(48, 36, luma, 4)
+
+    def test_flat_pages(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_halftone_page
+
+        for fill in (0, 255):
+            luma = bytes([fill]) * (32 * 20)
+            stream = encode_halftone_page(32, 20, luma, cell=4)
+            assert decode_bilevel(stream)[2] == self._expected(
+                32, 20, luma, 4)
+
+    def test_multi_plane_gray_coding(self):
+        """cell=5 → 26 patterns → 5 Gray-coded bitplanes through one
+        shared arithmetic decoder; every gray level must survive."""
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            encode_halftone_page, halftone_gray_values)
+
+        cell, hgw = 5, 26
+        width, height = hgw * cell, cell
+        # one cell per gray level 0..25: cell m gets m dark pixels
+        luma = bytearray(b"\xff" * (width * height))
+        order = [(i // cell, i % cell) for i in range(cell * cell)]
+        for n in range(hgw):
+            for k in range(n):
+                y, x = order[k]
+                luma[y * width + n * cell + x] = 0
+        _, _, vals = halftone_gray_values(width, height, bytes(luma), cell)
+        assert sorted(vals) == list(range(26))
+        stream = encode_halftone_page(width, height, bytes(luma), cell=cell)
+        assert decode_bilevel(stream)[2] == self._expected(
+            width, height, bytes(luma), cell)
+
+    def test_skewed_grid_and_defpixel(self):
+        """Hand-built region body: HDEFPIXEL=1 with non-zero HGX/HGY
+        offsets — checks the 1/256-unit arithmetic-shift placement and
+        the default-pixel fill against a direct twin."""
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            _decode_halftone_region)
+
+        # two patterns: blank and full-ink 2x2
+        pats = [(2, 2, bytearray(4)), (2, 2, bytearray([1] * 4))]
+        hgw = hgh = 2
+        rw = rh = 8
+        # values all 0 => nbits=1 plane of zeros; arithmetic stream for
+        # a 2x2 zero plane
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            MQEncoder, _Ctx, _encode_generic_bitmap, _gb_template,
+            _GB_NOMINAL_AT)
+        mq = MQEncoder(states=_Ctx())
+        _encode_generic_bitmap(mq, bytearray(4), 2, 2, False,
+                               _gb_template(0, _GB_NOMINAL_AT[0]))
+        body = (
+            rw.to_bytes(4, "big") + rh.to_bytes(4, "big") +
+            (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + b"\x00" +
+            bytes([0x80]) +                       # HDEFPIXEL=1, OR, tmpl 0
+            hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big") +
+            (-256).to_bytes(4, "big", signed=True) +   # HGX = -1 px
+            (512).to_bytes(4, "big", signed=True) +    # HGY = +2 px
+            (2 << 8).to_bytes(2, "big") + (0).to_bytes(2, "big") +
+            mq.flush())
+        page = bytearray(rw * rh)
+        _decode_halftone_region(body, pats, page, rw, rh)
+        assert bytes(page) == b"\x01" * (rw * rh)  # defpixel floods all
+
+    def test_rejects_unsupported_profiles(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import (
+            _decode_halftone_region)
+
+        pats = [(2, 2, bytearray(4))]
+        head = ((8).to_bytes(4, "big") * 2 + (0).to_bytes(4, "big") * 2 +
+                b"\x00")
+        tail = ((2).to_bytes(4, "big") * 2 +
+                (0).to_bytes(4, "big", signed=True) * 2 +
+                (512).to_bytes(2, "big") + (0).to_bytes(2, "big"))
+        for flags, msg in [(0x01, "MMR"), (0x08, "HENABLESKIP"),
+                           (0x10, "non-OR")]:
+            with pytest.raises(JBIG2Error, match=msg):
+                _decode_halftone_region(head + bytes([flags]) + tail,
+                                        pats, bytearray(64), 8, 8)
+        with pytest.raises(JBIG2Error, match="pattern"):
+            _decode_halftone_region(head + b"\x00" + tail, [], bytearray(64),
+                                    8, 8)
+
+    def test_truncation_and_flip_fuzz(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_halftone_page
+
+        luma = self._gradient(40, 32, seed=7)
+        data = encode_halftone_page(40, 32, luma, cell=4)
+        rng = random.Random(31)
+        for _ in range(120):
+            cut = rng.randrange(1, len(data))
+            try:
+                decode_bilevel(data[:cut])
+            except JBIG2Error:
+                pass
+        for _ in range(120):
+            b = bytearray(data)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                decode_bilevel(bytes(b))
+            except JBIG2Error:
+                pass   # wrong pixels are fine; other exceptions are not
