@@ -706,7 +706,9 @@ def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0,
     4-component with the Adobe APP14 inverted-sample convention of
     print-origin PDFs; the marker luma rides on the K channel), or
     ``gray12`` (12-bit extended sequential SOF1 — the high-bit-depth
-    profile of medical/archival scans; marker luma scaled ×16).
+    profile of medical/archival scans; marker luma scaled ×16), or
+    ``lossless`` (SOF3 predictive, Annex H — raw scanner/DNG-class
+    output; pages cycle predictors 1-7, even pages add RST restarts).
 
     ``corrupt_page`` (1-based, 0 = none) truncates that page's JPEG
     stream mid-entropy-data: the decoder must raise cleanly and the
@@ -742,6 +744,12 @@ def make_scan_pdf_jpeg(page_texts: List[str], corrupt_page: int = 0,
                     * 16).astype(">u2")
             payload = encode_gray12(px12.tobytes(), iw, ih, quality=92)
             bpc = 16      # PDF-legal declaration; precision rides in SOF1
+        elif coding == "lossless":
+            from pdf_ocr_spark.kernels.pdf.jpeg import encode_lossless
+
+            payload = encode_lossless(
+                px, iw, ih, predictor=1 + (pno - 1) % 7,
+                restart_interval=iw if pno % 2 == 0 else 0)
         else:
             payload = encode_gray(px, iw, ih, quality=90)
         if pno == corrupt_page:
@@ -1080,14 +1088,15 @@ def gen_ccitt_scan_rows(n_docs: int = 10) -> List[dict]:
     return rows
 
 
-def gen_jpeg_scan_rows(n_docs: int = 16) -> List[dict]:
+def gen_jpeg_scan_rows(n_docs: int = 17) -> List[dict]:
     """Corpus for the real-pixel scan branch: multi-page PDFs whose pages
     are JPEG images (DCTDecode) carrying pixel-marker ground truth.
     Docs 0-10 are baseline grayscale; docs 11-12 are PROGRESSIVE (SOF2);
     doc 13 is 12-BIT extended sequential (SOF1 precision 12, 16-bit
-    DQT); doc n-2 is Adobe CMYK (4-component, inverted samples); the
-    last doc carries a truncated progressive page 1 (decode must fail
-    loudly, extract must not).  Deterministic — same rows every call."""
+    DQT); doc 14 is LOSSLESS (SOF3 predictive, Annex H); doc n-2 is
+    Adobe CMYK (4-component, inverted samples); the last doc carries a
+    truncated progressive page 1 (decode must fail loudly, extract must
+    not).  Deterministic — same rows every call."""
     rng = random.Random(0xDC7)
     rows = []
     for d in range(n_docs):
@@ -1103,6 +1112,8 @@ def gen_jpeg_scan_rows(n_docs: int = 16) -> List[dict]:
             coding = "progressive"
         elif d == 13 and d < n_docs - 2:
             coding = "gray12"
+        elif d == 14 and d < n_docs - 2:
+            coding = "lossless"
         elif d == n_docs - 2:
             coding = "cmyk"
         else:

@@ -27,6 +27,11 @@ the scan branch process ACTUAL image content:
 * :func:`encode_gray12` — 12-bit extended sequential (SOF1) grayscale
   encoder (16-bit DQT, 2^11 level shift) for deterministic fixtures of
   the high-bit-depth scans medical/archival PDFs carry.
+* LOSSLESS JPEG (SOF3, Annex H): :func:`decode` handles the predictive
+  profile of raw scanner/DNG-class output — all 7 predictors, point
+  transform, 8-16 bit precision, modulo-2^16 differences with the
+  SSSS=16 no-extra-bits case, DRI/RST prediction resets — and
+  :func:`encode_lossless` is its exact mirror (gray + RGB).
 
 Everything is bounded and no-surprise: malformed/truncated input raises
 :class:`JpegError` (never hangs, never over-allocates — dimensions are
@@ -42,7 +47,7 @@ import numpy as np
 
 __all__ = ["JpegError", "decode", "decode_gray", "encode_gray",
            "encode_gray_progressive", "encode_cmyk", "encode_gray12",
-           "is_jpeg"]
+           "encode_lossless", "is_jpeg"]
 
 
 class JpegError(ValueError):
@@ -221,7 +226,7 @@ def _extend(v: int, t: int) -> int:
 
 class _Component:
     __slots__ = ("cid", "h", "v", "tq", "dc_tbl", "ac_tbl", "pred",
-                 "coef", "bwp", "bhp", "nbw", "nbh")
+                 "coef", "bwp", "bhp", "nbw", "nbh", "plane")
 
     def __init__(self, cid: int, h: int, v: int, tq: int) -> None:
         if not (1 <= h <= 4 and 1 <= v <= 4):
@@ -230,6 +235,7 @@ class _Component:
         self.dc_tbl: Optional[dict] = None
         self.ac_tbl: Optional[dict] = None
         self.coef: Optional[np.ndarray] = None   # (bhp*bwp, 64) zigzag
+        self.plane: Optional[np.ndarray] = None  # lossless (h, w) samples
         self.pred = 0
         self.bwp = self.bhp = self.nbw = self.nbh = 0
 
@@ -285,8 +291,10 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
     the Adobe APP14 transform with the inverted-sample convention).
     12-bit extended/progressive streams (SOF1/SOF2 precision 12) decode
     with the 2^11 level shift and reduce to this 8-bit surface via
-    >> 4 (the PDF-viewer mapping).  Raises JpegError on anything
-    malformed, truncated, arithmetic, or hierarchical."""
+    >> 4 (the PDF-viewer mapping).  Lossless streams (SOF3, Annex H)
+    decode predictively and reduce the same way (>> (P-8)).  Raises
+    JpegError on anything malformed, truncated, arithmetic, or
+    hierarchical."""
     if not is_jpeg(data):
         raise JpegError("no SOI")
     qtables: Dict[int, np.ndarray] = {}
@@ -296,6 +304,7 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
     w = h = 0
     precision = 8
     progressive = False
+    lossless = False
     adobe = False
     adobe_transform = -1
     restart_interval = 0
@@ -341,14 +350,22 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
                 else:
                     raise JpegError("bad DQT precision")
                 qtables[tq] = tbl
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless (Annex H)
             if comps:
                 raise JpegError("multiple SOF markers")
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             if len(body) < 6:
                 raise JpegError("short SOF")
             precision = body[0]
-            if precision == 12 and marker != 0xC0:
+            if lossless:
+                # Annex H allows 2-16 bits; the 8-bit output surface
+                # reduction (>> (P-8)) needs P >= 8
+                if not 8 <= precision <= 16:
+                    raise JpegError(
+                        "unsupported lossless precision %d" % precision)
+            elif precision == 12 and marker != 0xC0:
                 pass        # 12-bit legal for extended/progressive (T.81)
             elif precision != 8:
                 raise JpegError("unsupported sample precision %d" % precision)
@@ -366,6 +383,12 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq))
+            if lossless:
+                if any(c.h != 1 or c.v != 1 for c in comps):
+                    raise JpegError("subsampled lossless JPEG unsupported")
+                for c in comps:
+                    c.plane = np.zeros((h, w), dtype=np.int32)
+                continue
             hmax = max(c.h for c in comps)
             vmax = max(c.v for c in comps)
             mcux = -(-w // (8 * hmax))
@@ -380,7 +403,7 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
                 c.nbw = -(-compw // 8)
                 c.nbh = -(-comph // 8)
                 c.coef = np.zeros((c.bhp * c.bwp, 64), dtype=np.int64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError("unsupported SOF 0x%02X" % marker)
         elif marker == 0xC4:        # DHT
             i = 0
@@ -405,6 +428,12 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
         elif marker == 0xDA:        # SOS
             if not comps or w == 0:
                 raise JpegError("SOS before SOF")
+            if lossless:
+                pos = _decode_scan_lossless(
+                    data, pos, body, comps, dc_tables, w, h,
+                    precision, restart_interval)
+                saw_scan = True
+                break
             pos = _decode_scan(
                 data, pos, body, comps, dc_tables, ac_tables,
                 progressive, restart_interval, mcux, mcuy,
@@ -417,6 +446,19 @@ def decode(data: bytes) -> Tuple[int, int, int, bytes]:
             continue                # APPn / COM / others: skipped
     if not comps or not saw_scan:
         raise JpegError("no image scan decoded")
+    if lossless:
+        # predictive samples, not DCT blocks: clamp to the P-bit range
+        # and reduce to the 8-bit surface — no DQT/IDCT applies
+        planes = []
+        for c in comps:
+            plane = np.clip(c.plane, 0, (1 << precision) - 1)
+            planes.append((plane >> (precision - 8)).astype(np.uint8))
+        if len(planes) == 1:
+            return w, h, 1, planes[0].tobytes()
+        if len(planes) == 3:
+            # lossless stores components direct (no YCbCr transform)
+            return w, h, 3, np.stack(planes, axis=-1).tobytes()
+        raise JpegError("unsupported lossless component count")
     for c in comps:
         if c.tq not in qtables:
             raise JpegError("SOF references missing DQT")
@@ -677,6 +719,101 @@ def _dc_block(reader: "_BitReader", c: _Component, blk: np.ndarray,
     else:                                        # DC refinement: 1 raw bit
         if reader.get(1):
             blk[0] = int(blk[0]) | (1 << al)
+
+
+def _lossless_predict(plane: np.ndarray, x: int, y: int, psv: int) -> int:
+    """Annex H.1.2 sample prediction: Ra = left, Rb = above,
+    Rc = above-left; first row forces Ra, first column forces Rb."""
+    if y == 0:
+        return int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if psv == 1:
+        return ra
+    if psv == 2:
+        return rb
+    if psv == 3:
+        return rc
+    if psv == 4:
+        return ra + rb - rc
+    if psv == 5:
+        return ra + ((rb - rc) >> 1)
+    if psv == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1
+
+
+def _decode_scan_lossless(data: bytes, pos: int, body: bytes,
+                          comps: List[_Component],
+                          dc_tables: Dict[int, dict],
+                          w: int, h: int, precision: int,
+                          restart_interval: int) -> int:
+    """Lossless-process scan (Annex H): Huffman-coded prediction
+    differences, one sample per component per MCU (1×1 sampling),
+    modulo-2^16 arithmetic, SSSS=16 meaning diff=32768 with no extra
+    bits.  Samples land in each component's ``plane`` in the
+    point-transformed domain and are shifted back up (<< Pt) here."""
+    if len(body) < 4:
+        raise JpegError("short SOS header")
+    ns = body[0]
+    if len(body) < 1 + 2 * ns + 3:
+        raise JpegError("short SOS component list")
+    if ns != len(comps):
+        raise JpegError("partial-scan lossless JPEG unsupported")
+    scan_comps: List[Tuple[_Component, dict]] = []
+    for si in range(ns):
+        cs, tds = body[1 + 2 * si], body[2 + 2 * si]
+        for c in comps:
+            if c.cid == cs:
+                tbl = dc_tables.get(tds >> 4)
+                if tbl is None:
+                    raise JpegError("scan references missing DHT")
+                scan_comps.append((c, tbl))
+                break
+        else:
+            raise JpegError("scan references unknown component")
+    psv = body[1 + 2 * ns]                       # Ss = predictor selector
+    pt = body[3 + 2 * ns] & 15                   # Al = point transform
+    if not 1 <= psv <= 7:
+        raise JpegError("bad lossless predictor %d" % psv)
+    if pt >= precision:
+        raise JpegError("point transform exceeds precision")
+    default = 1 << (precision - pt - 1)
+    reader = _BitReader(data, pos)
+    rst = 0
+    # after scan start / a restart marker, the next sample of each
+    # component is predicted with the default value (H.1.2.2 / H.2.2)
+    fresh = [True] * ns
+    mcus = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcus and mcus % restart_interval == 0:
+                reader.align_and_expect_rst(rst)
+                rst = (rst + 1) & 7
+                fresh = [True] * ns
+            for i, (c, tbl) in enumerate(scan_comps):
+                t = reader.decode_symbol(tbl)
+                if t > 16:
+                    raise JpegError("bad lossless diff category")
+                if t == 16:
+                    diff = 32768
+                elif t:
+                    diff = _extend(reader.get(t), t)
+                else:
+                    diff = 0
+                if fresh[i]:
+                    px = default
+                    fresh[i] = False
+                else:
+                    px = _lossless_predict(c.plane, x, y, psv)
+                c.plane[y, x] = (px + diff) & 0xFFFF
+            mcus += 1
+    for c in comps:
+        c.plane <<= pt
+    return _find_next_marker(data, reader.pos)
 
 
 def decode_gray(data: bytes) -> Tuple[int, int, bytes]:
@@ -949,6 +1086,90 @@ def encode_gray12(pixels: bytes, width: int, height: int,
     out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += bw.out
     out += b"\xff\xd9"                               # EOI
+    return bytes(out)
+
+
+def encode_lossless(pixels: bytes, width: int, height: int,
+                    ncomp: int = 1, precision: int = 8,
+                    predictor: int = 1, pt: int = 0,
+                    restart_interval: int = 0) -> bytes:
+    """Encode 8-bit samples as a LOSSLESS JPEG (SOF3, Annex H) — the
+    predictive profile of raw scanner/DNG-class output.  ``pixels`` is
+    row-major luma (ncomp=1) or interleaved RGB (ncomp=3).  Samples are
+    carried at ``precision`` bits (input << (P-8)), differenced with
+    ``predictor`` (1-7) after the point transform ``pt``, and
+    Huffman-coded with a 17-category table; the decoder's 8-bit
+    reduction recovers the input exactly whenever pt <= P-8.
+    ``restart_interval`` > 0 inserts RSTn markers every that many
+    samples (prediction resets to the default).  Exact mirror of
+    :func:`_decode_scan_lossless`."""
+    if ncomp not in (1, 3):
+        raise JpegError("ncomp must be 1 or 3")
+    if width <= 0 or height <= 0 or len(pixels) != width * height * ncomp:
+        raise JpegError("bad image dimensions")
+    if not 8 <= precision <= 16:
+        raise JpegError("bad lossless precision")
+    if not 1 <= predictor <= 7:
+        raise JpegError("bad lossless predictor")
+    if not 0 <= pt < precision:
+        raise JpegError("bad point transform")
+    # one table: 17 diff categories (0-16), all at code length 5
+    bits = [0, 0, 0, 0, 17] + [0] * 11
+    vals = list(range(17))
+    codes = _build_codes(bits, vals)
+    img = np.frombuffer(pixels, np.uint8).reshape(height, width, ncomp)
+    planes = [(img[:, :, i].astype(np.int32) << (precision - 8)) >> pt
+              for i in range(ncomp)]
+    stored = [np.zeros((height, width), dtype=np.int32)
+              for _ in range(ncomp)]
+    default = 1 << (precision - pt - 1)
+    bw = _BitWriter()
+    rst = 0
+    fresh = [True] * ncomp
+    mcus = 0
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and mcus and mcus % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                fresh = [True] * ncomp
+            for i in range(ncomp):
+                if fresh[i]:
+                    px = default
+                    fresh[i] = False
+                else:
+                    px = _lossless_predict(stored[i], x, y, predictor)
+                sample = int(planes[i][y, x])
+                stored[i][y, x] = sample
+                diff = (sample - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:
+                    t = 16                       # SSSS=16: no extra bits
+                else:
+                    t = _category(diff)
+                code, ln = codes[t]
+                bw.put(code, ln)
+                if 0 < t < 16:
+                    bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            mcus += 1
+    bw.flush()
+    sof = bytes([precision]) + height.to_bytes(2, "big") + \
+        width.to_bytes(2, "big") + bytes([ncomp])
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, pt])             # Ss, Se=0, Ah=0/Al=Pt
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += _seg(0xC3, sof)
+    out += _seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -517,3 +517,100 @@ def test_raster_blits_real_luma():
     )
     _, _, flat = parse_pgm(pgm_flat)
     assert set(flat) == {128, 255}                 # legacy coverage fill
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3, Annex H) — predictive coding, encoder mirror
+# ---------------------------------------------------------------------------
+
+
+class TestLossless:
+    @pytest.mark.parametrize("predictor", list(range(1, 8)))
+    def test_gray_round_trip_every_predictor(self, predictor):
+        rng = np.random.RandomState(predictor)
+        luma = rng.randint(0, 256, size=33 * 21).astype(np.uint8).tobytes()
+        s = jpeg.encode_lossless(luma, 33, 21, predictor=predictor)
+        assert decode(s) == (33, 21, 1, luma)
+
+    @pytest.mark.parametrize("prec,pt", [(8, 0), (12, 0), (12, 4),
+                                         (16, 0), (16, 8), (12, 6)])
+    def test_precision_and_point_transform(self, prec, pt):
+        """Exact whenever pt <= P-8; otherwise the decoded surface is
+        the twin formula ((in << (P-8)) >> pt << pt) >> (P-8)."""
+        rng = np.random.RandomState(prec * 17 + pt)
+        a = rng.randint(0, 256, size=(30, 40)).astype(np.uint8)
+        s = jpeg.encode_lossless(a.tobytes(), 40, 30, precision=prec, pt=pt)
+        out = decode(s)[3]
+        exp = (((((a.astype(np.int64) << (prec - 8)) >> pt) << pt)
+                >> (prec - 8)).astype(np.uint8).tobytes())
+        assert out == exp
+        if pt <= prec - 8:
+            assert out == a.tobytes()
+
+    @pytest.mark.parametrize("ri", [1, 7, 100])
+    def test_restart_intervals(self, ri):
+        rng = np.random.RandomState(ri)
+        luma = rng.randint(0, 256, size=25 * 16).astype(np.uint8).tobytes()
+        s = jpeg.encode_lossless(luma, 25, 16, predictor=4,
+                                 restart_interval=ri)
+        assert decode(s)[3] == luma
+
+    def test_rgb_round_trip(self):
+        rng = np.random.RandomState(9)
+        rgb = rng.randint(0, 256, size=24 * 18 * 3).astype(np.uint8).tobytes()
+        s = jpeg.encode_lossless(rgb, 24, 18, ncomp=3, predictor=6)
+        assert decode(s) == (24, 18, 3, rgb)
+
+    def test_flat_gradient_and_single_pixel(self):
+        flat = bytes([128]) * (50 * 40)
+        assert decode(jpeg.encode_lossless(flat, 50, 40, predictor=7))[3] == flat
+        grad = np.tile(np.arange(256, dtype=np.uint8), 4).tobytes()
+        assert decode(jpeg.encode_lossless(grad, 256, 4, predictor=5))[3] == grad
+        assert decode(jpeg.encode_lossless(b"\x00", 1, 1))[3] == b"\x00"
+
+    def test_extreme_diffs_hit_high_categories(self):
+        """Alternating 0/255 at precision 16 exercises 9-16-bit diff
+        categories including the SSSS=16 no-extra-bits case."""
+        luma = bytes([0, 255] * 128)
+        s = jpeg.encode_lossless(luma, 16, 16, precision=16, predictor=1)
+        assert decode(s)[3] == luma
+
+    def test_marker_survives_lossless(self):
+        iw, ih, px = text_to_pixels("lossless jpeg page")
+        s = jpeg.encode_lossless(px, iw, ih, predictor=2)
+        w, h, nc, out = decode(s)
+        assert pixels_to_text(w, h, out) == "lossless jpeg page"
+
+    def test_rejects_bad_params(self):
+        luma = bytes(64)
+        with pytest.raises(JpegError):
+            jpeg.encode_lossless(luma, 8, 8, predictor=0)
+        with pytest.raises(JpegError):
+            jpeg.encode_lossless(luma, 8, 8, predictor=8)
+        with pytest.raises(JpegError):
+            jpeg.encode_lossless(luma, 8, 8, precision=7)
+        with pytest.raises(JpegError):
+            jpeg.encode_lossless(luma, 8, 8, pt=8)
+        with pytest.raises(JpegError):
+            jpeg.encode_lossless(luma, 8, 8, ncomp=2)
+
+    def test_truncation_and_flip_fuzz(self):
+        rng = np.random.RandomState(11)
+        luma = rng.randint(0, 256, size=32 * 24).astype(np.uint8).tobytes()
+        data = jpeg.encode_lossless(luma, 32, 24, predictor=4,
+                                    restart_interval=32)
+        import random as _random
+        r = _random.Random(13)
+        for _ in range(120):
+            cut = r.randrange(2, len(data))
+            try:
+                decode(data[:cut])
+            except JpegError:
+                pass
+        for _ in range(120):
+            b = bytearray(data)
+            b[r.randrange(len(b))] ^= 1 << r.randrange(8)
+            try:
+                decode(bytes(b))
+            except JpegError:
+                pass   # wrong pixels fine; other exceptions are not
