@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     "search_phrase",
     "sketch_hll_distinct",
     "sink_warc_revisit",
+    "sample_weighted",
+    "sketch_quantile_hist",
+    "link_communities",
+    "hreflang_clusters",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number

@@ -2176,3 +2176,77 @@ def gen_microdata_rows(n: int, seed: int = 31) -> List[dict]:
                  kind=kind)
         )
     return rows
+
+
+def gen_hreflang_rows(n: int, seed: int = 37) -> List[dict]:
+    """Deterministic corpus for the hreflang queries: clusters of
+    language variants wired with ``<link rel=alternate hreflang>``
+    head annotations.  Cluster kinds cycle: full reciprocal cliques
+    (with self-references and an x-default, per the protocol), a
+    clique whose one member omits its return links (the classic
+    broken-reciprocity bug search consoles flag), a one-way hub,
+    messy-markup cliques (uppercase tag/attr names, single-quoted and
+    unquoted attributes, entity-encoded hrefs), an alternate-feed
+    decoy (rel=alternate without hreflang — must NOT emit), and
+    annotation-free pages."""
+    langs_pool = ["en", "fr", "de", "ja", "zh"]
+    rows: List[dict] = []
+    for i in range(n):
+        rng = random.Random((seed << 18) ^ i)
+        k = 2 + i % 4
+        langs = langs_pool[:k]
+        base = f"https://example.test/hl/{i:04d}"
+        urls = {lang: f"{base}/{lang}" for lang in langs}
+        kind = i % 6
+        for j, lang in enumerate(langs):
+            url = urls[lang]
+            links: List[str] = []
+            if kind == 0 or (kind == 1 and j != 1) or kind == 4:
+                links = [
+                    f'<link rel="alternate" hreflang="{lg}" '
+                    f'href="{urls[lg]}">'
+                    for lg in langs
+                ]
+                links.append(
+                    f'<link rel="alternate" hreflang="x-default" '
+                    f'href="{urls[langs[0]]}">'
+                )
+                if kind == 4 and j == 0:
+                    links.append(
+                        '<link rel="alternate" type="application/rss+xml"'
+                        f' href="{base}/feed.xml">'
+                    )
+            elif kind == 2 and j == 0:
+                links = [
+                    f'<link rel="alternate" hreflang="{lg}" '
+                    f'href="{urls[lg]}">'
+                    for lg in langs[1:]
+                ]
+            elif kind == 3:
+                for lg in langs:
+                    quoted = f"{urls[lg]}?v=1&amp;ref=hl"
+                    links.append(
+                        f"<LINK REL='alternate' HREFLANG='{lg.upper()}' "
+                        f'HREF="{quoted}">'
+                        if j % 2 == 0
+                        else f"<link rel=alternate hreflang={lg} "
+                        f"href={urls[lg]}>"
+                    )
+            # kind == 5 (and kind 1's member j == 1): no annotations
+            head = "\n".join(links)
+            html = (
+                f"<html lang=\"{lang}\"><head><title>hl {i} {lang}"
+                f"</title>\n{head}\n</head><body><p>"
+                f"{_paragraph(rng, 'en')}</p></body></html>"
+            )
+            rows.append(
+                dict(
+                    url=url,
+                    warc_ts=datetime.datetime(2025, 1, 9, 0, (i * 7 + j) % 60),
+                    html=html.encode("utf-8"),
+                    text="",
+                    lang=lang,
+                    kind="hreflang",
+                )
+            )
+    return rows

@@ -481,6 +481,35 @@ def extract_metadata(data: bytes) -> HtmlMeta:
     )
 
 
+def extract_hreflang(data: bytes) -> List[Tuple[str, str]]:
+    """bytes → ``[(hreflang, href)]`` from ``<link rel="alternate"
+    hreflang=… href=…>`` head annotations — the cross-language page
+    mapping (Google's hreflang protocol) a multilingual crawl uses to
+    cluster translations of one page.
+
+    Same tolerant one-pass regex tag scan as :func:`extract_metadata`;
+    document order preserved, duplicates kept (downstream dedups),
+    hreflang lowercased (BCP 47 is case-insensitive), entity-decoded
+    hrefs.  Deterministic, never raises."""
+    try:
+        text = decode_html_bytes(data)
+    except Exception:  # noqa: BLE001 — bytes-ish inputs only
+        return []
+    out: List[Tuple[str, str]] = []
+    for m in _TAG_RE.finditer(text):
+        closing, tag, attrs, _ = m.groups()
+        if closing or tag.lower() != "link":
+            continue
+        rel = (_attr(attrs, "rel") or "").lower()
+        if "alternate" not in rel.split():
+            continue
+        hreflang = _attr(attrs, "hreflang")
+        href = _attr(attrs, "href")
+        if hreflang and href:
+            out.append((hreflang.strip().lower(), href))
+    return out
+
+
 def decode_html_bytes(data: bytes) -> str:
     """Crawl-grade charset sniff, the HTML5 encoding-sniffing order
     (WHATWG §13.2.3.2): a byte-order mark wins outright (UTF-8 /

@@ -443,3 +443,67 @@ def harmonic_centrality(
         F.round(F.coalesce(F.col("hsum"), F.lit(0.0)), prec).alias("harmonic"),
         F.coalesce(F.col("n_reached"), F.lit(0)).alias("n_reached"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation communities over an undirected
+    (host) graph (Raghavan et al. 2007) → (node, community).
+
+    Labels start as each node's own id; every round each node adopts
+    the label MOST FREQUENT among its neighbours PLUS its own current
+    label (the self-vote damps the two-coloring oscillation synchronous
+    LPA exhibits on bipartite-ish regions — a lone pair converges in
+    one round instead of swapping forever); ties break to the
+    lexicographically smallest label.  Unlike min-label propagation —
+    which converges to connected components — frequency voting splits
+    a component along its dense cores, which on a host graph separates
+    organic link communities from link-farm clusters that a single
+    stray edge would otherwise merge into them.
+
+    Fully deterministic (synchronous update + total tie order, no RNG)
+    so every round replays as SQL: symmetrize-distinct, join labels,
+    count votes, one argmax per node via min(struct(-cnt, label)).
+    Per round: one join on dst + two map-side-combinable groupBys —
+    shuffle bounded by edges, state by nodes; the same shape PageRank
+    already scales with here."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e1 = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+    )
+    sym = (
+        e1.unionByName(e1.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    # vote edges = neighbours + one self-edge per node (the self-vote)
+    ballot = sym.unionByName(
+        nodes.select(F.col("node").alias("s"), F.col("node").alias("d"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        votes = (
+            ballot.join(
+                labels.select(F.col("node").alias("d"), "label"), "d"
+            )
+            .groupBy(F.col("s").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"),
+                           F.col("label").alias("lb"))).alias("w")
+        ).select("node", F.col("w.lb").alias("_new"))
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -118,3 +118,41 @@ def temperature_mix_apply(
         _hbase40(F.col(key_col).cast("string")) % 1_000_000
     ) < F.coalesce(F.col("_thr"), F.lit(0))
     return joined.filter(keep).select(key_col, stratum_col)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, A-Res): keep the k rows with the smallest exponential race
+    time ``-ln(u) / w`` where ``u`` is a per-key hash-uniform — each
+    row wins with probability proportional to its weight, and the
+    SAME k rows win on every run, engine, and partitioning (no RNG
+    state; resume-stable like the rest of this module).
+
+    u = (h40(key)+1) / 2^40 is an exact double (both operands are
+    power-of-two-bounded integers), so the only transcendental is one
+    ln() whose cross-engine difference (<= 1 ulp) is many orders of
+    magnitude below the spacing between race times — the selected SET
+    is engine-exact even though the float priorities are not hashed.
+
+    Plan shape: one codegen'd projection + TakeOrdered(k) — no full
+    sort materialization; scales to any corpus for the small k of a
+    curation draw."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.greatest(F.lit(1).cast("long"), weight.cast("long"))
+    u = (_hbase40(F.col(key_col).cast("string")) + F.lit(1)) / F.lit(
+        float(1 << 40)
+    )
+    priority = -F.ln(u) / w
+    return (
+        df.withColumn("weight", w)
+        .withColumn("_priority", priority)
+        .orderBy("_priority")
+        .limit(k)
+        .drop("_priority")
+    )

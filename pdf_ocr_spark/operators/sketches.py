@@ -348,3 +348,102 @@ def kmv_jaccard(
             F.round(F.col("n_matched") / F.col("n_union_sample"), 4),
         ).alias("jaccard_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable log-scaled histogram → quantile estimation
+# ---------------------------------------------------------------------------
+
+def log_histogram(
+    df: DataFrame,
+    value_col: str,
+    sub_bits: int = 2,
+    shard_col: Column = None,
+) -> DataFrame:
+    """Mergeable quantile sketch: a log2-scaled histogram with
+    2^sub_bits sub-bins per octave → (bin, cnt).
+
+    bin = floor(log2 v)·S + (floor(v/2^floor(log2 v) · S) − S) with
+    S = 2^sub_bits — every step is exact IEEE arithmetic (log2 is
+    exact on powers of two, division by 2^b is exact, v/2^b ∈ [1,2)),
+    so the sketch value-hashes against a SQL replay.  Relative bin
+    width is 1/S, bounding quantile error to ~2^-sub_bits·q.
+
+    This is the 100-TB quantile path: constant-size state (≤ S·64
+    bins for long values), built with ONE map-side-combinable groupBy
+    and merged across partitions/shards/snapshots by plain SUM —
+    unlike exact percentiles, which need a global sort.  Pass
+    ``shard_col`` to materialize the per-shard sketches first (the
+    merge is then a second sum — provably identical to the direct
+    build, which the oracle exercises)."""
+    s = 1 << sub_bits
+    v = F.greatest(F.lit(1).cast("long"), F.col(value_col).cast("long"))
+    b = F.floor(F.log2(v)).cast("long")
+    sub = (F.floor(v / F.pow(F.lit(2.0), b) * s) - s).cast("long")
+    binid = (b * s + sub).alias("bin")
+    if shard_col is not None:
+        shards = (
+            df.select(shard_col.alias("shard"), binid)
+            .groupBy("shard", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return shards.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    return df.select(binid).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles,
+    sub_bits: int = 2,
+) -> DataFrame:
+    """Histogram → per-quantile estimates: (q, target_rank, est).
+
+    target rank r = ceil(q·n); the estimate interpolates linearly
+    inside the first bin whose cumulative count reaches r, between the
+    bin's bounds lo = 2^b·(1+s/S) and hi = 2^b·(1+(s+1)/S).  Integer
+    cumulative counts + one exact-rational interpolation, rounded to
+    4dp — engine-exact.  The window runs over the BIN table (≤ a few
+    hundred rows), never the data."""
+    from pyspark.sql import Window
+
+    s = 1 << sub_bits
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    total = cum.agg(F.max("cum").alias("n"))
+    b = F.floor(F.col("bin") / s).cast("long")
+    sub = F.col("bin") % s
+    lo = F.pow(F.lit(2.0), b) * (1 + sub / F.lit(s))
+    hi = F.pow(F.lit(2.0), b) * (1 + (sub + 1) / F.lit(s))
+    rows = None
+    for q in quantiles:
+        r = F.ceil(F.lit(float(q)) * F.col("n")).cast("long")
+        cand = (
+            cum.crossJoin(F.broadcast(total))
+            .filter(F.col("cum") >= r)
+            .withColumn("_rank", r)
+            .withColumn(
+                "est",
+                F.round(
+                    lo
+                    + (hi - lo)
+                    * (F.col("_rank") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt"),
+                    4,
+                ),
+            )
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.col("_rank").alias("target_rank"),
+                "est",
+            )
+        )
+        rows = cand if rows is None else rows.unionByName(cand)
+    return rows

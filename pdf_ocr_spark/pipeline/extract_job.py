@@ -811,6 +811,51 @@ def extract_structured_data(
     )
 
 
+HREFLANG_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("ord", IntegerType()),
+        StructField("hreflang", StringType()),
+        StructField("href", StringType()),
+    ]
+)
+
+
+def extract_hreflang_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """hreflang extractor (runs on executors): one row per
+    ``<link rel=alternate hreflang>`` annotation in document order —
+    the cross-language page mapping a multilingual crawl clusters
+    translations by.  Non-HTML and annotation-free pages emit
+    nothing."""
+    from pdf_ocr_spark.kernels.html_extract import extract_hreflang
+
+    _tune_worker_gc()
+    cols = [f.name for f in HREFLANG_SCHEMA.fields]
+    for pdf_batch in batches:
+        rows = []
+        for url, payload in zip(pdf_batch["url"], pdf_batch["html"]):
+            data = bytes(payload) if payload is not None else b""
+            if not data or looks_like_pdf(data):
+                continue
+            for i, (hreflang, href) in enumerate(extract_hreflang(data)):
+                rows.append((url, i, hreflang, href))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_hreflang_links(
+    pages_df: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages(url, html, …) → hreflang annotations (url, ord, hreflang,
+    href).  Same single-shuffle plan shape as the other extraction
+    routes."""
+    return kernel_route(
+        pages_df, extract_hreflang_batch, HREFLANG_SCHEMA,
+        num_partitions=num_partitions,
+    )
+
+
 MICRODATA_SCHEMA = StructType(
     [
         StructField("url", StringType()),

@@ -9186,6 +9186,270 @@ FROM exact x JOIN est e ON e.item = x.item
 SQL_STREAM_HOT_HOSTS = _sql_stream_hot_hosts()
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res): the 50 documents winning the exponential race
+    -ln(u)/weight with u a per-doc_id hash-uniform and weight =
+    character length — the deterministic curation draw that picks
+    rows proportionally to length with NO RNG state (resume-stable,
+    engine-exact selection; operators/sampling.py weighted_sample).
+    The oracle replays the identical race."""
+    from pdf_ocr_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = weighted_sample(
+        d, F.length("text"), k=50, key_col="doc_id"
+    )
+    return out.select("doc_id", "lang", F.col("weight").cast("long"))
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, lang, w AS weight FROM (
+  SELECT doc_id, lang, CAST(GREATEST(1, length(text)) AS BIGINT) AS w,
+         -ln(({_SQL_H40_KEY} + 1) / 1099511627776.0)
+           / GREATEST(1, length(text)) AS pr
+  FROM documents
+) ORDER BY pr LIMIT 50
+"""
+
+
+def q_sketch_quantile_hist(spark, sf_dir):
+    """Mergeable quantile sketch: a log2 histogram with 4 sub-bins per
+    octave over document lengths, built PER SHARD (doc_id % 32,
+    standing in for partitions) and merged by plain SUM — the
+    constant-state quantile path for a 100-TB column, vs the exact
+    discrete percentile which needs a sort.  Output per quantile
+    (p50/p90/p99): target rank, interpolated estimate, exact value,
+    abs error — the estimates ship NEXT TO exact, the sketch-honesty
+    convention of this registry.  Every arithmetic step is IEEE-exact
+    (log2 on power-of-two boundaries, power-of-two divisions, one
+    rational interpolation) so the oracle value-hash matches."""
+    from pyspark.sql import Window
+
+    from pdf_ocr_spark.operators import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.greatest(F.lit(1).cast("long"),
+                   F.length("text").cast("long")).alias("v"),
+        (F.col("doc_id") % 32).alias("shard"),
+    )
+    hist = SK.log_histogram(docs, "v", sub_bits=2,
+                            shard_col=F.col("shard"))
+    est = SK.histogram_quantiles(hist, [0.5, 0.9, 0.99], sub_bits=2)
+    counts = docs.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("v", F.sum("c").over(w).alias("cum"))
+    total = cum.agg(F.max("cum").alias("n"))
+    exact = None
+    for q in (0.5, 0.9, 0.99):
+        r = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        e = (
+            cum.crossJoin(F.broadcast(total))
+            .filter(F.col("cum") >= r)
+            .agg(F.min("v").alias("exact"))
+            .select(F.lit(q).alias("q"), "exact")
+        )
+        exact = e if exact is None else exact.unionByName(e)
+    return est.join(exact, "q").select(
+        "q", "target_rank", "est", "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
+    )
+
+
+SQL_SKETCH_QUANTILE_HIST = """
+WITH v AS (SELECT CAST(GREATEST(1, length(text)) AS BIGINT) AS v
+           FROM documents),
+b AS (SELECT CAST(floor(log2(v)) AS BIGINT) AS e, v FROM v),
+bins AS (
+  SELECT e * 4 + CAST(floor(v / power(2.0, e) * 4) AS BIGINT) - 4 AS bin,
+         count(*) AS cnt
+  FROM b GROUP BY 1
+),
+cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM bins),
+n AS (SELECT max(cum) AS n FROM cum),
+qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)),
+tgt AS (SELECT q, CAST(ceil(q * n.n) AS BIGINT) AS r FROM qs, n),
+fb AS (SELECT t.q, t.r, min(c.bin) AS bin
+       FROM tgt t JOIN cum c ON c.cum >= t.r GROUP BY 1, 2),
+pick AS (SELECT f.q, f.r, c.bin, c.cnt, c.cum
+         FROM fb f JOIN cum c ON c.bin = f.bin),
+est AS (
+  SELECT q, r AS target_rank,
+         round(power(2.0, CAST(floor(bin / 4.0) AS BIGINT))
+                 * (1 + (bin % 4) / 4.0)
+               + (power(2.0, CAST(floor(bin / 4.0) AS BIGINT))
+                    * (1 + (bin % 4 + 1) / 4.0)
+                  - power(2.0, CAST(floor(bin / 4.0) AS BIGINT))
+                    * (1 + (bin % 4) / 4.0))
+                 * (r - (cum - cnt)) / cnt, 4) AS est
+  FROM pick
+),
+ec AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+ecum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM ec),
+exact AS (SELECT t.q, min(e.v) AS exact
+          FROM tgt t JOIN ecum e ON e.cum >= t.r GROUP BY 1)
+SELECT est.q, est.target_rank, est.est, exact.exact,
+       round(abs(est.est - exact.exact), 4) AS abs_err
+FROM est JOIN exact ON est.q = exact.q
+"""
+
+
+def q_link_communities(spark, sf_dir):
+    """Label-propagation communities on the host webgraph (Raghavan et
+    al. 2007): two synchronous frequency-voting rounds over the same
+    host graph link_host_graph builds — unlike min-label propagation
+    (connected components), frequency voting splits a component along
+    its dense cores, separating organic link neighbourhoods from
+    link-farm clusters joined by a stray edge.  Deterministic
+    (synchronous update, min-label tie-break, no RNG); the oracle
+    unrolls both rounds as SQL over the identical graph."""
+    from pdf_ocr_spark.operators.graph import host_graph, label_propagation
+
+    extracted = spark.read.parquet(_golden("link_edges")).select(
+        "url", "link", "nofollow"
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    i = F.col("doc_id")
+    src = F.concat(
+        F.lit("https://site"), (i % 11).cast("string"),
+        F.lit(".example.org/page/"), i.cast("string"),
+    )
+    m = i % 5
+    link = (
+        F.when(m == 0, F.concat(
+            F.lit("https://site"), ((i * 3) % 11).cast("string"),
+            F.lit(".example.org/x/"), i.cast("string")))
+        .when(m == 1, F.concat(F.lit("/local/"), (i % 7).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("mailto:user"), i.cast("string"), F.lit("@example.org")))
+        .when(m == 3, F.concat(
+            F.lit("HTTPS://CDN.Example.NET:8080/asset?id="),
+            (i % 13).cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://u:p@site"), (i % 4).cast("string"),
+            F.lit(".example.org/auth")))
+    )
+    synth = d.select(
+        src.alias("url"), link.alias("link"),
+        (i % 3 == 0).alias("nofollow"),
+    )
+    hg = host_graph(extracted.unionByName(synth))
+    out = label_propagation(hg, "src_host", "dst_host", rounds=2)
+    return out.select(F.col("node").alias("host"), "community")
+
+
+def _sql_lpa_round(prev: str, idx: int) -> str:
+    return f"""
+v{idx} AS (SELECT ballot.s AS node, l.label, count(*) AS cnt
+       FROM ballot JOIN {prev} l ON l.node = ballot.d GROUP BY 1, 2),
+w{idx} AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, label ASC) AS rn
+         FROM v{idx}) WHERE rn = 1),
+l{idx} AS (SELECT n.node, coalesce(w.label, n.node) AS label
+       FROM nodes n LEFT JOIN w{idx} w ON w.node = n.node)"""
+
+
+SQL_LINK_COMMUNITIES = f"""
+WITH hg AS ({SQL_LINK_HOST_GRAPH}),
+e0 AS (SELECT src_host AS s, dst_host AS d FROM hg
+       WHERE src_host <> dst_host),
+sym AS (SELECT DISTINCT s, d FROM
+        (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0)),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+ballot AS (SELECT s, d FROM sym
+           UNION ALL SELECT node, node FROM nodes),
+l0 AS (SELECT node, node AS label FROM nodes),
+{_sql_lpa_round('l0', 1)},
+{_sql_lpa_round('l1', 2)}
+SELECT node AS host, label AS community FROM l2
+"""
+
+
+_HREFLANG_GOLDEN = _golden("hreflang")
+
+
+def q_hreflang_alternates(spark, sf_dir):
+    """hreflang extraction (Google's cross-language page mapping): one
+    row per <link rel=alternate hreflang> head annotation, computed by
+    the distributed pipeline (extract_hreflang_links; same
+    single-shuffle plan shape as the hot path).  Exercises reciprocal
+    cliques, broken reciprocity, one-way hubs, uppercase/unquoted/
+    entity-encoded markup, an alternate-feed decoy (no hreflang — must
+    not emit), and annotation-free pages.  Oracle = frozen kernel
+    golden (tools/freeze_hreflang_golden.py)."""
+    from pdf_ocr_spark.fixtures.genpages import gen_hreflang_rows
+    from pdf_ocr_spark.pipeline.extract_job import extract_hreflang_links
+
+    rows = gen_hreflang_rows(18)  # must match the freeze tool's N_CLUSTERS
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in rows],
+        schema="url string, html binary",
+    )
+    return extract_hreflang_links(pages)
+
+
+SQL_HREFLANG_ALTERNATES = f"""
+SELECT url, CAST(ord AS INT) AS ord, hreflang, href
+FROM read_parquet('{_HREFLANG_GOLDEN}')
+"""
+
+
+def q_hreflang_clusters(spark, sf_dir):
+    """hreflang reciprocity audit over the extracted annotations: per
+    page, total annotations, distinct RECIPROCAL alternates (the
+    target page links back — the invariant search engines require
+    before honoring the mapping), and a 1-hop cluster id = min(url,
+    reciprocal alternates) that groups each translation set under its
+    lexicographically-first member.  Pure relational logic over the
+    extraction golden: one self-join for reciprocity + two groupBys —
+    scales as the host-graph queries do.  The oracle replays it in
+    SQL over the same golden."""
+    g = spark.read.parquet(_HREFLANG_GOLDEN)
+    edges = (
+        g.filter(F.col("href") != F.col("url"))
+        .select("url", "href")
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("href").alias("url"), F.col("url").alias("href")
+    )
+    recip = edges.intersect(rev)
+    per_url = g.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_alternates")
+    )
+    rstats = recip.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_reciprocal"),
+        F.min("href").alias("_minr"),
+    )
+    return (
+        per_url.join(rstats, "url", "left")
+        .select(
+            "url",
+            "n_alternates",
+            F.coalesce(F.col("n_reciprocal"), F.lit(0)).alias("n_reciprocal"),
+            F.least(F.col("url"), F.coalesce(F.col("_minr"), F.col("url")))
+            .alias("cluster_id"),
+        )
+    )
+
+
+SQL_HREFLANG_CLUSTERS = f"""
+WITH g AS (SELECT * FROM read_parquet('{_HREFLANG_GOLDEN}')),
+edges AS (SELECT DISTINCT url, href FROM g WHERE href <> url),
+recip AS (SELECT e.url, e.href FROM edges e
+          JOIN edges r ON r.url = e.href AND r.href = e.url),
+per_url AS (SELECT url, count(*) AS n_alternates FROM g GROUP BY url),
+rstats AS (SELECT url, count(*) AS n_reciprocal, min(href) AS minr
+           FROM recip GROUP BY url)
+SELECT p.url, p.n_alternates,
+       coalesce(r.n_reciprocal, 0) AS n_reciprocal,
+       LEAST(p.url, coalesce(r.minr, p.url)) AS cluster_id
+FROM per_url p LEFT JOIN rstats r ON r.url = p.url
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9446,6 +9710,14 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "jpx_scan_raster": (q_jpx_scan_raster, SQL_JPX_SCAN_RASTER),
     "jbig2_scan_ocr": (q_jbig2_scan_ocr, SQL_JBIG2_SCAN_OCR),
     "jbig2_scan_raster": (q_jbig2_scan_raster, SQL_JBIG2_SCAN_RASTER),
+    # round 5: weighted sampling, quantile sketch, communities, hreflang
+    "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    "sketch_quantile_hist": (q_sketch_quantile_hist,
+                             SQL_SKETCH_QUANTILE_HIST),
+    "link_communities": (q_link_communities, SQL_LINK_COMMUNITIES),
+    "hreflang_alternates": (q_hreflang_alternates,
+                            SQL_HREFLANG_ALTERNATES),
+    "hreflang_clusters": (q_hreflang_clusters, SQL_HREFLANG_CLUSTERS),
 }
 
 
@@ -9455,6 +9727,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
 # bounded-sample consumer that takes the first K exported keys sees ~K/2
 # of these alongside ~K/2 §2 basics, instead of only the basics.
 _SAMPLE_PRIORITY = [
+    "sample_weighted", "sketch_quantile_hist", "link_communities",
+    "hreflang_alternates", "hreflang_clusters",
     "text_lm_bigram", "pii_credit_cards", "corpus_zipf", "corpus_heaps",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",

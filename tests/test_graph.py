@@ -209,3 +209,40 @@ def test_harmonic_centrality_cycle_excludes_self(spark):
     for r in harmonic_centrality(edges, radius=3).collect():
         assert abs(r["harmonic"] - 1.5) < 1e-9
         assert r["n_reached"] == 2
+
+
+def test_label_propagation_splits_dense_cores(spark):
+    """Two 4-cliques joined by one bridge edge: frequency voting keeps
+    them as two communities (min-label propagation would merge them),
+    and the result is identical under repartitioning."""
+    from pdf_ocr_spark.operators.graph import label_propagation
+
+    def clique(names):
+        return [(a, b) for a in names for b in names if a < b]
+
+    e = clique(["a1", "a2", "a3", "a4"]) + clique(["b1", "b2", "b3", "b4"])
+    e.append(("a1", "b1"))                   # the stray bridge
+    df = spark.createDataFrame(e, "src string, dst string")
+    out = {r["node"]: r["community"]
+           for r in label_propagation(df, rounds=2).collect()}
+    a_comms = {out[n] for n in ("a1", "a2", "a3", "a4")}
+    b_comms = {out[n] for n in ("b2", "b3", "b4")}
+    assert a_comms == {"a1"}
+    assert b_comms == {"b1"}
+    again = {r["node"]: r["community"]
+             for r in label_propagation(df.repartition(5),
+                                        rounds=2).collect()}
+    assert again == out
+
+
+def test_label_propagation_isolated_pair_and_self_loop(spark):
+    """A disconnected pair forms its own community under the min
+    tie-break; self-loops are ignored."""
+    from pdf_ocr_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [("x", "y"), ("z", "z")], "src string, dst string"
+    )
+    out = {r["node"]: r["community"]
+           for r in label_propagation(df, rounds=2).collect()}
+    assert out == {"x": "x", "y": "x"}       # z: self-loop only → dropped

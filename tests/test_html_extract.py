@@ -443,3 +443,55 @@ def test_microdata_tolerance():
 
     assert extract_microdata(b"\x00\x01\x02 not html") == []
     assert extract_microdata(b"<html><p>plain</p></html>") == []
+
+
+def test_hreflang_channels_and_decoys():
+    """<link rel=alternate hreflang> extraction: quoted/unquoted/
+    single-quoted and UPPERCASE markup, entity-decoded hrefs,
+    lowercased language tags, document order — and rel=alternate
+    WITHOUT hreflang (feed links) or hreflang without href must not
+    emit."""
+    from pdf_ocr_spark.kernels.html_extract import extract_hreflang
+
+    html = b"""<html><head>
+    <link rel="alternate" hreflang="en" href="https://x.test/en">
+    <LINK REL='alternate' HREFLANG='FR' HREF="https://x.test/fr?a=1&amp;b=2">
+    <link rel=alternate hreflang=de href=https://x.test/de>
+    <link rel="alternate" type="application/rss+xml" href="/feed.xml">
+    <link rel="alternate" hreflang="ja">
+    <link rel="stylesheet" hreflang="zh" href="/style.css">
+    </head><body></body></html>"""
+    assert extract_hreflang(html) == [
+        ("en", "https://x.test/en"),
+        ("fr", "https://x.test/fr?a=1&b=2"),
+        ("de", "https://x.test/de"),
+    ]
+
+
+def test_hreflang_garbage_and_empty():
+    from pdf_ocr_spark.kernels.html_extract import extract_hreflang
+
+    assert extract_hreflang(b"") == []
+    assert extract_hreflang(b"\xff\xfe\x00garbage") == []
+    assert extract_hreflang(b"<p>no links</p>") == []
+
+
+def test_hreflang_corpus_decoy_and_reciprocity_shapes():
+    """The fixture corpus exercises the audit-relevant shapes: kind-1
+    clusters have one member emitting nothing (broken reciprocity),
+    kind-4's feed decoy does not emit, kind-5 pages emit nothing."""
+    from pdf_ocr_spark.fixtures.genpages import gen_hreflang_rows
+    from pdf_ocr_spark.kernels.html_extract import extract_hreflang
+
+    rows = gen_hreflang_rows(12)
+    by_url = {r["url"]: extract_hreflang(r["html"]) for r in rows}
+    # kind 4 (cluster 4): first page has the rss decoy — only hreflang rows
+    c4 = [v for u, v in by_url.items() if "/hl/0004/" in u]
+    assert all(all(len(t) == 2 and t[0] != "" for t in v) for v in c4)
+    assert not any("feed.xml" in href for v in c4 for _, href in v)
+    # kind 5 (cluster 5): no annotations at all
+    assert all(v == [] for u, v in by_url.items() if "/hl/0005/" in u)
+    # kind 1 (cluster 1): exactly one member silent, others annotated
+    c1 = [v for u, v in by_url.items() if "/hl/0001/" in u]
+    assert sum(1 for v in c1 if v == []) == 1
+    assert sum(1 for v in c1 if v) == len(c1) - 1

@@ -214,3 +214,60 @@ def test_trustrank_rejects_empty_seed_set(spark):
     seeds = spark.createDataFrame([], "node string")
     with pytest.raises(ValueError, match="non-empty seed"):
         trustrank(edges, seeds)
+
+
+def test_log_histogram_quantiles_bound_error(spark):
+    """p50/p90/p99 estimates from the log2/4-sub-bin histogram land
+    within one bin width (25% relative) of the exact discrete
+    percentile, and the sharded build merges to the direct build."""
+    import numpy as np
+
+    from pdf_ocr_spark.operators.sketches import (
+        histogram_quantiles, log_histogram)
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([
+        rng.randint(1, 2000, 800),
+        rng.randint(2000, 60000, 200),
+    ]).tolist()
+    df = spark.createDataFrame(
+        [(int(v), i % 8) for i, v in enumerate(vals)], "v long, shard int"
+    )
+    direct = {r["bin"]: r["cnt"]
+              for r in log_histogram(df, "v").collect()}
+    sharded = {r["bin"]: r["cnt"]
+               for r in log_histogram(df, "v",
+                                      shard_col=F.col("shard")).collect()}
+    assert direct == sharded          # merge = SUM, provably lossless
+    est = {r["q"]: r["est"] for r in histogram_quantiles(
+        log_histogram(df, "v"), [0.5, 0.9, 0.99]).collect()}
+    import math
+
+    svals = sorted(vals)
+    n = len(svals)
+    for q in (0.5, 0.9, 0.99):
+        exact = svals[math.ceil(q * n) - 1]
+        assert abs(est[q] - exact) / exact <= 0.25, (q, est[q], exact)
+
+
+def test_log_histogram_bin_bounds(spark):
+    """Bin ids are exact at power-of-two boundaries: v = 2^k lands in
+    bin 4k (first sub-bin of octave k), v = 2^k − 1 in the last
+    sub-bin of octave k−1 — the log2/floor arithmetic never straddles
+    an octave edge."""
+    from pdf_ocr_spark.operators.sketches import log_histogram
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (4,), (7,), (8,), (1023,), (1024,), (1536,)], "v long"
+    )
+    bins = {r["bin"]: r["cnt"] for r in log_histogram(df, "v").collect()}
+    assert bins == {
+        0: 1,    # v=1    → octave 0, sub 0
+        4: 1,    # v=2    → octave 1, sub 0
+        8: 1,    # v=4    → octave 2, sub 0
+        11: 1,   # v=7    → octave 2, sub 3 (7/4 = 1.75)
+        12: 1,   # v=8    → octave 3, sub 0
+        39: 1,   # v=1023 → octave 9, sub 3 (1023/512 = 1.998)
+        40: 1,   # v=1024 → octave 10, sub 0
+        42: 1,   # v=1536 → octave 10, sub 2 (1536/1024 = 1.5)
+    }

@@ -808,3 +808,41 @@ def test_c4_line_apply_rules_and_page_gate(spark):
     assert r.keep_doc is False  # fewer than 5 survivors
     # empty doc: one empty line, nothing kept, empty clean text
     assert out[2].clean_text == "" and out[2].n_kept == 0
+
+
+def test_weighted_sample_is_deterministic_and_proportional(spark):
+    """Efraimidis-Spirakis A-Res: same k winners on every run and
+    partitioning; heavy rows win far more often than light ones (the
+    race with 100x weight wins with probability ~100/101 per pair)."""
+    from pdf_ocr_spark.operators.sampling import weighted_sample
+
+    rows = [(f"d{i:04d}", "heavy" if i % 2 == 0 else "light",
+             10_000 if i % 2 == 0 else 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, cls string, w long")
+    a = weighted_sample(df, F.col("w"), k=60, key_col="doc_id")
+    got = sorted(r["doc_id"] for r in a.collect())
+    again = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(7), F.col("w"), k=60, key_col="doc_id"
+        ).collect()
+    )
+    assert got == again                      # partitioning-independent
+    cls = {r["doc_id"]: r["cls"] for r in df.collect()}
+    heavy = sum(1 for d in got if cls[d] == "heavy")
+    assert heavy >= 50                        # ~59/60 expected at 100:1
+    out_cols = a.columns
+    assert "weight" in out_cols and "_priority" not in out_cols
+
+
+def test_weighted_sample_zero_weight_clamps(spark):
+    """Weight 0 rows clamp to 1 (never divide by zero, still eligible)."""
+    from pdf_ocr_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0)], "doc_id string, w long"
+    )
+    out = weighted_sample(df, F.col("w"), k=2, key_col="doc_id")
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["weight"] == 1 for r in rows)
