@@ -9450,6 +9450,192 @@ FROM per_url p LEFT JOIN rstats r ON r.url = p.url
 """
 
 
+def _host_graph_input(spark, sf_dir):
+    """The shared host-graph input: golden link edges + the synthetic
+    multi-host corpus (verbatim the q_link_host_graph construction,
+    replayed by _EDGE_SYNTH_SQL)."""
+    from pdf_ocr_spark.operators.graph import host_graph
+
+    extracted = spark.read.parquet(_golden("link_edges")).select(
+        "url", "link", "nofollow"
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    i = F.col("doc_id")
+    src = F.concat(
+        F.lit("https://site"), (i % 11).cast("string"),
+        F.lit(".example.org/page/"), i.cast("string"),
+    )
+    m = i % 5
+    link = (
+        F.when(m == 0, F.concat(
+            F.lit("https://site"), ((i * 3) % 11).cast("string"),
+            F.lit(".example.org/x/"), i.cast("string")))
+        .when(m == 1, F.concat(F.lit("/local/"), (i % 7).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("mailto:user"), i.cast("string"), F.lit("@example.org")))
+        .when(m == 3, F.concat(
+            F.lit("HTTPS://CDN.Example.NET:8080/asset?id="),
+            (i % 13).cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://u:p@site"), (i % 4).cast("string"),
+            F.lit(".example.org/auth")))
+    )
+    synth = d.select(
+        src.alias("url"), link.alias("link"),
+        (i % 3 == 0).alias("nofollow"),
+    )
+    return host_graph(extracted.unionByName(synth))
+
+
+def q_link_degree_dist(spark, sf_dir):
+    """Host degree distribution as a log2/4-sub-bin histogram — the
+    standard webgraph shape dashboard (Common Crawl publishes exactly
+    this for its host graph; heavy-tailed in-degree is the expected
+    signature, a flat one flags a synthetic/spam-dominated crawl).
+    Reuses the mergeable quantile-histogram binning from
+    operators/sketches.py: the degree table (one row per host) is tiny
+    next to the edge table, and the histogram needs no global sort at
+    any scale.  Output: (direction, bin, cnt)."""
+    from pdf_ocr_spark.operators.sketches import log_histogram
+
+    hg = _host_graph_input(spark, sf_dir)
+    outd = hg.groupBy("src_host").agg(
+        F.countDistinct("dst_host").alias("v"))
+    ind = hg.groupBy("dst_host").agg(
+        F.countDistinct("src_host").alias("v"))
+    h_out = log_histogram(outd, "v").withColumn(
+        "direction", F.lit("out"))
+    h_in = log_histogram(ind, "v").withColumn(
+        "direction", F.lit("in"))
+    return h_out.unionByName(h_in).select("direction", "bin", "cnt")
+
+
+_SQL_DEG_HIST = """
+SELECT '{name}' AS direction,
+       CAST(floor(log2(v)) AS BIGINT) * 4
+         + CAST(floor(v / power(2.0, CAST(floor(log2(v)) AS BIGINT)) * 4)
+                AS BIGINT) - 4 AS bin,
+       count(*) AS cnt
+FROM {src} GROUP BY 2
+"""
+
+SQL_LINK_DEGREE_DIST = f"""
+WITH hg AS ({SQL_LINK_HOST_GRAPH}),
+outd AS (SELECT src_host, count(DISTINCT dst_host) AS v FROM hg
+         GROUP BY 1),
+ind AS (SELECT dst_host, count(DISTINCT src_host) AS v FROM hg
+        GROUP BY 1)
+{_SQL_DEG_HIST.format(name="out", src="outd")}
+UNION ALL
+{_SQL_DEG_HIST.format(name="in", src="ind")}
+"""
+
+
+def q_link_reciprocity(spark, sf_dir):
+    """One-row webgraph health dashboard: edge reciprocity (share of
+    directed host edges whose reverse also exists — organic link
+    neighbourhoods reciprocate, scraped/spam graphs rarely do) and
+    out-in degree assortativity (Pearson correlation of src out-degree
+    vs dst in-degree across edges — negative on the web's hub-spoke
+    structure).  Every sum is exact integer arithmetic; the Pearson
+    formula runs once on one row (sqrt is IEEE-correctly-rounded in
+    both engines), rounded to 6dp."""
+    hg = _host_graph_input(spark, sf_dir)
+    e = (
+        hg.select(F.col("src_host").alias("s"), F.col("dst_host").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    nrec = e.intersect(rev).agg(
+        F.count(F.lit(1)).cast("long").alias("nrec"))
+    outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    ind = e.groupBy("d").agg(F.count(F.lit(1)).alias("idg"))
+    j = e.join(outd, "s").join(ind, "d").select(
+        F.col("od").cast("long").alias("x"),
+        F.col("idg").cast("long").alias("y"),
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).crossJoin(F.broadcast(nrec))                # both one-row frames
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").alias("n_edges"),
+        F.col("nrec").alias("n_reciprocal"),
+        F.round(F.col("nrec") / F.col("n"), 6).alias("reciprocity"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
+    )
+
+
+SQL_LINK_RECIPROCITY = f"""
+WITH hg AS ({SQL_LINK_HOST_GRAPH}),
+e AS (SELECT DISTINCT src_host AS s, dst_host AS d FROM hg
+      WHERE src_host <> dst_host),
+rec AS (SELECT e.s, e.d FROM e JOIN e r ON r.s = e.d AND r.d = e.s),
+outd AS (SELECT s, count(*) AS od FROM e GROUP BY 1),
+ind AS (SELECT d, count(*) AS idg FROM e GROUP BY 1),
+j AS (SELECT o.od AS x, i.idg AS y FROM e
+      JOIN outd o ON o.s = e.s JOIN ind i ON i.d = e.d),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM j),
+r AS (SELECT count(*) AS nrec FROM rec)
+SELECT s.n AS n_edges, r.nrec AS n_reciprocal,
+       round(r.nrec / CAST(s.n AS DOUBLE), 6) AS reciprocity,
+       round((s.n * s.sxy - s.sx * s.sy)
+             / nullif(sqrt((s.n * s.sxx - s.sx * s.sx)
+                           * (s.n * s.syy - s.sy * s.sy)), 0), 6)
+         AS assortativity
+FROM s, r
+"""
+
+
+def q_dedup_source_rates(spark, sf_dir):
+    """Per-source duplicate-rate dashboard: exact-dup share within
+    each source (n_docs, distinct fingerprints, dup count, rate) — the
+    crawl-ops metric that demotes template-heavy hosts in recrawl
+    scheduling.  One groupBy over (source, md5) then one over source;
+    both map-side combinable, fully SQL-replayable."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text")).alias("fp")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dups"),
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+SQL_DEDUP_SOURCE_RATES = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       count(*) - count(DISTINCT md5(text)) AS n_dups,
+       round((count(*) - count(DISTINCT md5(text)))
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9718,6 +9904,9 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "hreflang_alternates": (q_hreflang_alternates,
                             SQL_HREFLANG_ALTERNATES),
     "hreflang_clusters": (q_hreflang_clusters, SQL_HREFLANG_CLUSTERS),
+    "link_degree_dist": (q_link_degree_dist, SQL_LINK_DEGREE_DIST),
+    "link_reciprocity": (q_link_reciprocity, SQL_LINK_RECIPROCITY),
+    "dedup_source_rates": (q_dedup_source_rates, SQL_DEDUP_SOURCE_RATES),
 }
 
 
@@ -9728,7 +9917,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
 # of these alongside ~K/2 §2 basics, instead of only the basics.
 _SAMPLE_PRIORITY = [
     "sample_weighted", "sketch_quantile_hist", "link_communities",
-    "hreflang_alternates", "hreflang_clusters",
+    "hreflang_alternates", "hreflang_clusters", "link_degree_dist",
+    "link_reciprocity", "dedup_source_rates",
     "text_lm_bigram", "pii_credit_cards", "corpus_zipf", "corpus_heaps",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",
