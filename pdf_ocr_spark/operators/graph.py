@@ -56,11 +56,21 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     prec: int = 10,
+    prior: DataFrame = None,
 ) -> DataFrame:
     """PageRank over (src, dst) edges → (node, pr).
 
     pr₀ = 1/N; prᵢ₊₁(v) = round(d · Σ_{u→v} prᵢ(u)/deg(u) + (1−d)/N).
-    One driver-side count (N) — the only scalar the algorithm needs."""
+    One driver-side count (N) — the only scalar the algorithm needs.
+
+    ``prior`` (node, pr) WARM-STARTS the power iteration from a
+    previous snapshot's ranks instead of the uniform vector — the
+    incremental path for crawl-to-crawl recomputation: ranks drift
+    little between snapshots, so one warm iteration lands where a cold
+    multi-iteration run does, at a fraction of the join passes.  Nodes
+    new in this snapshot fall back to 1/N.  No renormalization — the
+    (1−d)/N teleport re-injects mass each round, and determinism
+    (exact decimal sums, fixed rounding) is what the oracle replays."""
     release_graph_cache()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = _cache(
@@ -71,7 +81,17 @@ def pagerank(
     n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    pr = nodes.withColumn("pr", F.round(F.lit(1.0 / n_nodes), prec))
+    if prior is not None:
+        pr = nodes.join(
+            prior.select("node", F.col("pr").alias("_prior")), "node", "left"
+        ).select(
+            "node",
+            F.round(
+                F.coalesce(F.col("_prior"), F.lit(1.0 / n_nodes)), prec
+            ).alias("pr"),
+        )
+    else:
+        pr = nodes.withColumn("pr", F.round(F.lit(1.0 / n_nodes), prec))
     for _ in range(iters):
         contrib = (
             e.join(pr.withColumnRenamed("node", "src"), "src")

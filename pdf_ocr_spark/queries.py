@@ -9636,6 +9636,104 @@ FROM documents GROUP BY source
 """
 
 
+def q_link_pagerank_incremental(spark, sf_dir):
+    """Incremental PageRank across crawl snapshots: snapshot B = A plus
+    a deterministic hash-selected reversed-edge delta; ONE power
+    iteration warm-started from A's converged ranks lands next to the
+    full 3-iteration cold recompute on B — the dashboard that justifies
+    warm-starting rank jobs per crawl instead of recomputing from the
+    uniform vector (3× fewer join passes over a 10^12-edge graph).
+    Output per node: warm pr, cold pr, abs diff.  All decimal-summed
+    and fixed-rounded; the oracle unrolls every round (3 cold-A +
+    1 warm + 3 cold-B) in SQL."""
+    from pdf_ocr_spark.operators.dedup import _hbase40
+    from pdf_ocr_spark.operators.graph import pagerank
+
+    a = spark.read.parquet(_golden("link_edges")).select(
+        F.col("url").alias("src"), F.col("link").alias("dst")
+    )
+    delta = (
+        a.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .filter(
+            _hbase40(F.concat(F.col("src"), F.lit(":"), F.col("dst"))) % 5
+            == 0
+        )
+    )
+    b = a.unionByName(delta)
+    cold_a = pagerank(a, iters=3)
+    warm_b = pagerank(b, iters=1, prior=cold_a)
+    cold_b = pagerank(b, iters=3)
+    return (
+        warm_b.select("node", F.col("pr").alias("pr_warm"))
+        .join(cold_b.select("node", F.col("pr").alias("pr_cold")), "node")
+        .select(
+            "node", "pr_warm", "pr_cold",
+            F.round(F.abs(F.col("pr_warm") - F.col("pr_cold")), 10)
+            .alias("abs_diff"),
+        )
+    )
+
+
+def _sql_pr_it(e: str, deg: str, nodes: str, nn: str, prev: str,
+               name: str, damping: float = 0.85, prec: int = 10) -> str:
+    base = (f"(CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE))"
+            f" / (SELECT n FROM {nn})")
+    return f"""
+{name} AS (
+  SELECT n.node,
+    round(coalesce(s.mass, 0) * CAST({damping} AS DOUBLE) + {base}, {prec}) AS pr
+  FROM {nodes} n LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(sum(CAST(p.pr / d.deg AS DECIMAL(28,14))) AS DOUBLE) AS mass
+    FROM {e} e JOIN {prev} p ON p.node = e.src JOIN {deg} d ON d.src = e.src
+    GROUP BY e.dst) s ON s.node = n.node
+)"""
+
+
+def _sql_pagerank_incremental(prec: int = 10) -> str:
+    ita = ",".join(
+        _sql_pr_it("ga", "dega", "na", "nna", f"pra{i}", f"pra{i + 1}")
+        for i in range(3)
+    )
+    itc = ",".join(
+        _sql_pr_it("gb", "degb", "nb", "nnb", f"prc{i}", f"prc{i + 1}")
+        for i in range(3)
+    )
+    itw = _sql_pr_it("gb", "degb", "nb", "nnb", "prw0", "prw1")
+    g = _golden("link_edges")
+    return f"""
+WITH ga AS (SELECT url AS src, link AS dst FROM read_parquet('{g}')),
+delta AS (
+  SELECT link AS src, url AS dst FROM read_parquet('{g}')
+  WHERE CAST(('0x' || substr(md5(link || ':' || url), 1, 10)) AS BIGINT)
+        % 5 = 0
+),
+gb AS (SELECT src, dst FROM ga UNION ALL SELECT src, dst FROM delta),
+na AS (SELECT DISTINCT src AS node FROM ga UNION SELECT DISTINCT dst FROM ga),
+nna AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM na),
+dega AS (SELECT src, count(*) AS deg FROM ga GROUP BY src),
+pra0 AS (SELECT node, round(1.0 / (SELECT n FROM nna), {prec}) AS pr FROM na),
+{ita},
+nb AS (SELECT DISTINCT src AS node FROM gb UNION SELECT DISTINCT dst FROM gb),
+nnb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nb),
+degb AS (SELECT src, count(*) AS deg FROM gb GROUP BY src),
+prw0 AS (
+  SELECT n.node,
+    round(coalesce(p.pr, 1.0 / (SELECT n FROM nnb)), {prec}) AS pr
+  FROM nb n LEFT JOIN pra3 p ON p.node = n.node
+),
+{itw},
+prc0 AS (SELECT node, round(1.0 / (SELECT n FROM nnb), {prec}) AS pr FROM nb),
+{itc}
+SELECT w.node, w.pr AS pr_warm, c.pr AS pr_cold,
+       round(abs(w.pr - c.pr), {prec}) AS abs_diff
+FROM prw1 w JOIN prc3 c ON c.node = w.node
+"""
+
+
+SQL_LINK_PAGERANK_INCREMENTAL = _sql_pagerank_incremental()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9907,6 +10005,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "link_degree_dist": (q_link_degree_dist, SQL_LINK_DEGREE_DIST),
     "link_reciprocity": (q_link_reciprocity, SQL_LINK_RECIPROCITY),
     "dedup_source_rates": (q_dedup_source_rates, SQL_DEDUP_SOURCE_RATES),
+    "link_pagerank_incremental": (q_link_pagerank_incremental,
+                                  SQL_LINK_PAGERANK_INCREMENTAL),
 }
 
 
@@ -9918,7 +10018,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
 _SAMPLE_PRIORITY = [
     "sample_weighted", "sketch_quantile_hist", "link_communities",
     "hreflang_alternates", "hreflang_clusters", "link_degree_dist",
-    "link_reciprocity", "dedup_source_rates",
+    "link_reciprocity", "dedup_source_rates", "link_pagerank_incremental",
     "text_lm_bigram", "pii_credit_cards", "corpus_zipf", "corpus_heaps",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",

@@ -246,3 +246,28 @@ def test_label_propagation_isolated_pair_and_self_loop(spark):
     out = {r["node"]: r["community"]
            for r in label_propagation(df, rounds=2).collect()}
     assert out == {"x": "x", "y": "x"}       # z: self-loop only → dropped
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    """One warm iteration from converged ranks stays closer to the
+    fixed point than one cold iteration; unknown nodes fall back to
+    1/N."""
+    from pdf_ocr_spark.operators.graph import pagerank
+
+    e = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(e, "src string, dst string")
+    ref = {r["node"]: r["pr"] for r in pagerank(df, iters=12).collect()}
+    cold1 = {r["node"]: r["pr"] for r in pagerank(df, iters=1).collect()}
+    prior = pagerank(df, iters=6)
+    warm1 = {r["node"]: r["pr"]
+             for r in pagerank(df, iters=1, prior=prior).collect()}
+    err_cold = sum(abs(cold1[n] - ref[n]) for n in ref)
+    err_warm = sum(abs(warm1[n] - ref[n]) for n in ref)
+    assert err_warm < err_cold
+    # prior missing a node: new node seeds at 1/N, run still works
+    from pyspark.sql import functions as F
+
+    partial = prior.filter(F.col("node") != "d")
+    out = {r["node"]: r["pr"]
+           for r in pagerank(df, iters=1, prior=partial).collect()}
+    assert set(out) == set(ref)
