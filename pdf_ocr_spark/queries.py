@@ -9734,6 +9734,97 @@ FROM prw1 w JOIN prc3 c ON c.node = w.node
 SQL_LINK_PAGERANK_INCREMENTAL = _sql_pagerank_incremental()
 
 
+def q_warc_header_gate(spark, sf_dir):
+    """X-Robots-Tag header-channel indexing gate: robots directives in
+    the HTTP RESPONSE HEADERS, the only robots channel PDFs/images
+    have and one a meta-robots-only gate silently misses.  Documents
+    become WARC response records whose envelopes carry real
+    X-Robots-Tag headers (agent-scoped 'googlebot: noindex', 'none',
+    'noarchive', unavailable_after, absent); the archive is read BACK
+    and the verdict computed from the recovered header: strip an
+    optional agent prefix (but never the unavailable_after directive,
+    whose value also contains ':'), then token-match noindex/none.
+    The WARC write+read round-trips in one partition-parallel map; the
+    oracle replays the header construction and the identical gate
+    relationally from the documents table."""
+    from pdf_ocr_spark.operators.dedup import _hbase40  # noqa: F401
+    from pdf_ocr_spark.sources.warc import (
+        pages_to_warc_with_headers, warc_robots_headers)
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    i = F.col("doc_id")
+    tag = (
+        F.when(i % 6 == 0, F.lit("noindex"))
+        .when(i % 6 == 1, F.lit("noindex, nofollow"))
+        .when(i % 6 == 2, F.lit("googlebot: noindex"))
+        .when(i % 6 == 3, F.lit("none"))
+        .when(i % 6 == 4, F.lit("noarchive, nosnippet"))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        F.concat(F.lit("https://h"), (i % 7).cast("string"),
+                 F.lit(".example.com/p/"), i.cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-05 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        tag.alias("x_robots_tag"),
+    )
+    hdrs = warc_robots_headers(pages_to_warc_with_headers(pages))
+    v = F.lower(F.trim(F.col("x_robots_tag")))
+    stripped = (
+        F.when(v.startswith("unavailable_after:"), v)
+        .when(
+            v.rlike("^[a-z0-9_-]+ *:"),
+            F.regexp_replace(v, "^[a-z0-9_-]+ *:", ""),
+        )
+        .otherwise(v)
+    )
+    toks = F.concat(
+        F.lit(","), F.regexp_replace(stripped, " ", ""), F.lit(",")
+    )
+    indexable = ~(
+        toks.contains(",noindex,") | toks.contains(",none,")
+    )
+    return hdrs.select(
+        "url", "status", "x_robots_tag", indexable.alias("indexable")
+    )
+
+
+SQL_WARC_HEADER_GATE = """
+WITH pages AS (
+  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE doc_id % 6
+           WHEN 0 THEN 'noindex'
+           WHEN 1 THEN 'noindex, nofollow'
+           WHEN 2 THEN 'googlebot: noindex'
+           WHEN 3 THEN 'none'
+           WHEN 4 THEN 'noarchive, nosnippet'
+           ELSE ''
+         END AS x_robots_tag
+  FROM documents WHERE doc_id < 300
+),
+g AS (
+  SELECT url, 200 AS status, x_robots_tag,
+         CASE WHEN lower(trim(x_robots_tag))
+                   LIKE 'unavailable_after:%'
+              THEN lower(trim(x_robots_tag))
+              WHEN regexp_matches(lower(trim(x_robots_tag)),
+                                  '^[a-z0-9_-]+ *:')
+              THEN regexp_replace(lower(trim(x_robots_tag)),
+                                  '^[a-z0-9_-]+ *:', '')
+              ELSE lower(trim(x_robots_tag))
+         END AS v
+  FROM pages
+)
+SELECT url, CAST(status AS INT) AS status, x_robots_tag,
+       NOT (
+         (',' || replace(v, ' ', '') || ',') LIKE '%,noindex,%'
+         OR (',' || replace(v, ' ', '') || ',') LIKE '%,none,%'
+       ) AS indexable
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10007,6 +10098,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_source_rates": (q_dedup_source_rates, SQL_DEDUP_SOURCE_RATES),
     "link_pagerank_incremental": (q_link_pagerank_incremental,
                                   SQL_LINK_PAGERANK_INCREMENTAL),
+    "warc_header_gate": (q_warc_header_gate, SQL_WARC_HEADER_GATE),
 }
 
 
@@ -10019,6 +10111,7 @@ _SAMPLE_PRIORITY = [
     "sample_weighted", "sketch_quantile_hist", "link_communities",
     "hreflang_alternates", "hreflang_clusters", "link_degree_dist",
     "link_reciprocity", "dedup_source_rates", "link_pagerank_incremental",
+    "warc_header_gate",
     "text_lm_bigram", "pii_credit_cards", "corpus_zipf", "corpus_heaps",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",

@@ -973,3 +973,135 @@ def warc_revisit_rows(archives):
             )
 
     return archives.select("warc").mapInPandas(_batch, schema=REVISIT_ROWS_DDL)
+
+
+# ---------------------------------------------------------------------------
+# HTTP header channel — X-Robots-Tag rides in the RESPONSE HEADERS, not
+# the HTML, so a crawl that gates indexing only on <meta robots> misses
+# it (Google honors both; headers are the ONLY channel for PDFs/images)
+
+
+def http_header_records(
+    data: bytes,
+) -> List[Tuple[str, Optional[str], int, str]]:
+    """WARC bytes → [(url, warc_date, http_status, x_robots_tag)] for
+    response records.  The header block is parsed BEFORE body handling
+    (the whole point: the verdict must not require decoding bodies);
+    records without the header yield ''."""
+    out: List[Tuple[str, Optional[str], int, str]] = []
+    chunks = (
+        list(_iter_gzip_members(data))
+        if data[:2] == b"\x1f\x8b"
+        else [data]
+    )
+    for chunk in chunks:
+        pos = 0
+        n = len(chunk)
+        while pos < n:
+            start = chunk.find(b"WARC/", pos)
+            if start < 0:
+                break
+            hdr_end = chunk.find(_CRLF2, start)
+            if hdr_end < 0:
+                break
+            headers = _parse_headers(chunk[start:hdr_end])
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                pos = hdr_end + 4
+                continue
+            body_start = hdr_end + 4
+            payload = chunk[body_start : body_start + length]
+            pos = body_start + length
+            rtype = headers.get("warc-type", "").lower()
+            uri = headers.get("warc-target-uri", "")
+            if rtype != "response" or not uri or not payload.startswith(
+                b"HTTP/"
+            ):
+                continue
+            sep = payload.find(_CRLF2)
+            head = payload[: sep if sep >= 0 else len(payload)]
+            http = _parse_headers(head)
+            line_end = head.find(b"\r\n")
+            status_line = head[: line_end if line_end >= 0 else len(head)]
+            parts = status_line.split(None, 2)
+            try:
+                status = int(parts[1])
+            except (IndexError, ValueError):
+                status = 0
+            out.append(
+                (uri, headers.get("warc-date"), status,
+                 http.get("x-robots-tag", ""))
+            )
+    return out
+
+
+def pages_to_warc_headers_batch(batches):
+    """mapInPandas body: pages rows WITH an ``x_robots_tag`` column →
+    one archive per partition; non-null tags become real
+    ``X-Robots-Tag`` response headers on the record's HTTP envelope."""
+    import pandas as pd
+
+    recs = []
+    for b in batches:
+        for url, ts, html, tag in zip(
+            b["url"], b["warc_ts"], b["html"], b["x_robots_tag"]
+        ):
+            date = (
+                pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                if not pd.isna(ts)
+                else "1970-01-01T00:00:00Z"
+            )
+            extra = (
+                [("X-Robots-Tag", str(tag))]
+                if isinstance(tag, str) and tag
+                else None
+            )
+            recs.append(
+                write_warc_record(
+                    str(url), date, bytes(html),
+                    extra_http_headers=extra,
+                )
+            )
+    yield pd.DataFrame(
+        {"n_records": [len(recs)], "warc": [b"".join(recs)]}
+    )
+
+
+def pages_to_warc_with_headers(pages):
+    """(url, warc_ts, html, x_robots_tag) → one WARC archive per
+    partition, tags written as response headers."""
+    return pages.select(
+        "url", "warc_ts", "html", "x_robots_tag"
+    ).mapInPandas(pages_to_warc_headers_batch,
+                  schema="n_records long, warc binary")
+
+
+def warc_robots_headers_batch(batches):
+    """mapInPandas body: archive rows → one row per response record:
+    (url, status, x_robots_tag).  Per-archive parallelism, no shuffle —
+    the same indexing shape as CDX."""
+    import pandas as pd
+
+    for b in batches:
+        rows: List[tuple] = []
+        for blob in b["warc"]:
+            try:
+                for url, _date, status, tag in http_header_records(
+                    bytes(blob)
+                ):
+                    rows.append((url, status, tag))
+            except Exception:  # noqa: BLE001 — poison archives skip whole
+                continue
+        yield pd.DataFrame(
+            rows, columns=["url", "status", "x_robots_tag"]
+        )
+
+
+def warc_robots_headers(archives):
+    """(warc binary) rows → (url, status int, x_robots_tag) — the
+    header-channel robots signal a WARC-native indexing gate joins on."""
+    return archives.select("warc").mapInPandas(
+        warc_robots_headers_batch,
+        schema="url string, status int, x_robots_tag string",
+    )

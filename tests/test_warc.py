@@ -512,3 +512,45 @@ def test_revisit_sink_deterministic_bytes(spark):
     a = bytes(pages_to_warc_deduped(pages.repartition(1)).collect()[0]["warc"])
     b = bytes(pages_to_warc_deduped(pages.repartition(1)).collect()[0]["warc"])
     assert a == b
+
+
+def test_x_robots_tag_header_channel(spark):
+    """X-Robots-Tag written into the response envelope reads back via
+    http_header_records; the agent-prefix strip never eats the
+    unavailable_after directive (whose VALUE also contains ':')."""
+    from pdf_ocr_spark.sources.warc import (
+        http_header_records, write_warc_record)
+
+    recs = b"".join([
+        write_warc_record("https://x.test/a", "2025-01-05T00:00:00Z",
+                          b"<p>a</p>",
+                          extra_http_headers=[("X-Robots-Tag", "noindex")]),
+        write_warc_record("https://x.test/b", "2025-01-05T00:00:00Z",
+                          b"<p>b</p>"),
+        write_warc_record(
+            "https://x.test/c", "2025-01-05T00:00:00Z", b"<p>c</p>",
+            extra_http_headers=[
+                ("X-Robots-Tag", "unavailable_after: 2025-07-01")]),
+    ])
+    rows = http_header_records(recs)
+    assert [(u, s, t) for u, _d, s, t in rows] == [
+        ("https://x.test/a", 200, "noindex"),
+        ("https://x.test/b", 200, ""),
+        ("https://x.test/c", 200, "unavailable_after: 2025-07-01"),
+    ]
+    # distributed round trip: tag column → archive → header rows
+    df = spark.createDataFrame(
+        [("https://x.test/a", "noindex, nofollow"),
+         ("https://x.test/b", None)],
+        "url string, x_robots_tag string",
+    ).selectExpr(
+        "url", "timestamp '2025-01-05 00:00:00' AS warc_ts",
+        "encode('hi', 'utf-8') AS html", "x_robots_tag",
+    )
+    from pdf_ocr_spark.sources.warc import (
+        pages_to_warc_with_headers, warc_robots_headers)
+
+    out = {r["url"]: r["x_robots_tag"] for r in warc_robots_headers(
+        pages_to_warc_with_headers(df)).collect()}
+    assert out == {"https://x.test/a": "noindex, nofollow",
+                   "https://x.test/b": ""}
