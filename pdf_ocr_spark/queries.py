@@ -9825,6 +9825,87 @@ FROM g
 """
 
 
+def q_sim_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation recall (Kusupati et al. 2022): top-3
+    cosine neighbors computed on PREFIX sub-vectors (dims 8/16/32) vs
+    the full 64-dim baseline — the dashboard behind serving MRL
+    embeddings truncated (a 32-dim prefix costs 2× less memory and
+    bandwidth at whatever recall this table shows; these synthetic
+    embeddings don't front-load information, so low dims degrade —
+    reported honestly, like sim_pq_recall).  Integer hit counts over
+    the joined top-k sets; one rounded division per dim."""
+    from pdf_ocr_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    base = S.cosine_topk_bruteforce(emb, qs, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    rows = None
+    for dim in (8, 16, 32):
+        te = emb.select(
+            "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+        )
+        tq = qs.select(
+            "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+        )
+        t = S.cosine_topk_bruteforce(te, tq, k=3).select(
+            "query_id", "neighbor_id"
+        )
+        hits = t.join(base, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        tot = base.agg(F.count(F.lit(1)).alias("n_base"))
+        r = hits.crossJoin(F.broadcast(tot)).select(
+            F.lit(dim).alias("dim"),
+            F.col("n_hits").cast("long"),
+            F.col("n_base").cast("long"),
+            F.round(F.col("n_hits") / F.col("n_base"), 6).alias("recall"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def _sql_mrl_dim(dim: int) -> str:
+    qv, ev = f"q.qv[1:{dim}]", f"e.embedding[1:{dim}]"
+    return f"""
+sc{dim} AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round({_SQL_COSINE.format(a=qv, b=ev)}, 4) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE q.query_id <> e.vec_id),
+t{dim} AS (SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sc{dim}) WHERE rank <= 3),
+r{dim} AS (SELECT {dim} AS dim,
+  (SELECT count(*) FROM t{dim} t JOIN tbase b
+     ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id)
+    AS n_hits,
+  (SELECT count(*) FROM tbase) AS n_base)"""
+
+
+SQL_SIM_MATRYOSHKA_RECALL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 100 = 0),
+scbase AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round({_SQL_COSINE.format(a='q.qv', b='e.embedding')}, 4) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE q.query_id <> e.vec_id),
+tbase AS (SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scbase) WHERE rank <= 3),
+{_sql_mrl_dim(8)},
+{_sql_mrl_dim(16)},
+{_sql_mrl_dim(32)}
+SELECT dim, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_base AS BIGINT) AS n_base,
+       round(n_hits / CAST(n_base AS DOUBLE), 6) AS recall
+FROM (SELECT * FROM r8 UNION ALL SELECT * FROM r16
+      UNION ALL SELECT * FROM r32)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10099,6 +10180,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "link_pagerank_incremental": (q_link_pagerank_incremental,
                                   SQL_LINK_PAGERANK_INCREMENTAL),
     "warc_header_gate": (q_warc_header_gate, SQL_WARC_HEADER_GATE),
+    "sim_matryoshka_recall": (q_sim_matryoshka_recall,
+                              SQL_SIM_MATRYOSHKA_RECALL),
 }
 
 
@@ -10111,7 +10194,7 @@ _SAMPLE_PRIORITY = [
     "sample_weighted", "sketch_quantile_hist", "link_communities",
     "hreflang_alternates", "hreflang_clusters", "link_degree_dist",
     "link_reciprocity", "dedup_source_rates", "link_pagerank_incremental",
-    "warc_header_gate",
+    "warc_header_gate", "sim_matryoshka_recall",
     "text_lm_bigram", "pii_credit_cards", "corpus_zipf", "corpus_heaps",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",
