@@ -476,6 +476,17 @@ def encode_g4(
     if width <= 0 or height <= 0 or len(luma) < width * height:
         raise CcittError("bad encode dimensions")
     bw = _BitWriter()
+    _encode_g4_into(bw, luma, width, height, threshold)
+    bw.write(0x001001, 24)                # EOFB
+    return bw.done()
+
+
+def _encode_g4_into(
+    bw: "_BitWriter", luma: bytes, width: int, height: int,
+    threshold: int = 128,
+) -> None:
+    """One G4 image's 2D lines into an open bit writer (no EOFB) —
+    shared by :func:`encode_g4` and the multi-plane chain."""
     ref = [width, width]
     for y in range(height):
         row = luma[y * width : (y + 1) * width]
@@ -510,5 +521,50 @@ def encode_g4(
                 a0 = a2
                 i += 2
         ref = cur + [width, width] if cur else [width, width]
+
+
+def encode_g4_planes(
+    planes: "List[bytes]", columns: int, rows: int, threshold: int = 128
+) -> bytes:
+    """Encode several equal-sized G4 images into ONE bitstream: the
+    reference line resets to all-white between images and a single
+    EOFB terminates the whole stream — the layout JBIG2's MMR-coded
+    halftone GRAYSCALE uses (T.88 C.5 / §6.6.5.1: bitplanes share one
+    MMR stream, EOFB only after the last plane)."""
+    if columns <= 0 or rows <= 0:
+        raise CcittError("bad plane dimensions")
+    if not planes:
+        raise CcittError("no planes")
+    bw = _BitWriter()
+    for luma in planes:
+        if len(luma) < columns * rows:
+            raise CcittError("short plane")
+        _encode_g4_into(bw, luma, columns, rows, threshold)
     bw.write(0x001001, 24)                # EOFB
     return bw.done()
+
+
+def decode_g4_planes(
+    data: bytes, columns: int, rows: int, nplanes: int
+) -> "List[bytes]":
+    """Decode ``nplanes`` consecutive G4 images of (columns, rows) from
+    one bitstream (reference reset to white between images, one
+    trailing EOFB) → luma buffers (black=0, white=255).  Exact mirror
+    of :func:`encode_g4_planes`."""
+    if not 0 < columns <= MAX_COLUMNS or not 0 < rows <= MAX_ROWS:
+        raise CcittError("bad plane dimensions")
+    if nplanes <= 0 or nplanes * rows * columns > MAX_PIXELS:
+        raise CcittError("bad plane count")
+    br = _BitReader(data)
+    planes: List[bytes] = []
+    for _ in range(nplanes):
+        ref = [columns, columns]
+        out: List[bytes] = []
+        for _y in range(rows):
+            if br.exhausted():
+                raise CcittError("truncated plane stream")
+            cur = _decode_2d_line(br, ref, columns)
+            out.append(_line_to_runs(cur, columns))
+            ref = cur + [columns, columns]
+        planes.append(b"".join(out))
+    return planes

@@ -59,14 +59,14 @@ Also: HALFTONE coding (§6.6/§6.7) — pattern dictionaries (type 16,
 arithmetic or MMR collective bitmaps, AT1 = (-HDPW, 0) per §6.7.5)
 and immediate halftone regions (types 22/23): Annex C.5 grayscale
 decoding (Gray-coded bitplanes MSB→LSB through ONE shared arithmetic
-decoder and context table), the §6.6.5.2 skewable grid placement
-((HGX + m·HRY + n·HRX) >> 8 etc., offsets/vectors in 1/256-pixel
-units), HDEFPIXEL, OR composition, and an exact encoder mirror
-(clustered-dot cell²+1 pattern ramp).
+decoder and context table, OR all planes in one shared MMR stream
+with reference resets and a single trailing EOFB when HMMR=1), the
+§6.6.5.2 skewable grid placement ((HGX + m·HRY + n·HRX) >> 8 etc.,
+offsets/vectors in 1/256-pixel units), HDEFPIXEL, OR composition,
+and an exact encoder mirror (clustered-dot cell²+1 pattern ramp).
 
 Out of scope (→ loud ``JBIG2Error``): Huffman-coded refinement,
-MMR-coded halftone GRAYSCALE planes (MMR pattern dictionaries are
-supported), HENABLESKIP / non-OR halftone composition, intermediate
+HENABLESKIP / non-OR halftone composition, intermediate
 (type 20/36) regions, unknown-length regions, retained contexts.
 
 The 16-bit template context packs the nominal template-0 neighbourhood
@@ -2016,8 +2016,7 @@ def _decode_halftone_region(body: bytes,
     if rw == 0 or rh == 0 or rw * rh > 64 << 20:
         raise JBIG2Error("unreasonable region size")
     hflags = body[17]
-    if hflags & 0x01:
-        raise JBIG2Error("MMR-coded halftone grayscale unsupported")
+    hmmr = hflags & 0x01
     template = (hflags >> 1) & 0x03
     if hflags & 0x08:
         raise JBIG2Error("HENABLESKIP halftone regions unsupported")
@@ -2037,11 +2036,24 @@ def _decode_halftone_region(body: bytes,
     cells = hgw * hgh
     values = [0] * cells
     if nbits:
-        mq = MQDecoder(body[38:], states=_Ctx())
-        tmpl = _gb_template(template, _GB_NOMINAL_AT[template])
+        if hmmr:
+            # C.5 with HMMR=1: ALL planes share one MMR stream, the
+            # reference line resets between planes, one trailing EOFB
+            from pdf_ocr_spark.kernels.pdf import ccitt
+
+            try:
+                lumas = ccitt.decode_g4_planes(body[38:], hgw, hgh, nbits)
+            except ccitt.CcittError as exc:
+                raise JBIG2Error(f"MMR grayscale: {exc}") from exc
+            raw = [bytearray(1 if b < 128 else 0 for b in lm)
+                   for lm in lumas]
+        else:
+            mq = MQDecoder(body[38:], states=_Ctx())
+            tmpl = _gb_template(template, _GB_NOMINAL_AT[template])
+            raw = [_decode_generic_bitmap(mq, hgw, hgh, False, tmpl)
+                   for _ in range(nbits)]
         prev: Optional[bytearray] = None
-        for j in range(nbits - 1, -1, -1):
-            plane = _decode_generic_bitmap(mq, hgw, hgh, False, tmpl)
+        for j, plane in zip(range(nbits - 1, -1, -1), raw):
             if prev is not None:
                 for i in range(cells):
                     plane[i] ^= prev[i]       # Gray → binary (C.5)
@@ -2123,7 +2135,8 @@ def halftone_gray_values(width: int, height: int, luma: bytes,
 
 def encode_halftone_page(width: int, height: int, luma: bytes,
                          cell: int = 4, template: int = 0,
-                         mmr_patterns: bool = False) -> bytes:
+                         mmr_patterns: bool = False,
+                         mmr_gray: bool = False) -> bytes:
     """Encode 8-bit grayscale as a JBIG2 HALFTONE page: a pattern
     dictionary of cell²+1 clustered-dot patterns plus one immediate
     lossless halftone region whose grayscale image is the per-cell ink
@@ -2131,7 +2144,9 @@ def encode_halftone_page(width: int, height: int, luma: bytes,
     the clustered-dot halftone of the input — deterministic, pinned by
     the tests' independent rendering twin.  ``mmr_patterns`` codes the
     pattern dictionary's collective bitmap as MMR (T.6) instead of
-    arithmetic; the grayscale planes are always arithmetic."""
+    arithmetic; ``mmr_gray`` codes the GRAYSCALE planes as one shared
+    MMR stream (reference reset between planes, single trailing EOFB —
+    T.88 C.5 / §6.6.5.1)."""
     if width <= 0 or height <= 0 or len(luma) != width * height:
         raise JBIG2Error("bad image dimensions")
     if not 2 <= cell <= 15:
@@ -2165,8 +2180,7 @@ def encode_halftone_page(width: int, height: int, luma: bytes,
     cells = hgw * hgh
     # binary → Gray code (C.5 mirror): gray[MSB] = bit[MSB],
     # gray[j] = bit[j] ^ bit[j+1]
-    mq = MQEncoder(states=_Ctx())
-    tmpl = _gb_template(template, _GB_NOMINAL_AT[template])
+    gray_planes = []
     for j in range(nbits - 1, -1, -1):
         plane = bytearray(cells)
         for i in range(cells):
@@ -2174,13 +2188,28 @@ def encode_halftone_page(width: int, height: int, luma: bytes,
             if j < nbits - 1:
                 bit ^= (values[i] >> (j + 1)) & 1
             plane[i] = bit
-        _encode_generic_bitmap(mq, plane, hgw, hgh, False, tmpl)
+        gray_planes.append(plane)
+    if mmr_gray:
+        from pdf_ocr_spark.kernels.pdf import ccitt
+
+        gray_data = (
+            ccitt.encode_g4_planes(
+                [bytes(0 if b else 255 for b in p) for p in gray_planes],
+                hgw, hgh)
+            if nbits else b""
+        )
+    else:
+        mq = MQEncoder(states=_Ctx())
+        tmpl = _gb_template(template, _GB_NOMINAL_AT[template])
+        for plane in gray_planes:
+            _encode_generic_bitmap(mq, plane, hgw, hgh, False, tmpl)
+        gray_data = mq.flush() if nbits else b""
     region = (_u32(width) + _u32(height) + _u32(0) + _u32(0) +
               bytes([0x00]) +               # external combination op: OR
-              bytes([template << 1]) +      # HMMR=0, SKIP=0, OR, DEFPIX=0
+              bytes([(template << 1) | (1 if mmr_gray else 0)]) +
               _u32(hgw) + _u32(hgh) + _u32(0) + _u32(0) +
               _u16(cell << 8) + _u16(0) +   # axis-aligned cell-size grid
-              (mq.flush() if nbits else b""))
+              gray_data)
     return (_segment(0, _SEG_PAGE_INFO, 1, _page_info(width, height)) +
             _segment(1, _SEG_PATTERN_DICT, 1, dict_body) +
             _segment(2, _SEG_HALFTONE_IMMEDIATE_LOSSLESS, 1, region,

@@ -819,11 +819,15 @@ class TestHalftone:
         tail = ((2).to_bytes(4, "big") * 2 +
                 (0).to_bytes(4, "big", signed=True) * 2 +
                 (512).to_bytes(2, "big") + (0).to_bytes(2, "big"))
-        for flags, msg in [(0x01, "MMR"), (0x08, "HENABLESKIP"),
-                           (0x10, "non-OR")]:
+        for flags, msg in [(0x08, "HENABLESKIP"), (0x10, "non-OR")]:
             with pytest.raises(JBIG2Error, match=msg):
                 _decode_halftone_region(head + bytes([flags]) + tail,
                                         pats, bytearray(64), 8, 8)
+        # HMMR=1 is SUPPORTED now; an empty plane stream raises loudly
+        two_pats = [(2, 2, bytearray(4)), (2, 2, bytearray([1] * 4))]
+        with pytest.raises(JBIG2Error, match="MMR grayscale"):
+            _decode_halftone_region(head + b"\x01" + tail, two_pats,
+                                    bytearray(64), 8, 8)
         with pytest.raises(JBIG2Error, match="pattern"):
             _decode_halftone_region(head + b"\x00" + tail, [], bytearray(64),
                                     8, 8)
@@ -847,3 +851,52 @@ class TestHalftone:
                 decode_bilevel(bytes(b))
             except JBIG2Error:
                 pass   # wrong pixels are fine; other exceptions are not
+
+
+class TestHalftoneMmrGray:
+    """HMMR=1 grayscale: all Gray-coded bitplanes ride ONE shared MMR
+    stream (reference reset between planes, single trailing EOFB)."""
+
+    def test_round_trip_matches_arithmetic_variant(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_halftone_page
+
+        rng = np.random.RandomState(21)
+        g = (np.linspace(0, 255, 40 * 30).reshape(30, 40)
+             + rng.randint(-60, 60, (30, 40))).clip(0, 255).astype(np.uint8)
+        luma = g.tobytes()
+        arith = decode_bilevel(encode_halftone_page(40, 30, luma, cell=4))
+        for mp in (False, True):
+            mmr = decode_bilevel(encode_halftone_page(
+                40, 30, luma, cell=4, mmr_patterns=mp, mmr_gray=True))
+            assert mmr == arith
+
+    def test_ccitt_plane_chain_round_trips(self):
+        from pdf_ocr_spark.kernels.pdf.ccitt import (
+            decode_g4_planes, encode_g4_planes)
+
+        rng = np.random.RandomState(22)
+        planes = [(rng.randint(0, 2, 16 * 12) * 255).astype(np.uint8)
+                  .tobytes() for _ in range(5)]
+        s = encode_g4_planes(planes, 16, 12)
+        assert decode_g4_planes(s, 16, 12, 5) == planes
+
+    def test_mmr_gray_fuzz(self):
+        from pdf_ocr_spark.kernels.pdf.jbig2 import encode_halftone_page
+
+        rng = np.random.RandomState(23)
+        g = (rng.randint(0, 256, 32 * 24)).astype(np.uint8).tobytes()
+        data = encode_halftone_page(32, 24, g, cell=4, mmr_gray=True)
+        r = random.Random(41)
+        for _ in range(80):
+            cut = r.randrange(1, len(data))
+            try:
+                decode_bilevel(data[:cut])
+            except JBIG2Error:
+                pass
+        for _ in range(80):
+            b = bytearray(data)
+            b[r.randrange(len(b))] ^= 1 << r.randrange(8)
+            try:
+                decode_bilevel(bytes(b))
+            except JBIG2Error:
+                pass   # wrong pixels fine; other exceptions are not
