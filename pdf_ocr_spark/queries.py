@@ -9906,6 +9906,116 @@ FROM (SELECT * FROM r8 UNION ALL SELECT * FROM r16
 """
 
 
+def q_tpch_q5ish(spark, sf_dir):
+    """TPC-H Q5 shape — local-supplier volume: the 6-table join chain
+    (region → nation → customer → orders → lineitem → supplier) with
+    the Q5 twist that the SUPPLIER must sit in the CUSTOMER's nation
+    (two independent paths to nation meeting in one equality).  The
+    dimension chain (region/nation/customer is small) broadcasts; only
+    the orders⋈lineitem fact join shuffles — the join-ordering shape
+    Catalyst must get right at 100 TB.  Exact decimal revenue sums."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (sup.s_nationkey == dims.c_nationkey),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dec_sum(rev, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q5ISH = f"""
+SELECT r_name, n_name,
+  {_dec_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+def q_tpch_q14ish(spark, sf_dir):
+    """TPC-H Q14 shape — promotion revenue share: conditional
+    aggregation over the lineitem⋈part join (CASE inside the sum, the
+    filter-inside-aggregate idiom), one month of shipments.  Part
+    broadcasts; the ratio divides two exact decimal sums once."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), rev
+    ).otherwise(F.lit(0.0))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        _dec_sum(promo, 2).alias("promo_revenue"),
+        _dec_sum(rev, 2).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        "n_items",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue")
+            / F.nullif(F.col("total_revenue"), F.lit(0.0)),
+            4,
+        ).alias("promo_pct"),
+    )
+
+
+SQL_TPCH_Q14ISH = f"""
+WITH j AS (
+  SELECT CASE WHEN p_type LIKE 'PROMO%'
+              THEN l_extendedprice * (1 - l_discount)
+              ELSE 0.0 END AS promo_rev,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+),
+a AS (
+  SELECT {_dec_sum_sql("promo_rev")} AS promo_revenue,
+         {_dec_sum_sql("rev")} AS total_revenue,
+         count(*) AS n_items
+  FROM j
+)
+SELECT promo_revenue, total_revenue, n_items,
+       round(100.0 * promo_revenue / nullif(total_revenue, 0.0), 4)
+         AS promo_pct
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10182,6 +10292,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "warc_header_gate": (q_warc_header_gate, SQL_WARC_HEADER_GATE),
     "sim_matryoshka_recall": (q_sim_matryoshka_recall,
                               SQL_SIM_MATRYOSHKA_RECALL),
+    "tpch_q5ish": (q_tpch_q5ish, SQL_TPCH_Q5ISH),
+    "tpch_q14ish": (q_tpch_q14ish, SQL_TPCH_Q14ISH),
 }
 
 
