@@ -122,6 +122,13 @@ BENCH_QUERIES = [
     "sketch_quantile_hist",
     "link_communities",
     "hreflang_clusters",
+    "link_degree_dist",
+    "dedup_source_rates",
+    "link_pagerank_incremental",
+    "warc_header_gate",
+    "sim_matryoshka_recall",
+    "tpch_q5ish",
+    "tpch_q14ish",
 ]
 
 N_BENCH_DOCS = 2400  # synthetic pages corpus size for the throughput number
