@@ -10016,6 +10016,104 @@ FROM a
 """
 
 
+def q_robots_policy_drift(spark, sf_dir):
+    """robots.txt policy drift across crawl snapshots: snapshot B is
+    the rules table with deterministic hash-selected mutations (some
+    rules dropped, some domains gain a new Disallow) — the diff a
+    crawler must run per fetch of robots.txt, because a newly
+    disallowed prefix means already-indexed urls under it must be
+    RETIRED, not merely skipped next crawl.  Per domain: rule counts
+    in both snapshots, added/removed counts, changed/unchanged
+    verdict.  One full-outer join on (domain, rule identity) + one
+    groupBy; the oracle replays mutation and diff relationally over
+    the same frozen golden."""
+    from pdf_ocr_spark.operators.dedup import _hbase40
+
+    a = spark.read.parquet(_golden("robots_rules")).select(
+        "domain", "agent", "allow", "pattern"
+    )
+    rid = F.concat_ws(
+        "\x1f", F.col("agent"),
+        F.col("allow").cast("string"), F.col("pattern")
+    )
+    a = a.withColumn("rule", rid)
+    dropped = _hbase40(F.concat(F.col("domain"), F.lit("#"),
+                                F.col("rule"))) % 4 == 0
+    gains = (
+        a.select("domain").distinct()
+        .filter(_hbase40(F.col("domain")) % 5 == 0)
+        .select(
+            "domain",
+            F.concat_ws("\x1f", F.lit("*"), F.lit("false"),
+                        F.lit("/private-new/")).alias("rule"),
+        )
+    )
+    b = a.filter(~dropped).select("domain", "rule").unionByName(gains)
+    aa = a.select("domain", "rule").withColumn("in_a", F.lit(1))
+    bb = b.withColumn("in_b", F.lit(1))
+    j = aa.join(bb, ["domain", "rule"], "full_outer")
+    return (
+        j.groupBy("domain")
+        .agg(
+            F.sum(F.coalesce(F.col("in_a"), F.lit(0))).alias("n_rules_a"),
+            F.sum(F.coalesce(F.col("in_b"), F.lit(0))).alias("n_rules_b"),
+            F.sum(
+                F.when(F.col("in_b").isNull(), 1).otherwise(0)
+            ).alias("n_removed"),
+            F.sum(
+                F.when(F.col("in_a").isNull(), 1).otherwise(0)
+            ).alias("n_added"),
+        )
+        .select(
+            "domain", "n_rules_a", "n_rules_b", "n_removed", "n_added",
+            F.when(F.col("n_removed") + F.col("n_added") > 0,
+                   F.lit("changed")).otherwise(F.lit("unchanged"))
+            .alias("verdict"),
+        )
+    )
+
+
+_SQL_H40 = "CAST(('0x' || substr(md5({e}), 1, 10)) AS BIGINT)"
+
+SQL_ROBOTS_POLICY_DRIFT = f"""
+WITH a AS (
+  SELECT domain,
+         agent || chr(31) || CAST(allow AS VARCHAR) || chr(31) || pattern
+           AS rule
+  FROM read_parquet('{_golden("robots_rules")}')
+),
+gains AS (
+  SELECT DISTINCT domain,
+         '*' || chr(31) || 'false' || chr(31) || '/private-new/' AS rule
+  FROM a WHERE {_SQL_H40.format(e="domain")} % 5 = 0
+),
+b AS (
+  SELECT domain, rule FROM a
+  WHERE {_SQL_H40.format(e="domain || '#' || rule")} % 4 <> 0
+  UNION ALL SELECT domain, rule FROM gains
+),
+j AS (
+  SELECT coalesce(a2.domain, b2.domain) AS domain,
+         CASE WHEN a2.domain IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN b2.domain IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM (SELECT domain, rule, 1 AS x FROM a) a2
+  FULL OUTER JOIN (SELECT domain, rule, 1 AS x FROM b) b2
+    ON a2.domain = b2.domain AND a2.rule = b2.rule
+)
+SELECT domain,
+       CAST(sum(in_a) AS BIGINT) AS n_rules_a,
+       CAST(sum(in_b) AS BIGINT) AS n_rules_b,
+       CAST(sum(CASE WHEN in_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN in_a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CASE WHEN sum(CASE WHEN in_b = 0 THEN 1 ELSE 0 END)
+               + sum(CASE WHEN in_a = 0 THEN 1 ELSE 0 END) > 0
+            THEN 'changed' ELSE 'unchanged' END AS verdict
+FROM j GROUP BY domain
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10294,6 +10392,8 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                               SQL_SIM_MATRYOSHKA_RECALL),
     "tpch_q5ish": (q_tpch_q5ish, SQL_TPCH_Q5ISH),
     "tpch_q14ish": (q_tpch_q14ish, SQL_TPCH_Q14ISH),
+    "robots_policy_drift": (q_robots_policy_drift,
+                            SQL_ROBOTS_POLICY_DRIFT),
 }
 
 
