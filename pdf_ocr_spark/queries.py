@@ -10406,7 +10406,8 @@ _SAMPLE_PRIORITY = [
     "sample_weighted", "sketch_quantile_hist", "link_communities",
     "hreflang_alternates", "hreflang_clusters", "link_degree_dist",
     "link_reciprocity", "dedup_source_rates", "link_pagerank_incremental",
-    "warc_header_gate", "sim_matryoshka_recall",
+    "warc_header_gate", "sim_matryoshka_recall", "robots_policy_drift",
+    "tpch_q5ish", "tpch_q14ish",
     "text_lm_bigram", "pii_credit_cards", "corpus_zipf", "corpus_heaps",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",
