@@ -10114,6 +10114,62 @@ FROM j GROUP BY domain
 """
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention over the events stream: users cohorted by
+    first-activity date, per-cohort distinct-active counts at day
+    offsets 0-7 and the retention rate — the engagement dashboard
+    every event pipeline ships.  Two map-side-combinable groupBys plus
+    one broadcastable cohort-size join; day arithmetic on DATEs only
+    (identical integer day-diffs in both engines), rate rounded 6dp."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id", "cohort",
+            F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    size = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = act.groupBy("cohort", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return ret.join(F.broadcast(size), "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6)
+        .alias("retention"),
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         date_diff('day', f.cohort, e.d) AS day_offset
+  FROM ev e JOIN f ON f.user_id = e.user_id
+  WHERE date_diff('day', f.cohort, e.d) <= 7
+),
+sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1),
+r AS (SELECT cohort, day_offset, count(DISTINCT user_id) AS n_active
+      FROM act GROUP BY 1, 2)
+SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort,
+       CAST(r.day_offset AS INT) AS day_offset, r.n_active,
+       s.cohort_size,
+       round(r.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM r JOIN sz s ON s.cohort = r.cohort
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10394,6 +10450,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "tpch_q14ish": (q_tpch_q14ish, SQL_TPCH_Q14ISH),
     "robots_policy_drift": (q_robots_policy_drift,
                             SQL_ROBOTS_POLICY_DRIFT),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
 }
 
 
@@ -10407,7 +10464,7 @@ _SAMPLE_PRIORITY = [
     "hreflang_alternates", "hreflang_clusters", "link_degree_dist",
     "link_reciprocity", "dedup_source_rates", "link_pagerank_incremental",
     "warc_header_gate", "sim_matryoshka_recall", "robots_policy_drift",
-    "tpch_q5ish", "tpch_q14ish",
+    "tpch_q5ish", "tpch_q14ish", "events_retention",
     "text_lm_bigram", "pii_credit_cards", "corpus_zipf", "corpus_heaps",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",
