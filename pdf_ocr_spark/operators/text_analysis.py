@@ -1633,3 +1633,47 @@ def url_spam_features(
         (valid & has_userinfo_or_port).alias("has_userinfo_or_port"),
         (valid & suspect).alias("url_suspect"),
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    target_bytes: int = 1 << 30,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard delivery manifest over :func:`shard_assign`: one row
+    per output file with doc count, byte total, id range, and an
+    ORDER-SENSITIVE content digest (md5 of the per-doc text md5s
+    concatenated in id order) — the checksum a consumer verifies a
+    delivered training shard against, and the receipt a resumed export
+    proves byte-identity with.
+
+    The ordered digest folds with array_sort(collect_list(struct(id,
+    md5))) — per-shard state is bounded by docs-per-shard (the target
+    size caps it), and everything else is the same single window
+    shuffle shard_assign already pays."""
+    assigned = shard_assign(docs, target_bytes, shard_col, id_col,
+                            text_col)
+    h = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_h")
+    )
+    j = assigned.join(h, id_col)
+    ordered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                                 F.col("_h").alias("h")))),
+            lambda s: s["h"],
+        ),
+        "",
+    )
+    return (
+        j.groupBy("shard_key", "shard_index", "shard_path")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("n_bytes"),
+            F.min(id_col).alias("first_id"),
+            F.max(id_col).alias("last_id"),
+            F.md5(ordered).alias("content_md5"),
+        )
+    )

@@ -10170,6 +10170,51 @@ FROM r JOIN sz s ON s.cohort = r.cohort
 """
 
 
+def q_export_manifest(spark, sf_dir):
+    """Per-shard delivery manifest over the deterministic export
+    sharding: doc count, byte total, id range, and an ORDER-SENSITIVE
+    content digest (md5 of the per-doc md5s in id order) per output
+    file — what a consumer verifies a delivered training shard
+    against, and what a resumed export proves byte-identity with.
+    Same single window shuffle as export_shards plus one bounded
+    per-shard fold; the oracle replays the digest with an ordered
+    string_agg."""
+    return T.shard_manifest(
+        _t(spark, sf_dir, "documents"), target_bytes=1 << 16
+    )
+
+
+SQL_EXPORT_MANIFEST = """
+WITH t AS (
+  SELECT lang AS shard_key, doc_id,
+         CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+         md5(text) AS h
+  FROM documents
+),
+c AS (
+  SELECT shard_key, doc_id, n_bytes, h,
+         sum(n_bytes) OVER (PARTITION BY shard_key ORDER BY doc_id)
+           AS cum
+  FROM t
+),
+a AS (
+  SELECT shard_key, doc_id, n_bytes, h,
+         CAST(floor((cum - n_bytes) / 65536.0) AS BIGINT) AS shard_index
+  FROM c
+)
+SELECT shard_key, shard_index,
+       printf('%s/shard-%05d.jsonl', shard_key, shard_index)
+         AS shard_path,
+       count(*) AS n_docs,
+       sum(n_bytes) AS n_bytes,
+       min(doc_id) AS first_id,
+       max(doc_id) AS last_id,
+       md5(string_agg(h, '' ORDER BY doc_id)) AS content_md5
+FROM a
+GROUP BY shard_key, shard_index
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10451,6 +10496,7 @@ REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "robots_policy_drift": (q_robots_policy_drift,
                             SQL_ROBOTS_POLICY_DRIFT),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
+    "export_manifest": (q_export_manifest, SQL_EXPORT_MANIFEST),
 }
 
 
@@ -10464,7 +10510,7 @@ _SAMPLE_PRIORITY = [
     "hreflang_alternates", "hreflang_clusters", "link_degree_dist",
     "link_reciprocity", "dedup_source_rates", "link_pagerank_incremental",
     "warc_header_gate", "sim_matryoshka_recall", "robots_policy_drift",
-    "tpch_q5ish", "tpch_q14ish", "events_retention",
+    "tpch_q5ish", "tpch_q14ish", "events_retention", "export_manifest",
     "text_lm_bigram", "pii_credit_cards", "corpus_zipf", "corpus_heaps",
     "jbig2_scan_ocr", "sketch_hll_distinct", "quality_nb_score",
     "link_trustrank", "search_phrase", "sim_pq_topk", "filter_funnel_v2",
